@@ -1,0 +1,10 @@
+from . import (  # noqa: F401
+    cleaning,
+    dedup_fuzzy,
+    enrich,
+    joins,
+    metrics,
+    multimodal,
+    similarity,
+    text,
+)

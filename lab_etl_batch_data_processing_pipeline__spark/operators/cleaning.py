@@ -1,0 +1,142 @@
+"""Cleaning operators (SURVEY.md §2.2): dedup, date normalization,
+projection/cast, schema validation.
+
+All pure ``DataFrame -> DataFrame`` and built-in-expression only, so every
+one stays inside whole-stage codegen and benefits from pushdown/pruning.
+
+Reference parity:
+- P1 exact dedup          -> :func:`dedup_exact` (curated_tranformation.py:134-137)
+- key-subset dedup        -> :func:`dedup_by_keys` (engine extension: the
+  reference's Glue job fuses ``dropDuplicates()`` into the scan,
+  curate_data_etl_job.py:82, but offers no deterministic keyed variant)
+- P4 date normalize       -> :func:`normalize_dates` (curated_tranformation.py:141-146)
+- P2 projection + cast    -> :func:`project_cast` (curated_tranformation.py:148-180)
+- P7 schema validation    -> :func:`validate_columns` / :func:`assert_no_nulls`
+  (the reference defines validate_columns at helper_func.py:50-51 but never
+  calls it; here it is a real, used gate)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Drop fully-duplicate rows (optionally on a column subset).
+
+    ``dropDuplicates`` is a hash aggregation on all (or subset) columns:
+    partial map-side dedup, one shuffle on the dedup key, final dedup.
+    Note: with ``subset``, *which* survivor row is kept is arbitrary — use
+    :func:`dedup_by_keys` when the survivor must be deterministic (required
+    for oracle-diff testing and reproducible pipelines).
+    """
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def dedup_by_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str] | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """Keep exactly one row per key, chosen deterministically.
+
+    Survivor = first row per key under ``order_by`` (default: all non-key
+    columns ascending, nulls last). Implemented as a ranking window — one
+    shuffle on ``keys``, in-partition sort, no driver involvement. At scale
+    this is the same cost as ``dropDuplicates(keys)`` but reproducible.
+    """
+    order_cols = list(order_by) if order_by else [c for c in df.columns if c not in keys]
+    ordering = [
+        F.col(c).desc_nulls_last() if descending else F.col(c).asc_nulls_last()
+        for c in order_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def normalize_dates(
+    df: DataFrame,
+    columns: Sequence[str],
+    input_format: str = "dd/MM/yyyy",
+) -> DataFrame:
+    """Parse string date columns to DateType, malformed -> NULL.
+
+    Spark 4 runs ANSI mode by default where ``to_date`` *throws* on
+    malformed input; ``try_to_date`` restores null-on-malformed semantics
+    without disabling ANSI globally (SURVEY.md §7.4 risk 1). The reference
+    instead reformats to a 'yyyy-MM-dd' *string* (curated_tranformation.py:141-146);
+    keeping a real DateType lets Catalyst fold/push date predicates and
+    halves the column width.
+    """
+    out = df
+    for column in columns:
+        out = out.withColumn(column, F.try_to_date(F.col(column), input_format))
+    return out
+
+
+def project_cast(df: DataFrame, columns: Mapping[str, str]) -> DataFrame:
+    """Project to exactly ``columns`` with ANSI-safe casts.
+
+    ``columns`` maps output name -> "source_col:type" or just "type" (same
+    name). Uses ``try_cast`` semantics via F.try_ functions where overflow
+    could throw under ANSI.
+    """
+    exprs = []
+    for out_name, spec in columns.items():
+        if ":" in spec:
+            src, dtype = spec.split(":", 1)
+        else:
+            src, dtype = out_name, spec
+        exprs.append(F.col(src).try_cast(dtype).alias(out_name))
+    return df.select(*exprs)
+
+
+def split_to_array(df: DataFrame, column: str, delimiter: str = ",") -> DataFrame:
+    """Delimited list-as-text -> trimmed ArrayType(StringType()).
+
+    The reference stores ``amenities`` as raw text with a TODO to make it an
+    array (curated_tranformation.py:21); this is that operator.
+    """
+    return df.withColumn(
+        column,
+        F.when(
+            F.col(column).isNull() | (F.trim(F.col(column)) == ""), F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(F.split(F.col(column), F.lit(delimiter)), lambda x: F.trim(x))
+        ),
+    )
+
+
+class SchemaValidationError(ValueError):
+    pass
+
+
+def validate_columns(df: DataFrame, required_columns: Sequence[str]) -> DataFrame:
+    """Assert required columns exist (plan-time, no job run). Returns df."""
+    missing = [c for c in required_columns if c not in df.columns]
+    if missing:
+        raise SchemaValidationError(f"missing required columns: {missing}")
+    return df
+
+
+def assert_no_nulls(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Runtime data-quality gate: raise if any listed column holds a NULL.
+
+    One aggregate job (single pass, map-side partials); at 100 TB this is a
+    full scan so call it on layer boundaries, not per-operator.
+    """
+    counts = df.select(
+        [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in columns]
+    ).first()
+    bad = {c: counts[c] for c in columns if counts[c]}
+    if bad:
+        raise SchemaValidationError(f"null values in non-nullable columns: {bad}")
+    return df

@@ -1,0 +1,234 @@
+"""Near-duplicate detection operators (north-star extension): blocked
+n-gram Jaccard, MinHash + LSH banding, SimHash.
+
+Design for 100 TB: never form the O(n^2) pair space. Every operator here
+generates candidate pairs through an equi-join on a blocking/bucket key
+(Catalyst turns that into an ordinary shuffled hash join), then verifies
+only the candidates.
+
+- :func:`jaccard_near_dups`     deterministic blocking + exact Jaccard
+  verify; fully SQL-expressible (oracle-checkable).
+- :func:`minhash_signatures` / :func:`minhash_near_dups`   classic
+  shingle -> minhash -> band -> bucket-join LSH. Hashing uses xxhash64
+  (JVM-side, 64-bit) — fast but Spark-specific, so the correctness story
+  is the Jaccard verify step, not hash parity with other engines.
+- :func:`simhash` 64-bit token-hash sign-sum sketch; hamming-close pairs
+  are near-dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import normalized_text
+
+
+def _token_set(text_col):
+    """Distinct lowercase whitespace tokens (the comparison universe)."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != F.lit(""))
+    )
+
+
+def jaccard_near_dups(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    length_bucket: int = 10,
+) -> DataFrame:
+    """Near-dup pairs by exact token-set Jaccard, with deterministic blocking.
+
+    Blocking key = (distinct-token-count bucket, first raw token): two docs
+    can only pair if they share both. That keeps the join an equi-join (one
+    shuffle on the block key) and bounds the verify set; Jaccard is then
+    computed exactly with integer set arithmetic. Docs whose Jaccard >=
+    threshold but which land in different blocks are missed — that recall
+    trade-off is what MinHash-LSH (below) fixes probabilistically at scale.
+
+    The first-token block key comes from the *raw* token stream (not the
+    distinct set) so it does not depend on any engine's distinct-ordering.
+    """
+    raw_toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    toks = F.array_distinct(raw_toks)
+    prepared = documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("tok_set"),
+        F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
+        F.element_at(raw_toks, 1).alias("first_tok"),
+    )
+    a = prepared.alias("a")
+    b = prepared.alias("b")
+    pairs = a.join(
+        b,
+        on=(
+            (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.first_tok") == F.col("b.first_tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ),
+    )
+    inter = F.size(
+        F.filter(F.col("a.tok_set"), lambda x: F.array_contains(F.col("b.tok_set"), x))
+    )
+    union = F.size(F.col("a.tok_set")) + F.size(F.col("b.tok_set")) - inter
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingle set over normalized text (distinct)."""
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: array of ``num_hashes`` minima.
+
+    Each hash i is ``xxhash64(shingle, seed=i)``; the signature element is
+    the min over the doc's shingle set. Computed as one projection with
+    higher-order functions — no shuffle, no UDF, no exploding the shingle
+    set into rows (an explode would multiply the scan by ~|shingles|).
+    """
+    sh = _shingles(F.col(text_col), shingle_size)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        sig.alias("signature"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+def minhash_near_dups(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures, bucket-join, verify.
+
+    rows-per-band r = num_hashes/bands; candidate probability for true
+    Jaccard s is 1-(1-s^r)^bands (the classic S-curve). The banding explode
+    produces ``bands`` rows per doc (bounded fan-out), the bucket join is an
+    equi-join on (band_id, band_hash), and verification re-estimates
+    similarity from the full signatures (estimated Jaccard = fraction of
+    matching signature slots).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(documents, id_col, text_col, num_hashes, shingle_size)
+
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice(F.col("signature"), band * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "signature", "band.band_id", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=(
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        candidates.select(
+            "doc_id_a", "doc_id_b", F.round(est, 6).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def simhash(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """63-bit SimHash over the token set: bit b of the sketch is the sign of
+    the sum over tokens of (+1 if token-hash bit b else -1).
+
+    63 bits (not 64) so the fold ``acc*2 + bit`` never overflows a signed
+    long under ANSI mode. Near-dups have hamming-close sketches; pairing is
+    a bucket join on sketch prefixes (not materialized here). Pure
+    higher-order expressions — nested aggregate over the token hashes.
+    """
+    toks = _token_set(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_signs = F.transform(
+        F.sequence(F.lit(62), F.lit(0), F.lit(-1)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sketch = F.aggregate(
+        bit_signs, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+    )
+    return documents.select(F.col(id_col).alias("doc_id"), sketch.alias("simhash63"))

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths, as the scale story demands:
+
+- :func:`cosine_topk_bruteforce` — exact top-k. The query set is broadcast
+  (it is small by construction); candidates stream map-side through a
+  codegen'd cosine expression; a per-query ranking window keeps k. Cost is
+  O(|queries| x |corpus|) FLOPs but zero corpus shuffle — the right
+  baseline, and exact.
+- :func:`cosine_topk_lsh` — approximate scale path: random-hyperplane LSH
+  (SimHash for vectors). Corpus and queries are bucketed by sign-pattern
+  hash; candidates come from an equi-join on the bucket, so the pair space
+  collapses from O(n*q) to matching buckets only. Recall is tunable with
+  ``num_planes``/``num_tables``. Plane projections use a deterministic
+  hash-derived pseudo-random matrix, so results are reproducible without
+  shipping a random state.
+
+Both paths are pure built-in higher-order expressions (no UDF); a Pandas
+UDF with numpy matmul is the documented alternative when vectors get wide
+enough (>~1k dims) that per-element codegen loses to BLAS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector_funcs import cosine_similarity
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast). Self-matches (same id)
+    are excluded. Ties break by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__q_vec")
+    )
+    scored = corpus.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("__q_vec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .orderBy(query_id_col, "sim_rank")
+    )
+
+
+def _hyperplane_bucket(vec, num_planes: int, table: int):
+    """Sign-pattern bucket id for a vector under ``num_planes`` pseudo-random
+    hyperplanes (plane p, dim d weight = a deterministic hash in [-1,1)).
+
+    The weight for (table, plane, dim) is derived from xxhash64, so every
+    row computes the same matrix without any side data to broadcast.
+    """
+    def weight(p, d):
+        h = F.xxhash64(F.lit(table), p, d)
+        return (h % 10_000_019).cast("double") / F.lit(10_000_019.0)
+
+    dims = F.sequence(F.lit(1), F.size(vec))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, dims, lambda x, d: x.cast("double") * weight(p, d)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH bucketing.
+
+    Each side gets ``num_tables`` bucket ids; candidates = bucket collisions
+    in any table (union via explode + equi-join + dedup). Exact cosine is
+    then computed only on candidates and ranked per query. With small
+    buckets the join is a plain shuffled equi-join — no broadcast needed, so
+    this path scales to corpora that cannot be broadcast *and* query sets
+    that cannot either.
+    """
+    def with_buckets(df, ident):
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    _hyperplane_bucket(F.col(vec_col), num_planes, t).alias("bucket"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(ident), F.col(vec_col), F.explode(tables).alias("tb")
+        ).select(ident, vec_col, "tb.table_id", "tb.bucket")
+
+    c = with_buckets(corpus, id_col).alias("c")
+    q = with_buckets(queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col)
+    q = q.withColumnRenamed(vec_col, "__q_vec").alias("q")
+
+    candidates = (
+        c.join(
+            q,
+            on=(
+                (F.col("c.table_id") == F.col("q.table_id"))
+                & (F.col("c.bucket") == F.col("q.bucket"))
+                & (F.col(f"c.{id_col}") != F.col(f"q.{query_id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"q.{query_id_col}").alias(query_id_col),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.col("c." + vec_col).alias(vec_col),
+            F.col("q.__q_vec").alias("__q_vec"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = candidates.select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__q_vec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .orderBy(query_id_col, "sim_rank")
+    )

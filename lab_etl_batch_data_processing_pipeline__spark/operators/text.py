@@ -1,0 +1,145 @@
+"""Text-analysis operators over a documents table (north-star extension:
+language ID, quality scoring, token counting, fingerprinting).
+
+The reference has no text surface; these are the LLM-training-data
+operators a 100-TB pipeline needs. Everything is built-in expressions in a
+single projection per operator — no UDFs, no shuffles except where an
+aggregation is the point (fingerprint clustering).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import (
+    DEFAULT_STOPWORDS,
+    normalized_text,
+    punct_count,
+    stopword_count,
+    token_count,
+)
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately deterministic and SQL-expressible (oracle-parity).
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+}
+
+
+def doc_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-document structural stats: chars, tokens, stopword/punct profile,
+    and a [0,1] quality score.
+
+    Quality score: penalizes ultra-short docs, punctuation soup, and
+    stopword-free word salad — the standard cheap pre-filters in front of
+    an LLM training corpus. Integer arithmetic + one division each, so the
+    values are deterministic across engines.
+    """
+    text = F.col(text_col)
+    n_tokens = token_count(text)
+    n_stop = stopword_count(text, stopwords)
+    n_punct = punct_count(text)
+    n_chars = F.length(text)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.least(n_tokens, F.lit(50)) / F.lit(50.0)) * 0.5
+                + (F.lit(1.0) - F.least(n_punct / F.greatest(n_chars, F.lit(1)), F.lit(1.0))) * 0.3
+                + F.least(n_stop / F.greatest(n_tokens, F.lit(1)) * F.lit(5.0), F.lit(1.0)) * 0.2,
+            ),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Marker-word language heuristic: score each language by marker hits in
+    the token stream, pick the best scorer ('und' when nothing matches).
+
+    A real deployment swaps in a fastText/CLD3 model via a Pandas UDF; the
+    heuristic keeps the operator dependency-free and oracle-checkable while
+    exercising the identical Spark plumbing (projection over token arrays).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda x: F.array_contains(F.array(*[F.lit(m) for m in markers]), x))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # Highest score wins; deterministic tie-break by language code order.
+    best = F.lit(0)
+    for score in scores.values():
+        best = F.greatest(best, score)
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-text MD5 fingerprint per document (exact-dup key).
+
+    MD5 over the normalized text is engine-portable (same digest in Spark,
+    DuckDB, Postgres), unlike xxhash64/murmur which differ per engine.
+    """
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+def exact_dup_clusters(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Group documents by content fingerprint: one row per distinct content,
+    with its cluster size and canonical (minimum) doc id.
+
+    This is exact dedup as a *report*; `cleaning.dedup_by_keys` on the
+    fingerprint column is the destructive form. One hash-shuffle on the
+    16-byte digest — the cheapest possible exact-dedup key at 100 TB
+    (shuffles 16 bytes + id instead of full documents).
+    """
+    return (
+        fingerprint(documents, id_col, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("canonical_doc_id")
+    )

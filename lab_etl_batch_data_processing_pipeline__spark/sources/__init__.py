@@ -1,0 +1,8 @@
+from .readers import (  # noqa: F401
+    load_testdata,
+    memory_table,
+    read_csv,
+    read_jdbc,
+    read_parquet,
+)
+from .writers import write_csv_single_file, write_jdbc, write_parquet  # noqa: F401

@@ -1,0 +1,100 @@
+"""Schema-enforced readers (engine's source surface, SURVEY.md §2.1).
+
+Reference parity:
+- S1 JDBC scan            -> :func:`read_jdbc` (helper_func.py:55-63), with
+  the partitioned-read options the reference omits (its single-connection
+  JDBC scan is the documented 100-TB bottleneck, SURVEY.md §6).
+- S2 schema'd CSV scan    -> :func:`read_csv` (helper_func.py:20-28)
+- S3 in-memory literal    -> :func:`memory_table` (curated_tranformation.py:121-125)
+- parquet is this engine's primary format (columnar scan, predicate
+  pushdown + row-group skipping come free from the vectorized reader).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/projection into the scan.
+
+    Sets ``nanosAsLong`` defensively (runtime conf): parquet files with
+    TIMESTAMP(NANOS) columns otherwise fail schema conversion, since Spark
+    has no nanosecond type. Affected columns surface as LongType nanos —
+    convert with :func:`nanos_to_timestamp`.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def nanos_to_timestamp(col):
+    """Long nanos-since-epoch -> TimestampType (microsecond precision).
+
+    Division goes through decimal, not double: nanos magnitudes (~1.7e18)
+    exceed double's 2^53 integer precision, so a float divide would corrupt
+    the low digits.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c.cast("decimal(38,0)") / 1000).cast("long"))
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver testdata tables from a scale-factor directory."""
+    return {name: read_parquet(spark, f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with a declared schema — inference is never used.
+
+    Inference would require an extra full pass over 100 TB of input and can
+    silently flip types between runs; a fixed StructType is both faster and
+    safer (matches the reference's explicit-schema discipline).
+    """
+    return spark.read.option("header", str(header).lower()).schema(schema).csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC scan, optionally parallelized across ``num_partitions``.
+
+    Always pass the partitioning triple for big tables: a bare JDBC read is
+    one connection pulling every row through a single task.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for key, value in (properties or {}).items():
+        reader = reader.option(key, value)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    return reader.load()
+
+
+def memory_table(
+    spark: SparkSession,
+    rows: Iterable[tuple],
+    schema: T.StructType | Sequence[str],
+) -> DataFrame:
+    """Literal in-memory table (small dimensions like exchange rates)."""
+    return spark.createDataFrame(list(rows), schema)

@@ -1,0 +1,9 @@
+"""Structured Streaming surface.
+
+The reference pipeline is strictly batch (SURVEY.md §2.8) — no streams,
+watermarks, or stateful operators exist there. This package holds the
+streaming *variants* of the batch operators for deployments that feed the
+Bronze layer continuously; see ``jobs.py``.
+"""
+
+from .jobs import stream_bookings_ingest, streaming_bookings_per_window  # noqa: F401

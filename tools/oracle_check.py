@@ -1,0 +1,87 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry through Spark and, where an oracle exists,
+through DuckDB on the same parquet tables; compares row count, column
+names, and an order-insensitive value comparison (floats to 1e-9 rel).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from lab_etl_batch_data_processing_pipeline__spark.session import get_spark
+
+
+def normalize(rows, columns):
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        return v
+
+    return sorted(
+        [tuple(norm(r[c]) for c in sorted(columns)) for r in rows],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        spark_rows = [r.asDict() for r in sdf.collect()]
+        cols = sdf.columns
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(spark_rows)} rows")
+            continue
+        ddf = con.execute(oracles[name]).fetch_arrow_table()
+        duck_cols = ddf.column_names
+        duck_rows = ddf.to_pylist()
+        status = []
+        if sorted(cols) != sorted(duck_cols):
+            status.append(f"SCHEMA spark={sorted(cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            status.append(f"ROWS spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not status:
+            a = normalize(spark_rows, cols)
+            b = normalize(duck_rows, cols)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                status.append(f"VALUES {len([1 for x, y in zip(a, b) if x != y])} differ, e.g. {diff}")
+        if status:
+            failures.append(name)
+            print(f"{name:28s} FAIL  {' | '.join(status)}")
+        else:
+            print(f"{name:28s} OK    {len(spark_rows)} rows")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
