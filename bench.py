@@ -1,0 +1,65 @@
+"""Benchmark harness: times every headline query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total query sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, "startup_sec": ...}
+
+Each query is materialized with the noop sink (full computation, no
+driver-side result transfer) so the number reflects engine work, not
+collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from lab_etl_batch_data_processing_pipeline__spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else -1.0
+
+    t0 = time.perf_counter()
+    spark = get_spark("lab-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JIT/codegen warmup on a trivial job so query 1 isn't taxed for JVM spinup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    startup = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        start = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "startup_sec": round(startup, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

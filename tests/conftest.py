@@ -1,0 +1,12 @@
+from __future__ import annotations
+
+import pytest
+
+from lab_etl_batch_data_processing_pipeline__spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("engine-tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

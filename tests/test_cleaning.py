@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import cleaning
+
+
+@pytest.fixture()
+def dup_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (1, "a", 10.0), (1, "b", 5.0), (2, "c", 7.0)],
+        "id int, tag string, amount double",
+    )
+
+
+def test_dedup_exact_drops_full_duplicates(dup_df):
+    out = cleaning.dedup_exact(dup_df)
+    assert out.count() == 3
+
+
+def test_dedup_exact_is_idempotent(dup_df):
+    once = cleaning.dedup_exact(dup_df)
+    assert cleaning.dedup_exact(once).count() == once.count()
+
+
+def test_dedup_by_keys_deterministic_survivor(dup_df):
+    out = cleaning.dedup_by_keys(dup_df, ["id"]).orderBy("id").collect()
+    assert [(r.id, r.tag) for r in out] == [(1, "a"), (2, "c")]
+    # descending flips the survivor
+    out_desc = cleaning.dedup_by_keys(dup_df, ["id"], descending=True).orderBy("id").collect()
+    assert [(r.id, r.tag) for r in out_desc] == [(1, "b"), (2, "c")]
+
+
+def test_normalize_dates_parses_ddmmyyyy_and_nulls_malformed(spark):
+    df = spark.createDataFrame(
+        [("15/06/2024",), ("31/02/2024",), ("junk",), (None,)], "d string"
+    )
+    out = cleaning.normalize_dates(df, ["d"]).collect()
+    assert str(out[0].d) == "2024-06-15"
+    # malformed / impossible dates -> NULL, never an ANSI throw
+    assert out[1].d is None and out[2].d is None and out[3].d is None
+
+
+def test_project_cast_renames_and_casts(spark):
+    df = spark.createDataFrame([("1", "x", "2.5")], "a string, b string, c string")
+    out = cleaning.project_cast(df, {"a": "int", "c_num": "c:double"})
+    assert out.columns == ["a", "c_num"]
+    row = out.first()
+    assert row.a == 1 and row.c_num == 2.5
+
+
+def test_project_cast_overflow_yields_null_not_error(spark):
+    df = spark.createDataFrame([("99999999999999999999",)], "a string")
+    assert cleaning.project_cast(df, {"a": "int"}).first().a is None
+
+
+def test_split_to_array(spark):
+    df = spark.createDataFrame(
+        [("gym, pool ,wifi",), ("",), (None,)], "amenities string"
+    )
+    rows = cleaning.split_to_array(df, "amenities").collect()
+    assert rows[0].amenities == ["gym", "pool", "wifi"]
+    assert rows[1].amenities == [] and rows[2].amenities == []
+
+
+def test_validate_columns(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    cleaning.validate_columns(df, ["a"])
+    with pytest.raises(cleaning.SchemaValidationError, match="missing"):
+        cleaning.validate_columns(df, ["a", "zz"])
+
+
+def test_assert_no_nulls(spark):
+    ok = spark.createDataFrame([(1, None)], "a int, b int")
+    cleaning.assert_no_nulls(ok, ["a"])
+    with pytest.raises(cleaning.SchemaValidationError, match="null"):
+        cleaning.assert_no_nulls(ok, ["b"])

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_etl_batch_data_processing_pipeline__spark.functions.vector_funcs import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+from lab_etl_batch_data_processing_pipeline__spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vector_expressions(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [1.0, 0.0])], "a array<float>, b array<float>"
+    )
+    r = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+    ).first()
+    assert r.dot == pytest.approx(3.0)
+    assert r.na == pytest.approx(5.0)
+    assert r.cos == pytest.approx(0.6)
+
+
+def test_cosine_zero_norm_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 0.0])], "a array<float>, b array<float>")
+    assert df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).first().c is None
+
+
+def test_bruteforce_topk_exact_order(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_bruteforce(vectors, queries, k=4).collect()
+    assert [r.neighbor_id for r in out] == [1, 4, 2, 3]
+    assert out[0].cosine_sim == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert [r.sim_rank for r in out] == [1, 2, 3, 4]
+    assert out[-1].cosine_sim == pytest.approx(-1.0)
+
+
+def test_bruteforce_excludes_self(vectors):
+    queries = vectors.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_lsh_is_subset_of_bruteforce_scores(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r.neighbor_id: r.cosine_sim
+        for r in similarity.cosine_topk_bruteforce(vectors, queries, k=10).collect()
+    }
+    approx = similarity.cosine_topk_lsh(
+        vectors, queries, k=10, num_planes=2, num_tables=4
+    ).collect()
+    # every LSH candidate carries the exact cosine score
+    for r in approx:
+        assert r.cosine_sim == pytest.approx(exact[r.neighbor_id], abs=1e-6)

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import pytest
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import dedup_fuzzy, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = "the quick brown fox jumps over the lazy dog and runs far away now"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, near),                      # near-duplicate of 1
+            (3, "completely different words entirely unrelated content here yes"),
+            (4, base),                      # exact duplicate of 1
+            (5, "  the   quick brown fox jumps over the lazy dog and runs far away today "),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_stats(spark):
+    df = spark.createDataFrame([(1, "The cat, and a dog!")], "doc_id long, text string")
+    r = text.doc_stats(df).first()
+    assert r.n_tokens == 5
+    assert r.n_stopwords == 3  # the, and, a
+    assert r.n_punct == 2  # comma + bang
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_doc_stats_whitespace_robust(spark):
+    df = spark.createDataFrame([(1, "  a  b  ")], "doc_id long, text string")
+    assert text.doc_stats(df).first().n_tokens == 2
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of york"),
+            (2, "der hund und die katze und der"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(docs):
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    assert fps[1] == fps[4] == fps[5]  # exact + whitespace-variant duplicates
+    assert fps[1] != fps[2]
+
+
+def test_exact_dup_clusters(docs):
+    clusters = {
+        r.canonical_doc_id: r.n_docs for r in text.exact_dup_clusters(docs).collect()
+    }
+    assert clusters[1] == 3 and clusters[2] == 1 and clusters[3] == 1
+
+
+def test_jaccard_near_dups_finds_pair(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup_fuzzy.jaccard_near_dups(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] > 0.8  # 13/15 shared distinct tokens
+    assert pairs[(1, 4)] == 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r.doc_id: r.signature for r in dedup_fuzzy.minhash_signatures(docs).collect()}
+    assert len(sigs[1]) == 32
+    assert sigs[1] == sigs[4]  # identical text -> identical signature
+    overlap_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    overlap_far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert overlap_near > overlap_far
+
+
+def test_minhash_near_dups(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup_fuzzy.minhash_near_dups(docs, threshold=0.4).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_hamming_locality(docs):
+    import math
+
+    sk = {r.doc_id: r.simhash63 for r in dedup_fuzzy.simhash(docs).collect()}
+    assert sk[1] == sk[4]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sk[1], sk[2]) < hamming(sk[1], sk[3])
