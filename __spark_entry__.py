@@ -28,11 +28,15 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     cleaning,
     dedup_fuzzy,
     metrics,
+    sessions,
     similarity,
     text,
 )
 from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs
-from lab_etl_batch_data_processing_pipeline__spark.sources import read_parquet
+from lab_etl_batch_data_processing_pipeline__spark.sources import (
+    nanos_to_timestamp,
+    read_parquet,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -263,6 +267,82 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, _query_vectors(emb), k=5)
 
 
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the nanos-long ts converted to a real timestamp column."""
+    events = _t(spark, sf_dir, "events")
+    return events.withColumn("ts_utc", nanos_to_timestamp("ts"))
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (12h gap) per user: count + duration per session."""
+    return sessions.session_stats(
+        _events_ts(spark, sf_dir), "user_id", "ts_utc",
+        gap_minutes=720, tiebreak_col="event_id",
+    )
+
+
+def q_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement profile over the events stream."""
+    return sessions.user_engagement(
+        _events_ts(spark, sf_dir), "user_id", "ts_utc", "event_type"
+    )
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_frequencies(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.word_ngrams(_t(spark, sf_dir, "documents"), n=2, min_count=5)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (week, returnflag): subtotals + grand total in one pass
+    (Catalyst expands grouping sets; one shuffle)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    week = F.to_date(F.date_trunc("week", F.col("l_shipdate"))).alias("week_start")
+    return (
+        lineitem.rollup(week, F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy(
+            F.col("week_start").asc_nulls_first(), F.col("return_flag").asc_nulls_first()
+        )
+    )
+
+
+def q_events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-parse from_json + filter on the parsed field (pushdown-style
+    pre-filter the multi-key twin of events_json's get_json_object path)."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", json_funcs.json_struct(F.col("props"), "k INT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.filter(F.col("k") >= 90)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "avg_price_weekly": q_avg_price_weekly,
@@ -285,6 +365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "sessionization": q_sessionization,
+        "user_engagement": q_user_engagement,
+        "token_frequencies": q_token_frequencies,
+        "word_bigrams": q_word_bigrams,
+        "label_centroids": q_label_centroids,
+        "revenue_rollup": q_revenue_rollup,
+        "events_json_struct": q_events_json_struct,
     }
 
 
@@ -471,6 +558,34 @@ FROM (
 """
 
 
+# Session boundaries operate at whole-second resolution on both engines
+# (Spark: timestamp cast to long; DuckDB: epoch_us // 1e6) so tie ordering
+# inside one second cannot flip a 12h-gap decision.
+_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 43200
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), sess AS (
+  SELECT user_id, sec,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY sec, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "avg_price_weekly": """
@@ -572,6 +687,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_jaccard": _JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "sessionization": _SESSION_SQL,
+        "user_engagement": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) // 1000000
+                        - epoch_us(CAST(MIN(ts) AS TIMESTAMP)) // 1000000 AS BIGINT)
+                     AS span_sec,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "token_frequencies": f"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM (SELECT unnest({_LTOKENS}) AS token FROM documents)
+            GROUP BY 1 HAVING COUNT(*) >= 5
+            ORDER BY 2 DESC, 1
+        """,
+        "word_bigrams": f"""
+            WITH toks AS (SELECT {_LTOKENS} AS t FROM documents)
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM (
+              SELECT unnest(
+                CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])
+                     ELSE [] END) AS ngram
+              FROM toks)
+            GROUP BY 1 HAVING COUNT(*) >= 5
+            ORDER BY 2 DESC, 1
+        """,
+        "label_centroids": """
+            WITH ex0 AS (
+              SELECT label,
+                     unnest(list_transform(generate_series(1, len(embedding)),
+                            i -> {'pos': i, 'val': embedding[i]})) AS s
+              FROM embeddings
+            ), ex AS (
+              SELECT label, s.pos AS pos, s.val AS val FROM ex0
+            ), per_dim AS (
+              SELECT label, pos,
+                     ROUND(SUM(CAST(val AS DOUBLE)) / COUNT(*), 6) AS v,
+                     COUNT(*) AS n
+              FROM ex GROUP BY 1, 2
+            )
+            SELECT label,
+                   list(v ORDER BY pos) AS centroid,
+                   CAST(MAX(n) AS BIGINT) AS n_vectors
+            FROM per_dim GROUP BY label ORDER BY label
+        """,
+        "revenue_rollup": """
+            SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                   l_returnflag AS return_flag,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            GROUP BY ROLLUP (1, 2)
+            ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+        """,
+        "events_json_struct": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_high,
+                   CAST(SUM(k) AS BIGINT) AS sum_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            WHERE k >= 90
+            GROUP BY 1 ORDER BY 1
+        """,
         # minhash_near_dups / simhash / ann_cosine_lsh intentionally have no
         # oracle: they hinge on Spark's xxhash64 (engine-specific) — the
         # oracle-checked jaccard/ann_cosine_topk queries pin down the

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     joins,
     metrics,
     multimodal,
+    sessions,
     similarity,
     text,
 )

@@ -153,3 +153,39 @@ def cosine_topk_lsh(
         .filter(F.col("sim_rank") <= k)
         .orderBy(query_id_col, "sim_rank")
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label centroid vector (element-wise mean), plus member count.
+
+    posexplode -> (label, dim) hash aggregate -> deterministic re-assembly
+    via sort_array over (pos, value) structs. Two shuffles ((label,pos)
+    then label), both on small keys; the explode multiplies rows by the
+    vector width, which is the scalable way to aggregate vectors without
+    pulling them to the driver.
+    """
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("double")) / F.count(F.lit(1)), decimals
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+        .orderBy("label")
+    )

@@ -143,3 +143,57 @@ def exact_dup_clusters(
         )
         .orderBy("canonical_doc_id")
     )
+
+
+def token_frequencies(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: token -> document-occurrence count.
+
+    explode + hash aggregate; the shuffle key is the token (high
+    cardinality, well distributed). ``min_count`` prunes the long tail
+    after partial aggregation, so the filter costs nothing extra.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    return (
+        documents.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )
+
+
+def word_ngrams(
+    documents: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Word n-gram frequencies across the corpus (space-joined grams).
+
+    The gram array is built per-row with one sequence+transform pass (no
+    row explosion until the final ungrouped explode), then hash-aggregated.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    # Guard: Spark sequence(1, 0) would generate a *descending* [1, 0];
+    # docs shorter than n tokens must yield an empty gram list instead.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+    )

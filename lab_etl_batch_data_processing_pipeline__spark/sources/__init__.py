@@ -1,6 +1,7 @@
 from .readers import (  # noqa: F401
     load_testdata,
     memory_table,
+    nanos_to_timestamp,
     read_csv,
     read_jdbc,
     read_parquet,

@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    sessions,
+    similarity,
+    text,
+)
+
+TS = dt.datetime
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions split by a >30min gap
+        (1, 1, TS(2024, 1, 1, 10, 0, 0), "view"),
+        (2, 1, TS(2024, 1, 1, 10, 10, 0), "click"),
+        (3, 1, TS(2024, 1, 1, 12, 0, 0), "view"),
+        # user 2: single event
+        (4, 2, TS(2024, 1, 1, 9, 0, 0), "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_sessionize_gap_assignment(events):
+    out = sessions.sessionize(events, "user_id", "ts", gap_minutes=30).collect()
+    seqs = {r.event_id: r.session_seq for r in out}
+    assert seqs == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_session_stats(events):
+    out = sessions.session_stats(events, "user_id", "ts", gap_minutes=30).collect()
+    rows = {(r.user_id, r.session_seq): (r.n_events, r.duration_sec) for r in out}
+    assert rows == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_session_gap_boundary_exclusive(spark):
+    # gap exactly == threshold stays in the same session (strict >)
+    df = spark.createDataFrame(
+        [(1, 1, TS(2024, 1, 1, 0, 0, 0)), (2, 1, TS(2024, 1, 1, 0, 30, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = sessions.sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    assert {r.session_seq for r in out} == {1}
+
+
+def test_user_engagement(events):
+    out = {r.user_id: r for r in sessions.user_engagement(
+        events, "user_id", "ts", "event_type").collect()}
+    assert out[1].n_events == 3 and out[1].n_event_types == 2
+    assert out[1].span_sec == 7200
+    assert out[2].span_sec == 0
+
+
+def test_token_frequencies(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "A c")], "doc_id long, text string"
+    )
+    out = {r.token: r.n_occurrences for r in text.token_frequencies(df).collect()}
+    assert out == {"a": 3, "b": 1, "c": 1}  # lowercased across docs
+
+
+def test_word_ngrams_and_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {r.ngram: r.n_occurrences for r in text.word_ngrams(df, n=2).collect()}
+    assert out == {"x y": 1, "y z": 1}  # 1-token doc contributes nothing
+
+
+def test_label_centroids(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.0, 2.0], 1),
+            (2, [10.0, 10.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.label: r for r in similarity.label_centroids(df).collect()}
+    assert out[1].centroid == [0.5, 1.0]
+    assert out[1].n_vectors == 2
+    assert out[2].centroid == [10.0, 10.0]
