@@ -25,11 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    asof,
     cleaning,
     dedup_fuzzy,
     metrics,
     sessions,
     similarity,
+    skew,
     text,
 )
 from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs
@@ -343,6 +345,62 @@ def q_events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    view event at-or-before it (second resolution for oracle parity)."""
+    ev = _events_ts(spark, sf_dir).withColumn("sec", F.col("ts_utc").cast("long"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("sec").alias("purchase_sec"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("sec").alias("view_sec"),
+        F.col("event_id").alias("view_id"),
+    )
+    joined = asof.asof_join(
+        purchases, views, on="user_id",
+        left_ts="purchase_sec", right_ts="view_sec", right_tiebreak="view_id",
+        suffix="_m",
+    )
+    return joined.select(
+        "purchase_id", "user_id", "purchase_sec",
+        F.col("view_id_m").alias("view_id"),
+        F.col("view_sec_m").alias("view_sec"),
+    ).orderBy("purchase_id")
+
+
+def q_salted_status_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation over the 3-value (maximally skewed)
+    status key; equivalent to the direct groupBy, verified by the oracle."""
+    out = skew.salted_agg(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], ["o_totalprice"], salt=16
+    )
+    return out.orderBy("o_orderstatus")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked embedding-cosine near-dup pairs (sim >= 0.2)."""
+    return similarity.cosine_near_dups(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.2
+    )
+
+
+def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting: word tokens + symbol tokens per document
+    (regex split, the standard cheap token-count proxy)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)
+    syms = F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_word_tokens"),
+        F.size(syms).alias("n_symbol_tokens"),
+        (F.size(words) + F.size(syms)).alias("approx_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "avg_price_weekly": q_avg_price_weekly,
@@ -372,6 +430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "revenue_rollup": q_revenue_rollup,
         "events_json_struct": q_events_json_struct,
+        "asof_purchase_view": q_asof_purchase_view,
+        "salted_status_agg": q_salted_status_agg,
+        "embedding_near_dups": q_embedding_near_dups,
+        "doc_tokens_regex": q_doc_tokens_regex,
     }
 
 
@@ -754,6 +816,60 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE k >= 90
             GROUP BY 1 ORDER BY 1
+        """,
+        "asof_purchase_view": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS purchase_sec
+              FROM events WHERE event_type = 'purchase'
+            ), v AS (
+              SELECT event_id AS view_id, user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS view_sec
+              FROM events WHERE event_type = 'view'
+            ), j AS (
+              SELECT p.purchase_id, p.user_id, p.purchase_sec,
+                     v.view_id, v.view_sec,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY v.view_sec DESC, v.view_id DESC) AS rn
+              FROM p LEFT JOIN v
+                ON p.user_id = v.user_id AND v.view_sec <= p.purchase_sec
+            )
+            SELECT purchase_id, user_id,
+                   CAST(purchase_sec AS BIGINT) AS purchase_sec,
+                   view_id,
+                   CAST(view_sec AS BIGINT) AS view_sec
+            FROM j WHERE rn = 1 ORDER BY purchase_id
+        """,
+        "salted_status_agg": """
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_o_totalprice
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_near_dups": f"""
+            WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+                     ROUND(
+                       {_COS_DOT.format(a="a.embedding", b="b.embedding")}
+                       / ({_COS_NORM.format(a="a.embedding")}
+                          * {_COS_NORM.format(a="b.embedding")}),
+                       6) AS cosine_sim
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cosine_sim >= 0.2 ORDER BY id_a, id_b
+        """,
+        "doc_tokens_regex": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\w+')) AS INT)
+                     AS n_word_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT)
+                     AS n_symbol_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w+'))
+                        + len(regexp_extract_all(text, '[^\\w\\s]')) AS INT)
+                     AS approx_tokens
+            FROM documents
         """,
         # minhash_near_dups / simhash / ann_cosine_lsh intentionally have no
         # oracle: they hinge on Spark's xxhash64 (engine-specific) — the

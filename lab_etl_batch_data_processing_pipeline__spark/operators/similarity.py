@@ -189,3 +189,42 @@ def label_centroids(
         )
         .orderBy("label")
     )
+
+
+def cosine_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    With ``block_col`` (a cluster/label/bucket column) the pair space is an
+    equi-join within blocks — the production shape, where the block comes
+    from LSH bucketing or a coarse clusterer. Without it, a full cross
+    self-join: exact but O(n^2) — only for modest corpora or final verify
+    stages.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    prepared = embeddings.select(*cols)
+    a, b = prepared.alias("a"), prepared.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = (F.col("a.block") == F.col("b.block")) & cond
+    pairs = a.join(b, on=cond)
+    sim = F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6)
+    out_cols = [
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        sim.alias("cosine_sim"),
+    ]
+    if block_col:
+        out_cols.insert(2, F.col("a.block").alias("block"))
+    return (
+        pairs.select(*out_cols)
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
