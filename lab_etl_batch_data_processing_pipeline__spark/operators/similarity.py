@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector_funcs import cosine_similarity
+from ..functions.vector_funcs import cosine_similarity, dot_product, l2_norm
 
 
 def cosine_topk_bruteforce(
@@ -41,13 +41,25 @@ def cosine_topk_bruteforce(
     ``queries`` must be small (it is broadcast). Self-matches (same id)
     are excluded. Ties break by neighbor id for determinism.
     """
+    # Norms are computed ONCE per row before the pair blow-up; per pair
+    # only the dot product remains (3x less arithmetic, identical values —
+    # each norm is a deterministic per-row fold either way).
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__q_vec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__q_vec"),
+        l2_norm(F.col(vec_col)).alias("__q_norm"),
     )
-    scored = corpus.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)).select(
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__c_norm")
+    )
+    denom = F.col("__q_norm") * F.col("__c_norm")
+    scored = c.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_similarity(F.col("__q_vec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        F.round(
+            F.when(denom != 0.0, dot_product(F.col("__q_vec"), F.col(vec_col)) / denom),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -206,7 +218,11 @@ def cosine_near_dups(
     self-join: exact but O(n^2) — only for modest corpora or final verify
     stages.
     """
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),  # once per row, not per pair
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("block"))
     prepared = embeddings.select(*cols)
@@ -215,7 +231,10 @@ def cosine_near_dups(
     if block_col:
         cond = (F.col("a.block") == F.col("b.block")) & cond
     pairs = a.join(b, on=cond)
-    sim = F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6)
+    denom = F.col("a.norm") * F.col("b.norm")
+    sim = F.round(
+        F.when(denom != 0.0, dot_product(F.col("a.vec"), F.col("b.vec")) / denom), 6
+    )
     out_cols = [
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
