@@ -6,4 +6,8 @@ streaming *variants* of the batch operators for deployments that feed the
 Bronze layer continuously; see ``jobs.py``.
 """
 
-from .jobs import stream_bookings_ingest, streaming_bookings_per_window  # noqa: F401
+from .jobs import (  # noqa: F401
+    stream_bookings_ingest,
+    streaming_bookings_per_window,
+    streaming_user_totals,
+)

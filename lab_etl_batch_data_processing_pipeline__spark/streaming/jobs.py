@@ -55,3 +55,43 @@ def streaming_bookings_per_window(
         .agg(F.count(F.lit(1)).alias("total_bookings"))
         .select(F.col("w.start").alias("window_start"), "total_bookings")
     )
+
+
+def streaming_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator: running per-user event totals via
+    ``applyInPandasWithState`` (Arrow-batched, one state row per user).
+
+    State = the all-time event count; each micro-batch emits
+    (user, batch_events, total_events). The state store persists through
+    the checkpoint, so totals survive restarts — the test exercises
+    exactly that (two availableNow runs over one checkpoint).
+
+    Scale: state is partitioned by the group key across executors; per-key
+    state is one long, so the state store stays tiny even at billions of
+    users. This is the template for richer per-key state (session carts,
+    dedup-seen sets with TTL, online aggregates).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        batch_events = 0
+        for pdf in pdf_iter:
+            batch_events += len(pdf)
+        total = (state.get[0] if state.exists else 0) + batch_events
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [batch_events],
+                "total_events": [total],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, batch_events long, total_events long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -91,3 +91,45 @@ def test_streaming_windowed_count(spark, tmp_path):
     }
     assert sum(rows.values()) == 3  # canceled row excluded
     assert len(rows) == 2  # two 7-day windows
+
+
+def test_stateful_streaming_totals_survive_restart(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_user_totals,
+    )
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("v", T.IntegerType())]
+    )
+
+    def run_batch():
+        collected = []
+        stream = (
+            spark.readStream.format("csv").option("header", "true")
+            .schema(schema).load(str(src))
+        )
+        q = (
+            streaming_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.user_id: (r.batch_events, r.total_events) for r in collected}
+
+    (src / "b1.csv").write_text("user_id,v\n1,0\n1,0\n2,0\n")
+    first = run_batch()
+    assert first[1] == (2, 2) and first[2] == (1, 1)
+
+    # second run, new file only: state must carry totals across restart
+    (src / "b2.csv").write_text("user_id,v\n1,0\n3,0\n")
+    second = run_batch()
+    assert second[1] == (1, 3)   # 2 from before + 1 new
+    assert second[3] == (1, 1)
