@@ -58,7 +58,10 @@ def jaccard_near_dups(
         F.col(id_col).alias("doc_id"),
         toks.alias("tok_set"),
         F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
-        F.element_at(raw_toks, 1).alias("first_tok"),
+        # try_element_at: an empty/whitespace-only doc has no first token —
+        # NULL here (ANSI element_at would throw), which drops the doc from
+        # the pair space via the equi-join, matching DuckDB's NULL indexing.
+        F.try_element_at(raw_toks, F.lit(1)).alias("first_tok"),
     )
     a = prepared.alias("a")
     b = prepared.alias("b")

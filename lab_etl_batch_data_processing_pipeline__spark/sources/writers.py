@@ -53,3 +53,26 @@ def write_jdbc(
     for key, value in (properties or {}).items():
         writer = writer.option(key, value)
     writer.save()
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Two tables bucketed the same way on the join key sort-merge-join with
+    ZERO exchange on either side (verified in tests/test_plans.py) — the
+    co-location technique for repeated fact-fact joins at 100 TB: pay the
+    shuffle once at write time, never again per query. Bucketing requires
+    the table-catalog write path (``saveAsTable``), not a bare path.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -100,3 +100,26 @@ def test_pipeline_rerun_is_deterministic(spark, raw):
 def test_default_exchange_rates_dimension(spark):
     rates = {r.currency: r.usd_rate for r in enrich.default_exchange_rates(spark).collect()}
     assert rates == {"USD": 1.0, "EUR": 1.1, "INR": 0.012}
+
+
+def test_sql_view_parity_with_dsl_metrics(spark, raw):
+    """The reference's entry form (spark.sql over temp views) and the
+    engine's DataFrame DSL must agree row-for-row on every metric."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics_sql
+    from lab_etl_batch_data_processing_pipeline__spark.plans import curate, present
+
+    attrs, apartments, bookings = raw
+    curated_tables = curate(spark, attrs, apartments, bookings)
+    dsl = present(
+        curated_tables["curated_apartment_bookings"], curated_tables["apartments"]
+    )
+    via_sql = metrics_sql.present_sql(
+        spark,
+        curated_tables["curated_apartment_bookings"],
+        curated_tables["apartments"],
+    )
+    assert set(dsl) == set(via_sql)
+    for name in dsl:
+        a = sorted(map(str, dsl[name].collect()))
+        b = sorted(map(str, via_sql[name].collect()))
+        assert a == b, f"DSL vs SQL mismatch for {name}"

@@ -72,3 +72,27 @@ def test_asof_join_single_shuffle(spark):
     # (AQE's formatted plan hides the single hash exchange pre-execution)
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v1")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS v2")
+    write_bucketed_table(left, "t_bucket_l", ["k"], num_buckets=8, sort_cols=["k"])
+    write_bucketed_table(right, "t_bucket_r", ["k"], num_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_l").join(spark.table("t_bucket_r"), "k")
+        plan = formatted_plan(joined)
+        # co-located sort-merge join: no shuffle on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_l")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_r")

@@ -1,0 +1,102 @@
+"""Property-based checks (SURVEY.md §5 item 4) over randomized inputs.
+
+hypothesis drives the data; each property is a semantic invariant an
+operator must hold for *any* input, not just fixtures. Spark jobs are
+slow per example, so max_examples is kept small — the value is in the
+randomized shapes (dupes, ties, empty groups), not the volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    cleaning,
+    dedup_fuzzy,
+    metrics,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),                      # user_id
+        st.dates(dt.date(2024, 1, 1), dt.date(2024, 3, 31)),        # booking_date
+        st.sampled_from(["confirmed", "canceled", "pending"]),      # status
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_repeat_rate_bounded_0_100(spark, rows):
+    df = spark.createDataFrame(
+        [(u, d, s) for u, d, s in rows],
+        "user_id int, booking_date date, booking_status string",
+    )
+    out = metrics.repeat_customer_rate_monthly(
+        df, "user_id", "booking_date", status_col="booking_status"
+    ).collect()
+    for r in out:
+        assert 0.0 <= r.repeat_rate_pct <= 100.0
+        assert r.repeat_customers <= r.total_customers
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_exact_idempotent_and_bounded(spark, rows):
+    df = spark.createDataFrame(
+        [(u, d, s) for u, d, s in rows],
+        "user_id int, booking_date date, booking_status string",
+    )
+    once = cleaning.dedup_exact(df)
+    n1 = once.count()
+    assert n1 <= df.count()
+    assert cleaning.dedup_exact(once).count() == n1
+    # dedup result is a subset of the input rows
+    assert once.exceptAll(df).count() == 0
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_by_keys_one_row_per_key(spark, rows):
+    df = spark.createDataFrame(
+        [(u, d, s) for u, d, s in rows],
+        "user_id int, booking_date date, booking_status string",
+    )
+    out = cleaning.dedup_by_keys(df, ["user_id"])
+    assert out.count() == df.select("user_id").distinct().count()
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"), min_size=0, max_size=40
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_jaccard_bounds_and_exact_dup_is_one(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[0])],
+        "doc_id long, text string",
+    )
+    pairs = dedup_fuzzy.jaccard_near_dups(docs, threshold=0.0).collect()
+    for p in pairs:
+        assert 0.0 <= p.jaccard <= 1.0
+    # the injected exact duplicate pairs at jaccard == 1 (if it has tokens)
+    if texts[0].strip():
+        match = [p for p in pairs if p.doc_id_a == 0 and p.doc_id_b == len(texts)]
+        assert match and match[0].jaccard == 1.0
