@@ -401,6 +401,16 @@ def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-corpus funnel: quality gate -> exact dedup -> near-dup
+    removal, oracle-checked end-to-end (plans/corpus.py)."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    return corpus_prep(
+        _t(spark, sf_dir, "documents"), min_quality=0.7, jaccard_threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "avg_price_weekly": q_avg_price_weekly,
@@ -434,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_status_agg": q_salted_status_agg,
         "embedding_near_dups": q_embedding_near_dups,
         "doc_tokens_regex": q_doc_tokens_regex,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -645,6 +656,63 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
 FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# End-to-end corpus funnel oracle: same stage order as plans/corpus.py
+# (quality gate on the ROUNDED 4dp score -> md5-fingerprint dedup with
+# min-doc_id survivor -> blocked-Jaccard near-dup removal keeping the
+# lower doc_id).
+_CORPUS_PREP_SQL = f"""
+WITH stats AS (
+  SELECT doc_id,
+    ROUND(least(1.0,
+        (least(n_tokens, 50) / 50.0) * 0.5
+        + (1.0 - least(n_punct / greatest(n_chars, 1), 1.0)) * 0.3
+        + least(n_stopwords / greatest(n_tokens, 1) * 5.0, 1.0) * 0.2), 4)
+      AS quality_score
+  FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKENS.format(src='text')}) AS n_tokens,
+           len(list_filter({_LTOKENS},
+               x -> x IN ('the','a','an','and','of','to','in','is','it')))
+             AS n_stopwords,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents)
+), kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, s.quality_score
+  FROM documents d JOIN stats s USING (doc_id)
+  WHERE s.quality_score >= 0.7
+), fp AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM kept
+), exact AS (
+  SELECT doc_id, text, lang, source, quality_score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1
+), prep AS (
+  SELECT doc_id,
+         list_distinct(lt) AS tok_set,
+         CAST(floor(len(list_distinct(lt)) / 10) AS BIGINT) AS len_bucket,
+         lt[1] AS first_tok
+  FROM (SELECT doc_id, {_LTOKENS} AS lt FROM exact)
+), pairs AS (
+  SELECT doc_id_b FROM (
+    SELECT b.doc_id AS doc_id_b,
+           ROUND(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
+                 / (len(a.tok_set) + len(b.tok_set)
+                    - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))),
+                 6) AS j
+    FROM prep a JOIN prep b
+      ON a.len_bucket = b.len_bucket
+     AND a.first_tok = b.first_tok
+     AND a.doc_id < b.doc_id
+  ) WHERE j >= 0.5
+)
+SELECT doc_id, text, lang, source, quality_score
+FROM exact WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
+ORDER BY doc_id
 """
 
 
@@ -860,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             ) WHERE cosine_sim >= 0.2 ORDER BY id_a, id_b
         """,
+        "corpus_prep": _CORPUS_PREP_SQL,
         "doc_tokens_regex": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\w+')) AS INT)

@@ -224,24 +224,26 @@ def simhash(
 
     63 bits (not 64) so the fold ``acc*2 + bit`` never overflows a signed
     long under ANSI mode. Near-dups have hamming-close sketches; pairing is
-    a bucket join on sketch prefixes (not materialized here). Pure
-    higher-order expressions — nested aggregate over the token hashes.
+    a bucket join on sketch prefixes (not materialized here).
+
+    Like MinHash, the bit-sums come from ONE fold over the token hashes
+    with an array accumulator (63 counters): the per-bit-aggregate form
+    would re-hash every token once per bit after expression inlining
+    (63x the string hashing).
     """
     toks = _token_set(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_signs = F.transform(
-        F.sequence(F.lit(62), F.lit(0), F.lit(-1)),
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    bit_idx = F.sequence(F.lit(0), F.lit(62))
+    bit_sums = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.expr("array_repeat(0, 63)"),
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda s, b: s + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1)
+        ),
     )
+    # MSB = bit 62: fold the reversed sign array into the long sketch.
     sketch = F.aggregate(
-        bit_signs, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+        F.reverse(bit_sums),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc * 2 + F.when(s > 0, 1).otherwise(0),
     )
     return documents.select(F.col(id_col).alias("doc_id"), sketch.alias("simhash63"))

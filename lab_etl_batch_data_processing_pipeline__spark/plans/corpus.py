@@ -1,0 +1,61 @@
+"""LLM training-corpus preparation pipeline (north-star flagship).
+
+The standard pre-training data funnel, composed from this engine's
+operators, all Catalyst-optimizable:
+
+  documents
+    → quality gate        (doc_stats score >= min_quality; cheap per-row
+                           projection, applied FIRST so every later stage
+                           touches fewer rows)
+    → exact dedup         (md5 fingerprint, deterministic min-doc_id
+                           survivor; shuffles 16-byte digests, not bodies)
+    → near-dup removal    (blocked token-set Jaccard pairs; the LOWER
+                           doc_id of each pair survives)
+
+Every stage is SQL-expressible, so the whole funnel is oracle-checked
+end-to-end (query key ``corpus_prep``). At 100 TB the same composition
+holds — the stages are each one shuffle, and the funnel order minimizes
+the bytes entering each shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import cleaning, dedup_fuzzy, text
+
+
+def corpus_prep(
+    documents: DataFrame,
+    min_quality: float = 0.7,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Return the cleaned corpus: columns (doc_id, text, *keep_cols,
+    quality_score), quality-gated, exact- and near-deduplicated."""
+    stats = text.doc_stats(documents, id_col, text_col).select(
+        "doc_id", "quality_score"
+    )
+    kept = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), *keep_cols
+        )
+        .join(stats, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+    )
+
+    fingerprinted = kept.join(
+        text.fingerprint(kept, "doc_id", "text"), "doc_id"
+    )
+    exact_unique = cleaning.dedup_by_keys(
+        fingerprinted, ["fingerprint"], order_by=["doc_id"]
+    ).drop("fingerprint")
+
+    near_pairs = dedup_fuzzy.jaccard_near_dups(
+        exact_unique, "doc_id", "text", threshold=jaccard_threshold
+    )
+    to_drop = near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    return exact_unique.join(to_drop, "doc_id", "left_anti").orderBy("doc_id")

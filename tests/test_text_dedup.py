@@ -99,3 +99,22 @@ def test_simhash_hamming_locality(docs):
         return bin(a ^ b).count("1")
 
     assert hamming(sk[1], sk[2]) < hamming(sk[1], sk[3])
+
+
+def test_corpus_prep_funnel(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    good = "the quick brown fox jumps over the lazy dog and it runs to the hills today"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "s1"),
+            (2, good, "en", "s2"),                      # exact dup of 1 -> dropped
+            (3, good.replace("today", "now"), "en", "s3"),  # near dup -> dropped
+            (4, "!!! ??? !!!", "en", "s4"),             # punctuation soup -> quality gate
+            (5, "completely different text about the engine and its many tests in it", "en", "s5"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = corpus_prep(docs, min_quality=0.5, jaccard_threshold=0.5)
+    assert [r.doc_id for r in out.collect()] == [1, 5]
+    assert out.columns == ["doc_id", "text", "lang", "source", "quality_score"]
