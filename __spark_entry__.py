@@ -401,6 +401,16 @@ def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (KMeans inverted file; rows-only check — the
+    clustering step has no SQL oracle; recall is pinned by unit tests on
+    clustered fixtures)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, _query_vectors(emb), k=5, nlist=8, nprobe=3
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus funnel: quality gate -> exact dedup -> near-dup
     removal, oracle-checked end-to-end (plans/corpus.py)."""
@@ -445,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "doc_tokens_regex": q_doc_tokens_regex,
         "corpus_prep": q_corpus_prep,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
     }
 
 

@@ -41,24 +41,27 @@ def main() -> None:
     startup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         start = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # one broken query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "startup_sec": round(startup, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "startup_sec": round(startup, 3),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

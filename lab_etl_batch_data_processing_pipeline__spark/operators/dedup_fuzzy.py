@@ -114,11 +114,12 @@ def minhash_signatures(
 
     The whole signature comes from ONE fold over the shingle array
     (``aggregate`` with an array-of-minima accumulator): each shingle is
-    string-hashed once, then cheaply re-seeded per slot. The naive
-    "array of num_hashes array_min passes" form re-evaluates the shingle
-    construction per seed after projection collapsing (Catalyst inlines
-    column aliases and CSE does not reach across lambda scopes) — measured
-    ~50x slower at 5k docs.
+    string-hashed once, then cheaply re-seeded per slot. Two rejected
+    formulations, both measured: the per-seed ``array_min(transform(...))``
+    form re-evaluates the shingle construction per seed after projection
+    collapsing (~30x slower at 5k docs); an explode + groupBy with
+    num_hashes ``min`` columns triggers a wide-aggregate codegen blowup
+    (~25s of fixed compile cost per query regardless of data size).
     """
     max_long = (1 << 63) - 1
     sh = _shingles(F.col(text_col), shingle_size)

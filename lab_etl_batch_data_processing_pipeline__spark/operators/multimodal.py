@@ -88,3 +88,84 @@ def image_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     return media.filter(F.col("modality") == "image").mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes int, duration_ms int, n_frames int, rms_level double"
+)
+
+VIDEO_FRAME_SCHEMA = "media_id long, frame_index int, frame_crc long"
+
+
+def decode_audio_stub(payload: bytes, duration_ms: int | None) -> tuple[int, float]:
+    """Deterministic fake audio decode: (n_frames, rms_level).
+
+    STUB — swap in soundfile/torchaudio when available; the Spark-side
+    contract (schema, batching) does not change.
+    """
+    if not payload:
+        return (0, 0.0)
+    n_frames = (duration_ms or len(payload)) * 16  # fake 16 frames/ms
+    rms = (sum(payload[:256]) % 1000) / 1000.0
+    return (n_frames, rms)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio features via Arrow-batched ``mapInPandas`` (same
+    pipeline shape as image_features; modality-filtered upstream)."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            durations = [m["duration_ms"] if m is not None else None for m in pdf["meta"]]
+            decoded = [
+                decode_audio_stub(p if p is not None else b"", d)
+                for p, d in zip(payloads, durations)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "duration_ms": [d or 0 for d in durations],
+                    "n_frames": [d[0] for d in decoded],
+                    "rms_level": [d[1] for d in decoded],
+                }
+            )
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int = 5) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame.
+
+    STUB decode — frame bytes are simulated as slices of the payload; a
+    real codec replaces the slicing, not the explode shape. The fan-out
+    (rows x max_frames) is bounded by construction, which is what keeps
+    the operator safe at scale.
+    """
+    import zlib
+
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_ids, out_idx, out_crc = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = payload if payload is not None else b""
+                for i in range(max_frames):
+                    offset = i * every_nth
+                    if offset >= len(data):
+                        break
+                    out_ids.append(media_id)
+                    out_idx.append(offset)
+                    out_crc.append(zlib.crc32(data[offset : offset + every_nth]))
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_index": out_idx, "frame_crc": out_crc}
+            )
+
+    return media.filter(F.col("modality") == "video").mapInPandas(
+        extract, VIDEO_FRAME_SCHEMA
+    )

@@ -247,3 +247,149 @@ def cosine_near_dups(
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the third ANN path
+    beside brute force and hyperplane LSH.
+
+    Build: vectors are L2-normalized (so euclidean k-means order matches
+    cosine order) and clustered into ``nlist`` cells with pyspark.ml
+    KMeans; each corpus vector is assigned to its cell (the inverted
+    file). Search: each query probes its ``nprobe`` nearest cell
+    centroids, and exact cosine runs only inside the probed cells — an
+    equi-join on cell id, so the pair space shrinks ~nlist/nprobe-fold.
+    The centroid table is nlist rows (driver-held, broadcast back) — the
+    only non-DataFrame state, and bounded by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def normalized(col):
+        norm = l2_norm(col)
+        return F.transform(col, lambda x: x.cast("double") / norm)
+
+    featurized = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(normalized(F.col(vec_col))).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(featurized)
+    inverted = model.transform(featurized).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("prediction").alias("cell"),
+        l2_norm(F.col(vec_col)).alias("__c_norm"),
+    )
+
+    centroids = model.clusterCenters()  # nlist x dim, tiny by construction
+    centroid_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    centroid_df = corpus.sparkSession.createDataFrame(
+        centroid_rows, "cell int, centroid array<double>"
+    )
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__q_vec"),
+        l2_norm(F.col(vec_col)).alias("__q_norm"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cdist").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroid_df))
+        .withColumn(
+            "__cdist",
+            dot_product(F.col("__q_vec"), F.col("centroid")) / F.col("__q_norm"),
+        )
+        .withColumn("__probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("__probe_rank") <= nprobe)
+        .select(query_id_col, "cell", "__q_vec", "__q_norm")
+    )
+
+    denom = F.col("__q_norm") * F.col("__c_norm")
+    scored = probes.join(inverted, on="cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.when(denom != 0.0, dot_product(F.col("__q_vec"), F.col(vec_col)) / denom),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .orderBy(query_id_col, "sim_rank")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k via Arrow-batched numpy matmul — the fast
+    path for wide vectors (>~1k dims) where per-element codegen loses to
+    BLAS. Same semantics as cosine_topk_bruteforce up to float summation
+    order (numpy reduces pairwise, so low bits can differ from the
+    sequential fold — which is why the *oracle-checked* variant is the
+    HOF one, and this one is tolerance-tested against it).
+
+    The query matrix is a broadcast variable; each Arrow batch of corpus
+    rows becomes one matmul. Top-k selection still runs as a Spark window
+    so the driver never sees more than k rows per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(ids, n_c),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_q),
+                    "cosine_sim": np.round(sims, 6).ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, f"{query_id_col} long, neighbor_id long, cosine_sim double"
+    ).filter(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .orderBy(query_id_col, "sim_rank")
+    )

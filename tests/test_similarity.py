@@ -75,3 +75,60 @@ def test_lsh_is_subset_of_bruteforce_scores(vectors):
     # every LSH candidate carries the exact cosine score
     for r in approx:
         assert r.cosine_sim == pytest.approx(exact[r.neighbor_id], abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    # three tight, well-separated clusters; IVF must not lose neighbors
+    import random
+
+    random.seed(7)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append(
+                (vid, [x + random.uniform(-0.5, 0.5) for x in c])
+            )
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_matches_bruteforce_on_clustered_data(clustered_vectors):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    queries = clustered_vectors.filter(F.col("vec_id").isin([0, 20, 40])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(clustered_vectors, queries, k=5).collect()
+    ivf = cosine_topk_ivf(
+        clustered_vectors, queries, k=5, nlist=3, nprobe=1
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # probing only the query's own cluster still finds the true top-5
+    assert ivf_sets == exact_sets
+
+
+def test_pandas_matmul_matches_bruteforce(vectors):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pandas,
+    )
+
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(vectors, queries, k=4).collect()
+    fast = cosine_topk_pandas(vectors, queries, k=4).collect()
+    assert [r.neighbor_id for r in fast] == [r.neighbor_id for r in exact]
+    for a, b in zip(fast, exact):
+        assert a.cosine_sim == pytest.approx(b.cosine_sim, abs=1e-6)

@@ -133,3 +133,19 @@ def test_stateful_streaming_totals_survive_restart(spark, tmp_path):
     second = run_batch()
     assert second[1] == (1, 3)   # 2 from before + 1 new
     assert second[3] == (1, 1)
+
+
+def test_audio_features_and_video_sampling(spark):
+    rows = [
+        (1, "audio", "audio/wav", bytearray(b"RIFF" * 100), (None, None, 250)),
+        (2, "video", "video/mp4", bytearray(bytes(range(256))), (640, 480, 5000)),
+        (3, "image", "image/png", bytearray(b"PNG"), (8, 8, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    audio = multimodal.audio_features(media).collect()
+    assert len(audio) == 1 and audio[0].media_id == 1
+    assert audio[0].n_frames == 250 * 16 and 0 <= audio[0].rms_level <= 1
+
+    frames = multimodal.sample_video_frames(media, every_nth=50, max_frames=5).collect()
+    assert [f.frame_index for f in frames] == [0, 50, 100, 150, 200]
+    assert all(f.media_id == 2 for f in frames)
