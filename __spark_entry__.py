@@ -411,6 +411,46 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative order count + exact running spend."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    return windows.running_totals(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+    )
+
+
+def q_status_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quartiles per status (exact linear interpolation —
+    matches DuckDB quantile_cont bit-for-bit)."""
+    orders = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderstatus",
+            F.element_at("p", 1).alias("p25"),
+            F.element_at("p", 2).alias("p50"),
+            F.element_at("p", 3).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score normalization (window form; the
+    applyInPandas twin is pinned against this in tests)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    return windows.zscore_normalize(
+        _t(spark, sf_dir, "events"), "event_type", "value", ["event_id"]
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus funnel: quality gate -> exact dedup -> near-dup
     removal, oracle-checked end-to-end (plans/corpus.py)."""
@@ -456,6 +496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens_regex": q_doc_tokens_regex,
         "corpus_prep": q_corpus_prep,
         "ann_cosine_ivf": q_ann_cosine_ivf,
+        "running_totals": q_running_totals,
+        "status_percentiles": q_status_percentiles,
+        "zscore_events": q_zscore_events,
     }
 
 
@@ -940,6 +983,29 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cosine_sim >= 0.2 ORDER BY id_a, id_b
         """,
         "corpus_prep": _CORPUS_PREP_SQL,
+        "running_totals": """
+            SELECT o_custkey, o_orderdate, o_orderkey,
+                   CAST(ROW_NUMBER() OVER w AS INT) AS seq,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_amount
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "status_percentiles": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.25) AS p25,
+                   quantile_cont(o_totalprice, 0.50) AS p50,
+                   quantile_cont(o_totalprice, 0.75) AS p75
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "zscore_events": """
+            SELECT event_id, event_type, value,
+                   ROUND((value - AVG(value) OVER w)
+                         / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
         "doc_tokens_regex": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\w+')) AS INT)

@@ -65,6 +65,7 @@ def jaccard_near_dups(
     )
     a = prepared.alias("a")
     b = prepared.alias("b")
+    sa, sb = F.size(F.col("a.tok_set")), F.size(F.col("b.tok_set"))
     pairs = a.join(
         b,
         on=(
@@ -72,11 +73,19 @@ def jaccard_near_dups(
             & (F.col("a.first_tok") == F.col("b.first_tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
         ),
+        # Size-ratio prune (output-invariant): J(A,B) <= min/max of the set
+        # sizes, so pairs failing min >= t*max can never reach the
+        # threshold. Two int comparisons kill a candidate before the
+        # intersection is computed. The 1e-6 slack keeps pairs whose true
+        # Jaccard sits just under t but ROUNDS to t (the filter downstream
+        # compares the 6dp-rounded value).
+    ).filter(
+        F.least(sa, sb) >= F.lit(threshold - 1e-6) * F.greatest(sa, sb)
     )
     # array_intersect is hash-based (O(|a|+|b|)); inputs are already
     # distinct so its size is exactly |A∩B|.
     inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
-    union = F.size(F.col("a.tok_set")) + F.size(F.col("b.tok_set")) - inter
+    union = sa + sb - inter
     return (
         pairs.select(
             F.col("a.doc_id").alias("doc_id_a"),

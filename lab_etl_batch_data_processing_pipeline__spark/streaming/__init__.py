@@ -9,5 +9,6 @@ Bronze layer continuously; see ``jobs.py``.
 from .jobs import (  # noqa: F401
     stream_bookings_ingest,
     streaming_bookings_per_window,
+    streaming_dedup,
     streaming_user_totals,
 )

@@ -95,3 +95,19 @@ def streaming_user_totals(events: DataFrame, user_col: str = "user_id") -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``key_cols`` arriving within
+    the watermark horizon (the streaming twin of cleaning.dedup_exact).
+
+    State holds one entry per key seen inside the watermark window and is
+    purged as the watermark advances — bounded state, the requirement for
+    an unbounded stream at scale.
+    """
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicates(key_cols)

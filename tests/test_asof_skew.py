@@ -98,3 +98,33 @@ def test_replicated_broadcast_join_matches_plain_join(spark):
         for r in skew.replicated_broadcast_join(fact, dim, "k", salt=4).collect()
     )
     assert skewed == plain
+
+
+def test_zscore_applyinpandas_matches_window_form(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import (
+        pandas_ops,
+        windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0), (5, "b", 5.0),
+         (6, "c", 1.0)],
+        "event_id long, k string, value double",
+    )
+    win = {
+        r.event_id: r.zscore
+        for r in windows.zscore_normalize(df, "k", "value", ["event_id"]).collect()
+    }
+    pdf = {
+        r.event_id: r.zscore
+        for r in pandas_ops.zscore_grouped(df, "k", "value", ["event_id"]).collect()
+    }
+    assert set(win) == set(pdf)
+    for k in win:
+        if win[k] is None:
+            import math
+            assert pdf[k] is None or math.isnan(pdf[k])  # zero-variance / singleton
+        else:
+            assert pdf[k] == pytest.approx(win[k], abs=1e-9)
+    assert win[1] == -1.0 and win[3] == 1.0   # hand-checked group 'a'
+    assert win[4] is None and win[6] is None  # zero variance, singleton

@@ -149,3 +149,29 @@ def test_audio_features_and_video_sampling(spark):
     frames = multimodal.sample_video_frames(media, every_nth=50, max_frames=5).collect()
     assert [f.frame_index for f in frames] == [0, 50, 100, 150, 200]
     assert all(f.media_id == 2 for f in frames)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "id,ts\n1,2024-01-01T00:00:00\n1,2024-01-01T01:00:00\n2,2024-01-01T02:00:00\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.format("csv").option("header", "true").schema(schema).load(str(src))
+    )
+    out = []
+    q = (
+        streaming_dedup(stream, ["id"], "ts")
+        .writeStream.foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(r.id for r in out) == [1, 2]  # duplicate id=1 dropped
