@@ -451,6 +451,39 @@ def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type matrix via pivot (explicit value list so the
+    plan is a single pass — pivot without values costs an extra distinct
+    scan to discover columns)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+def q_docs_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group quota sampling: first 3 docs per source by
+    doc_id (the downsampling shape used for per-source corpus quotas —
+    one shuffle on the quota key, early filter after the ranking window)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("source", "doc_id")
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus funnel: quality gate -> exact dedup -> near-dup
     removal, oracle-checked end-to-end (plans/corpus.py)."""
@@ -499,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": q_running_totals,
         "status_percentiles": q_status_percentiles,
         "zscore_events": q_zscore_events,
+        "events_pivot": q_events_pivot,
+        "docs_per_source_quota": q_docs_per_source_quota,
     }
 
 
@@ -1005,6 +1040,22 @@ def oracle_sql() -> dict[str, str]:
                          / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS zscore
             FROM events
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "docs_per_source_quota": """
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 3 ORDER BY source, doc_id
         """,
         "doc_tokens_regex": """
             SELECT doc_id,
