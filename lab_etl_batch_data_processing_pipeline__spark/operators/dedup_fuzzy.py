@@ -56,7 +56,12 @@ def jaccard_near_dups(
     toks = F.array_distinct(raw_toks)
     prepared = documents.select(
         F.col(id_col).alias("doc_id"),
-        toks.alias("tok_set"),
+        # The verify stage intersects 64-bit token hashes, not strings:
+        # long equality beats string hashing per comparison, and set SIZES
+        # are collision-exact for any real vocabulary (p ~ n^2/2^64).
+        F.array_distinct(
+            F.transform(toks, lambda t: F.xxhash64(t))
+        ).alias("tok_set"),
         F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
         # try_element_at: an empty/whitespace-only doc has no first token —
         # NULL here (ANSI element_at would throw), which drops the doc from

@@ -10,5 +10,6 @@ from .jobs import (  # noqa: F401
     stream_bookings_ingest,
     streaming_bookings_per_window,
     streaming_dedup,
+    streaming_enrich,
     streaming_user_totals,
 )

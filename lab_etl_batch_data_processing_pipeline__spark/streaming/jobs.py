@@ -111,3 +111,14 @@ def streaming_dedup(
     an unbounded stream at scale.
     """
     return events.withWatermark(ts_col, watermark_delay).dropDuplicates(key_cols)
+
+
+def streaming_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension — the streaming twin of enrich.convert_currency.
+    The static side is re-read per batch, so a slowly-changing dimension
+    is picked up without restarting the query; broadcast applies as in
+    batch."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how="left")

@@ -175,3 +175,31 @@ def test_streaming_dedup(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert sorted(r.id for r in out) == [1, 2]  # duplicate id=1 dropped
+
+
+def test_streaming_enrich_stream_static_join(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import streaming_enrich
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    (src / "a.csv").write_text("id,currency\n1,USD\n2,EUR\n3,XXX\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("currency", T.StringType())]
+    )
+    rates = spark.createDataFrame(
+        [("USD", 1.0), ("EUR", 1.1)], "currency string, usd_rate double"
+    )
+    stream = (
+        spark.readStream.format("csv").option("header", "true").schema(schema).load(str(src))
+    )
+    out = []
+    q = (
+        streaming_enrich(stream, rates, "currency")
+        .writeStream.foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.id: r.usd_rate for r in out}
+    assert got == {1: 1.0, 2: 1.1, 3: None}  # unknown currency -> NULL survives
