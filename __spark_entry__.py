@@ -451,6 +451,45 @@ def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: shared-fingerprint doc pairs double
+    as a copy-span detector; md5-based so fully oracle-checkable."""
+    fps = dedup_fuzzy.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, window=4
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
+def q_customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join coverage: per-segment counts of customers with and
+    without any 'F' order (left_semi / left_anti against the same subquery)."""
+    customer = _t(spark, sf_dir, "customer")
+    confirmed = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    with_orders = (
+        customer.join(confirmed, customer.c_custkey == confirmed.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_confirmed"))
+    )
+    without_orders = (
+        customer.join(confirmed, customer.c_custkey == confirmed.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_confirmed"))
+    )
+    return (
+        with_orders.join(without_orders, "c_mktsegment", "outer")
+        .na.fill(0, ["n_with_confirmed", "n_without_confirmed"])
+        .orderBy("c_mktsegment")
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -534,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_events": q_zscore_events,
         "events_pivot": q_events_pivot,
         "docs_per_source_quota": q_docs_per_source_quota,
+        "winnowing": q_winnowing,
+        "customers_semi_anti": q_customers_semi_anti,
     }
 
 
@@ -1056,6 +1097,40 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 3 ORDER BY source, doc_id
+        """,
+        "winnowing": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(length(t) - 7, 1)),
+                       i -> md5(substr(t, i, 8))) AS g
+              FROM norm
+            ), sel AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(g) - 3, 1)),
+                       j -> list_min(g[j:j+3]))) AS fps
+              FROM grams
+            )
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints
+            FROM sel ORDER BY doc_id
+        """,
+        "customers_semi_anti": """
+            WITH confirmed AS (
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            )
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) FILTER (
+                     c_custkey IN (SELECT o_custkey FROM confirmed)) AS BIGINT)
+                     AS n_with_confirmed,
+                   CAST(COUNT(*) FILTER (
+                     c_custkey NOT IN (SELECT o_custkey FROM confirmed)) AS BIGINT)
+                     AS n_without_confirmed
+            FROM customer GROUP BY 1 ORDER BY 1
         """,
         "doc_tokens_regex": """
             SELECT doc_id,

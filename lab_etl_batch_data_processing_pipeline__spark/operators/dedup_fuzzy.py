@@ -18,7 +18,7 @@ only the candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import normalized_text
@@ -262,3 +262,67 @@ def simhash(
         lambda acc, s: acc * 2 + F.when(s > 0, 1).otherwise(0),
     )
     return documents.select(F.col(id_col).alias("doc_id"), sketch.alias("simhash63"))
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-char gram of the normalized text, keep the minimum hash per sliding
+    window of ``window`` grams, emit the distinct selected hashes.
+
+    Guarantees every match of length >= k+window-1 shares a fingerprint,
+    while storing only ~2/(window+1) of the gram hashes. Output is one row
+    per (doc_id, fingerprint) — join on fingerprint to find copy spans.
+    Hashes are md5 prefixes (strings) so the operator is engine-portable
+    and oracle-checkable, unlike xxhash-based sketches.
+
+    Shape: posexplode grams to rows, then the per-window minimum is a
+    window-function ``min`` over ``ROWS BETWEEN CURRENT ROW AND window-1
+    FOLLOWING``. The all-array form (array_min over slice inside a
+    transform lambda) re-evaluates the whole gram array per window after
+    Catalyst alias inlining — O(n^2) hashes per document — and the row
+    form also distributes: per-doc work is bounded, the shuffle key is
+    doc_id, and long documents never build giant in-memory arrays.
+    """
+    norm = normalized_text(F.col(text_col))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            norm.alias("_norm"),
+            n_grams.alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "_norm",
+            "n_grams",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.md5(F.col("_norm").substr(F.col("pos"), F.lit(k))).alias("gram"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min("gram").over(win).alias("fingerprint"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - (window - 1), F.lit(1)))
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

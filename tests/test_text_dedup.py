@@ -118,3 +118,22 @@ def test_corpus_prep_funnel(spark):
     out = corpus_prep(docs, min_quality=0.5, jaccard_threshold=0.5)
     assert [r.doc_id for r in out.collect()] == [1, 5]
     assert out.columns == ["doc_id", "text", "lang", "source", "quality_score"]
+
+
+def test_winnowing_fingerprints_detect_shared_content(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "PREFIX " + base),     # shared content, shifted offsets
+            (3, "zzzz completely unrelated words qqqq xxxx yyyy wwww vvvv"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = dedup_fuzzy.winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # winnowing guarantee: long shared spans share fingerprints even shifted
+    assert len(by_doc[1] & by_doc[2]) > 5
+    assert not (by_doc[1] & by_doc[3])
