@@ -29,6 +29,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     cleaning,
     dedup_fuzzy,
     metrics,
+    ranges,
     sessions,
     similarity,
     skew,
@@ -490,6 +491,105 @@ def q_customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT, distinct semantics): brands of
+    large parts vs premium parts, tagged by membership."""
+    part = _t(spark, sf_dir, "part")
+    large = part.filter(F.col("p_size") >= 30).select("p_brand").distinct()
+    premium = (
+        part.filter(F.col("p_retailprice") >= 1400.0).select("p_brand").distinct()
+    )
+    tag = lambda df, m: df.select(F.lit(m).alias("membership"), "p_brand")  # noqa: E731
+    return (
+        tag(large.intersect(premium), "both")
+        .unionAll(tag(large.subtract(premium), "large_only"))
+        .unionAll(tag(premium.subtract(large), "premium_only"))
+        .orderBy("membership", "p_brand")
+    )
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (year, status) + grouping_id: all 4 grouping sets in one
+    shuffle (Catalyst expand), decimal-exact revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").alias("yr")
+    return (
+        orders.cube(yr, F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(
+            F.col("gid"), F.col("yr").asc_nulls_first(), F.col("status").asc_nulls_first()
+        )
+    )
+
+
+def q_orders_shipped_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range join (bucketed): per order, lineitems shipped anywhere
+    in [orderdate, orderdate+7d]. Right side pre-aggregated per day so the
+    bucket join is vs ~|days| rows, not |lineitem| (ranges.py)."""
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("ship_day"))
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("start_day"),
+        F.date_add(F.to_date("o_orderdate"), 7).alias("end_day"),
+    )
+    joined = ranges.date_range_join(
+        orders, daily, "start_day", "end_day", "ship_day", how="left"
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.coalesce(F.sum("n_ship"), F.lit(0)).alias("n_shipped"))
+        .orderBy("o_orderkey")
+    )
+
+
+def q_nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax (max_by with struct tiebreak): richest customer per nation,
+    deterministic under balance ties."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_custkey, struct(c_acctbal, c_custkey))").alias(
+                "top_custkey"
+            ),
+            F.max("c_acctbal").alias("top_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_acctbal_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles of customers by balance within segment; averages
+    via decimal sums so parallel merge order can't flip low bits."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            F.col("c_acctbal").cast("decimal(18,4)").alias("_bal"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("_bal").cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -575,6 +675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_source_quota": q_docs_per_source_quota,
         "winnowing": q_winnowing,
         "customers_semi_anti": q_customers_semi_anti,
+        "brand_setops": q_brand_setops,
+        "revenue_cube": q_revenue_cube,
+        "orders_shipped_7d": q_orders_shipped_7d,
+        "nation_top_customer": q_nation_top_customer,
+        "acctbal_ntile": q_acctbal_ntile,
     }
 
 
@@ -1131,6 +1236,64 @@ def oracle_sql() -> dict[str, str]:
                      c_custkey NOT IN (SELECT o_custkey FROM confirmed)) AS BIGINT)
                      AS n_without_confirmed
             FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "brand_setops": """
+            WITH large AS (SELECT DISTINCT p_brand FROM part WHERE p_size >= 30),
+                 premium AS (SELECT DISTINCT p_brand FROM part
+                             WHERE p_retailprice >= 1400.0)
+            SELECT 'both' AS membership, p_brand FROM
+              (SELECT p_brand FROM large INTERSECT SELECT p_brand FROM premium)
+            UNION ALL
+            SELECT 'large_only', p_brand FROM
+              (SELECT p_brand FROM large EXCEPT SELECT p_brand FROM premium)
+            UNION ALL
+            SELECT 'premium_only', p_brand FROM
+              (SELECT p_brand FROM premium EXCEPT SELECT p_brand FROM large)
+            ORDER BY 1, 2
+        """,
+        "revenue_cube": """
+            SELECT yr, status,
+                   CAST(GROUPING(yr, status) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                         o_orderstatus AS status, o_totalprice
+                  FROM orders)
+            GROUP BY CUBE (yr, status)
+            ORDER BY 3, 1 NULLS FIRST, 2 NULLS FIRST
+        """,
+        "orders_shipped_7d": """
+            WITH daily AS (
+              SELECT CAST(l_shipdate AS DATE) AS ship_day, COUNT(*) AS n_ship
+              FROM lineitem GROUP BY 1
+            )
+            SELECT o_orderkey,
+                   CAST(COALESCE(SUM(n_ship), 0) AS BIGINT) AS n_shipped
+            FROM orders LEFT JOIN daily
+              ON ship_day BETWEEN CAST(o_orderdate AS DATE)
+                              AND CAST(o_orderdate AS DATE) + 7
+            GROUP BY 1 ORDER BY 1
+        """,
+        "nation_top_customer": """
+            SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+                  FROM customer)
+            WHERE rn = 1 ORDER BY 1
+        """,
+        "acctbal_ntile": """
+            SELECT c_mktsegment,
+                   CAST(quartile AS INT) AS quartile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS avg_bal
+            FROM (SELECT c_mktsegment, c_acctbal,
+                         ntile(4) OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal, c_custkey) AS quartile
+                  FROM customer)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_tokens_regex": """
             SELECT doc_id,
