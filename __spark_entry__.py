@@ -491,6 +491,13 @@ def q_customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the reference's unfinished validation TODO,
+    helper_func.py:50-51, done for real): per-column rows/nulls/distincts
+    in one unpivot + single hash aggregate."""
+    return cleaning.profile_columns(_t(spark, sf_dir, "orders"))
+
+
 def q_brand_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (INTERSECT / EXCEPT, distinct semantics): brands of
     large parts vs premium parts, tagged by membership."""
@@ -675,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_source_quota": q_docs_per_source_quota,
         "winnowing": q_winnowing,
         "customers_semi_anti": q_customers_semi_anti,
+        "orders_profile": q_orders_profile,
         "brand_setops": q_brand_setops,
         "revenue_cube": q_revenue_cube,
         "orders_shipped_7d": q_orders_shipped_7d,
@@ -1236,6 +1244,33 @@ def oracle_sql() -> dict[str, str]:
                      c_custkey NOT IN (SELECT o_custkey FROM confirmed)) AS BIGINT)
                      AS n_without_confirmed
             FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "orders_profile": """
+            SELECT 'o_custkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+            ORDER BY 1
         """,
         "brand_setops": """
             WITH large AS (SELECT DISTINCT p_brand FROM part WHERE p_size >= 30),

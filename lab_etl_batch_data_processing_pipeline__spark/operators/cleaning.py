@@ -140,3 +140,33 @@ def assert_no_nulls(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     if bad:
         raise SchemaValidationError(f"null values in non-nullable columns: {bad}")
     return df
+
+
+def profile_columns(
+    df: DataFrame, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-column data-quality profile: row count, null count, exact
+    distinct count — one row per column.
+
+    Shape: cast the chosen columns to string, ``unpivot`` to
+    (column_name, value) rows, then a single hash aggregate keyed by
+    column_name. One shuffle whose key cardinality is the number of
+    columns; the unpivot fan-out is rows x columns but each shuffled row
+    is just (name, value) — at 100 TB profile a column subset or a
+    ``TABLESAMPLE``, not every wide column at once. Exact distincts (not
+    approx_count_distinct) so the result is engine-portable and
+    oracle-checkable; swap in approx for fleet-wide monitoring.
+    """
+    cols = list(columns or df.columns)
+    stacked = df.select(
+        [F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], cols, "column_name", "value")
+    return (
+        stacked.groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+            F.countDistinct("value").alias("n_distinct"),
+        )
+        .orderBy("column_name")
+    )

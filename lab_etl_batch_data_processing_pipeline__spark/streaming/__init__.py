@@ -9,6 +9,7 @@ Bronze layer continuously; see ``jobs.py``.
 from .jobs import (  # noqa: F401
     stream_bookings_ingest,
     streaming_bookings_per_window,
+    streaming_click_attribution,
     streaming_dedup,
     streaming_enrich,
     streaming_user_totals,

@@ -122,3 +122,36 @@ def streaming_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on=on, how="left")
+
+
+def streaming_click_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the clicks
+    the same user made in the preceding ``attribution_window``.
+
+    Both sides carry a watermark and the join has a time-range bound, so
+    Spark can expire buffered rows once the watermark passes the range —
+    bounded state on an unbounded pair of streams. Without the range
+    predicate the state would grow forever (Spark rejects unbounded
+    stream-stream joins for exactly that reason).
+    """
+    c = clicks.withWatermark(ts_col, watermark_delay).alias("c")
+    p = purchases.withWatermark(ts_col, watermark_delay).alias("p")
+    cond = (
+        f"c.{user_col} = p.{user_col} AND "
+        f"p.{ts_col} >= c.{ts_col} AND "
+        f"p.{ts_col} <= c.{ts_col} + INTERVAL {attribution_window}"
+    )
+    from pyspark.sql import functions as F
+
+    return c.join(p, F.expr(cond), "inner").select(
+        F.col(f"c.{user_col}").alias(user_col),
+        F.col(f"c.{ts_col}").alias("click_ts"),
+        F.col(f"p.{ts_col}").alias("purchase_ts"),
+    )

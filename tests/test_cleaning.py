@@ -76,3 +76,15 @@ def test_assert_no_nulls(spark):
     cleaning.assert_no_nulls(ok, ["a"])
     with pytest.raises(cleaning.SchemaValidationError, match="null"):
         cleaning.assert_no_nulls(ok, ["b"])
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")],
+        "k int, v string",
+    )
+    rows = {r.column_name: r for r in cleaning.profile_columns(df).collect()}
+    assert rows["k"].n_rows == 4 and rows["v"].n_rows == 4
+    assert rows["k"].n_nulls == 0 and rows["v"].n_nulls == 1
+    assert rows["k"].n_distinct == 3
+    assert rows["v"].n_distinct == 2  # NULL excluded from distincts

@@ -203,3 +203,41 @@ def test_streaming_enrich_stream_static_join(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.id: r.usd_rate for r in out}
     assert got == {1: 1.0, 2: 1.1, 3: None}  # unknown currency -> NULL survives
+
+
+def test_streaming_click_attribution_interval_join(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_click_attribution,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purchases_dir.mkdir()
+    (clicks_dir / "c.csv").write_text(
+        "user_id,ts\n"
+        "1,2024-01-01 10:00:00\n"   # 20 min before purchase -> attributed
+        "1,2024-01-01 08:00:00\n"   # 2h20m before -> outside window
+        "2,2024-01-01 10:30:00\n"   # after user 2's purchase -> excluded
+    )
+    (purchases_dir / "p.csv").write_text(
+        "user_id,ts\n1,2024-01-01 10:20:00\n2,2024-01-01 10:10:00\n"
+    )
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    read = lambda d: (  # noqa: E731
+        spark.readStream.format("csv").option("header", "true")
+        .schema(schema).load(str(d))
+    )
+    out = []
+    q = (
+        streaming_click_attribution(read(clicks_dir), read(purchases_dir))
+        .writeStream.foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = sorted((r.user_id, r.click_ts.hour, r.click_ts.minute) for r in out)
+    assert pairs == [(1, 10, 0)]  # only the in-window click attributes
