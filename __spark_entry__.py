@@ -597,6 +597,40 @@ def q_acctbal_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_custkey_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per nation, the 5 smallest customer keys as a
+    sorted array (collect_list -> array_sort -> slice; sort makes the
+    nondeterministic collect order irrelevant)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 5).alias(
+                "first_custkeys"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar breadth: order volume and decimal-exact average price per
+    weekday (Spark dayofweek is Sunday=1; DuckDB's is Sunday=0)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.dayofweek("o_orderdate").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .orderBy("weekday")
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -688,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_shipped_7d": q_orders_shipped_7d,
         "nation_top_customer": q_nation_top_customer,
         "acctbal_ntile": q_acctbal_ntile,
+        "nation_custkey_list": q_nation_custkey_list,
+        "orders_by_weekday": q_orders_by_weekday,
     }
 
 
@@ -1329,6 +1365,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY c_acctbal, c_custkey) AS quartile
                   FROM customer)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "nation_custkey_list": """
+            SELECT c_nationkey,
+                   (list_sort(list(c_custkey)))[1:5] AS first_custkeys,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "orders_by_weekday": """
+            SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS avg_price
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "doc_tokens_regex": """
             SELECT doc_id,

@@ -169,3 +169,61 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int =
     return media.filter(F.col("modality") == "video").mapInPandas(
         extract, VIDEO_FRAME_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, "
+    "orig_width int, orig_height int"
+)
+
+
+def resize_image_stub(
+    payload: bytes, target_w: int, target_h: int
+) -> tuple[bytes, int, int]:
+    """Deterministic fake resize: returns (new_payload, orig_w, orig_h).
+
+    STUB — a real impl decodes, resamples, re-encodes (Pillow); the fake
+    scales the byte length proportionally to the pixel-count ratio so
+    size-dependent downstream logic (partition sizing, batch shapes) sees
+    realistic behavior.
+    """
+    orig_w, orig_h, _ = decode_image_stub(payload)
+    if not payload or orig_w * orig_h == 0:
+        return (b"", orig_w, orig_h)
+    ratio = (target_w * target_h) / (orig_w * orig_h)
+    new_len = max(1, int(len(payload) * ratio))
+    body = (payload * (new_len // len(payload) + 1))[:new_len]
+    return (body, orig_w, orig_h)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Binary-in / binary-out resize via Arrow-batched ``mapInPandas``.
+
+    Output payloads replace the originals (plus original dims for
+    provenance), so the operator composes with image_features or a writer
+    downstream. Resized outputs are smaller and uniform, which un-skews
+    partition sizes for every later stage — do the resize as early as the
+    pipeline allows.
+    """
+    import pandas as pd
+
+    def transform(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized = [
+                resize_image_stub(p if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [r[0] for r in resized],
+                    "width": width,
+                    "height": height,
+                    "orig_width": [r[1] for r in resized],
+                    "orig_height": [r[2] for r in resized],
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        transform, RESIZED_SCHEMA
+    )

@@ -241,3 +241,26 @@ def test_streaming_click_attribution_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     pairs = sorted((r.user_id, r.click_ts.hour, r.click_ts.minute) for r in out)
     assert pairs == [(1, 10, 0)]  # only the in-window click attributes
+
+
+def test_resize_images_binary_roundtrip(spark):
+    rows = [
+        (1, "image", "image/png", bytearray(b"\x89PNG fake bytes" * 40), (10, 10, None)),
+        (2, "image", "image/png", None, (None, None, None)),
+        (3, "video", "video/mp4", bytearray(b"mp4"), (None, None, 500)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.resize_images(media, 64, 64).collect()}
+    assert set(out) == {1, 2}  # video row filtered out
+    assert out[1].width == 64 and out[1].height == 64
+    assert out[1].orig_width > 0 and len(out[1].payload) > 0
+    assert out[2].payload == bytearray(b"")  # empty payload survives
+    # composes with the feature extractor downstream (binary-in contract)
+    feats = multimodal.image_features(
+        spark.createDataFrame(
+            [(r.media_id, "image", "image/png", r.payload, (None, None, None))
+             for r in out.values()],
+            multimodal.MEDIA_SCHEMA,
+        )
+    ).collect()
+    assert len(feats) == 2
