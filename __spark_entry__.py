@@ -384,7 +384,10 @@ def q_salted_status_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked embedding-cosine near-dup pairs (sim >= 0.2)."""
     return similarity.cosine_near_dups(
-        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.2
+        _t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.2,
+        broadcast_right=True,  # corpus is executor-sized at test SFs
     )
 
 

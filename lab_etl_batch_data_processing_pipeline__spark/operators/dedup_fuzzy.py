@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import normalized_text
+from .layout import ensure_parallelism
 
 
 def _token_set(text_col):
@@ -50,6 +51,7 @@ def jaccard_near_dups(
     The first-token block key comes from the *raw* token stream (not the
     distinct set) so it does not depend on any engine's distinct-ordering.
     """
+    documents = ensure_parallelism(documents)
     raw_toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -136,6 +138,7 @@ def minhash_signatures(
     (~25s of fixed compile cost per query regardless of data size).
     """
     max_long = (1 << 63) - 1
+    documents = ensure_parallelism(documents)
     sh = _shingles(F.col(text_col), shingle_size)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.aggregate(
@@ -292,7 +295,7 @@ def winnowing_fingerprints(
     norm = normalized_text(F.col(text_col))
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     grams = (
-        documents.select(
+        ensure_parallelism(documents).select(
             F.col(id_col).alias("doc_id"),
             norm.alias("_norm"),
             n_grams.alias("n_grams"),

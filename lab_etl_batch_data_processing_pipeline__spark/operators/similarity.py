@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector_funcs import cosine_similarity, dot_product, l2_norm
+from .layout import ensure_parallelism
 
 
 def cosine_topk_bruteforce(
@@ -49,7 +50,7 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("__q_vec"),
         l2_norm(F.col(vec_col)).alias("__q_norm"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__c_norm")
     )
     denom = F.col("__q_norm") * F.col("__c_norm")
@@ -209,6 +210,7 @@ def cosine_near_dups(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.9,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
@@ -217,6 +219,12 @@ def cosine_near_dups(
     from LSH bucketing or a coarse clusterer. Without it, a full cross
     self-join: exact but O(n^2) — only for modest corpora or final verify
     stages.
+
+    ``broadcast_right=True`` is the small-corpus mode: the right side of
+    the self-join is broadcast and the left side round-robin repartitioned,
+    so pair scoring parallelizes across all cores instead of across the
+    (few) distinct block keys. Leave False when the corpus doesn't fit an
+    executor — the block-key shuffle join is the at-scale shape.
     """
     cols = [
         F.col(id_col).alias("id"),
@@ -226,7 +234,10 @@ def cosine_near_dups(
     if block_col:
         cols.append(F.col(block_col).alias("block"))
     prepared = embeddings.select(*cols)
-    a, b = prepared.alias("a"), prepared.alias("b")
+    a = (
+        ensure_parallelism(prepared) if broadcast_right else prepared
+    ).alias("a")
+    b = (F.broadcast(prepared) if broadcast_right else prepared).alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = (F.col("a.block") == F.col("b.block")) & cond
@@ -259,6 +270,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the third ANN path
     beside brute force and hyperplane LSH.
@@ -279,12 +291,19 @@ def cosine_topk_ivf(
         norm = l2_norm(col)
         return F.transform(col, lambda x: x.cast("double") / norm)
 
-    featurized = corpus.select(
+    # Cache the featurized corpus for the duration of the fit: k-means
+    # re-scans its input every iteration, and without the cache each scan
+    # re-reads the source and re-normalizes. Bounded iterations — an IVF
+    # index needs rough cells, not converged clusters.
+    featurized = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         array_to_vector(normalized(F.col(vec_col))).alias("features"),
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(featurized)
+    featurized.persist()
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(featurized)
     inverted = model.transform(featurized).select(
         F.col(id_col),
         F.col(vec_col),
@@ -317,8 +336,11 @@ def cosine_topk_ivf(
         .select(query_id_col, "cell", "__q_vec", "__q_norm")
     )
 
+    # Probes (queries x nprobe) are the small side: broadcast them into
+    # the inverted file so scoring parallelism follows the corpus
+    # partitioning, not the handful of distinct cell ids.
     denom = F.col("__q_norm") * F.col("__c_norm")
-    scored = probes.join(inverted, on="cell").filter(
+    scored = ensure_parallelism(inverted).join(F.broadcast(probes), on="cell").filter(
         F.col(id_col) != F.col(query_id_col)
     ).select(
         F.col(query_id_col),

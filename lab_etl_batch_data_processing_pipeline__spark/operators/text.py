@@ -14,6 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .layout import ensure_parallelism
 from ..functions.text_funcs import (
     DEFAULT_STOPWORDS,
     normalized_text,
@@ -161,7 +162,7 @@ def token_frequencies(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
     return (
-        documents.select(F.explode(toks).alias("token"))
+        ensure_parallelism(documents).select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
@@ -191,7 +192,7 @@ def word_ngrams(
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return (
-        documents.select(F.explode(grams).alias("ngram"))
+        ensure_parallelism(documents).select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
