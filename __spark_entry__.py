@@ -634,6 +634,43 @@ def q_orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the classic wide-aggregate scan
+    (8 aggregates, 2 group keys, pushed-down date filter). Money sums in
+    DECIMAL(18,4) then rounded; averages as decimal-sum / count."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2001-05-01").cast("date")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # Factors are exact 2dp values, so cast each BEFORE multiplying and
+    # stay in decimal end-to-end. Casting the double triple-product to
+    # decimal(18,4) instead hits genuine ..50 midpoints (the product has 6
+    # decimal digits) where engines' tie-rounding diverges row by row.
+    one = F.lit(1.0).cast("decimal(3,2)")
+    p2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    d2 = F.col("l_discount").cast("decimal(4,2)")
+    t2 = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = p2 * (one - d2)
+    charge = p2 * (one - d2) * (one + t2)
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -727,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_ntile": q_acctbal_ntile,
         "nation_custkey_list": q_nation_custkey_list,
         "orders_by_weekday": q_orders_by_weekday,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -1381,6 +1419,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                      / COUNT(*) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                                  * (1.00 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) AS avg_disc,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '2001-05-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_tokens_regex": """
             SELECT doc_id,

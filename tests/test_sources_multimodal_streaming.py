@@ -264,3 +264,17 @@ def test_resize_images_binary_roundtrip(spark):
         )
     ).collect()
     assert len(feats) == 2
+
+
+def test_write_csv_single_file(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        write_csv_single_file,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out = str(tmp_path / "single_csv")
+    write_csv_single_file(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1  # coalesce(1): exactly one part file
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
