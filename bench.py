@@ -36,8 +36,12 @@ def main() -> None:
     t0 = time.perf_counter()
     spark = get_spark("lab-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JIT/codegen warmup on a trivial job so query 1 isn't taxed for JVM spinup.
+    # JIT/codegen warmup so query 1 isn't taxed for JVM spinup: one trivial
+    # job, plus one tiny parquet scan + agg + sort to warm the vectorized
+    # reader, hash-aggregate and exchange codegen paths.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()\
+        .orderBy("r_regionkey").collect()
     startup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
