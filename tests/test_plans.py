@@ -96,3 +96,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_l")
         spark.sql("DROP TABLE IF EXISTS t_bucket_r")
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the bucketed form must compile to a hash/sort-merge equi-join —
+    # BroadcastNestedLoopJoin here would be O(|L|x|R|) at scale
+    plan = formatted_plan(entrymod.queries()["orders_shipped_7d"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_pair_scoring_parallelizes(spark):
+    # small-corpus mode: right side broadcast, left side repartitioned —
+    # pair scoring must not inherit the single input split of a tiny file
+    df = entrymod.queries()["embedding_near_dups"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_winnowing_uses_rowwise_window_not_array_lambdas(spark):
+    # explode + window-min: the all-array HOF form re-evaluates the gram
+    # array per window after alias inlining (quadratic per document)
+    plan = formatted_plan(entrymod.queries()["winnowing"](spark, SF))
+    assert "Window" in plan
+    assert "Generate" in plan
