@@ -671,6 +671,34 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rational idf, bit-exact ranking;
+    ties break on the token string)."""
+    from pyspark.sql import Window
+
+    weights = text.tfidf(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        weights.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment (md5-prefix ranges):
+    per-(source, split) document counts prove stability and proportions."""
+    assigned = text.split_assign(_t(spark, sf_dir, "documents"))
+    return (
+        assigned.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -765,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_custkey_list": q_nation_custkey_list,
         "orders_by_weekday": q_orders_by_weekday,
         "pricing_summary": q_pricing_summary,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "corpus_splits": q_corpus_splits,
     }
 
 
@@ -1443,6 +1473,41 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) <= DATE '2001-05-01'
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tfidf_top_terms": """
+            WITH term_rows AS (
+              SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM term_rows GROUP BY 1, 2
+            ), df AS (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            weights AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))
+                       AS tfidf
+              FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, token,
+                   ROUND(tfidf, 6) AS tfidf
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+                  FROM weights)
+            WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "corpus_splits": """
+            SELECT source,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                          THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                          THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_tokens_regex": """
             SELECT doc_id,

@@ -198,3 +198,76 @@ def word_ngrams(
         .filter(F.col("n_occurrences") >= min_count)
         .orderBy(F.col("n_occurrences").desc(), "ngram")
     )
+
+
+def tfidf(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF weights: (doc_id, token, tf, df, tfidf).
+
+    Two shuffles: one hash aggregate keyed by (doc, token) for term
+    frequencies, one by token for document frequencies; the df table is
+    vocabulary-sized and joins back broadcast-style under AQE. IDF here is
+    the *rational* form (N+1)/(df+1) — ln-free, so the weight is exact
+    integer arithmetic + one correctly-rounded double division and
+    reproducible across engines (classic ``ln`` idf is a one-line swap;
+    libm implementations differ in the last ulp, which flips rankings).
+    """
+    docs = ensure_parallelism(documents)
+    n_docs = docs.count()  # one scalar job; the corpus size is the constant N
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+    tf = term_rows.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1))))
+            .alias("tfidf"),
+        )
+    )
+
+
+def split_assign(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the row id alone.
+
+    The id (+ optional salt) is md5-hashed and the first 4 hex chars are
+    compared against cumulative-weight boundaries *as strings* — a pure
+    projection (no shuffle, no RNG, no state), so the split is stable
+    across runs, engines, partitionings and cluster sizes, and any row's
+    assignment can be re-derived later. Boundary granularity is 1/65536.
+    """
+    total = sum(w for _, w in weights)
+    bounds: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, w in weights:
+        cum += w / total
+        bounds.append((name, format(min(int(cum * 65536), 65535), "04x")))
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    # build lowest-bound-innermost: h < bound_i picks range i, else falls
+    # through to the next range; the last range is the unconditional tail
+    assign = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        assign = F.when(h < F.lit(bound), F.lit(name)).otherwise(assign)
+    return documents.withColumn("split", assign)

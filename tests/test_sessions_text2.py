@@ -88,3 +88,35 @@ def test_label_centroids(spark):
     assert out[1].centroid == [0.5, 1.0]
     assert out[1].n_vectors == 2
     assert out[2].centroid == [10.0, 10.0]
+
+
+def test_tfidf_rational_weights(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.token): r for r in t.tfidf(docs).collect()}
+    # N=3; token 'a' in 2 docs -> idf (3+1)/(2+1); tf of 'a' in doc 1 is 2
+    assert rows[(1, "a")].tf == 2 and rows[(1, "a")].df == 2
+    assert abs(rows[(1, "a")].tfidf - 2 * (4 / 3)) < 1e-12
+    assert rows[(3, "c")].tf == 3 and rows[(3, "c")].df == 2
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text as t
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in t.split_assign(df).collect()}
+    b = {r.doc_id: r.split for r in t.split_assign(df).collect()}
+    assert a == b  # stable across runs
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    # salt reshuffles membership but keeps proportions
+    salted = {r.doc_id: r.split for r in t.split_assign(df, salt="v2").collect()}
+    assert salted != a
