@@ -50,9 +50,15 @@ def corpus_prep(
     fingerprinted = kept.join(
         text.fingerprint(kept, "doc_id", "text"), "doc_id"
     )
-    exact_unique = cleaning.dedup_by_keys(
-        fingerprinted, ["fingerprint"], order_by=["doc_id"]
-    ).drop("fingerprint")
+    # The exact-deduped set feeds three consumers (both sides of the
+    # near-dup self-join and the final anti-join); persisting it avoids
+    # re-running the quality gate + dedup chain per consumer. Storage is
+    # the post-gate corpus projection — the smallest frame in the funnel.
+    exact_unique = (
+        cleaning.dedup_by_keys(fingerprinted, ["fingerprint"], order_by=["doc_id"])
+        .drop("fingerprint")
+        .persist()
+    )
 
     near_pairs = dedup_fuzzy.jaccard_near_dups(
         exact_unique, "doc_id", "text", threshold=jaccard_threshold
