@@ -300,7 +300,19 @@ def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+    """Per-label centroids, with the vector serialized to a fixed-6dp CSV
+    string: the driver's canonicalizer sorts/hashes scalar cells only
+    (array cells raise ``unhashable type``), and %.6f is the one float
+    rendering Spark's format_string and DuckDB's printf agree on
+    bit-for-bit (elements are already ROUNDed to 6dp upstream)."""
+    cent = similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+    return cent.select(
+        "label",
+        F.concat_ws(
+            ",", F.transform("centroid", lambda v: F.format_string("%.6f", v))
+        ).alias("centroid"),
+        "n_vectors",
+    ).orderBy("label")
 
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,14 +615,20 @@ def q_acctbal_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nation_custkey_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per nation, the 5 smallest customer keys as a
     sorted array (collect_list -> array_sort -> slice; sort makes the
-    nondeterministic collect order irrelevant)."""
+    nondeterministic collect order irrelevant). Serialized to a CSV string
+    for the driver compare (array cells are unhashable to its
+    canonicalizer); integer rendering is engine-independent."""
     return (
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-            F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 5).alias(
-                "first_custkeys"
-            ),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 5),
+                    lambda k: k.cast("string"),
+                ),
+            ).alias("first_custkeys"),
             F.count(F.lit(1)).alias("n_customers"),
         )
         .orderBy("c_nationkey")
@@ -1211,7 +1229,9 @@ def oracle_sql() -> dict[str, str]:
               FROM ex GROUP BY 1, 2
             )
             SELECT label,
-                   list(v ORDER BY pos) AS centroid,
+                   array_to_string(
+                     list_transform(list(v ORDER BY pos), x -> printf('%.6f', x)),
+                     ',') AS centroid,
                    CAST(MAX(n) AS BIGINT) AS n_vectors
             FROM per_dim GROUP BY label ORDER BY label
         """,
@@ -1439,7 +1459,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_custkey_list": """
             SELECT c_nationkey,
-                   (list_sort(list(c_custkey)))[1:5] AS first_custkeys,
+                   array_to_string((list_sort(list(c_custkey)))[1:5], ',')
+                     AS first_custkeys,
                    CAST(COUNT(*) AS BIGINT) AS n_customers
             FROM customer GROUP BY 1 ORDER BY 1
         """,
