@@ -240,16 +240,18 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dups (xxhash64 is Spark-specific → rows-only check;
-    the oracle-checked Jaccard query above covers pair correctness)."""
+    """MinHash-LSH near-dups in portable mode: md5-derived base hashes +
+    an inlined universal-hash family, so DuckDB reproduces the exact
+    signatures, band buckets, and estimated-Jaccard values."""
     return dedup_fuzzy.minhash_near_dups(
-        _t(spark, sf_dir, "documents"), threshold=0.4
+        _t(spark, sf_dir, "documents"), threshold=0.4, portable=True
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash sketches (xxhash64-based → rows-only check)."""
-    return dedup_fuzzy.simhash(_t(spark, sf_dir, "documents"))
+    """Portable 60-bit SimHash sketches (md5-derived token bits —
+    bit-for-bit reproducible in DuckDB)."""
+    return dedup_fuzzy.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def _query_vectors(emb: DataFrame) -> DataFrame:
@@ -1084,6 +1086,59 @@ ORDER BY doc_id
 """
 
 
+# Portable MinHash-LSH twin (operators/dedup_fuzzy.py): same md5-derived
+# 31-bit base hash, same inlined (a_i, b_i) universal-hash family, same
+# md5 band buckets — signatures and est_jaccard match bit-for-bit.
+_MINHASH_PARAMS_VALUES = ",\n              ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(dedup_fuzzy.minhash_params(32))
+)
+
+_MINHASH_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), tk AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t
+  FROM norm
+), shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM tk
+), hs AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shing)
+), params(i, a, b) AS (
+  VALUES {_MINHASH_PARAMS_VALUES}
+), slots AS (
+  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+  FROM hs CROSS JOIN params GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY 1
+), banded AS (
+  SELECT doc_id, sig, b,
+         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+  FROM sigs, range(0, 8) r(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+         x.sig AS sig_a, y.sig AS sig_b
+  FROM banded x JOIN banded y
+    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT doc_id_a, doc_id_b, est_jaccard FROM (
+  SELECT doc_id_a, doc_id_b,
+         ROUND(len(list_filter(generate_series(1, 32),
+                               i -> sig_a[i] = sig_b[i])) / 32.0, 6)
+           AS est_jaccard
+  FROM cand
+) WHERE est_jaccard >= 0.4
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "avg_price_weekly": """
@@ -1541,8 +1596,35 @@ def oracle_sql() -> dict[str, str]:
                      AS approx_tokens
             FROM documents
         """,
-        # minhash_near_dups / simhash / ann_cosine_lsh intentionally have no
-        # oracle: they hinge on Spark's xxhash64 (engine-specific) — the
-        # oracle-checked jaccard/ann_cosine_topk queries pin down the
-        # semantics those approximations target.
+        "minhash_near_dups": _MINHASH_SQL,
+        "simhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'), x -> x <> '')))
+                       AS t
+              FROM documents
+            ), hs AS (
+              SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+              FROM toks
+            ), sums AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (h >> (59 - b)) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS s
+              FROM hs, range(0, 60) r(b)
+              GROUP BY 1, 2
+            ), sk AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0 THEN 1::BIGINT << (59 - b)
+                              ELSE 0 END) AS simhash
+              FROM sums GROUP BY 1
+            )
+            SELECT d.doc_id, CAST(COALESCE(sk.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sk USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # ann_cosine_lsh / ann_cosine_ivf remain rows-only here: their
+        # bucketing is approximate by design, so their quality gate is the
+        # recall-vs-bruteforce invariant queries (ann_lsh_recall /
+        # ann_ivf_recall) instead of value parity.
     }

@@ -9,20 +9,59 @@ only the candidates.
 - :func:`jaccard_near_dups`     deterministic blocking + exact Jaccard
   verify; fully SQL-expressible (oracle-checkable).
 - :func:`minhash_signatures` / :func:`minhash_near_dups`   classic
-  shingle -> minhash -> band -> bucket-join LSH. Hashing uses xxhash64
-  (JVM-side, 64-bit) — fast but Spark-specific, so the correctness story
-  is the Jaccard verify step, not hash parity with other engines.
-- :func:`simhash` 64-bit token-hash sign-sum sketch; hamming-close pairs
-  are near-dups.
+  shingle -> minhash -> band -> bucket-join LSH.
+- :func:`simhash` token-hash sign-sum sketch; hamming-close pairs are
+  near-dups.
+
+MinHash and SimHash each have two hashing modes:
+
+- ``portable=True`` (default): the base hash is md5-derived (first 60
+  bits of the digest), re-seeded with an inlined universal-hash family
+  ``(a_i * h + b_i) mod (2^31 - 1)``. Every term is plain integer
+  arithmetic on a standard md5, so any engine reproduces the sketches
+  bit-for-bit — this is what makes the operators oracle-checkable
+  (same pattern as the md5 winnowing fingerprints below).
+- ``portable=False``: xxhash64 (JVM-side, no digest-string step) — the
+  fast path when cross-engine reproducibility is not required.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import normalized_text
 from .layout import ensure_parallelism
+
+#: Modulus of the portable universal-hash family: the Mersenne prime
+#: 2^31 - 1. Base hashes and multipliers are < 2^31, so a_i * h < 2^62
+#: never overflows a signed 64-bit long (ANSI-mode safe in Spark, and
+#: identical in any engine with int64 arithmetic).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the portable hash family.
+
+    Derived from md5 of fixed strings (no RNG state), so the Spark
+    expression and any oracle SQL can inline the exact same literals.
+    """
+    pairs = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16)
+        pairs.append((a % (MINHASH_P - 1) + 1, b % MINHASH_P))
+    return pairs
+
+
+def _md5_hash31(col):
+    """Portable 31-bit base hash: first 60 md5 bits mod (2^31 - 1)."""
+    return (
+        F.conv(F.substring(F.md5(col), F.lit(1), F.lit(15)), 16, 10).cast("long")
+        % MINHASH_P
+    )
 
 
 def _token_set(text_col):
@@ -119,33 +158,53 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_size: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signature: array of ``num_hashes`` minima.
 
-    Each hash i is ``xxhash64(shingle, seed=i)``; the signature element is
-    the min over the doc's shingle set. Computed as two chained projections
-    with higher-order functions — no shuffle, no UDF, no exploding the
-    shingle set into rows (an explode would multiply the scan by
-    ~|shingles|).
+    Each shingle is hashed once (md5-derived 31-bit when ``portable``,
+    xxhash64 otherwise); the signature element i is the min over the
+    doc's shingle set of the i-th re-seeded hash. Computed as two
+    chained projections with higher-order functions — no shuffle, no
+    UDF, no exploding the shingle set into rows (an explode would
+    multiply the scan by ~|shingles|).
 
     The whole signature comes from ONE fold over the shingle array
     (``aggregate`` with an array-of-minima accumulator): each shingle is
-    string-hashed once, then cheaply re-seeded per slot. Two rejected
-    formulations, both measured: the per-seed ``array_min(transform(...))``
-    form re-evaluates the shingle construction per seed after projection
-    collapsing (~30x slower at 5k docs); an explode + groupBy with
-    num_hashes ``min`` columns triggers a wide-aggregate codegen blowup
-    (~25s of fixed compile cost per query regardless of data size).
+    string-hashed once, then cheaply re-seeded per slot with pure
+    integer arithmetic. Two rejected formulations, both measured: the
+    per-seed ``array_min(transform(...))`` form re-evaluates the shingle
+    construction per seed after projection collapsing (~30x slower at 5k
+    docs); an explode + groupBy with num_hashes ``min`` columns triggers
+    a wide-aggregate codegen blowup (~25s of fixed compile cost per
+    query regardless of data size).
     """
-    max_long = (1 << 63) - 1
     documents = ensure_parallelism(documents)
     sh = _shingles(F.col(text_col), shingle_size)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.aggregate(
-        F.transform(sh, lambda s: F.xxhash64(s)),
-        F.expr(f"array_repeat({max_long}L, {num_hashes})"),
-        lambda acc, h: F.zip_with(acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))),
-    )
+    if portable:
+        params = F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in minhash_params(num_hashes)
+            ]
+        )
+        sig = F.aggregate(
+            F.transform(sh, _md5_hash31),
+            F.expr(f"array_repeat({MINHASH_P}L, {num_hashes})"),
+            lambda acc, h: F.zip_with(
+                acc, params, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MINHASH_P)
+            ),
+        )
+    else:
+        max_long = (1 << 63) - 1
+        seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+        sig = F.aggregate(
+            F.transform(sh, lambda s: F.xxhash64(s)),
+            F.expr(f"array_repeat({max_long}L, {num_hashes})"),
+            lambda acc, h: F.zip_with(
+                acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
+            ),
+        )
     return documents.select(
         F.col(id_col).alias("doc_id"),
         sig.alias("signature"),
@@ -161,6 +220,7 @@ def minhash_near_dups(
     bands: int = 8,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    portable: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures, bucket-join, verify.
 
@@ -174,8 +234,11 @@ def minhash_near_dups(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(documents, id_col, text_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(
+        documents, id_col, text_col, num_hashes, shingle_size, portable
+    )
 
+    band_hash_fn = F.md5 if portable else F.xxhash64
     banded = sigs.select(
         "doc_id",
         "signature",
@@ -184,7 +247,7 @@ def minhash_near_dups(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.struct(
                     band.alias("band_id"),
-                    F.xxhash64(
+                    band_hash_fn(
                         F.concat_ws(
                             "|",
                             F.transform(
@@ -232,39 +295,87 @@ def minhash_near_dups(
     )
 
 
+def _md5_bits60(tok):
+    """60 bits of md5(tok), MSB-first, as array<int>.
+
+    Decodes the first 15 hex chars nibble-by-nibble with constant-mask
+    tests (no variable-distance shift exists as a Column op). The digest
+    is let-bound through a single-element ``transform`` so md5 runs once
+    per token, not once per nibble (HOF argument expressions are inlined
+    into lambda bodies during projection collapsing otherwise).
+    """
+
+    def nibble_bits(v):
+        return F.array(
+            *[(v.bitwiseAND(F.lit(m)) > 0).cast("int") for m in (8, 4, 2, 1)]
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(F.md5(tok)),
+            lambda hx: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(15)),
+                    lambda p: nibble_bits(
+                        F.conv(F.substring(hx, p, F.lit(1)), 16, 10).cast("int")
+                    ),
+                )
+            ),
+        ),
+        1,
+    )
+
+
 def simhash(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = True,
 ) -> DataFrame:
-    """63-bit SimHash over the token set: bit b of the sketch is the sign of
+    """SimHash over the token set: bit b of the sketch is the sign of
     the sum over tokens of (+1 if token-hash bit b else -1).
 
-    63 bits (not 64) so the fold ``acc*2 + bit`` never overflows a signed
-    long under ANSI mode. Near-dups have hamming-close sketches; pairing is
-    a bucket join on sketch prefixes (not materialized here).
+    ``portable=True``: 60-bit sketch from md5-derived token bits —
+    engine-independent, oracle-checkable. ``portable=False``: 63-bit
+    sketch from xxhash64 (63 not 64 so the fold ``acc*2 + bit`` never
+    overflows a signed long under ANSI mode). Near-dups have
+    hamming-close sketches; pairing is a bucket join on sketch prefixes
+    (not materialized here).
 
     Like MinHash, the bit-sums come from ONE fold over the token hashes
-    with an array accumulator (63 counters): the per-bit-aggregate form
-    would re-hash every token once per bit after expression inlining
-    (63x the string hashing).
+    with an array accumulator (one counter per bit): the per-bit-aggregate
+    form would re-hash every token once per bit after expression inlining.
     """
     toks = _token_set(F.col(text_col))
-    bit_idx = F.sequence(F.lit(0), F.lit(62))
-    bit_sums = F.aggregate(
-        F.transform(toks, lambda t: F.xxhash64(t)),
-        F.expr("array_repeat(0, 63)"),
-        lambda acc, h: F.zip_with(
-            acc, bit_idx, lambda s, b: s + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1)
-        ),
-    )
-    # MSB = bit 62: fold the reversed sign array into the long sketch.
+    if portable:
+        # Token bit-arrays are MSB-first, so the final fold acc*2 + bit
+        # needs no reverse; an empty token set yields sketch 0.
+        bit_sums = F.aggregate(
+            F.transform(toks, _md5_bits60),
+            F.expr("array_repeat(0, 60)"),
+            lambda acc, bits: F.zip_with(
+                acc, bits, lambda s, bit: s + F.when(bit == 1, 1).otherwise(-1)
+            ),
+        )
+    else:
+        bit_idx = F.sequence(F.lit(0), F.lit(62))
+        bit_sums = F.reverse(
+            F.aggregate(
+                F.transform(toks, lambda t: F.xxhash64(t)),
+                F.expr("array_repeat(0, 63)"),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    bit_idx,
+                    lambda s, b: s + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1),
+                ),
+            )
+        )
     sketch = F.aggregate(
-        F.reverse(bit_sums),
+        bit_sums,
         F.lit(0).cast("long"),
         lambda acc, s: acc * 2 + F.when(s > 0, 1).otherwise(0),
     )
-    return documents.select(F.col(id_col).alias("doc_id"), sketch.alias("simhash63"))
+    return documents.select(F.col(id_col).alias("doc_id"), sketch.alias("simhash"))
 
 
 def winnowing_fingerprints(

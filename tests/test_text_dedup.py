@@ -92,7 +92,7 @@ def test_minhash_near_dups(docs):
 def test_simhash_hamming_locality(docs):
     import math
 
-    sk = {r.doc_id: r.simhash63 for r in dedup_fuzzy.simhash(docs).collect()}
+    sk = {r.doc_id: r.simhash for r in dedup_fuzzy.simhash(docs).collect()}
     assert sk[1] == sk[4]
 
     def hamming(a, b):
