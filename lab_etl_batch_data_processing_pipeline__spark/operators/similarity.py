@@ -260,29 +260,32 @@ def cosine_near_dups(
     )
 
 
-def cosine_topk_ivf(
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     nlist: int = 16,
-    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
     seed: int = 42,
-    max_iter: int = 8,
-) -> DataFrame:
-    """IVF (inverted-file) approximate cosine top-k — the third ANN path
-    beside brute force and hyperplane LSH.
+    max_iter: int = 4,
+    index_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF (inverted-file) ANN index: returns ``(inverted,
+    centroids)``.
 
-    Build: vectors are L2-normalized (so euclidean k-means order matches
-    cosine order) and clustered into ``nlist`` cells with pyspark.ml
-    KMeans; each corpus vector is assigned to its cell (the inverted
-    file). Search: each query probes its ``nprobe`` nearest cell
-    centroids, and exact cosine runs only inside the probed cells — an
-    equi-join on cell id, so the pair space shrinks ~nlist/nprobe-fold.
-    The centroid table is nlist rows (driver-held, broadcast back) — the
-    only non-DataFrame state, and bounded by construction.
+    Vectors are L2-normalized (so euclidean k-means order matches cosine
+    order) and clustered into ``nlist`` cells with pyspark.ml KMeans;
+    each corpus vector is assigned to its cell (the inverted file). The
+    centroid table is nlist rows — the only non-DataFrame state, bounded
+    by construction. Iterations are bounded low: an IVF index needs
+    rough cells, not converged clusters.
+
+    With ``index_dir`` the inverted file and centroid table are
+    materialized as parquet and read back — the at-scale shape, where
+    the index build is a separate offline job and queries only probe.
+    Without it the frames are returned in-memory (the featurized cache
+    used during the fit is unpersisted before returning either way; the
+    one recompute of the normalization projection at query time is
+    cheaper than leaking executor memory in a long-lived session).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -293,30 +296,63 @@ def cosine_topk_ivf(
 
     # Cache the featurized corpus for the duration of the fit: k-means
     # re-scans its input every iteration, and without the cache each scan
-    # re-reads the source and re-normalizes. Bounded iterations — an IVF
-    # index needs rough cells, not converged clusters.
+    # re-reads the source and re-normalizes.
     featurized = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         array_to_vector(normalized(F.col(vec_col))).alias("features"),
     )
     featurized.persist()
-    model = KMeans(
-        k=nlist, seed=seed, featuresCol="features", maxIter=max_iter
-    ).fit(featurized)
-    inverted = model.transform(featurized).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("prediction").alias("cell"),
-        l2_norm(F.col(vec_col)).alias("__c_norm"),
+    try:
+        model = KMeans(
+            k=nlist, seed=seed, featuresCol="features", maxIter=max_iter
+        ).fit(featurized)
+        inverted = model.transform(featurized).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("prediction").alias("cell"),
+            l2_norm(F.col(vec_col)).alias("__c_norm"),
+        )
+        centroids = model.clusterCenters()  # nlist x dim, tiny
+        centroid_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        centroid_df = corpus.sparkSession.createDataFrame(
+            centroid_rows, "cell int, centroid array<double>"
+        )
+        if index_dir is not None:
+            spark = corpus.sparkSession
+            # Partition the inverted file by cell: a probe of nprobe cells
+            # then reads only nprobe/nlist of the index (partition pruning).
+            inverted.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{index_dir}/inverted"
+            )
+            centroid_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+            return read_ivf_index(spark, index_dir)
+        return inverted, centroid_df
+    finally:
+        featurized.unpersist()
+
+
+def read_ivf_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Load a materialized IVF index written by :func:`build_ivf_index`."""
+    return (
+        spark.read.parquet(f"{index_dir}/inverted"),
+        spark.read.parquet(f"{index_dir}/centroids"),
     )
 
-    centroids = model.clusterCenters()  # nlist x dim, tiny by construction
-    centroid_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    centroid_df = corpus.sparkSession.createDataFrame(
-        centroid_rows, "cell int, centroid array<double>"
-    )
 
+def cosine_topk_ivf_probe(
+    inverted: DataFrame,
+    centroid_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe an IVF index: each query ranks the ``nprobe`` nearest cell
+    centroids, and exact cosine runs only inside the probed cells — an
+    equi-join on cell id, so the pair space shrinks ~nlist/nprobe-fold."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__q_vec"),
@@ -357,6 +393,38 @@ def cosine_topk_ivf(
         scored.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
         .orderBy(query_id_col, "sim_rank")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    max_iter: int = 4,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k — build (or reuse) the index, then
+    probe. Convenience wrapper over :func:`build_ivf_index` +
+    :func:`cosine_topk_ivf_probe`; at scale call those separately (the
+    index build is an offline job, queries only probe the materialized
+    inverted file). With ``index_dir``, an existing materialized index is
+    reused and the KMeans fit is skipped entirely."""
+    import os
+
+    if index_dir is not None and os.path.isdir(f"{index_dir}/inverted"):
+        inverted, centroid_df = read_ivf_index(corpus.sparkSession, index_dir)
+    else:
+        inverted, centroid_df = build_ivf_index(
+            corpus, nlist, id_col, vec_col, seed, max_iter, index_dir
+        )
+    return cosine_topk_ivf_probe(
+        inverted, centroid_df, queries, k, nprobe, id_col, vec_col, query_id_col
     )
 
 

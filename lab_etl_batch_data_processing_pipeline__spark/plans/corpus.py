@@ -20,10 +20,33 @@ the bytes entering each shuffle.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import cleaning, dedup_fuzzy, text
+
+
+def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Release ``cached`` when ``result`` is garbage-collected.
+
+    A plan-internal ``persist()`` has no natural unpersist point — the
+    caller consumes the returned frame lazily, possibly many times. Tying
+    the release to the result's lifetime gives exactly the right scope:
+    the cache lives while the result is reachable, and a long-lived
+    session does not accumulate dead cache entries (CacheManager entries
+    are never GC'd on their own).
+    """
+
+    def release(cached=cached):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+    weakref.finalize(result, release)
+    return result
 
 
 def corpus_prep(
@@ -64,4 +87,5 @@ def corpus_prep(
         exact_unique, "doc_id", "text", threshold=jaccard_threshold
     )
     to_drop = near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
-    return exact_unique.join(to_drop, "doc_id", "left_anti").orderBy("doc_id")
+    result = exact_unique.join(to_drop, "doc_id", "left_anti").orderBy("doc_id")
+    return _unpersist_with(result, exact_unique)

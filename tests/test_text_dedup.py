@@ -120,6 +120,32 @@ def test_corpus_prep_funnel(spark):
     assert out.columns == ["doc_id", "text", "lang", "source", "quality_score"]
 
 
+def test_corpus_prep_releases_cache_on_gc(spark):
+    """The plan-internal persist must not outlive the returned frame
+    (executor-memory leak in a long-lived session otherwise)."""
+    import gc
+    import time
+
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with words", "en", "s") for i in range(20)],
+        "doc_id long, text string, lang string, source string",
+    )
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    out = corpus_prep(docs, min_quality=0.0)
+    out.count()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) > before
+    del out
+    gc.collect()
+    for _ in range(20):  # unpersist is async on the JVM side
+        if len(sc._jsc.sc().getRDDStorageInfo()) == before:
+            break
+        time.sleep(0.25)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == before
+
+
 def test_winnowing_fingerprints_detect_shared_content(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     docs = spark.createDataFrame(
