@@ -954,7 +954,7 @@ WITH prep AS (
     doc_id,
     {_TOK_SET} AS tok_set,
     CAST(floor(len({_TOK_SET}) / 10) AS BIGINT) AS len_bucket,
-    ({_LTOKENS})[1] AS first_tok
+    list_aggregate(list_transform({_TOK_SET}, t -> md5(t)), 'min') AS block_tok
   FROM documents
 ), pairs AS (
   SELECT
@@ -965,7 +965,7 @@ WITH prep AS (
       - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))) AS n_union
   FROM prep a JOIN prep b
     ON a.len_bucket = b.len_bucket
-   AND a.first_tok = b.first_tok
+   AND a.block_tok = b.block_tok
    AND a.doc_id < b.doc_id
 )
 SELECT * FROM (
@@ -1094,7 +1094,8 @@ WITH stats AS (
   SELECT doc_id,
          list_distinct(lt) AS tok_set,
          CAST(floor(len(list_distinct(lt)) / 10) AS BIGINT) AS len_bucket,
-         lt[1] AS first_tok
+         list_aggregate(list_transform(list_distinct(lt), t -> md5(t)), 'min')
+           AS block_tok
   FROM (SELECT doc_id, {_LTOKENS} AS lt FROM exact)
 ), pairs AS (
   SELECT doc_id_b FROM (
@@ -1105,7 +1106,7 @@ WITH stats AS (
                  6) AS j
     FROM prep a JOIN prep b
       ON a.len_bucket = b.len_bucket
-     AND a.first_tok = b.first_tok
+     AND a.block_tok = b.block_tok
      AND a.doc_id < b.doc_id
   ) WHERE j >= 0.5
 )

@@ -71,6 +71,14 @@ def _token_set(text_col):
     )
 
 
+def jaccard_block_tok(toks):
+    """Jaccard blocking token: MIN over the token array of md5(token) —
+    a 1-hash MinHash band. Uniformly distributed across documents (unlike
+    any positional token choice) and engine-portable. NULL for an empty
+    token array."""
+    return F.array_min(F.transform(toks, lambda t: F.md5(t)))
+
+
 def jaccard_near_dups(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -80,15 +88,20 @@ def jaccard_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by exact token-set Jaccard, with deterministic blocking.
 
-    Blocking key = (distinct-token-count bucket, first raw token): two docs
+    Blocking key = (distinct-token-count bucket, min-md5-token): two docs
     can only pair if they share both. That keeps the join an equi-join (one
     shuffle on the block key) and bounds the verify set; Jaccard is then
     computed exactly with integer set arithmetic. Docs whose Jaccard >=
     threshold but which land in different blocks are missed — that recall
     trade-off is what MinHash-LSH (below) fixes probabilistically at scale.
 
-    The first-token block key comes from the *raw* token stream (not the
-    distinct set) so it does not depend on any engine's distinct-ordering.
+    The block token is the MIN over the doc's tokens of md5(token) — a
+    1-hash MinHash band. For a candidate pair the collision probability
+    equals its Jaccard (fine above any useful threshold), while the key
+    itself is uniformly distributed: no "every document starting with
+    'the' shares a block" hot key, which is what a positional key degrades
+    to at corpus scale (one straggler block with quadratic verify cost).
+    md5 (not xxhash64) keeps the key engine-portable for the oracle.
     """
     documents = ensure_parallelism(documents)
     raw_toks = F.filter(
@@ -104,10 +117,9 @@ def jaccard_near_dups(
             F.transform(toks, lambda t: F.xxhash64(t))
         ).alias("tok_set"),
         F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
-        # try_element_at: an empty/whitespace-only doc has no first token —
-        # NULL here (ANSI element_at would throw), which drops the doc from
-        # the pair space via the equi-join, matching DuckDB's NULL indexing.
-        F.try_element_at(raw_toks, F.lit(1)).alias("first_tok"),
+        # An empty/whitespace-only doc yields NULL, which drops the doc
+        # from the pair space via the equi-join (SQL NULL-join semantics).
+        jaccard_block_tok(toks).alias("block_tok"),
     )
     a = prepared.alias("a")
     b = prepared.alias("b")
@@ -116,7 +128,7 @@ def jaccard_near_dups(
         b,
         on=(
             (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.first_tok") == F.col("b.first_tok"))
+            & (F.col("a.block_tok") == F.col("b.block_tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
         ),
         # Size-ratio prune (output-invariant): J(A,B) <= min/max of the set

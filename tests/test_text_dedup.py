@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lab_etl_batch_data_processing_pipeline__spark.operators import dedup_fuzzy, text
 
@@ -87,6 +88,28 @@ def test_minhash_near_dups(docs):
     }
     assert (1, 4) in pairs  # exact dup always collides
     assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_block_key_spreads_shared_prefix(spark):
+    """The straggler scenario: every doc starts with 'the' but shares no
+    content. A positional block key puts all 30 docs in ONE block
+    (quadratic verify); the min-md5-token key must spread them."""
+    docs = spark.createDataFrame(
+        [
+            (i, "the " + " ".join(f"tok{i}word{j}" for j in range(10)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    keys = docs.select(
+        dedup_fuzzy.jaccard_block_tok(
+            F.split(F.lower(F.col("text")), r"\s+")
+        ).alias("k")
+    )
+    n_distinct = keys.select(F.countDistinct("k")).first()[0]
+    assert n_distinct >= 25  # deterministic (md5); would be 1 positionally
+    # and no spurious near-dup pairs are emitted for disjoint docs
+    assert dedup_fuzzy.jaccard_near_dups(docs, threshold=0.1).count() == 0
 
 
 def test_simhash_hamming_locality(docs):
