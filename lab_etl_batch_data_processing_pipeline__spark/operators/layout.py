@@ -17,8 +17,14 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to ``target`` partitions (default
     ``sparkContext.defaultParallelism``) — only if it has fewer."""
-    sc = df.sparkSession.sparkContext
-    goal = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= goal:
+    try:
+        sc = df.sparkSession.sparkContext
+        goal = target or sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect: no RDD/SparkContext access. Real at-scale inputs
+        # arrive in many splits anyway (this helper only matters for tiny
+        # local files), and an unconditional repartition would force a
+        # full shuffle of a possibly-huge frame — so no-op instead.
         return df
-    return df.repartition(goal)
+    return df if n >= goal else df.repartition(goal)

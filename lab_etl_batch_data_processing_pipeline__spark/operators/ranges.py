@@ -36,11 +36,20 @@ def date_range_join(
     Implemented as explode-to-day-buckets + equi-join: each left row
     becomes ``datediff(end, start) + 1`` rows keyed by day. Keep ranges
     bounded (days, not years) — the fan-out factor is the range length.
+
+    Dirty ranges (end < start, e.g. swapped or corrupt dates) produce NO
+    buckets: a bare ``sequence(start, end)`` would silently generate a
+    DESCENDING day sequence and join the inverted interval, so the
+    sequence is guarded to valid ranges (NULL otherwise). With an outer
+    ``how`` the left row is preserved via explode_outer with NULL
+    matches; with inner joins it simply drops.
     """
-    exploded = left.select(
-        "*",
-        F.explode(F.sequence(F.col(start_col), F.col(end_col))).alias(BUCKET_COL),
+    seq = F.when(
+        F.col(end_col) >= F.col(start_col),
+        F.sequence(F.col(start_col), F.col(end_col)),
     )
+    explode_fn = F.explode_outer if how in ("left", "left_outer", "full", "full_outer") else F.explode
+    exploded = left.select("*", explode_fn(seq).alias(BUCKET_COL))
     joined = exploded.join(
         right, exploded[BUCKET_COL] == right[right_day_col], how
     )

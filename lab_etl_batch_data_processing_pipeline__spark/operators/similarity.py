@@ -106,8 +106,8 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    num_planes: int = 8,
-    num_tables: int = 4,
+    num_planes: int = 4,
+    num_tables: int = 8,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
@@ -117,6 +117,14 @@ def cosine_topk_lsh(
     buckets the join is a plain shuffled equi-join — no broadcast needed, so
     this path scales to corpora that cannot be broadcast *and* query sets
     that cannot either.
+
+    Tuning: per-plane agreement for angle θ is (1 - θ/π); a candidate
+    survives a table with probability (1-θ/π)^num_planes and any of
+    ``num_tables`` tables rescues it. When true neighbors sit at wide
+    angles (cosine ~0.3 → θ≈72° → 0.6/plane), fewer planes + more tables
+    is the recall-preserving direction — 8 planes at that angle passes
+    ~1.7% per table and recall collapses. The ``ann_lsh_recall`` entry
+    query pins a measured floor against brute force.
     """
     def with_buckets(df, ident):
         tables = F.array(

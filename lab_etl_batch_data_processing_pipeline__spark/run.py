@@ -41,7 +41,12 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--raw-dir", required=True)
     parser.add_argument("--out-dir", required=True)
-    parser.add_argument("--csv-header", action="store_true", default=True)
+    parser.add_argument(
+        "--csv-header",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="raw CSVs have a header row (disable with --no-csv-header)",
+    )
     parser.add_argument(
         "--curated-only", action="store_true",
         help="run only the curation stage (E1), skip presentation metrics",

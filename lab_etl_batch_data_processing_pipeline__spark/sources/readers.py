@@ -25,8 +25,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     TIMESTAMP(NANOS) columns otherwise fail schema conversion, since Spark
     has no nanosecond type. Affected columns surface as LongType nanos —
     convert with :func:`nanos_to_timestamp`.
+
+    The conf is session-level by necessity — it is consulted again when
+    the scan *executes*, so a set/restore scoped to this call would break
+    lazy execution of the returned frame. ``session.get_spark`` declares
+    it at build time; this guard only covers externally-built sessions
+    (e.g. the test driver's), and is skipped when already set.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path)
 
 

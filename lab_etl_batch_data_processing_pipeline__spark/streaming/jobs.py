@@ -82,7 +82,7 @@ def streaming_user_totals(events: DataFrame, user_col: str = "user_id") -> DataF
         state.update((total,))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 "batch_events": [batch_events],
                 "total_events": [total],
             }
@@ -90,7 +90,7 @@ def streaming_user_totals(events: DataFrame, user_col: str = "user_id") -> DataF
 
     return events.groupBy(user_col).applyInPandasWithState(
         update_totals,
-        outputStructType="user_id long, batch_events long, total_events long",
+        outputStructType=f"{user_col} long, batch_events long, total_events long",
         stateStructType="total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
