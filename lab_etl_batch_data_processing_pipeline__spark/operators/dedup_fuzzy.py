@@ -307,37 +307,6 @@ def minhash_near_dups(
     )
 
 
-def _md5_bits60(tok):
-    """60 bits of md5(tok), MSB-first, as array<int>.
-
-    Decodes the first 15 hex chars nibble-by-nibble with constant-mask
-    tests (no variable-distance shift exists as a Column op). The digest
-    is let-bound through a single-element ``transform`` so md5 runs once
-    per token, not once per nibble (HOF argument expressions are inlined
-    into lambda bodies during projection collapsing otherwise).
-    """
-
-    def nibble_bits(v):
-        return F.array(
-            *[(v.bitwiseAND(F.lit(m)) > 0).cast("int") for m in (8, 4, 2, 1)]
-        )
-
-    return F.element_at(
-        F.transform(
-            F.array(F.md5(tok)),
-            lambda hx: F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(15)),
-                    lambda p: nibble_bits(
-                        F.conv(F.substring(hx, p, F.lit(1)), 16, 10).cast("int")
-                    ),
-                )
-            ),
-        ),
-        1,
-    )
-
-
 def simhash(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -347,41 +316,73 @@ def simhash(
     """SimHash over the token set: bit b of the sketch is the sign of
     the sum over tokens of (+1 if token-hash bit b else -1).
 
-    ``portable=True``: 60-bit sketch from md5-derived token bits —
-    engine-independent, oracle-checkable. ``portable=False``: 63-bit
-    sketch from xxhash64 (63 not 64 so the fold ``acc*2 + bit`` never
-    overflows a signed long under ANSI mode). Near-dups have
-    hamming-close sketches; pairing is a bucket join on sketch prefixes
-    (not materialized here).
+    ``portable=True``: 60-bit sketch from the first 60 md5 bits of each
+    token — engine-independent, oracle-checkable. Shape: explode tokens
+    to rows, explode 60 bit positions, hash-aggregate the per-(doc, bit)
+    sign sums, then fold the signs back into one long. Two shuffles on
+    tiny rows (docs × 60 groups after map-side combine), and the
+    expression stays small — a HOF fold carrying a 60-counter array
+    accumulator was measured bit-identical but pays ~7 s of one-time
+    whole-stage-codegen compilation for the giant generated class
+    (near janino's method-size cliff), which dominates any single run.
+    ``shiftright``/``shiftleft`` take column shift distances only in
+    their SQL form, hence the F.expr fragments.
 
-    Like MinHash, the bit-sums come from ONE fold over the token hashes
-    with an array accumulator (one counter per bit): the per-bit-aggregate
-    form would re-hash every token once per bit after expression inlining.
+    ``portable=False``: 63-bit sketch from xxhash64 via one HOF fold
+    (63 not 64 so the fold ``acc*2 + bit`` never overflows a signed
+    long under ANSI mode) — compact enough to codegen cheaply. Near-dups
+    have hamming-close sketches; pairing is a bucket join on sketch
+    prefixes (not materialized here).
     """
     toks = _token_set(F.col(text_col))
     if portable:
-        # Token bit-arrays are MSB-first, so the final fold acc*2 + bit
-        # needs no reverse; an empty token set yields sketch 0.
-        bit_sums = F.aggregate(
-            F.transform(toks, _md5_bits60),
-            F.expr("array_repeat(0, 60)"),
-            lambda acc, bits: F.zip_with(
-                acc, bits, lambda s, bit: s + F.when(bit == 1, 1).otherwise(-1)
+        tok_hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), F.lit(1), F.lit(15)), 16, 10).cast(
+                "long"
             ),
         )
-    else:
-        bit_idx = F.sequence(F.lit(0), F.lit(62))
-        bit_sums = F.reverse(
-            F.aggregate(
-                F.transform(toks, lambda t: F.xxhash64(t)),
-                F.expr("array_repeat(0, 63)"),
-                lambda acc, h: F.zip_with(
-                    acc,
-                    bit_idx,
-                    lambda s, b: s + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1),
-                ),
+        base = ensure_parallelism(
+            documents.select(F.col(id_col).alias("doc_id"), tok_hashes.alias("hs"))
+        )
+        sums = (
+            base.select("doc_id", F.explode("hs").alias("h"))
+            .select(
+                "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
+            )
+            .groupBy("doc_id", "b")
+            .agg(
+                F.sum(
+                    F.when(F.expr("(h >> (59 - b)) & 1") == 1, 1).otherwise(-1)
+                ).alias("s")
             )
         )
+        sketches = sums.groupBy("doc_id").agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, 59 - b)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+        # Empty/whitespace-only docs have no token rows: restore them with
+        # the all-negative-sums sketch (0), matching the fold semantics.
+        return (
+            documents.select(F.col(id_col).alias("doc_id"))
+            .join(sketches, "doc_id", "left")
+            .na.fill(0, ["simhash"])
+        )
+    bit_idx = F.sequence(F.lit(0), F.lit(62))
+    bit_sums = F.reverse(
+        F.aggregate(
+            F.transform(toks, lambda t: F.xxhash64(t)),
+            F.expr("array_repeat(0, 63)"),
+            lambda acc, h: F.zip_with(
+                acc,
+                bit_idx,
+                lambda s, b: s + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1),
+            ),
+        )
+    )
     sketch = F.aggregate(
         bit_sums,
         F.lit(0).cast("long"),
