@@ -47,8 +47,12 @@ def main() -> None:
     # index is actually operated). Counted in startup_sec, not query time.
     try:
         entrymod.prebuild_indexes(spark, sf_dir)
-    except Exception:
-        pass  # index-less queries still run (they build inline)
+    except Exception as exc:  # index-less queries still run (they build inline)
+        print(
+            f"WARNING: prebuild_indexes failed ({type(exc).__name__}: {exc}); "
+            "IVF queries will build their index inline (timed)",
+            file=sys.stderr,
+        )
     startup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

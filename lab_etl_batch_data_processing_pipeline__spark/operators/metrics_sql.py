@@ -105,6 +105,24 @@ METRIC_SQL: dict[str, str] = {
 }
 
 
+def run_metric_sql(
+    spark: SparkSession,
+    name: str,
+    curated: DataFrame,
+    listings: DataFrame | None = None,
+) -> DataFrame:
+    """Run ONE metric through the temp-view SQL entry point (S7).
+
+    Registers only the views the caller supplies; each METRIC_SQL entry
+    references exactly one of {curated}/{listings}, so the other
+    placeholder resolves to a never-read view name.
+    """
+    curated.createOrReplaceTempView(CURATED_VIEW)
+    if listings is not None:
+        listings.createOrReplaceTempView("listings_v")
+    return spark.sql(METRIC_SQL[name].format(curated=CURATED_VIEW, listings="listings_v"))
+
+
 def present_sql(
     spark: SparkSession,
     curated: DataFrame,

@@ -150,7 +150,7 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
         try:
             return decode_png(payload)
         except ValueError:
-            return decode_image_stub(payload)
+            pass  # unsupported PNG shape (palette/16-bit/interlaced) — Pillow next
     try:  # optional dependency — not in this container
         import io
 

@@ -425,7 +425,9 @@ def cosine_topk_ivf(
     reused and the KMeans fit is skipped entirely."""
     import os
 
-    if index_dir is not None and os.path.isdir(f"{index_dir}/inverted"):
+    if index_dir is not None and os.path.isfile(
+        f"{index_dir}/inverted/_SUCCESS"
+    ):
         inverted, centroid_df = read_ivf_index(corpus.sparkSession, index_dir)
     else:
         inverted, centroid_df = build_ivf_index(
