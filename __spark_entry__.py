@@ -236,7 +236,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_fuzzy.jaccard_near_dups(
+    """Blocked token-set Jaccard, reported as per-doc near-dup degree
+    (n_near_dups, max_jaccard). Same blocking + exact verify as the pair
+    form — the degrees pin the full pair set (any missing/extra pair
+    changes a count) — but the output is corpus-sized: on the dense
+    fixture the raw pair list is quadratic (4.77 M pairs from 5 000 docs
+    at sf0.1), and materializing + globally sorting it measures 2x the
+    cost of computing it (see dedup_fuzzy.near_dup_degree)."""
+    return dedup_fuzzy.near_dup_degree(
         _t(spark, sf_dir, "documents"), threshold=0.3
     )
 
@@ -1233,6 +1240,18 @@ SELECT * FROM (
 ) WHERE jaccard >= 0.3
 """
 
+# Degree form: same pair space, collapsed per doc (both pair sides count).
+_JACCARD_DEGREE_SQL = f"""
+WITH kept AS ({_JACCARD_SQL}),
+sides AS (
+  SELECT unnest([doc_id_a, doc_id_b]) AS doc_id, jaccard FROM kept
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+       ROUND(MAX(jaccard), 6) AS max_jaccard
+FROM sides GROUP BY 1 ORDER BY 1
+"""
+
 _REPEAT_SQL = """
 WITH seq AS (
   SELECT
@@ -1528,7 +1547,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
             FROM documents GROUP BY 1 ORDER BY 3
         """,
-        "near_dup_jaccard": _JACCARD_SQL,
+        "near_dup_jaccard": _JACCARD_DEGREE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "sessionization": _SESSION_SQL,
         "user_engagement": """

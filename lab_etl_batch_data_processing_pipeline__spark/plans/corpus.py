@@ -83,8 +83,10 @@ def corpus_prep(
         .persist()
     )
 
+    # sort=False: the pairs feed a distinct + anti-join, and a sorted
+    # pair list would range-sample (= re-execute) the pair pipeline.
     near_pairs = dedup_fuzzy.jaccard_near_dups(
-        exact_unique, "doc_id", "text", threshold=jaccard_threshold
+        exact_unique, "doc_id", "text", threshold=jaccard_threshold, sort=False
     )
     to_drop = near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
     result = exact_unique.join(to_drop, "doc_id", "left_anti").orderBy("doc_id")

@@ -112,6 +112,81 @@ def test_jaccard_block_key_spreads_shared_prefix(spark):
     assert dedup_fuzzy.jaccard_near_dups(docs, threshold=0.1).count() == 0
 
 
+def test_jaccard_salt_is_output_invariant(spark):
+    """The triangle-decomposition salt balances the verify stage; it must
+    never change WHICH pairs come out (the oracle runs unsalted SQL)."""
+    docs = text_table(spark)
+    base = dedup_fuzzy.jaccard_near_dups(docs, threshold=0.3, salt=1)
+    for s in (2, 8):
+        salted = dedup_fuzzy.jaccard_near_dups(docs, threshold=0.3, salt=s)
+        assert salted.exceptAll(base).count() == 0
+        assert base.exceptAll(salted).count() == 0
+
+
+def test_near_dup_degree_matches_pair_aggregation(spark):
+    docs = text_table(spark)
+    pairs = dedup_fuzzy.jaccard_near_dups(docs, threshold=0.3).collect()
+    expect: dict[int, tuple[int, float]] = {}
+    for r in pairs:
+        for d in (r.doc_id_a, r.doc_id_b):
+            n, m = expect.get(d, (0, 0.0))
+            expect[d] = (n + 1, max(m, r.jaccard))
+    got = {
+        r.doc_id: (r.n_near_dups, r.max_jaccard)
+        for r in dedup_fuzzy.near_dup_degree(docs, threshold=0.3).collect()
+    }
+    assert got == expect
+
+
+def test_jaccard_block_stats_accounting(spark):
+    """Per-block candidate accounting (the pre-flight dense-corpus check):
+    pair counts must be exactly C(n_docs, 2) per block, and the total must
+    bound the verify-stage join size on the real fixture."""
+    docs = text_table(spark)
+    stats = dedup_fuzzy.jaccard_block_stats(docs).collect()
+    for r in stats:
+        assert r.n_candidate_pairs == r.n_docs * (r.n_docs - 1) // 2
+    total_candidates = sum(r.n_candidate_pairs for r in stats)
+    # Regression pin: the sf0.001 documents fixture is dense by design —
+    # if the blocking scheme changes, this number moves and the bench
+    # consequences need re-measuring (SCALE.md "Jaccard verify cost").
+    assert total_candidates == pinned_candidate_total(spark)
+
+
+def text_table(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.sources import read_parquet
+
+    return read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+
+
+def pinned_candidate_total(spark):
+    # 500 docs, dense ~35-token vocabulary: the min-md5 block key admits
+    # 52 052 of the 124 750 possible pairs (measured 2026-08-13).
+    return 52_052
+
+
+def test_jaccard_blocked_recall_floor(spark):
+    """Recall gate (the ann_lsh_recall pattern): blocked Jaccard must keep
+    >= 35% of the true >=0.3 pairs on the dense fixture. Catches a future
+    blocking change that silently reverts to a low-recall key."""
+    docs = text_table(spark).select("doc_id", "text")
+    blocked = dedup_fuzzy.jaccard_near_dups(docs, threshold=0.3).count()
+    a, b = docs.alias("a"), docs.alias("b")
+    toks = lambda side: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.lower(F.col(f"{side}.text")), r"\s+"), lambda x: x != F.lit(""))
+    )
+    inter = F.size(F.array_intersect(toks("a"), toks("b")))
+    union = F.size(toks("a")) + F.size(toks("b")) - inter
+    true_pairs = (
+        a.crossJoin(b)  # 50 docs -> 1225 pairs: fine in a test, never in an operator
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.round(inter / union, 6) >= 0.3)
+        .count()
+    )
+    assert true_pairs > 0
+    assert blocked / true_pairs >= 0.35
+
+
 def test_simhash_hamming_locality(docs):
     import math
 
