@@ -425,15 +425,20 @@ def simhash(
 
     ``portable=True``: 60-bit sketch from the first 60 md5 bits of each
     token — engine-independent, oracle-checkable. Shape: explode tokens
-    to rows, explode 60 bit positions, hash-aggregate the per-(doc, bit)
-    sign sums, then fold the signs back into one long. Two shuffles on
-    tiny rows (docs × 60 groups after map-side combine), and the
-    expression stays small — a HOF fold carrying a 60-counter array
-    accumulator was measured bit-identical but pays ~7 s of one-time
-    whole-stage-codegen compilation for the giant generated class
-    (near janino's method-size cliff), which dominates any single run.
-    ``shiftright``/``shiftleft`` take column shift distances only in
-    their SQL form, hence the F.expr fragments.
+    to ROWS (no bit fan-out), then ONE hash aggregate per doc over 15
+    packed-counter longs — each long carries 4 15-bit bit-popcounts, so
+    the 60 per-bit counts sum as 15 ordinary SUM columns (plus a token
+    COUNT), and a final projection decodes sign bits into the sketch:
+    ``s_b > 0  <=>  2 * popcount_b > n_tokens``. One shuffle of
+    17 tiny columns instead of the previous 60x row fan-out through a
+    (doc, bit) aggregate + second shuffle. The two rejected shapes, both
+    measured: a HOF fold with a 60-counter array accumulator pays ~7 s
+    of one-time whole-stage-codegen (giant generated class near janino's
+    method-size cliff); 60 *separate* SUM columns in one HashAggregate
+    pays a similar compile tax (the round-1 wide-aggregate receipt in
+    SCALE.md). 15-bit counters bound the portable path at 32 767
+    distinct tokens per document (~200 KB+ of unique-word text) —
+    beyond that use ``portable=False``, which has no such bound.
 
     ``portable=False``: 63-bit sketch from xxhash64 via one HOF fold
     (63 not 64 so the fold ``acc*2 + bit`` never overflows a signed
@@ -443,34 +448,44 @@ def simhash(
     """
     toks = _token_set(F.col(text_col))
     if portable:
-        tok_hashes = F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), F.lit(1), F.lit(15)), 16, 10).cast(
-                "long"
-            ),
-        )
+        width, slots, n_packs = 15, 4, 15  # 60 counters: 4 x 15-bit per long
         base = ensure_parallelism(
-            documents.select(F.col(id_col).alias("doc_id"), tok_hashes.alias("hs"))
+            documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         )
-        sums = (
-            base.select("doc_id", F.explode("hs").alias("h"))
-            .select(
-                "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
-            )
-            .groupBy("doc_id", "b")
-            .agg(
-                F.sum(
-                    F.when(F.expr("(h >> (59 - b)) & 1") == 1, 1).otherwise(-1)
-                ).alias("s")
-            )
+        rows = base.select("doc_id", F.explode("toks").alias("t")).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("t"), F.lit(1), F.lit(15)), 16, 10)
+            .cast("long")
+            .alias("h"),
         )
-        sketches = sums.groupBy("doc_id").agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, 59 - b)")).otherwise(
-                    F.lit(0).cast("long")
+        # Counter c (= bit index b, 0..59) lives in long b//slots at slot
+        # b%slots. Constant shift distances, so plain SQL operators work.
+        packs = [
+            F.expr(
+                " + ".join(
+                    f"(((h >> {59 - (j * slots + i)}) & 1) << {width * i})"
+                    for i in range(slots)
                 )
-            ).alias("simhash")
+            ).alias(f"p{j}")
+            for j in range(n_packs)
+        ]
+        agged = (
+            rows.select("doc_id", *packs)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"p{j}").alias(f"p{j}") for j in range(n_packs)],
+            )
         )
+        mask = (1 << width) - 1
+        sketch = F.expr(
+            " + ".join(
+                f"(CASE WHEN 2 * ((p{b // slots} >> {width * (b % slots)})"
+                f" & {mask}) > n THEN {1 << (59 - b)}L ELSE 0L END)"
+                for b in range(60)
+            )
+        ).alias("simhash")
+        sketches = agged.select("doc_id", sketch)
         # Empty/whitespace-only docs have no token rows: restore them with
         # the all-negative-sums sketch (0), matching the fold semantics.
         return (
