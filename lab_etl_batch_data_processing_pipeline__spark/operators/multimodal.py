@@ -199,17 +199,73 @@ def image_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "media_id long, n_bytes int, duration_ms int, n_frames int, rms_level double"
+    "media_id long, n_bytes int, duration_ms int, n_channels int, "
+    "sample_rate int, n_frames int, rms_level double"
 )
 
 VIDEO_FRAME_SCHEMA = "media_id long, frame_index int, frame_crc long"
+
+WAV_SIGNATURE_OFFSETS = ((0, b"RIFF"), (8, b"WAVE"))
+
+
+def _is_wav(payload: bytes) -> bool:
+    return len(payload) >= 12 and all(
+        payload[o : o + 4] == m for o, m in WAV_SIGNATURE_OFFSETS
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Real stdlib WAV decode (``wave`` + ``struct``, mirroring the PNG
+    chunk-walk): returns (n_channels, sample_rate, n_frames, duration_ms,
+    rms_level) with RMS normalized to full scale [0, 1].
+
+    Handles the PCM widths the ``wave`` module exposes (8-bit unsigned,
+    16/24/32-bit signed little-endian). Raises ValueError on anything it
+    cannot decode so the caller can fall back."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_channels = w.getnchannels()
+            sample_rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error) as exc:
+        raise ValueError(f"not a decodable WAV: {exc}") from exc
+    if sample_rate <= 0 or width not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported WAV shape: rate={sample_rate} width={width}")
+    n_samples = len(frames) // width
+    if n_samples == 0:
+        return (n_channels, sample_rate, n_frames, 0, 0.0)
+    if width == 1:  # 8-bit PCM is unsigned, midpoint 128
+        vals = [b - 128 for b in frames[:n_samples]]
+        full_scale = 128.0
+    elif width == 2:
+        vals = struct.unpack(f"<{n_samples}h", frames[: n_samples * 2])
+        full_scale = 32768.0
+    elif width == 4:
+        vals = struct.unpack(f"<{n_samples}i", frames[: n_samples * 4])
+        full_scale = 2147483648.0
+    else:  # 24-bit: sign-extend each little-endian triple
+        vals = [
+            int.from_bytes(frames[i : i + 3], "little", signed=True)
+            for i in range(0, n_samples * 3, 3)
+        ]
+        full_scale = 8388608.0
+    rms = (sum(v * v for v in vals) / n_samples) ** 0.5 / full_scale
+    duration_ms = round(n_frames * 1000 / sample_rate)
+    return (n_channels, sample_rate, n_frames, duration_ms, round(rms, 6))
 
 
 def decode_audio_stub(payload: bytes, duration_ms: int | None) -> tuple[int, float]:
     """Deterministic fake audio decode: (n_frames, rms_level).
 
-    STUB — swap in soundfile/torchaudio when available; the Spark-side
-    contract (schema, batching) does not change.
+    STUB for non-WAV codecs — swap in soundfile/torchaudio when
+    available; the Spark-side contract (schema, batching) does not
+    change.
     """
     if not payload:
         return (0, 0.0)
@@ -218,9 +274,26 @@ def decode_audio_stub(payload: bytes, duration_ms: int | None) -> tuple[int, flo
     return (n_frames, rms)
 
 
+def decode_audio(
+    payload: bytes, duration_ms: int | None
+) -> tuple[int, int, int, int, float]:
+    """Dispatch decode: real stdlib WAV decoder for WAV payloads,
+    deterministic stub otherwise — the audio twin of decode_image.
+    Returns (n_channels, sample_rate, n_frames, duration_ms, rms)."""
+    if _is_wav(payload):
+        try:
+            return decode_wav(payload)
+        except ValueError:
+            pass  # truncated/exotic WAV — stub below
+    n_frames, rms = decode_audio_stub(payload, duration_ms)
+    return (0, 0, n_frames, duration_ms or 0, rms)
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """Per-clip audio features via Arrow-batched ``mapInPandas`` (same
-    pipeline shape as image_features; modality-filtered upstream)."""
+    pipeline shape as image_features; modality-filtered upstream).
+    WAV payloads are genuinely decoded (duration/channels/RMS from the
+    sample data); other codecs hit the labeled stub."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -228,16 +301,18 @@ def audio_features(media: DataFrame) -> DataFrame:
             payloads = pdf["payload"]
             durations = [m["duration_ms"] if m is not None else None for m in pdf["meta"]]
             decoded = [
-                decode_audio_stub(p if p is not None else b"", d)
+                decode_audio(p if p is not None else b"", d)
                 for p, d in zip(payloads, durations)
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                    "duration_ms": [d or 0 for d in durations],
-                    "n_frames": [d[0] for d in decoded],
-                    "rms_level": [d[1] for d in decoded],
+                    "duration_ms": [d[3] for d in decoded],
+                    "n_channels": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "rms_level": [d[4] for d in decoded],
                 }
             )
 

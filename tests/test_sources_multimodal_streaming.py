@@ -231,6 +231,64 @@ def test_audio_features_and_video_sampling(spark):
     assert all(f.media_id == 2 for f in frames)
 
 
+def _wav_bytes(channels=1, rate=8000, width=2, samples=(1000, -1000) * 4) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            frames = bytes((s + 128) & 0xFF for s in samples)
+        elif width == 2:
+            frames = struct.pack(f"<{len(samples)}h", *samples)
+        else:
+            frames = b"".join(
+                int(s).to_bytes(width, "little", signed=True) for s in samples
+            )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_golden():
+    """Real WAV decode: duration/channels/RMS come from the sample data."""
+    n_ch, rate, n_frames, dur, rms = multimodal.decode_wav(_wav_bytes())
+    assert (n_ch, rate, n_frames, dur) == (1, 8000, 8, 1)
+    assert abs(rms - 1000 / 32768) < 1e-6
+    # 8-bit unsigned PCM: midpoint-centered
+    n_ch, rate, n_frames, dur, rms = multimodal.decode_wav(
+        _wav_bytes(width=1, samples=(64, -64) * 8)
+    )
+    assert (n_ch, n_frames) == (1, 16) and abs(rms - 64 / 128) < 1e-6
+    # stereo 24-bit
+    n_ch, rate, n_frames, dur, rms = multimodal.decode_wav(
+        _wav_bytes(channels=2, width=3, samples=(100000, -100000) * 4)
+    )
+    assert (n_ch, n_frames) == (2, 4)  # 8 samples / 2 channels
+    assert abs(rms - 100000 / 8388608) < 1e-6
+
+
+def test_audio_features_real_wav_through_spark(spark):
+    """A real WAV payload flows through the Arrow-batched mapInPandas and
+    overrides the (wrong) metadata duration with the decoded one."""
+    rows = [
+        (7, "audio", "audio/wav", bytearray(_wav_bytes()), (None, None, 999)),
+        (8, "audio", "audio/ogg", bytearray(b"OggS" + b"\x00" * 64), (None, None, 250)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.audio_features(media).collect()}
+    real = out[7]
+    assert (real.n_channels, real.sample_rate, real.n_frames) == (1, 8000, 8)
+    assert real.duration_ms == 1  # 8 frames @ 8 kHz — decoded, not meta's 999
+    assert abs(real.rms_level - 1000 / 32768) < 1e-6
+    stub = out[8]  # non-WAV codec: labeled stub path, channels/rate unknown
+    assert (stub.n_channels, stub.sample_rate) == (0, 0)
+    assert stub.n_frames == 250 * 16
+
+
 def test_streaming_dedup(spark, tmp_path):
     from lab_etl_batch_data_processing_pipeline__spark.streaming import streaming_dedup
 
