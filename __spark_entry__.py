@@ -669,9 +669,11 @@ def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
     file) for ``sf_dir`` if absent. Called by bench.py during setup —
     index builds are offline jobs at scale, queries only probe."""
     index_dir = _ivf_index_dir(sf_dir)
-    # _SUCCESS, not isdir: a partial directory from an interrupted build
-    # must not pass for a valid index.
-    if not os.path.isfile(os.path.join(index_dir, "inverted", "_SUCCESS")):
+    # The _BUILT sentinel is written after BOTH index writes complete
+    # (partitioned writes leave no root _SUCCESS under dynamic partition
+    # overwrite); a partial directory from an interrupted build must not
+    # pass for a valid index.
+    if not os.path.isfile(os.path.join(index_dir, "_BUILT")):
         emb = _t(spark, sf_dir, "embeddings")
         similarity.build_ivf_index(
             emb,

@@ -22,6 +22,8 @@ enough (>~1k dims) that per-element codegen loses to BLAS.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -334,6 +336,12 @@ def build_ivf_index(
                 f"{index_dir}/inverted"
             )
             centroid_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+            # Explicit build sentinel, written LAST: partitioned writes
+            # under dynamic partition-overwrite leave no root _SUCCESS
+            # marker, and a bare isdir check would accept an interrupted
+            # build forever. The sentinel exists iff both writes finished.
+            with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
+                marker.write("ok\n")
             return read_ivf_index(spark, index_dir)
         return inverted, centroid_df
     finally:
@@ -423,11 +431,8 @@ def cosine_topk_ivf(
     index build is an offline job, queries only probe the materialized
     inverted file). With ``index_dir``, an existing materialized index is
     reused and the KMeans fit is skipped entirely."""
-    import os
 
-    if index_dir is not None and os.path.isfile(
-        f"{index_dir}/inverted/_SUCCESS"
-    ):
+    if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
         inverted, centroid_df = read_ivf_index(corpus.sparkSession, index_dir)
     else:
         inverted, centroid_df = build_ivf_index(
