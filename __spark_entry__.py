@@ -1019,6 +1019,30 @@ def q_docs_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicate-line and duplicate-n-gram
+    fractions per document (map-only projection)."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: 8-gram overlap of every document against
+    a 'benchmark' slice (every 50th doc), md5-digest equi-join with the
+    benchmark side broadcast. n=8 (not the classic 13) because the
+    fixture docs are short."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return text.decontaminate(docs, benchmark, n=8).orderBy("doc_id")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts over the corpus (regexp projection; the
+    fixture corpus is PII-free, so the value proven here is that both
+    engines agree the counts are zero and the text survives byte-exact —
+    synthetic-PII behavior is pinned in tests/test_text_quality.py)."""
+    return text.pii_scrub(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus funnel: quality gate -> exact dedup -> near-dup
     removal, oracle-checked end-to-end (plans/corpus.py)."""
@@ -1113,6 +1137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_setops": q_brand_setops,
         "events_pivot": q_events_pivot,
         "docs_per_source_quota": q_docs_per_source_quota,
+        "repetition_stats": q_repetition_stats,
+        "decontamination": q_decontamination,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1122,6 +1149,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKENS = "list_filter(string_split_regex({src}, '\\s+'), x -> x <> '')"
 _LTOKENS = _TOKENS.format(src="lower(text)")
+
+# Word n-gram array over a token list column named t (space-joined), same
+# short-doc guard as text._word_gram_array. DuckDB list slices are 1-based
+# inclusive, so t[i:i+n-1] is the n-token window starting at i.
+_GRAMS = (
+    "CASE WHEN len(t) >= {n} THEN list_transform("
+    "generate_series(1, len(t) - {n} + 1), "
+    "i -> array_to_string(t[i:i+{n}-1], ' ')) ELSE [] END"
+)
+
+# The exact PII regex/replacement pairs the Spark operator uses — imported,
+# not re-typed, so the two engines can never drift.
+_PII = {
+    name: (pattern, token) for name, pattern, token in text.PII_PATTERNS
+}
 
 _DOC_STATS_SQL = f"""
 WITH base AS (
@@ -1970,6 +2012,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS total_bookings
             FROM orders WHERE o_orderstatus = 'F'
             GROUP BY 1 ORDER BY 1
+        """,
+        "repetition_stats": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                 l -> trim(l)), l -> l <> '') AS lines,
+                     {_GRAMS.format(n=2)} AS g2,
+                     {_GRAMS.format(n=3)} AS g3
+              FROM (SELECT doc_id, text, {_LTOKENS} AS t FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN ROUND(1 - len(list_distinct(lines)) / len(lines), 6)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CAST(len(g2) AS INT) AS n_2grams,
+                   CASE WHEN len(g2) > 0
+                        THEN ROUND(1 - len(list_distinct(g2)) / len(g2), 6)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN len(g3) > 0
+                        THEN ROUND(1 - len(list_distinct(g3)) / len(g3), 6)
+                        ELSE 0.0 END AS dup_3gram_frac
+            FROM base ORDER BY doc_id
+        """,
+        "decontamination": f"""
+            WITH g AS (
+              SELECT doc_id, list_distinct({_GRAMS.format(n=8)}) AS grams
+              FROM (SELECT doc_id, text, {_LTOKENS} AS t FROM documents)
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT dg.doc_id, COUNT(*) AS n_contaminated
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+              JOIN bench USING (gram)
+              GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   CAST(len(g.grams) AS INT) AS n_grams,
+                   CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   CASE WHEN len(g.grams) > 0
+                        THEN ROUND(COALESCE(h.n_contaminated, 0) / len(g.grams), 6)
+                        ELSE 0.0 END AS contamination_frac,
+                   COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
+            FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id
+        """,
+        "pii_scrub": f"""
+            WITH s1 AS (
+              SELECT doc_id, text AS t0,
+                     regexp_replace(text, '{_PII["email"][0]}',
+                                    '{_PII["email"][1]}', 'g') AS t1
+              FROM documents
+            ), s2 AS (
+              SELECT *, regexp_replace(t1, '{_PII["ssn"][0]}',
+                                       '{_PII["ssn"][1]}', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '{_PII["phone"][0]}',
+                                  '{_PII["phone"][1]}', 'g') AS text,
+                   CAST(len(regexp_extract_all(t0, '{_PII["email"][0]}')) AS INT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(t1, '{_PII["ssn"][0]}')) AS INT)
+                     AS n_ssn,
+                   CAST(len(regexp_extract_all(t2, '{_PII["phone"][0]}')) AS INT)
+                     AS n_phone
+            FROM s2 ORDER BY doc_id
         """,
         "simhash": """
             WITH toks AS (

@@ -271,3 +271,180 @@ def split_assign(
     for name, bound in reversed(bounds[:-1]):
         assign = F.when(h < F.lit(bound), F.lit(name)).otherwise(assign)
     return documents.withColumn("split", assign)
+
+
+def _word_gram_array(text_col, n: int):
+    """Space-joined word n-gram array (same short-doc guard as word_ngrams).
+
+    The token array is LET-BOUND via ``transform(array(toks), t -> ...)``
+    before the per-index lambda: Catalyst's projection collapse inlines
+    aliases and CSE does not cross lambda scopes, so referencing ``toks``
+    directly inside ``transform(idx, i -> slice(toks, i, n))`` re-runs
+    the whole tokenizer per gram index — O(tokens²) per document
+    (measured: 40 s for a map-only stats projection at sf0.1, vs ~1 s
+    with the binding; same alias-inlining cliff as the round-1 winnowing
+    receipt in SCALE.md)."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != F.lit(""))
+
+    def grams_of(t):
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
+
+
+def repetition_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one projection per doc:
+    duplicate-line fraction and duplicate word-2/3-gram fractions
+    (``1 - distinct/total``). High values mean boilerplate/spam — the
+    standard cheap gate before an LLM training corpus.
+
+    Pure per-row HOF arithmetic: no shuffle, no UDF, linear in text
+    length, so the operator is a map-only stage at any corpus size.
+    Fractions are 6dp-rounded integer-ratio divisions — engine-exact.
+
+    The (lines, g2, g3) arrays pass through a one-element ``explode`` —
+    a Generate node Catalyst will not collapse projections through — so
+    each array is built exactly once per row no matter how many stat
+    expressions read it (alias-inlining otherwise re-runs the gram
+    builders per reference; see _word_gram_array).
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    bundled = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    lines.alias("lines"),
+                    _word_gram_array(text, 2).alias("g2"),
+                    _word_gram_array(text, 3).alias("g3"),
+                )
+            )
+        ).alias("s"),
+    )
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(n > 0, F.round(1 - F.size(F.array_distinct(arr)) / n, 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    s = F.col("s")
+    return bundled.select(
+        "doc_id",
+        F.size(s["lines"]).alias("n_lines"),
+        dup_frac(s["lines"]).alias("dup_line_frac"),
+        F.size(s["g2"]).alias("n_2grams"),
+        dup_frac(s["g2"]).alias("dup_2gram_frac"),
+        dup_frac(s["g3"]).alias("dup_3gram_frac"),
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap: per document, how many
+    of its word n-grams appear in ANY benchmark document (the standard
+    13-gram eval-contamination check).
+
+    Shape for 100 TB: both sides shingle to *distinct md5 gram digests*
+    (16-byte keys, never gram text) and meet in an equi-join on the
+    digest. The benchmark side is eval-suite-sized — broadcast by default,
+    so the corpus never shuffles; set ``broadcast_benchmark=False`` to
+    fall back to a shuffled join for giant benchmark sets. Docs with zero
+    overlap survive via the left join with count 0.
+    """
+    doc_grams = ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_word_gram_array(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    ).select("doc_id", F.md5("gram").alias("gram_md5"))
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(_word_gram_array(F.col(text_col), n))).alias(
+                "gram"
+            )
+        )
+        .select(F.md5("gram").alias("gram_md5"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        doc_grams.join(bench_grams, "gram_md5", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(_word_gram_array(F.col(text_col), n))).alias(
+            "n_grams"
+        ),
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .na.fill(0, ["n_contaminated"])
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_frac"),
+            (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+#: PII patterns deliberately RE2-safe (no backrefs/lookaround) so the same
+#: regex text runs on Spark (java.util.regex) and DuckDB (RE2) identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_scrub(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers and count what was removed:
+    (doc_id, text, n_email, n_ssn, n_phone). Pure regexp projection —
+    map-only at any scale; swap in an NER model via mapInPandas when
+    regex precision isn't enough (the operator contract is identical).
+
+    Order matters: email runs before phone so `user@host` digits can't
+    be half-eaten by the phone pattern; patterns are applied to the
+    progressively-scrubbed text.
+    """
+    counts = []
+    scrubbed = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("text"),
+        *counts,
+    )

@@ -53,6 +53,9 @@ TAIL_KEYS = {
     "brand_setops": "test_spot_oracle_parity",
     "events_pivot": "test_spot_oracle_parity",
     "docs_per_source_quota": "test_spot_oracle_parity",
+    "repetition_stats": "test_spot_oracle_parity",
+    "decontamination": "test_spot_oracle_parity",
+    "pii_scrub": "test_spot_oracle_parity",
 }
 
 
@@ -88,6 +91,9 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "brand_setops",
         "events_pivot",
         "docs_per_source_quota",
+        "repetition_stats",
+        "decontamination",
+        "pii_scrub",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

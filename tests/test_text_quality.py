@@ -1,0 +1,96 @@
+"""Training-data quality-filter operators: Gopher-style repetition,
+benchmark decontamination, PII scrubbing (operators/text.py round 5)."""
+
+from __future__ import annotations
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import text
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\nalpha beta\ngamma"),
+            (2, "one two three four five six seven eight"),
+            (3, "spam spam spam spam spam spam"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    # doc 1: 4 lines, "alpha beta" x3 -> 2 distinct -> dup 0.5
+    assert out[1].n_lines == 4 and abs(out[1].dup_line_frac - 0.5) < 1e-9
+    # doc 2: all tokens unique -> zero duplicate grams
+    assert out[2].dup_2gram_frac == 0.0 and out[2].dup_3gram_frac == 0.0
+    # doc 3: "spam spam" x5 -> 1 distinct of 5 -> dup 0.8
+    assert out[3].n_2grams == 5 and abs(out[3].dup_2gram_frac - 0.8) < 1e-9
+    # empty doc: zero counts, zero fractions (no div-by-zero NULLs)
+    assert (out[4].n_lines, out[4].dup_line_frac, out[4].dup_2gram_frac) == (
+        0,
+        0.0,
+        0.0,
+    )
+
+
+def test_decontaminate_counts_overlapping_grams(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated words appear in this document here"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "the quick brown fox leaps")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r for r in text.decontaminate(corpus, benchmark, n=3).collect()
+    }
+    # doc 1 shares exactly "the quick brown" and "quick brown fox"
+    assert out[1].n_contaminated == 2 and out[1].is_contaminated
+    assert abs(out[1].contamination_frac - round(2 / out[1].n_grams, 6)) < 1e-9
+    assert out[2].n_contaminated == 0 and not out[2].is_contaminated
+    # doc shorter than n: zero grams, zero fraction, present in output
+    assert (out[3].n_grams, out[3].contamination_frac) == (0, 0.0)
+
+
+def test_decontaminate_shuffled_join_mode_matches(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "c d e f g")], "doc_id long, text string")
+    fast = text.decontaminate(corpus, bench, n=3).collect()
+    slow = text.decontaminate(
+        corpus, bench, n=3, broadcast_benchmark=False
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567."),
+            (2, "ssn 123-45-6789 appears; phone +1 212.555.0199 too"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.pii_scrub(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "[EMAIL]" in out[1].text and "[PHONE]" in out[1].text
+    assert "jane.doe" not in out[1].text and "555-123" not in out[1].text
+    assert out[2].n_ssn == 1 and "[SSN]" in out[2].text
+    assert "123-45-6789" not in out[2].text
+    assert out[2].n_phone == 1 and "212.555.0199" not in out[2].text
+    assert out[3].text == "no pii here at all"
+    assert (out[3].n_email, out[3].n_ssn, out[3].n_phone) == (0, 0, 0)
+
+
+def test_pii_scrub_email_wins_over_phone(spark):
+    # digits inside an email must not be half-eaten by the phone pattern
+    docs = spark.createDataFrame(
+        [(1, "contact 555-123-4567@example.com now")], "doc_id long, text string"
+    )
+    r = text.pii_scrub(docs).collect()[0]
+    assert r.n_email == 1 and r.n_phone == 0
+    assert r.text == "contact [EMAIL] now"
