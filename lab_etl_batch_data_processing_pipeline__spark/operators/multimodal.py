@@ -203,7 +203,9 @@ AUDIO_FEATURES_SCHEMA = (
     "sample_rate int, n_frames int, rms_level double"
 )
 
-VIDEO_FRAME_SCHEMA = "media_id long, frame_index int, frame_crc long"
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_index int, frame_crc long, frame_mean double"
+)
 
 WAV_SIGNATURE_OFFSETS = ((0, b"RIFF"), (8, b"WAVE"))
 
@@ -321,13 +323,67 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int = 5) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame.
+def _is_avi(payload: bytes) -> bool:
+    return (
+        len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    )
 
-    STUB decode — frame bytes are simulated as slices of the payload; a
-    real codec replaces the slicing, not the explode shape. The fan-out
-    (rows x max_frames) is bounded by construction, which is what keeps
-    the operator safe at scale.
+
+def _riff_chunks(buf: bytes, offset: int, end: int):
+    """Walk RIFF sub-chunks in [offset, end): yields (fourcc, start, size).
+    Chunk data is word-aligned; a truncated chunk terminates the walk."""
+    while offset + 8 <= end:
+        fourcc = buf[offset : offset + 4]
+        size = int.from_bytes(buf[offset + 4 : offset + 8], "little")
+        start = offset + 8
+        if start + size > end:
+            break
+        yield fourcc, start, size
+        offset = start + size + (size & 1)
+
+
+def decode_avi_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Real stdlib AVI metadata (RIFF chunk walk, the video twin of the
+    PNG/WAV decoders): returns (width, height, n_frames, duration_ms)
+    from the ``avih`` main header. Raises ValueError if absent."""
+    if not _is_avi(payload):
+        raise ValueError("not a RIFF AVI payload")
+    for fourcc, start, size in _riff_chunks(payload, 12, len(payload)):
+        if fourcc == b"LIST" and payload[start : start + 4] == b"hdrl":
+            for sub, s2, sz2 in _riff_chunks(payload, start + 4, start + size):
+                if sub == b"avih" and sz2 >= 40:
+                    u32 = lambda off: int.from_bytes(  # noqa: E731
+                        payload[s2 + off : s2 + off + 4], "little"
+                    )
+                    usec_per_frame = u32(0)
+                    n_frames = u32(16)
+                    width, height = u32(32), u32(36)
+                    duration_ms = round(n_frames * usec_per_frame / 1000)
+                    return (width, height, n_frames, duration_ms)
+    raise ValueError("no avih header chunk")
+
+
+def iter_avi_frames(payload: bytes):
+    """Yield raw frame-chunk bytes from the ``movi`` list in stream order
+    (``..db`` uncompressed DIB / ``..dc`` compressed chunks)."""
+    for fourcc, start, size in _riff_chunks(payload, 12, len(payload)):
+        if fourcc == b"LIST" and payload[start : start + 4] == b"movi":
+            for sub, s2, sz2 in _riff_chunks(payload, start + 4, start + size):
+                if sub[2:4] in (b"db", b"dc"):
+                    yield payload[s2 : s2 + sz2]
+
+
+def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int = 5) -> DataFrame:
+    """Frame sampling: one output row per sampled frame.
+
+    AVI payloads decode for real — the RIFF walk yields actual frame
+    chunks, ``frame_index`` is the true frame number (every_nth-th frame
+    up to max_frames), ``frame_mean`` the mean byte intensity of the
+    frame data (exact pixel mean for uncompressed ``..db`` DIB frames).
+    Non-AVI payloads keep the labeled STUB (payload slices); a real
+    codec (PyAV/ffmpeg) replaces the stub branch, not the explode shape.
+    Either way the fan-out (rows x max_frames) is bounded by
+    construction, which is what keeps the operator safe at scale.
     """
     import zlib
 
@@ -335,19 +391,34 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int =
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out_ids, out_idx, out_crc = [], [], []
+            out = {"media_id": [], "frame_index": [], "frame_crc": [], "frame_mean": []}
+
+            def emit(media_id, idx, frame: bytes) -> None:
+                out["media_id"].append(media_id)
+                out["frame_index"].append(idx)
+                out["frame_crc"].append(zlib.crc32(frame))
+                out["frame_mean"].append(
+                    round(sum(frame) / len(frame) / 255.0, 6) if frame else 0.0
+                )
+
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = payload if payload is not None else b""
-                for i in range(max_frames):
-                    offset = i * every_nth
-                    if offset >= len(data):
-                        break
-                    out_ids.append(media_id)
-                    out_idx.append(offset)
-                    out_crc.append(zlib.crc32(data[offset : offset + every_nth]))
-            yield pd.DataFrame(
-                {"media_id": out_ids, "frame_index": out_idx, "frame_crc": out_crc}
-            )
+                data = bytes(payload) if payload is not None else b""
+                if _is_avi(data):
+                    taken = 0
+                    for i, frame in enumerate(iter_avi_frames(data)):
+                        if i % every_nth:
+                            continue
+                        emit(media_id, i, frame)
+                        taken += 1
+                        if taken >= max_frames:
+                            break
+                else:
+                    for i in range(max_frames):
+                        offset = i * every_nth
+                        if offset >= len(data):
+                            break
+                        emit(media_id, offset, data[offset : offset + every_nth])
+            yield pd.DataFrame(out)
 
     return media.filter(F.col("modality") == "video").mapInPandas(
         extract, VIDEO_FRAME_SCHEMA

@@ -231,6 +231,53 @@ def test_audio_features_and_video_sampling(spark):
     assert all(f.media_id == 2 for f in frames)
 
 
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+
+def _avi_bytes(width=4, height=2, frames=(b"\x10" * 8, b"\xff" * 8, b"\x00" * 8)):
+    """Minimal uncompressed AVI: RIFF('AVI ' LIST hdrl(avih) LIST movi(00db*))."""
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in [
+            40_000,  # dwMicroSecPerFrame (25 fps)
+            0, 0, 0,
+            len(frames),  # dwTotalFrames
+            0, 1, 0,
+            width, height,
+            0, 0, 0, 0,
+        ]
+    )
+    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
+    movi = _chunk(b"LIST", b"movi" + b"".join(_chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_avi_golden():
+    payload = _avi_bytes()
+    assert multimodal.decode_avi_header(payload) == (4, 2, 3, 120)  # 3 @ 25fps
+    frames = list(multimodal.iter_avi_frames(payload))
+    assert frames == [b"\x10" * 8, b"\xff" * 8, b"\x00" * 8]
+
+
+def test_sample_video_frames_real_avi(spark):
+    rows = [
+        (1, "video", "video/avi", bytearray(_avi_bytes()), (4, 2, None)),
+        (2, "video", "video/mp4", bytearray(bytes(range(64))), (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_video_frames(media, every_nth=2, max_frames=5).collect()
+    avi = [r for r in out if r.media_id == 1]
+    # frames 0 and 2 sampled (every 2nd of 3 real frames)
+    assert [r.frame_index for r in avi] == [0, 2]
+    assert abs(avi[0].frame_mean - 0x10 / 255) < 1e-6
+    assert avi[1].frame_mean == 0.0
+    stub = [r for r in out if r.media_id == 2]  # non-AVI keeps stub slicing
+    assert [r.frame_index for r in stub] == [0, 2, 4, 6, 8]
+
+
 def _wav_bytes(channels=1, rate=8000, width=2, samples=(1000, -1000) * 4) -> bytes:
     import io
     import struct
