@@ -88,6 +88,10 @@ def corpus_prep(
     near_pairs = dedup_fuzzy.jaccard_near_dups(
         exact_unique, "doc_id", "text", threshold=jaccard_threshold, sort=False
     )
-    to_drop = near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    # Persisted for the same reason as exact_unique: the terminal orderBy
+    # range-samples its child, which would otherwise execute the whole
+    # near-dup pair pipeline a second time just to pick sort boundaries.
+    # The cache holds doc ids only — the smallest frame in the funnel.
+    to_drop = near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct().persist()
     result = exact_unique.join(to_drop, "doc_id", "left_anti").orderBy("doc_id")
-    return _unpersist_with(result, exact_unique)
+    return _unpersist_with(_unpersist_with(result, exact_unique), to_drop)

@@ -60,6 +60,14 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         .config("spark.driver.maxResultSize", "4g")
+        # local-mode: the driver JVM IS the executor — 32 task threads,
+        # every broadcast and every persisted frame share its heap, and
+        # Spark's default is 1g. Honored at JVM launch (getOrCreate on an
+        # already-running JVM leaves it unchanged). A real cluster sizes
+        # executors instead; see SCALE.md.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
