@@ -121,3 +121,34 @@ def test_winnowing_uses_rowwise_window_not_array_lambdas(spark):
     plan = formatted_plan(entrymod.queries()["winnowing"](spark, SF))
     assert "Window" in plan
     assert "Generate" in plan
+
+
+def test_repetition_stats_is_map_only_with_generate_barrier(spark):
+    # one Generate (the projection-collapse barrier), zero shuffles
+    # besides the ensure-parallelism round robin: the stats must stay a
+    # map-side projection at any corpus size
+    plan = formatted_plan(entrymod.queries()["repetition_stats"](spark, SF))
+    assert "Generate" in plan
+    # allowed: the terminal rangepartitioning for orderBy only
+    assert "hashpartitioning" not in plan and "RoundRobin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # corpus gram stream must probe a broadcast benchmark set — the
+    # corpus itself never shuffles for the contamination join
+    plan = formatted_plan(entrymod.queries()["decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_has_no_shuffle(spark):
+    plan = formatted_plan(entrymod.queries()["pii_scrub"](spark, SF))
+    assert "hashpartitioning" not in plan and "RoundRobin" not in plan
+
+
+def test_jaccard_degree_aggregates_before_doc_shuffle(spark):
+    # the degree form must partial-aggregate the exploded pair stream
+    # (map-side combine) before the one doc_id exchange — shuffling raw
+    # pair rows would be quadratic traffic on dense corpora
+    plan = formatted_plan(entrymod.queries()["near_dup_jaccard"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # the pair-stream explode
