@@ -61,15 +61,15 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     """REAL PNG decode on the stdlib alone: chunk walk, IDAT inflate,
     and per-spec scanline un-filtering (None/Sub/Up/Average/Paeth).
+    Returns ``(width, height, channels, pixels)`` with pixels as the
+    un-filtered interleaved 8-bit sample buffer.
 
     Supports non-interlaced 8-bit grayscale / RGB / gray+alpha / RGBA —
     the overwhelming majority of corpus PNGs; anything else raises
-    ``ValueError`` (caller falls back or drops the row). Returns
-    ``(width, height, mean_intensity)`` with the mean over color
-    channels (alpha excluded) in [0, 1].
+    ``ValueError`` (caller falls back or drops the row).
 
     The un-filter loops are pure Python — adequate for small thumbnails
     and as the reference implementation; swap Pillow/OpenCV into
@@ -107,8 +107,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     prev = bytearray(stride)
-    total = 0
-    color_ch = 3 if channels in (3, 4) else 1
+    pixels = bytearray()
     rpos = 0
     for _y in range(height):
         filt = raw[rpos]
@@ -135,12 +134,77 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
                 line[i] = (line[i] + pred) & 0xFF
         elif filt != 0:
             raise ValueError(f"invalid PNG filter type {filt}")
-        for px in range(0, stride, channels):
-            for ch in range(color_ch):
-                total += line[px + ch]
+        pixels += line
         prev = line
+    return (width, height, channels, pixels)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_intensity): mean over color channels (alpha
+    excluded) in [0, 1], from the real pixel data."""
+    width, height, channels, pixels = decode_png_pixels(payload)
+    color_ch = 3 if channels in (3, 4) else 1
+    total = 0
+    for px in range(0, len(pixels), channels):
+        for ch in range(color_ch):
+            total += pixels[px + ch]
     n_samples = width * height * color_ch
     return (width, height, round(total / n_samples / 255.0, 6) if n_samples else 0.0)
+
+
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal REAL PNG encoder (filter 0 scanlines + one zlib IDAT) —
+    the inverse of :func:`decode_png_pixels`, stdlib only."""
+    import struct
+    import zlib
+
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride]) for y in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, target_w: int, target_h: int) -> tuple[bytes, int, int]:
+    """REAL PNG resize: decode -> nearest-neighbor resample -> re-encode.
+    Returns ``(png_bytes, orig_w, orig_h)``; raises ValueError on
+    unsupported PNG shapes (caller falls back to the stub)."""
+    w, h, ch, pixels = decode_png_pixels(payload)
+    if w == 0 or h == 0 or target_w <= 0 or target_h <= 0:
+        raise ValueError("degenerate dimensions")
+    out = bytearray(target_w * target_h * ch)
+    for ty in range(target_h):
+        src_row = min(h - 1, ty * h // target_h) * w * ch
+        dst_row = ty * target_w * ch
+        for tx in range(target_w):
+            s = src_row + min(w - 1, tx * w // target_w) * ch
+            d = dst_row + tx * ch
+            out[d : d + ch] = pixels[s : s + ch]
+    return (encode_png(target_w, target_h, ch, out), w, h)
 
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
@@ -431,15 +495,28 @@ RESIZED_SCHEMA = (
 )
 
 
+def resize_image(
+    payload: bytes, target_w: int, target_h: int
+) -> tuple[bytes, int, int]:
+    """Dispatch resize: REAL decode→nearest-neighbor→re-encode for PNG
+    payloads (:func:`resize_png`), deterministic stub otherwise."""
+    if payload[:8] == PNG_SIGNATURE:
+        try:
+            return resize_png(payload, target_w, target_h)
+        except ValueError:
+            pass  # exotic PNG shape — stub below
+    return resize_image_stub(payload, target_w, target_h)
+
+
 def resize_image_stub(
     payload: bytes, target_w: int, target_h: int
 ) -> tuple[bytes, int, int]:
     """Deterministic fake resize: returns (new_payload, orig_w, orig_h).
 
-    STUB — a real impl decodes, resamples, re-encodes (Pillow); the fake
-    scales the byte length proportionally to the pixel-count ratio so
-    size-dependent downstream logic (partition sizing, batch shapes) sees
-    realistic behavior.
+    STUB for non-PNG formats — a real impl decodes, resamples,
+    re-encodes (Pillow); the fake scales the byte length proportionally
+    to the pixel-count ratio so size-dependent downstream logic
+    (partition sizing, batch shapes) sees realistic behavior.
     """
     orig_w, orig_h, _ = decode_image_stub(payload)
     if not payload or orig_w * orig_h == 0:
@@ -464,7 +541,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     def transform(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             resized = [
-                resize_image_stub(p if p is not None else b"", width, height)
+                resize_image(bytes(p) if p is not None else b"", width, height)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

@@ -135,6 +135,52 @@ def test_image_features_real_png_end_to_end(spark):
     assert row.mean_intensity == 0.5
 
 
+def test_resize_png_golden_roundtrip():
+    """Real resize: 4x2 RGB -> 2x1 nearest-neighbor picks the top-left
+    pixel of each 2x2 cell; the output re-decodes as a valid PNG."""
+    rows = [
+        [255, 0, 0, 1, 1, 1, 0, 255, 0, 2, 2, 2],
+        [9, 9, 9, 8, 8, 8, 7, 7, 7, 6, 6, 6],
+    ]
+    png = _make_png(4, 2, rows=rows, color_type=2, filters=[0, 0])
+    out, ow, oh = multimodal.resize_png(png, 2, 1)
+    assert (ow, oh) == (4, 2)
+    w, h, ch, pixels = multimodal.decode_png_pixels(out)
+    assert (w, h, ch) == (2, 1, 3)
+    assert list(pixels) == [255, 0, 0, 0, 255, 0]  # pixels (0,0) and (2,0)
+
+
+def test_encode_png_is_decode_inverse():
+    pixels = bytes(range(24))  # 4x2 RGB
+    png = multimodal.encode_png(4, 2, 3, pixels)
+    w, h, ch, back = multimodal.decode_png_pixels(png)
+    assert (w, h, ch) == (4, 2, 3) and bytes(back) == pixels
+
+
+def test_resize_images_real_png_through_spark(spark):
+    png = _make_png(
+        2, 2,
+        rows=[[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]],
+        color_type=2,
+        filters=[0, 2],
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(png), (2, 2, None)),
+            (2, "image", "image/jpeg", bytearray(b"\xff\xd8" + bytes(64)), (None, None, None)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.resize_images(media, 4, 4).collect()}
+    real = out[1]
+    assert (real.orig_width, real.orig_height) == (2, 2)
+    # output is a REAL 4x4 PNG: upscaled nearest-neighbor, re-decodable
+    w, h, ch, pixels = multimodal.decode_png_pixels(bytes(real.payload))
+    assert (w, h, ch) == (4, 4, 3)
+    assert list(pixels[:6]) == [255, 0, 0, 255, 0, 0]  # top-left 2x duplicated
+    assert out[2].payload  # non-PNG keeps the stub path
+
+
 def test_streaming_windowed_count(spark, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
