@@ -221,6 +221,7 @@ def cosine_near_dups(
     block_col: str | None = None,
     threshold: float = 0.9,
     broadcast_right: bool = False,
+    salt: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
@@ -234,7 +235,15 @@ def cosine_near_dups(
     the self-join is broadcast and the left side round-robin repartitioned,
     so pair scoring parallelizes across all cores instead of across the
     (few) distinct block keys. Leave False when the corpus doesn't fit an
-    executor — the block-key shuffle join is the at-scale shape.
+    executor — the block-key shuffle join is the at-scale shape, and there
+    ``salt`` applies the same triangle-decomposition as
+    dedup_fuzzy.jaccard_near_dups: block columns are typically LOW
+    cardinality (labels, clusters), so without it the shuffled join
+    scores each block's quadratic pair space in one task — measured 5.5 s
+    vs 1.1 s broadcast at sf0.1 on a 10-label corpus, and AQE cannot
+    split it (skew-join watches join input sizes, the blowup is in the
+    output). Output-invariant; ignored in broadcast mode where the probe
+    side is already round-robin-spread.
     """
     cols = [
         F.col(id_col).alias("id"),
@@ -244,13 +253,26 @@ def cosine_near_dups(
     if block_col:
         cols.append(F.col(block_col).alias("block"))
     prepared = embeddings.select(*cols)
-    a = (
-        ensure_parallelism(prepared) if broadcast_right else prepared
-    ).alias("a")
-    b = (F.broadcast(prepared) if broadcast_right else prepared).alias("b")
+    salted = block_col and not broadcast_right and salt > 1
+    if salted:
+        bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(salt))
+        fanout = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        a = prepared.select("*", bucket.alias("salt_a"), fanout.alias("salt_b")).alias("a")
+        b = prepared.select("*", fanout.alias("salt_a"), bucket.alias("salt_b")).alias("b")
+    else:
+        a = (
+            ensure_parallelism(prepared) if broadcast_right else prepared
+        ).alias("a")
+        b = (F.broadcast(prepared) if broadcast_right else prepared).alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = (F.col("a.block") == F.col("b.block")) & cond
+    if salted:
+        cond = (
+            (F.col("a.salt_a") == F.col("b.salt_a"))
+            & (F.col("a.salt_b") == F.col("b.salt_b"))
+            & cond
+        )
     pairs = a.join(b, on=cond)
     denom = F.col("a.norm") * F.col("b.norm")
     sim = F.round(

@@ -118,6 +118,23 @@ def test_ivf_matches_bruteforce_on_clustered_data(clustered_vectors):
     assert ivf_sets == exact_sets
 
 
+def test_cosine_near_dups_salt_and_broadcast_modes_agree(spark):
+    """The blocked self-join's triangle salt (at-scale SMJ path) and the
+    broadcast small-corpus mode must produce the identical pair set."""
+    rows = [
+        (i, i % 3, [float(i % 5) + 0.1, float(i % 7), 1.0]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    kw = dict(block_col="label", threshold=0.2)
+    base = similarity.cosine_near_dups(emb, broadcast_right=True, **kw)
+    for variant in (
+        similarity.cosine_near_dups(emb, broadcast_right=False, **kw),  # salt=8
+        similarity.cosine_near_dups(emb, broadcast_right=False, salt=1, **kw),
+    ):
+        assert variant.exceptAll(base).count() == 0
+        assert base.exceptAll(variant).count() == 0
+
+
 def test_pandas_matmul_matches_bruteforce(vectors):
     from lab_etl_batch_data_processing_pipeline__spark.operators.similarity import (
         cosine_topk_bruteforce,
