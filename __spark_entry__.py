@@ -19,7 +19,9 @@ Determinism notes (why these queries oracle-match bit-for-bit):
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -550,9 +552,17 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pq = _t(spark, sf_dir, "supplier")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    db = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".cache", "derby", tag, "db"
+    # Embedded Derby allows ONE booted instance per database directory;
+    # a pid-scoped path keeps concurrent harness processes (bench +
+    # correctness gate) from colliding on the boot lock. Stale dirs from
+    # dead processes are swept best-effort.
+    derby_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "derby"
     )
+    for stale in glob.glob(os.path.join(derby_root, f"{tag}-*")):
+        if stale != os.path.join(derby_root, f"{tag}-{os.getpid()}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    db = os.path.join(derby_root, f"{tag}-{os.getpid()}", "db")
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     # Overwrite-write every run: the write path IS half the test, and the
