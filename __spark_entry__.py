@@ -344,6 +344,23 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(exact, approx, floor=0.2)
 
 
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 floor (0.8) of the int8-quantized brute-force path vs the
+    exact float path. int8 rounding barely perturbs cosine order, so the
+    floor is tight — a quantizer bug (scale drift, overflow) fails this
+    loudly. Tail key: pinned by tests/test_similarity.py, benched for the
+    4x-smaller-vector scan/shuffle story."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vectors(emb)
+    exact = similarity.cosine_topk_bruteforce(emb, qv, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.cosine_topk_quantized(emb, qv, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return _ann_recall(exact, approx, floor=0.8)
+
+
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with the nanos-long ts converted to a real timestamp column."""
     events = _t(spark, sf_dir, "events")
@@ -1150,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
+        "ann_quantized_recall": q_ann_quantized_recall,
     }
 
 

@@ -74,6 +74,104 @@ def cosine_topk_bruteforce(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, q_vec tinyint[], q_scale).
+
+    ``q_scale = max|v| / 127``; ``q_vec[i] = round(v[i] / q_scale)`` — the
+    standard memory/bandwidth lever for billion-scale ANN: a 4x smaller
+    corpus means 4x less shuffle/scan/cache at every stage, and cosine
+    ranking is scale-invariant so similarity search needs no dequantize.
+    Zero vectors quantize to all-zero with scale 0.
+
+    ``q_scale`` is LET-BOUND before the per-element lambda (the
+    alias-inlining rule: referencing it directly inside the transform
+    would recompute the max-abs fold per element — O(d²) per vector).
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = maxabs / F.lit(127.0)
+    q = F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.when(
+                s > 0,
+                F.transform(v, lambda x: F.round(x.cast("double") / s).cast("tinyint")),
+            ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint"))),
+        ),
+        1,
+    )
+    return embeddings.select(
+        F.col(id_col), *keep_cols, q.alias("q_vec"), scale.alias("q_scale")
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors.
+
+    Same shape as :func:`cosine_topk_bruteforce` (queries broadcast,
+    corpus never shuffles) but every pair scores on tinyint arrays:
+    integer multiply-adds over 1/4 the bytes. Cosine is scale-invariant,
+    so the per-vector quantization scales cancel — only rounding error
+    separates this from the exact ranking (recall pinned by the
+    ``ann_quantized_recall`` gate and unit tests).
+    """
+    cq = quantize_embeddings(corpus, id_col, vec_col)
+    qq = quantize_embeddings(queries, query_id_col, vec_col)
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    def int_norm(a):
+        return F.sqrt(int_dot(a, a).cast("double"))
+
+    q = qq.select(
+        F.col(query_id_col),
+        F.col("q_vec").alias("__q_vec"),
+        int_norm(F.col("q_vec")).alias("__q_norm"),
+    )
+    c = ensure_parallelism(cq).select(
+        F.col(id_col),
+        F.col("q_vec"),
+        int_norm(F.col("q_vec")).alias("__c_norm"),
+    )
+    denom = F.col("__q_norm") * F.col("__c_norm")
+    scored = c.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.when(
+                denom != 0.0,
+                int_dot(F.col("__q_vec"), F.col("q_vec")).cast("double") / denom,
+            ),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .orderBy(query_id_col, "sim_rank")
+    )
+
+
 def _hyperplane_bucket(vec, num_planes: int, table: int):
     """Sign-pattern bucket id for a vector under ``num_planes`` pseudo-random
     hyperplanes (plane p, dim d weight = a deterministic hash in [-1,1)).

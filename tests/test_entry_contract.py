@@ -56,6 +56,7 @@ TAIL_KEYS = {
     "repetition_stats": "test_spot_oracle_parity",
     "decontamination": "test_spot_oracle_parity",
     "pii_scrub": "test_spot_oracle_parity",
+    "ann_quantized_recall": "tests/test_similarity.py quantized-recall tests",
 }
 
 

@@ -135,6 +135,38 @@ def test_cosine_near_dups_salt_and_broadcast_modes_agree(spark):
         assert base.exceptAll(variant).count() == 0
 
 
+def test_quantize_embeddings_roundtrip_and_bounds(spark):
+    rows = [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [-127.0, 127.0, 63.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    # max-magnitude element maps to ±127 exactly; all values within int8
+    assert out[0].q_vec == [64, -127, 32] and abs(out[0].q_scale - 2.0 / 127) < 1e-12
+    assert out[1].q_vec == [0, 0, 0] and out[1].q_scale == 0.0
+    assert out[2].q_vec == [-127, 127, 64]
+    for r in out.values():
+        assert all(-128 <= x <= 127 for x in r.q_vec)
+
+
+def test_quantized_topk_matches_exact_on_separated_vectors(vectors):
+    spark = vectors.sparkSession
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(vectors, queries, k=3).collect()
+    quant = similarity.cosine_topk_quantized(vectors, queries, k=3).collect()
+    # well-separated cosines: int8 rounding must not change the ranking
+    assert [r.neighbor_id for r in exact] == [r.neighbor_id for r in quant]
+
+
+def test_ann_quantized_recall_gate_passes(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["ann_quantized_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r.recall_ok for r in rows)
+
+
 def test_pandas_matmul_matches_bruteforce(vectors):
     from lab_etl_batch_data_processing_pipeline__spark.operators.similarity import (
         cosine_topk_bruteforce,
