@@ -56,9 +56,15 @@ def corpus_prep(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("lang", "source"),
+    max_dup_2gram_frac: float | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: columns (doc_id, text, *keep_cols,
-    quality_score), quality-gated, exact- and near-deduplicated."""
+    quality_score), quality-gated, exact- and near-deduplicated.
+
+    ``max_dup_2gram_frac`` optionally adds the Gopher-style repetition
+    gate (text.repetition_stats) to the cheap per-row filter stage:
+    boilerplate/spam docs leave the funnel before any shuffle happens.
+    """
     stats = text.doc_stats(documents, id_col, text_col).select(
         "doc_id", "quality_score"
     )
@@ -69,6 +75,15 @@ def corpus_prep(
         .join(stats, "doc_id")
         .filter(F.col("quality_score") >= min_quality)
     )
+    if max_dup_2gram_frac is not None:
+        rep = text.repetition_stats(documents, id_col, text_col).select(
+            "doc_id", "dup_2gram_frac"
+        )
+        kept = (
+            kept.join(rep, "doc_id")
+            .filter(F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+            .drop("dup_2gram_frac")
+        )
 
     fingerprinted = kept.join(
         text.fingerprint(kept, "doc_id", "text"), "doc_id"

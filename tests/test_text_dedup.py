@@ -218,6 +218,25 @@ def test_corpus_prep_funnel(spark):
     assert out.columns == ["doc_id", "text", "lang", "source", "quality_score"]
 
 
+def test_corpus_prep_optional_repetition_gate(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then it sleeps", "en", "s1"),
+            (2, "spam and spam and spam and spam and spam and spam and spam", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    without_gate = corpus_prep(docs, min_quality=0.3, jaccard_threshold=0.9)
+    assert {r.doc_id for r in without_gate.collect()} == {1, 2}
+    gated = corpus_prep(
+        docs, min_quality=0.3, jaccard_threshold=0.9, max_dup_2gram_frac=0.3
+    )
+    assert {r.doc_id for r in gated.collect()} == {1}  # boilerplate doc dropped
+    assert gated.columns == without_gate.columns
+
+
 def test_corpus_prep_releases_cache_on_gc(spark):
     """The plan-internal persist must not outlive the returned frame
     (executor-memory leak in a long-lived session otherwise)."""
