@@ -1123,6 +1123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       rows (jdbc_roundtrip, date_normalize, currency_convert,
       csv_single_file, metric_sql_view); all five are exact
       integer/string outputs pinned by pytest parity tests.
+    - repetition_stats / decontamination / pii_scrub: new r5 operators,
+      born in the tail with pytest DuckDB parity.
+    - ann_quantized_recall: recall gate for the int8 path; pinned by
+      tests/test_similarity.py.
+
+    tests/test_entry_contract.py::TAIL_KEYS is the enforced source of
+    truth for this split.
     """
     return {
         "avg_price_weekly": q_avg_price_weekly,
