@@ -43,18 +43,21 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()\
         .orderBy("r_regionkey").collect()
     # Whole-stage-codegen classes are keyed by generated source (operator
-    # tree + schema), NOT by data volume — so running the heaviest sketch
-    # queries once at sf0.001 compiles exactly the classes the sf0.1 runs
-    # reuse. This mirrors a long-running session (plans compile once,
-    # then serve many queries) and is counted in startup_sec, visibly.
+    # tree + schema), NOT by data volume — so running every query once at
+    # sf0.001 compiles exactly the classes the sf0.1 runs reuse. This
+    # mirrors a long-running session (plans compile once, then serve many
+    # queries) and is counted in startup_sec, visibly. Uniform (full
+    # registry, not a hand-picked list) so no query's number depends on
+    # which classes earlier queries happened to compile.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for name in (
-            "near_dup_jaccard", "corpus_prep", "simhash",
-            "minhash_near_dups", "winnowing", "ann_lsh_recall",
-        ):
+        try:
+            entrymod.prebuild_indexes(spark, warm_sf)
+        except Exception as exc:
+            print(f"WARNING: warmup prebuild failed: {exc}", file=sys.stderr)
+        for name, fn in entrymod.queries().items():
             try:
-                materialize(entrymod.queries()[name](spark, warm_sf))
+                materialize(fn(spark, warm_sf))
             except Exception as exc:
                 print(f"WARNING: warmup {name} failed: {exc}", file=sys.stderr)
     # Materialize the IVF ANN index if absent (an offline build job at
