@@ -40,7 +40,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
 )
 from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs
 from lab_etl_batch_data_processing_pipeline__spark.sources import (
-    nanos_to_timestamp,
+    ensure_timestamp,
     read_csv,
     read_parquet,
 )
@@ -381,9 +381,11 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the nanos-long ts converted to a real timestamp column."""
+    """events with the ts column normalized to TimestampType, whatever the
+    parquet generation stored (nanos long, TIMESTAMP_NTZ micros, or an
+    instant timestamp — see sources.ensure_timestamp)."""
     events = _t(spark, sf_dir, "events")
-    return events.withColumn("ts_utc", nanos_to_timestamp("ts"))
+    return events.withColumn("ts_utc", ensure_timestamp(events, "ts"))
 
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,4 +1,5 @@
 from .readers import (  # noqa: F401
+    ensure_timestamp,
     load_testdata,
     memory_table,
     nanos_to_timestamp,

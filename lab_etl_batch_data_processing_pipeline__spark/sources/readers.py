@@ -50,6 +50,42 @@ def nanos_to_timestamp(col):
     return F.timestamp_micros((c.cast("decimal(38,0)") / 1000).cast("long"))
 
 
+def ensure_timestamp(df: DataFrame, col: str):
+    """Column expression yielding ``col`` as TimestampType regardless of
+    the source's physical encoding of event time.
+
+    Parquet writers disagree on timestamp representation, and a long-lived
+    pipeline sees its inputs regenerated with different writers over time:
+    - TIMESTAMP(NANOS) columns surface as LongType nanos under the
+      ``nanosAsLong`` conf (:func:`read_parquet`) -> decimal-safe divide;
+    - TIMESTAMP(MICROS)/isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ ->
+      the naive wall time is interpreted AS UTC via a ``timestampdiff``
+      from the NTZ epoch (micros preserved). NOT ``cast("timestamp")``:
+      that cast localizes in the *session* timezone, so the same input
+      would yield epochs shifted by the tz offset in any consumer session
+      not pinned to UTC (the driver's vanilla session, notebooks, ...);
+    - already-instant TIMESTAMP passes through.
+
+    Every branch is timezone-independent: identical epochs in any session.
+    Branching on the resolved schema (not a config) keeps every consumer
+    correct across input generations with zero per-row cost — the branch
+    happens once at plan time.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        return nanos_to_timestamp(col)
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+            )
+        )
+    return F.col(col).cast("timestamp")
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load driver testdata tables from a scale-factor directory."""
     return {name: read_parquet(spark, f"{sf_dir}/{name}.parquet") for name in names}

@@ -509,3 +509,48 @@ def test_write_csv_single_file(spark, tmp_path):
     assert len(files) == 1  # coalesce(1): exactly one part file
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == 2
+
+
+def test_ensure_timestamp_all_encodings_same_epoch(spark):
+    """ensure_timestamp must yield the same instant for the same event time
+    under every physical encoding a regenerated input can arrive in:
+    nanos-since-epoch LongType, TIMESTAMP_NTZ, and instant TIMESTAMP.
+    2024-01-01T00:00:07.179575 UTC = 1704067207.179575."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        ensure_timestamp,
+    )
+
+    epoch_us = 1_704_067_207_179_575
+    as_long = spark.createDataFrame(
+        [(epoch_us * 1000,)], T.StructType([T.StructField("ts", T.LongType())])
+    )
+    as_ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 00:00:07.179575' AS ts"
+    )
+    as_inst = spark.sql(
+        "SELECT TIMESTAMP '2024-01-01 00:00:07.179575+00:00' AS ts"
+    )
+    for df in (as_long, as_ntz, as_inst):
+        out = df.select(ensure_timestamp(df, "ts").alias("t")).select(
+            F.unix_micros("t").alias("us")
+        )
+        assert out.collect()[0].us == epoch_us
+        assert out.schema["us"].dataType == T.LongType()
+
+
+def test_ensure_timestamp_ntz_is_timezone_independent(spark):
+    """The NTZ branch interprets wall time AS UTC regardless of the session
+    timezone — a cast("timestamp") would shift epochs by the tz offset in
+    any consumer session not pinned to UTC (e.g. the driver's)."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        ensure_timestamp,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:07.179575' AS ts")
+        out = df.select(F.unix_micros(ensure_timestamp(df, "ts")).alias("us"))
+        assert out.collect()[0].us == 1_704_067_207_179_575
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
