@@ -712,6 +712,55 @@ def q_metric_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_sql.run_metric_sql(spark, "total_bookings_per_user", curated)
 
 
+# Monotonic suffix for memory-sink table names: one streaming query per
+# (process, invocation) — repeat calls (bench warmup + timed run) must not
+# collide on the sink name or a still-registered temp view.
+_STREAM_SINK_SEQ = [0]
+
+
+def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 driver-checked streaming row: a REAL Structured Streaming job —
+    file source -> watermark -> event-time tumbling window aggregate ->
+    memory sink, availableNow trigger — over the events table, returning
+    the sink table. Complete output mode evicts nothing, so a bounded
+    replay equals the batch aggregate exactly and the DuckDB twin is a
+    plain epoch-floor GROUP BY: streaming gets a value-hash oracle, not a
+    rows-only check. Append-mode lateness/eviction semantics are pinned
+    separately in tests (test_sources_multimodal_streaming.py). At scale
+    the memory sink is the verification vehicle only — production lands
+    in a kafka/parquet sink; the aggregate itself (the part that carries
+    state) is identical.
+    """
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_event_type_counts,
+    )
+
+    # Streaming readers cannot infer schemas; borrow the batch reader's.
+    # The file-stream source requires a directory path (it derives its
+    # basePath from the path itself, so a bare file is rejected); stream
+    # the containing dir and select the one table via pathGlobFilter.
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts_utc", ensure_timestamp(stream, "ts"))
+    agg = streaming_event_type_counts(stream, ts_col="ts_utc")
+
+    _STREAM_SINK_SEQ[0] += 1
+    sink = f"stream_event_counts_{os.getpid()}_{_STREAM_SINK_SEQ[0]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).orderBy("window_start_sec", "event_type")
+
+
 def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Materialize offline index structures (the IVF inverted file and
     the ANN ground-truth table) for ``sf_dir`` if absent. Called by
@@ -1125,6 +1174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       rows (jdbc_roundtrip, date_normalize, currency_convert,
       csv_single_file, metric_sql_view); all five are exact
       integer/string outputs pinned by pytest parity tests.
+    - doc_tokens_regex: moved out to make room for streaming_event_counts
+      (the first driver-checked Structured Streaming row); its regex
+      token accounting is exact-integer and pytest-parity-pinned.
     - repetition_stats / decontamination / pii_scrub: new r5 operators,
       born in the tail with pytest DuckDB parity.
     - ann_quantized_recall: recall gate for the int8 path; pinned by
@@ -1168,7 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "salted_status_agg": q_salted_status_agg,
         "embedding_near_dups": q_embedding_near_dups,
-        "doc_tokens_regex": q_doc_tokens_regex,
+        "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
         "running_totals": q_running_totals,
         "status_percentiles": q_status_percentiles,
@@ -1194,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_setops": q_brand_setops,
         "events_pivot": q_events_pivot,
         "docs_per_source_quota": q_docs_per_source_quota,
+        "doc_tokens_regex": q_doc_tokens_regex,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
@@ -1763,6 +1816,17 @@ def oracle_sql() -> dict[str, str]:
                        6) AS cosine_sim
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             ) WHERE cosine_sim >= 0.2 ORDER BY id_a, id_b
+        """,
+        # Batch twin of the complete-mode streaming window aggregate:
+        # 6-hour tumbling windows are epoch-aligned, so window_start_sec
+        # is an epoch floor-division on both engines.
+        "streaming_event_counts": """
+            SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        // 21600 * 21600 AS BIGINT) AS window_start_sec,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "corpus_prep": _CORPUS_PREP_SQL,
         "running_totals": """

@@ -12,5 +12,6 @@ from .jobs import (  # noqa: F401
     streaming_click_attribution,
     streaming_dedup,
     streaming_enrich,
+    streaming_event_type_counts,
     streaming_user_totals,
 )

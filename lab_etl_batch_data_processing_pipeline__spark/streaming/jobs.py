@@ -155,3 +155,35 @@ def streaming_click_attribution(
         F.col(f"c.{ts_col}").alias("click_ts"),
         F.col(f"p.{ts_col}").alias("purchase_ts"),
     )
+
+
+def streaming_event_type_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_duration: str = "6 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window counts per event type over a stream.
+
+    Emits (window_start_sec, event_type, n_events) with the window start
+    as epoch seconds — tumbling windows are epoch-aligned, so the value is
+    engine- and timezone-independent. The watermark bounds aggregation
+    state on an unbounded stream; with complete output mode (how the
+    driver-checked row runs it) nothing is evicted, so a bounded replay
+    produces exactly the batch aggregate — which is what makes this
+    streaming job oracle-checkable against a plain GROUP BY.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_sec"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -53,6 +53,7 @@ TAIL_KEYS = {
     "brand_setops": "test_spot_oracle_parity",
     "events_pivot": "test_spot_oracle_parity",
     "docs_per_source_quota": "test_spot_oracle_parity",
+    "doc_tokens_regex": "test_spot_oracle_parity",
     "repetition_stats": "test_spot_oracle_parity",
     "decontamination": "test_spot_oracle_parity",
     "pii_scrub": "test_spot_oracle_parity",
@@ -92,6 +93,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "brand_setops",
         "events_pivot",
         "docs_per_source_quota",
+        "doc_tokens_regex",
         "repetition_stats",
         "decontamination",
         "pii_scrub",
