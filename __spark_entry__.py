@@ -1134,6 +1134,26 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(docs, benchmark, n=8).orderBy("doc_id")
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (the pre-training data-mixing step):
+    equalize sources under a 60k-token global budget via deterministic
+    md5-Bernoulli downsampling, reported as per-source kept docs/tokens
+    plus the integer keep threshold (rate = keep_thresh/65536). Every
+    decision is a pure projection on the doc id, so the sample — and
+    this summary — is bit-stable across engines and cluster sizes."""
+    sampled = text.mixture_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=60_000
+    )
+    return (
+        sampled.groupBy("source", "keep_thresh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction counts over the corpus (regexp projection; the
     fixture corpus is PII-free, so the value proven here is that both
@@ -1177,8 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - doc_tokens_regex: moved out to make room for streaming_event_counts
       (the first driver-checked Structured Streaming row); its regex
       token accounting is exact-integer and pytest-parity-pinned.
-    - repetition_stats / decontamination / pii_scrub: new r5 operators,
-      born in the tail with pytest DuckDB parity.
+    - repetition_stats / decontamination / pii_scrub / corpus_mixture:
+      new r5 operators, born in the tail with pytest DuckDB parity.
     - ann_quantized_recall: recall gate for the int8 path; pinned by
       tests/test_similarity.py.
 
@@ -1250,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
+        "corpus_mixture": q_corpus_mixture,
         "ann_quantized_recall": q_ann_quantized_recall,
     }
 
@@ -2178,6 +2199,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS contamination_frac,
                    COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
             FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id
+        """,
+        # Mixture sampling twin: integer keep threshold floor(rate*65536)
+        # vs the 16-bit md5 prefix of the doc id — all-integer compares,
+        # double division/multiply is IEEE-identical on both engines.
+        "corpus_mixture": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     len({_TOKENS.format(src="lower(text)")}) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT source, SUM(n_tokens) AS source_tokens FROM d GROUP BY 1
+            ), s2 AS (
+              SELECT source,
+                     CAST(FLOOR(LEAST(1.0,
+                          (60000.0 / (COUNT(*) OVER ())) / source_tokens)
+                          * 65536) AS BIGINT) AS keep_thresh
+              FROM s
+            )
+            SELECT d.source, s2.keep_thresh,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_kept
+            FROM d JOIN s2 USING (source)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  < s2.keep_thresh
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "pii_scrub": f"""
             WITH s1 AS (

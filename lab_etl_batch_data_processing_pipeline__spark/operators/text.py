@@ -448,3 +448,78 @@ def pii_scrub(
         scrubbed.alias("text"),
         *counts,
     )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixture sampling: equalize sources under a global
+    token budget via deterministic hash-Bernoulli downsampling.
+
+    The classic pre-training "data mixing" step: each source gets an
+    equal share ``budget_tokens / n_sources``; a source whose corpus
+    exceeds its share is downsampled at rate ``share / source_tokens``
+    (capped at 1.0 — under-represented sources pass through whole; this
+    samples, it does not upsample). The keep decision reuses
+    :func:`split_assign`'s machinery — the 16-bit md5 prefix of the doc
+    id as a uniform variate against an integer threshold
+    ``floor(rate * 65536)`` — so the sample is a pure projection
+    decision: stable across runs, engines, partitionings and cluster
+    sizes, and any document's in/out status can be re-derived later.
+
+    Scale: one hash aggregate over (source) for token totals (tiny,
+    one row per source), a single-partition window over that dimension
+    frame to count sources (n_sources rows, not data rows), and a
+    broadcast join of the per-source thresholds back onto the corpus —
+    the corpus itself never shuffles. Expected kept tokens per
+    downsampled source = share * (1 ± O(1/sqrt(n_docs))); the budget is
+    a statistical target, not an exact cut (an exact cut would need a
+    global sort by hash — one extra range shuffle — for no training
+    benefit).
+
+    Returns the sampled documents with ``n_tokens`` and the per-source
+    ``keep_thresh`` attached (thresh//65536 is the realized rate).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(toks).alias("n_tokens"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("source_tokens")
+    )
+    # Single-partition window over the SOURCE DIMENSION (n_sources rows),
+    # not the corpus — the cheap way to divide the budget without a
+    # driver-side collect.
+    n_sources = F.count(F.lit(1)).over(Window.partitionBy())
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(budget_tokens)) / n_sources) / F.col("source_tokens"),
+    )
+    thresholds = per_source.select(
+        "source",
+        "source_tokens",
+        F.floor(rate * 65536).cast("long").alias("keep_thresh"),
+    )
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .where(u16 < F.col("keep_thresh"))
+        .select("doc_id", "source", "n_tokens", "keep_thresh")
+    )

@@ -57,6 +57,7 @@ TAIL_KEYS = {
     "repetition_stats": "test_spot_oracle_parity",
     "decontamination": "test_spot_oracle_parity",
     "pii_scrub": "test_spot_oracle_parity",
+    "corpus_mixture": "test_spot_oracle_parity",
     "ann_quantized_recall": "tests/test_similarity.py quantized-recall tests",
 }
 
@@ -97,6 +98,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "repetition_stats",
         "decontamination",
         "pii_scrub",
+        "corpus_mixture",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

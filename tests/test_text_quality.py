@@ -94,3 +94,30 @@ def test_pii_scrub_email_wins_over_phone(spark):
     r = text.pii_scrub(docs).collect()[0]
     assert r.n_email == 1 and r.n_phone == 0
     assert r.text == "contact [EMAIL] now"
+
+
+def test_mixture_sample_caps_and_passthrough(spark):
+    """An over-budget source is downsampled (thresh < 65536); a source
+    within its share passes through whole (thresh = 65536, every doc
+    kept); the decision is deterministic across invocations."""
+    rows = (
+        # 'big': 40 docs x 100 tokens = 4000 tokens
+        [(i, "big", "tok " * 100) for i in range(40)]
+        # 'small': 4 docs x 10 tokens = 40 tokens
+        + [(100 + i, "small", "tok " * 10) for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # budget 2000 -> share 1000/source; big rate = 1000/4000 = 0.25,
+    # small rate capped at 1.0
+    out = text.mixture_sample(docs, budget_tokens=2000).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source["small"]) == 4  # passthrough
+    assert all(r.keep_thresh == 65536 for r in by_source["small"])
+    big = by_source["big"]
+    assert all(r.keep_thresh == 16384 for r in big)  # floor(0.25 * 65536)
+    assert 0 < len(big) < 40  # downsampled, not emptied
+    # deterministic: identical kept set on re-run
+    out2 = text.mixture_sample(docs, budget_tokens=2000).collect()
+    assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
