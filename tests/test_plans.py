@@ -152,3 +152,12 @@ def test_jaccard_degree_aggregates_before_doc_shuffle(spark):
     plan = formatted_plan(entrymod.queries()["near_dup_jaccard"](spark, SF))
     assert plan.count("HashAggregate") >= 2
     assert "Generate" in plan  # the pair-stream explode
+
+
+def test_mixture_sample_broadcasts_thresholds(spark):
+    # the per-source threshold dimension must come back as a broadcast —
+    # the corpus side of the mixing join never shuffles; the only hash
+    # exchange is the dimension-sized (source) token-total aggregate
+    plan = formatted_plan(entrymod.queries()["corpus_mixture"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
