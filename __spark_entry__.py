@@ -1134,6 +1134,31 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(docs, benchmark, n=8).orderBy("doc_id")
 
 
+def q_cardinality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality gate — the recall-gate pattern applied to sketches:
+    per event_type, the exact distinct-user count plus a boolean asserting
+    the HyperLogLog estimate (approx_count_distinct, rsd 5%) lands within
+    3x rsd of exact. The sketch itself is engine-specific by design; the
+    *invariant* is portable — DuckDB recomputes the exact side and asserts
+    TRUE, so an HLL regression (parameter drift, wrong column) flips the
+    value hash. At 100 TB the approx path is the profiling default
+    (mergeable partials, no distinct shuffle); this row keeps it honest.
+    Sketch mechanics (hll_sketch_agg partial merge) are pinned in
+    tests/test_sketches.py."""
+    agg = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_exact"))
+            <= F.lit(0.15) * F.col("n_exact")
+        ).alias("card_ok"),
+    ).orderBy("event_type")
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling (the pre-training data-mixing step):
     equalize sources under a 60k-token global budget via deterministic
@@ -1271,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "corpus_mixture": q_corpus_mixture,
+        "cardinality_gate": q_cardinality_gate,
         "ann_quantized_recall": q_ann_quantized_recall,
     }
 
@@ -2199,6 +2225,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS contamination_frac,
                    COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
             FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id
+        """,
+        # Cardinality-gate twin: exact side recomputed, invariant asserted
+        # TRUE (the HLL estimate itself is engine-specific by design).
+        "cardinality_gate": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS card_ok
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # Mixture sampling twin: integer keep threshold floor(rate*65536)
         # vs the 16-bit md5 prefix of the doc id — all-integer compares,

@@ -58,6 +58,7 @@ TAIL_KEYS = {
     "decontamination": "test_spot_oracle_parity",
     "pii_scrub": "test_spot_oracle_parity",
     "corpus_mixture": "test_spot_oracle_parity",
+    "cardinality_gate": "test_spot_oracle_parity",
     "ann_quantized_recall": "tests/test_similarity.py quantized-recall tests",
 }
 
@@ -99,6 +100,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "decontamination",
         "pii_scrub",
         "corpus_mixture",
+        "cardinality_gate",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
