@@ -1134,6 +1134,18 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(docs, benchmark, n=8).orderBy("doc_id")
 
 
+def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing offsets over the md5-shuffled corpus: per document
+    its global start offset on the token axis and its 2048-token training
+    bin. The global running sum is a two-phase prefix sum (64-way bucket
+    windows + broadcast bucket offsets, text.pack_offsets) — never a
+    single-task global window; the oracle reproduces it with one
+    SUM() OVER (ORDER BY ...), so every per-doc offset is hash-checked."""
+    return text.pack_offsets(
+        _t(spark, sf_dir, "documents"), seq_len=2048
+    ).orderBy("doc_id")
+
+
 def q_cardinality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality gate — the recall-gate pattern applied to sketches:
     per event_type, the exact distinct-user count plus a boolean asserting
@@ -1297,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_mixture": q_corpus_mixture,
         "cardinality_gate": q_cardinality_gate,
+        "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
     }
 
@@ -2225,6 +2238,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS contamination_frac,
                    COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
             FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id
+        """,
+        # Packing twin: the two-phase distributed prefix sum collapses to
+        # one global window in SQL; same (md5, id) total order.
+        "pack_offsets": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     len({_TOKENS.format(src="lower(text)")}) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS sort_key
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY sort_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY sort_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2048) AS BIGINT) AS seq_bin
+            FROM d ORDER BY doc_id
         """,
         # Cardinality-gate twin: exact side recomputed, invariant asserted
         # TRUE (the HLL estimate itself is engine-specific by design).

@@ -523,3 +523,77 @@ def mixture_sample(
         .where(u16 < F.col("keep_thresh"))
         .select("doc_id", "source", "n_tokens", "keep_thresh")
     )
+
+
+def pack_offsets(
+    documents: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """Sequence-packing offsets: place a (deterministically shuffled)
+    corpus end-to-end on a global token axis and assign each document its
+    start offset and training-sequence bin ``floor(offset / seq_len)`` —
+    the final packing step before emitting fixed-length training
+    sequences (documents crossing a boundary split at emit time).
+
+    The global running token sum is a TWO-PHASE PREFIX SUM, never a
+    single-task global window (``Window.orderBy`` with no partition key
+    funnels 100 TB through one task):
+
+    1. within-bucket cumulative sums — one window per md5-derived bucket
+       (``buckets``-way parallel, deterministic assignment);
+    2. per-bucket totals (``buckets`` rows) get their own running offsets
+       in a trivially-small single-partition window, then broadcast back.
+
+    Offsets follow the global order (bucket, md5(id), id); using the md5
+    as the sort key doubles as the corpus shuffle every training run
+    wants. Every step is engine-portable: the oracle reproduces the whole
+    thing with one ``SUM() OVER (ORDER BY ...)``.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    # Bucket = leading md5 byte floor-divided into `buckets` ranges: a
+    # MONOTONE function of sort_key, so bucket-major order == global
+    # order and phase-2 offsets can simply accumulate bucket totals.
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        h.alias("sort_key"),
+        F.floor(
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int") / (256 / buckets)
+        ).cast("int").alias("bucket"),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    docs = docs.withColumn(
+        "cum_in_bucket", F.sum("n_tokens").over(in_bucket)
+    )
+    totals = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    # single-partition window over `buckets` ROWS (the dimension), not docs
+    running = Window.partitionBy().orderBy("bucket")
+    offsets = totals.withColumn(
+        "bucket_offset",
+        F.coalesce(
+            F.sum("bucket_tokens").over(
+                running.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "bucket_offset")
+    return (
+        docs.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_offset") + F.col("cum_in_bucket") - F.col("n_tokens"))
+            .alias("start_offset"),
+        )
+        .withColumn(
+            "seq_bin", F.floor(F.col("start_offset") / seq_len).cast("long")
+        )
+    )

@@ -59,6 +59,7 @@ TAIL_KEYS = {
     "pii_scrub": "test_spot_oracle_parity",
     "corpus_mixture": "test_spot_oracle_parity",
     "cardinality_gate": "test_spot_oracle_parity",
+    "pack_offsets": "test_spot_oracle_parity",
     "ann_quantized_recall": "tests/test_similarity.py quantized-recall tests",
 }
 
@@ -101,6 +102,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "pii_scrub",
         "corpus_mixture",
         "cardinality_gate",
+        "pack_offsets",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

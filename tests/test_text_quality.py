@@ -121,3 +121,24 @@ def test_mixture_sample_caps_and_passthrough(spark):
     # deterministic: identical kept set on re-run
     out2 = text.mixture_sample(docs, budget_tokens=2000).collect()
     assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
+
+
+def test_pack_offsets_is_an_exact_prefix_sum(spark):
+    """The two-phase (bucketed) prefix sum must tile the token axis
+    exactly: offsets sorted by (md5, id) are gapless, start at 0, and end
+    at the corpus token total; bins follow floor(offset/seq_len)."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 7)) for i in range(200)], ["doc_id", "text"]
+    )
+    out = text.pack_offsets(docs, seq_len=64, buckets=16).collect()
+    rows = sorted(
+        out, key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id)
+    )
+    cum = 0
+    for r in rows:
+        assert r.start_offset == cum, f"gap at doc {r.doc_id}"
+        assert r.seq_bin == cum // 64
+        cum += r.n_tokens
+    assert cum == sum(r.n_tokens for r in rows)
