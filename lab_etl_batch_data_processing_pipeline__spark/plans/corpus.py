@@ -49,6 +49,34 @@ def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     return result
 
 
+def near_dup_route(
+    documents: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_bucket: int = 10,
+) -> tuple[str, int]:
+    """Pre-flight routing decision for the funnel's near-dup stage:
+    returns ``("exact" | "minhash", n_candidate_pairs)``.
+
+    ``jaccard_block_stats`` gives the EXACT verify-join size the blocked
+    Jaccard path would pay (sum over blocks of C(n_docs, 2)) for one
+    cheap aggregate over the doc sketches — no bodies shuffle, no pair
+    materializes. When that exceeds ``budget``, the corpus is dense and
+    brute-forcing the quadratic block is the wrong plan: route to banded
+    MinHash-LSH, whose candidate set is bounded by the band S-curve
+    instead of the block density. This is the self-defense SCALE.md
+    promises — at 100 TB a dense block must be discovered at plan time,
+    not at hour three of the verify join.
+    """
+    n = (
+        dedup_fuzzy.jaccard_block_stats(documents, id_col, text_col, length_bucket)
+        .agg(F.sum("n_candidate_pairs").alias("n"))
+        .first()["n"]
+    ) or 0
+    return ("minhash" if n > budget else "exact", int(n))
+
+
 def corpus_prep(
     documents: DataFrame,
     min_quality: float = 0.7,
@@ -57,6 +85,7 @@ def corpus_prep(
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("lang", "source"),
     max_dup_2gram_frac: float | None = None,
+    near_dup_pair_budget: int | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: columns (doc_id, text, *keep_cols,
     quality_score), quality-gated, exact- and near-deduplicated.
@@ -64,6 +93,16 @@ def corpus_prep(
     ``max_dup_2gram_frac`` optionally adds the Gopher-style repetition
     gate (text.repetition_stats) to the cheap per-row filter stage:
     boilerplate/spam docs leave the funnel before any shuffle happens.
+
+    ``near_dup_pair_budget`` arms the dense-corpus self-defense: before
+    the near-dup verify join, :func:`near_dup_route` counts the exact
+    candidate pairs the blocked-Jaccard path would verify; past the
+    budget the stage runs banded MinHash-LSH instead (estimated-Jaccard
+    threshold, xxhash fast path). The default ``None`` keeps the exact
+    path unconditionally — that form is bit-stable and oracle-checked
+    (query key ``corpus_prep``); the routed form is recall-gated against
+    it in tests (the ``ann_lsh_recall`` pattern) and registered as
+    ``corpus_prep_auto``.
     """
     stats = text.doc_stats(documents, id_col, text_col).select(
         "doc_id", "quality_score"
@@ -98,15 +137,38 @@ def corpus_prep(
         .persist()
     )
 
-    # sort=False: the pairs feed a distinct + anti-join, and a sorted
-    # pair list would range-sample (= re-execute) the pair pipeline.
-    near_pairs = dedup_fuzzy.jaccard_near_dups(
-        exact_unique, "doc_id", "text", threshold=jaccard_threshold, sort=False
-    )
-    # Persisted for the same reason as exact_unique: the terminal orderBy
-    # range-samples its child, which would otherwise execute the whole
-    # near-dup pair pipeline a second time just to pick sort boundaries.
-    # The cache holds doc ids only — the smallest frame in the funnel.
-    to_drop = near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct().persist()
+    strategy = "exact"
+    if near_dup_pair_budget is not None:
+        strategy, _ = near_dup_route(exact_unique, near_dup_pair_budget)
+    if strategy == "minhash":
+        # A corpus dense enough to trip the budget makes even the banded
+        # candidate JOIN quadratic (every bucket holds a large corpus
+        # fraction), so the routed path is the pair-free bucket-canonical
+        # form. shingle_size=1: the signature reflects the SAME unigram
+        # token-set similarity the exact path thresholds on (3-gram
+        # shingles measure sequence overlap — a much stricter similarity
+        # — and the recall gate vs the exact funnel fails).
+        to_drop = dedup_fuzzy.minhash_bucket_dedup(
+            exact_unique,
+            "doc_id",
+            "text",
+            threshold=jaccard_threshold,
+            shingle_size=1,
+            portable=False,
+        ).persist()
+    else:
+        # sort=False: the pairs feed a distinct + anti-join, and a sorted
+        # pair list would range-sample (= re-execute) the pair pipeline.
+        near_pairs = dedup_fuzzy.jaccard_near_dups(
+            exact_unique, "doc_id", "text", threshold=jaccard_threshold, sort=False
+        )
+        to_drop = (
+            near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct().persist()
+        )
+    # to_drop is persisted in both branches for the same reason as
+    # exact_unique: the terminal orderBy range-samples its child, which
+    # would otherwise execute the whole near-dup pipeline a second time
+    # just to pick sort boundaries. The cache holds doc ids only — the
+    # smallest frame in the funnel.
     result = exact_unique.join(to_drop, "doc_id", "left_anti").orderBy("doc_id")
     return _unpersist_with(_unpersist_with(result, exact_unique), to_drop)

@@ -280,3 +280,57 @@ def test_winnowing_fingerprints_detect_shared_content(spark):
     # winnowing guarantee: long shared spans share fingerprints even shifted
     assert len(by_doc[1] & by_doc[2]) > 5
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_near_dup_route_decision(spark):
+    """Routing pre-flight: exact candidate count vs budget decides the
+    near-dup strategy. The sf0.001 fixture is dense by design, so a
+    small budget must route it to MinHash; a generous one stays exact."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import near_dup_route
+
+    docs = text_table(spark).select("doc_id", "text")
+    strategy, n = near_dup_route(docs, budget=1_000)
+    assert strategy == "minhash"
+    assert n == pinned_candidate_total(spark)
+    strategy_hi, n_hi = near_dup_route(docs, budget=10**12)
+    assert strategy_hi == "exact" and n_hi == n
+
+
+def test_corpus_prep_dense_routing_matches_exact_above_budget(spark):
+    """An un-triggered budget must be a no-op: same rows, same plan
+    family as the unrouted funnel (the oracle-checked form)."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    docs = text_table(spark)
+    exact = corpus_prep(docs, min_quality=0.0, jaccard_threshold=0.5)
+    routed = corpus_prep(
+        docs, min_quality=0.0, jaccard_threshold=0.5, near_dup_pair_budget=10**12
+    )
+    assert [r.doc_id for r in exact.collect()] == [r.doc_id for r in routed.collect()]
+
+
+def test_corpus_prep_dense_routing_recall(spark):
+    """Recall gate for the routed funnel (the ann_lsh_recall pattern):
+    when the budget trips and the near-dup stage runs banded MinHash,
+    the docs it removes must cover a floor fraction of the docs the
+    exact blocked-Jaccard funnel removes. Pins both that the routing
+    actually fires on the dense fixture (a broken route would produce
+    near-identical outputs AND trip the n_removed_routed check) and
+    that the approximate path's quality doesn't silently collapse."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    docs = text_table(spark)
+    survivors = lambda df: {r.doc_id for r in df.collect()}  # noqa: E731
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    exact_kept = survivors(corpus_prep(docs, min_quality=0.0, jaccard_threshold=0.3))
+    routed_kept = survivors(
+        corpus_prep(
+            docs, min_quality=0.0, jaccard_threshold=0.3, near_dup_pair_budget=1_000
+        )
+    )
+    exact_drops = all_ids - exact_kept
+    routed_drops = all_ids - routed_kept
+    assert exact_drops, "fixture no longer dense enough to exercise the gate"
+    assert routed_drops, "routed funnel removed nothing: MinHash path broken"
+    recall = len(exact_drops & routed_drops) / len(exact_drops)
+    assert recall >= 0.5, f"routed near-dup recall collapsed: {recall:.3f}"
