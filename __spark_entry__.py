@@ -576,6 +576,46 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, csv_dir, pq.schema, header=True).orderBy("s_suppkey")
 
 
+def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-layer partition pruning, end-to-end and driver-checked:
+    write the curated join parquet partitioned by order month (the
+    SCALE.md curated layout — writers.write_parquet partition_by), read
+    it back through a month predicate Spark satisfies by directory
+    pruning (PartitionFilters + a DPP case are pinned in
+    tests/test_plans.py), and aggregate the slice. The DuckDB oracle
+    computes the same month straight from the base tables, so a pruning
+    bug that drops or duplicates a partition hash-mismatches. The write
+    is cached per testdata generation (mtime+size tag, _SUCCESS-gated)
+    like csv_roundtrip."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import write_parquet
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "curated", tag
+    )
+    if not os.path.isfile(os.path.join(out_dir, "_SUCCESS")):
+        curated = q_curated_join(spark, sf_dir).withColumn(
+            "order_month", F.date_format("order_date", "yyyy-MM")
+        )
+        write_parquet(curated, out_dir, partition_by=["order_month"])
+    sliced = spark.read.parquet(out_dir).filter(F.col("order_month") == "1995-03")
+    return (
+        sliced.groupBy("order_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("total_price").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("customer_id").alias("n_customers"),
+        )
+        .orderBy("order_status")
+    )
+
+
 def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S4 end-to-end: write supplier to embedded Derby through the
     engine's JDBC sink, read it back through the *partitioned* JDBC scan
@@ -1209,6 +1249,26 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of the corpus funnel: same stages as corpus_prep
+    plus the dense-corpus self-defense — a pre-flight exact count of the
+    blocked-Jaccard verify pairs routes dense corpora through banded
+    MinHash-LSH instead of the quadratic verify join (plans/corpus.py
+    near_dup_route). The 1M budget routes the dense sf0.1 fixture
+    (~4.8M candidate pairs) to MinHash while staying exact on sparse
+    corpora. Approximate by design on the routed path, so rows-only at
+    the driver; recall-gated vs the exact funnel in
+    tests/test_text_dedup.py."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    return corpus_prep(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.7,
+        jaccard_threshold=0.5,
+        near_dup_pair_budget=1_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 keys (observed in CORRECTNESS_r01-r04: exactly
@@ -1241,6 +1301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       decontamination, pii_scrub, corpus_mixture, cardinality_gate,
       pack_offsets, ann_quantized_recall) their first driver-checked
       round; all seven are exact outputs pinned by pytest parity tests.
+    - revenue_cube: rotated out r6 (driver-green r2-r5) to give
+      curated_partition_scan — the partition-pruning proof row — a
+      driver-checked round; pytest-parity-pinned like the rest.
+    - corpus_prep_auto: the routed (dense-corpus self-defending) form of
+      the funnel; approximate by design on its MinHash route, so
+      rows-only — recall-gated vs the oracle-checked exact funnel in
+      tests/test_text_dedup.py.
 
     tests/test_entry_contract.py::TAIL_KEYS is the enforced source of
     truth for this split.
@@ -1288,7 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "pii_scrub": q_pii_scrub,
         "orders_profile": q_orders_profile,
-        "revenue_cube": q_revenue_cube,
+        "curated_partition_scan": q_curated_partition_scan,
         "orders_shipped_7d": q_orders_shipped_7d,
         "corpus_mixture": q_corpus_mixture,
         "cardinality_gate": q_cardinality_gate,
@@ -1314,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_ntile": q_acctbal_ntile,
         "nation_custkey_list": q_nation_custkey_list,
         "orders_by_weekday": q_orders_by_weekday,
+        "revenue_cube": q_revenue_cube,
+        "corpus_prep_auto": q_corpus_prep_auto,
     }
 
 
@@ -1730,6 +1799,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "repeat_rate_monthly": _REPEAT_SQL,
+        "curated_partition_scan": """
+            SELECT o.o_orderstatus AS order_status,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue,
+                   CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+            FROM orders o
+            WHERE strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') = '1995-03'
+            GROUP BY 1 ORDER BY 1
+        """,
         "curated_join": """
             SELECT o.o_orderkey AS order_id,
                    o.o_custkey AS customer_id,

@@ -161,3 +161,62 @@ def test_mixture_sample_broadcasts_thresholds(spark):
     plan = formatted_plan(entrymod.queries()["corpus_mixture"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def curated_partitioned(spark, tmp_path_factory):
+    """Curated layer written the way SCALE.md prescribes: parquet
+    partitioned by booking month (writers.write_parquet partition_by)."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_batch_data_processing_pipeline__spark.sources import writers
+
+    path = str(tmp_path_factory.mktemp("curated") / "orders_curated")
+    df = entrymod.queries()["curated_join"](spark, SF).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    )
+    writers.write_parquet(df, path, partition_by=["order_month"])
+    return path
+
+
+def test_curated_scan_prunes_partitions(spark, curated_partitioned):
+    """A month predicate on the curated layer must become a
+    PartitionFilter (directory pruning — zero IO for other months), not
+    a post-scan data filter. SURVEY §4's answer to the reference's
+    unpartitioned storage."""
+    from pyspark.sql import functions as F
+
+    scan = spark.read.parquet(curated_partitioned).filter(
+        F.col("order_month") == "1995-03"
+    )
+    plan = formatted_plan(scan)
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, "no PartitionFilters entry in scan node"
+    assert "order_month" in scan_lines[0] and "1995-03" in scan_lines[0]
+    # the month predicate must NOT survive as a row-level filter
+    assert "Filter (" not in plan or "order_month" not in next(
+        (l for l in plan.splitlines() if l.strip().startswith("Condition")), ""
+    )
+
+
+def test_curated_scan_dynamic_partition_pruning(spark, curated_partitioned):
+    """DPP: joining the month-partitioned curated table to a small month
+    dimension filtered on an attribute must inject a runtime partition
+    filter (dynamicpruningexpression) — the broadcast result prunes fact
+    partitions before they are read."""
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(curated_partitioned)
+    dim = (
+        fact.select("order_month")
+        .distinct()
+        .withColumn("quarter", F.substring("order_month", 6, 2).cast("int"))
+    )
+    dim_filtered = dim.filter(F.col("quarter") == 3).select("order_month")
+    joined = fact.join(F.broadcast(dim_filtered), "order_month").groupBy(
+        "order_status"
+    ).count()
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), (
+        "no dynamic partition pruning filter injected on the curated scan"
+    )
