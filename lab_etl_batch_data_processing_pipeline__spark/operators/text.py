@@ -214,9 +214,14 @@ def tfidf(
     integer arithmetic + one correctly-rounded double division and
     reproducible across engines (classic ``ln`` idf is a one-line swap;
     libm implementations differ in the last ulp, which flips rankings).
+
+    The corpus size N enters the plan as a broadcast single-row
+    aggregate (cross join), not a driver-side ``docs.count()`` — a
+    scalar pre-count is a full extra pass over the corpus, which at
+    100 TB doubles the scan cost just to fetch one constant.
     """
     docs = ensure_parallelism(documents)
-    n_docs = docs.count()  # one scalar job; the corpus size is the constant N
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -227,13 +232,16 @@ def tfidf(
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
             "tf",
             "df",
-            (F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1))))
-            .alias("tfidf"),
+            (
+                F.col("tf")
+                * ((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)))
+            ).alias("tfidf"),
         )
     )
 
@@ -554,6 +562,13 @@ def pack_offsets(
     """
     from pyspark.sql import Window
 
+    if not 1 <= buckets <= 256:
+        # the bucket derives from ONE md5 byte, so >256 silently caps
+        # effective parallelism at 256 — make the parameter honest
+        raise ValueError(
+            f"buckets must be in [1, 256] (one md5 byte drives the "
+            f"assignment), got {buckets}"
+        )
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )

@@ -75,7 +75,31 @@ def ensure_timestamp(df: DataFrame, col: str):
 
     dtype = df.schema[col].dataType
     if isinstance(dtype, T.LongType):
-        return nanos_to_timestamp(col)
+        # The LongType contract is nanos-only (the nanosAsLong conf is
+        # the only way a raw INT64 reaches us). A future generation
+        # storing micros/millis as INT64 would decode to ~1970-era
+        # instants and fail downstream oracles with a confusing symptom,
+        # so fail the JOB loudly instead: nanos for any instant after
+        # 1973 are >= 1e17, while micros stay below that until year
+        # ~5138 (millis/seconds far lower). One codegen'd comparison per
+        # row — noise next to the scan.
+        from pyspark.sql import functions as F
+
+        plausible_nanos = F.col(col).isNull() | (
+            F.col(col) >= F.lit(100_000_000_000_000_000)
+        )
+        guard = F.assert_true(
+            plausible_nanos,
+            F.concat(
+                F.lit(
+                    f"ensure_timestamp: LongType column '{col}' holds "
+                    "a value too small for nanos-since-epoch (micros or "
+                    "millis encoding? see sources/readers.py contract): "
+                ),
+                F.col(col).cast("string"),
+            ),
+        )
+        return F.when(guard.isNull(), nanos_to_timestamp(col))
     if isinstance(dtype, T.TimestampNTZType):
         return F.timestamp_micros(
             F.expr(

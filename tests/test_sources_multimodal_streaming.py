@@ -538,6 +538,23 @@ def test_ensure_timestamp_all_encodings_same_epoch(spark):
         assert out.schema["us"].dataType == T.LongType()
 
 
+def test_ensure_timestamp_rejects_non_nanos_longs(spark):
+    """The LongType branch's contract is nanos-only; a regenerated input
+    that stores micros (or millis) as raw INT64 must fail the job with a
+    pointed message, not silently decode to ~1970-era instants."""
+    import pytest
+
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        ensure_timestamp,
+    )
+
+    micros_not_nanos = spark.createDataFrame(
+        [(1_704_067_207_179_575,)], T.StructType([T.StructField("ts", T.LongType())])
+    )
+    with pytest.raises(Exception, match="too small for nanos"):
+        micros_not_nanos.select(ensure_timestamp(micros_not_nanos, "ts")).collect()
+
+
 def test_ensure_timestamp_ntz_is_timezone_independent(spark):
     """The NTZ branch interprets wall time AS UTC regardless of the session
     timezone — a cast("timestamp") would shift epochs by the tz offset in

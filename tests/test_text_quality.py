@@ -142,3 +142,14 @@ def test_pack_offsets_is_an_exact_prefix_sum(spark):
         assert r.seq_bin == cum // 64
         cum += r.n_tokens
     assert cum == sum(r.n_tokens for r in rows)
+
+
+def test_pack_offsets_rejects_unachievable_bucket_count(spark):
+    """One md5 byte drives the bucket assignment, so buckets > 256 would
+    silently cap parallelism below the requested value — the parameter
+    must be validated, not quietly truncated."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="256"):
+        text.pack_offsets(docs, buckets=512)
