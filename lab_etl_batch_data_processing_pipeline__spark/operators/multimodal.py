@@ -268,7 +268,8 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 VIDEO_FRAME_SCHEMA = (
-    "media_id long, frame_index int, frame_crc long, frame_mean double"
+    "media_id long, frame_index int, frame_crc long, frame_mean double, "
+    "frame_width int, frame_height int, n_channels int"
 )
 
 WAV_SIGNATURE_OFFSETS = ((0, b"RIFF"), (8, b"WAVE"))
@@ -427,6 +428,64 @@ def decode_avi_header(payload: bytes) -> tuple[int, int, int, int]:
     raise ValueError("no avih header chunk")
 
 
+def decode_avi_stream_format(payload: bytes) -> tuple[int, int, int, int] | None:
+    """First video stream's pixel format from the ``strl``/``strf``
+    BITMAPINFOHEADER: (width, height, bit_count, compression), or None
+    when the container carries no video stream format (frame chunks are
+    then opaque bytes). compression == 0 is BI_RGB — raw DIB frames this
+    module can decode without any codec."""
+    if not _is_avi(payload):
+        return None
+    for fourcc, start, size in _riff_chunks(payload, 12, len(payload)):
+        if fourcc != b"LIST" or payload[start : start + 4] != b"hdrl":
+            continue
+        for sub, s2, sz2 in _riff_chunks(payload, start + 4, start + size):
+            if sub != b"LIST" or payload[s2 : s2 + 4] != b"strl":
+                continue
+            is_video = False
+            for leaf, s3, sz3 in _riff_chunks(payload, s2 + 4, s2 + sz2):
+                if leaf == b"strh" and sz3 >= 4:
+                    is_video = payload[s3 : s3 + 4] == b"vids"
+                elif leaf == b"strf" and sz3 >= 20 and is_video:
+                    i32 = lambda off: int.from_bytes(  # noqa: E731
+                        payload[s3 + off : s3 + off + 4], "little", signed=True
+                    )
+                    u16 = lambda off: int.from_bytes(  # noqa: E731
+                        payload[s3 + off : s3 + off + 2], "little"
+                    )
+                    return (i32(4), i32(8), u16(14), i32(16))
+    return None
+
+
+def decode_dib_frame(
+    frame: bytes, width: int, height: int, bit_count: int
+) -> tuple[int, int, int, bytes]:
+    """Real pixel decode of one uncompressed BI_RGB DIB frame (the video
+    twin of decode_png_pixels): returns (width, height, channels,
+    top-down RGB/gray pixel bytes). DIB rows are bottom-up (negative
+    height = top-down), 4-byte aligned, and 24-bit rows store BGR."""
+    if bit_count not in (8, 24):
+        raise ValueError(f"unsupported BI_RGB bit depth {bit_count}")
+    top_down = height < 0
+    height = abs(height)
+    channels = bit_count // 8
+    stride = (width * channels + 3) & ~3
+    if len(frame) < stride * height:
+        raise ValueError(
+            f"DIB frame too short: {len(frame)} < {stride}x{height}"
+        )
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    out = bytearray()
+    for r in rows:
+        row = frame[r * stride : r * stride + width * channels]
+        if channels == 3:
+            for c in range(0, len(row), 3):  # BGR -> RGB
+                out += bytes((row[c + 2], row[c + 1], row[c]))
+        else:
+            out += row
+    return (width, height, channels, bytes(out))
+
+
 def iter_avi_frames(payload: bytes):
     """Yield raw frame-chunk bytes from the ``movi`` list in stream order
     (``..db`` uncompressed DIB / ``..dc`` compressed chunks)."""
@@ -442,12 +501,16 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int =
 
     AVI payloads decode for real — the RIFF walk yields actual frame
     chunks, ``frame_index`` is the true frame number (every_nth-th frame
-    up to max_frames), ``frame_mean`` the mean byte intensity of the
-    frame data (exact pixel mean for uncompressed ``..db`` DIB frames).
-    Non-AVI payloads keep the labeled STUB (payload slices); a real
-    codec (PyAV/ffmpeg) replaces the stub branch, not the explode shape.
-    Either way the fan-out (rows x max_frames) is bounded by
-    construction, which is what keeps the operator safe at scale.
+    up to max_frames). When the container's ``strf`` declares BI_RGB
+    (uncompressed DIB), each sampled frame's PIXELS decode for real
+    (decode_dib_frame: bottom-up 4-byte-aligned BGR -> top-down RGB):
+    ``frame_mean`` is the exact pixel mean (alignment padding excluded)
+    and (frame_width, frame_height, n_channels) are the decoded shape.
+    Compressed-codec frames and non-AVI payloads fall back to raw-byte
+    accounting with a zero shape; a real codec (PyAV/ffmpeg) replaces
+    that branch, not the explode shape. Either way the fan-out
+    (rows x max_frames) is bounded by construction, which is what keeps
+    the operator safe at scale.
     """
     import zlib
 
@@ -455,24 +518,45 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int =
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = {"media_id": [], "frame_index": [], "frame_crc": [], "frame_mean": []}
+            out = {
+                "media_id": [], "frame_index": [], "frame_crc": [],
+                "frame_mean": [], "frame_width": [], "frame_height": [],
+                "n_channels": [],
+            }
 
-            def emit(media_id, idx, frame: bytes) -> None:
+            def emit(media_id, idx, frame: bytes, fmt=None) -> None:
                 out["media_id"].append(media_id)
                 out["frame_index"].append(idx)
                 out["frame_crc"].append(zlib.crc32(frame))
+                shape = (0, 0, 0)
+                body = frame
+                if fmt is not None:
+                    try:
+                        w, h, ch, body = decode_dib_frame(frame, fmt[0], fmt[1], fmt[2])
+                        shape = (w, h, ch)
+                    except ValueError:
+                        body = frame  # malformed frame: raw-byte fallback
                 out["frame_mean"].append(
-                    round(sum(frame) / len(frame) / 255.0, 6) if frame else 0.0
+                    round(sum(body) / len(body) / 255.0, 6) if body else 0.0
                 )
+                out["frame_width"].append(shape[0])
+                out["frame_height"].append(shape[1])
+                out["n_channels"].append(shape[2])
 
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 if _is_avi(data):
+                    fmt = decode_avi_stream_format(data)
+                    # decodable only when BI_RGB at a supported depth
+                    if fmt is not None and not (
+                        fmt[3] == 0 and fmt[2] in (8, 24)
+                    ):
+                        fmt = None
                     taken = 0
                     for i, frame in enumerate(iter_avi_frames(data)):
                         if i % every_nth:
                             continue
-                        emit(media_id, i, frame)
+                        emit(media_id, i, frame, fmt)
                         taken += 1
                         if taken >= max_frames:
                             break

@@ -282,8 +282,16 @@ def _chunk(fourcc: bytes, data: bytes) -> bytes:
     return fourcc + len(data).to_bytes(4, "little") + data + pad
 
 
-def _avi_bytes(width=4, height=2, frames=(b"\x10" * 8, b"\xff" * 8, b"\x00" * 8)):
-    """Minimal uncompressed AVI: RIFF('AVI ' LIST hdrl(avih) LIST movi(00db*))."""
+def _avi_bytes(
+    width=4,
+    height=2,
+    frames=(b"\x10" * 8, b"\xff" * 8, b"\x00" * 8),
+    bit_count=None,
+    compression=0,
+):
+    """Minimal AVI: RIFF('AVI ' LIST hdrl(avih [LIST strl(strh strf)])
+    LIST movi(00db*)). With ``bit_count`` set, a video stream format
+    (BITMAPINFOHEADER) is declared — compression=0 is BI_RGB."""
     avih = b"".join(
         v.to_bytes(4, "little")
         for v in [
@@ -295,7 +303,22 @@ def _avi_bytes(width=4, height=2, frames=(b"\x10" * 8, b"\xff" * 8, b"\x00" * 8)
             0, 0, 0, 0,
         ]
     )
-    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
+    hdrl_body = b"hdrl" + _chunk(b"avih", avih)
+    if bit_count is not None:
+        strh = b"vids" + b"\x00" * 52
+        strf = (
+            (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + bit_count.to_bytes(2, "little")
+            + compression.to_bytes(4, "little")
+            + b"\x00" * 20
+        )
+        hdrl_body += _chunk(
+            b"LIST", b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)
+        )
+    hdrl = _chunk(b"LIST", hdrl_body)
     movi = _chunk(b"LIST", b"movi" + b"".join(_chunk(b"00db", f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
@@ -306,6 +329,45 @@ def test_decode_avi_golden():
     assert multimodal.decode_avi_header(payload) == (4, 2, 3, 120)  # 3 @ 25fps
     frames = list(multimodal.iter_avi_frames(payload))
     assert frames == [b"\x10" * 8, b"\xff" * 8, b"\x00" * 8]
+
+
+def test_decode_avi_stream_format_golden():
+    payload = _avi_bytes(bit_count=24, compression=0)
+    assert multimodal.decode_avi_stream_format(payload) == (4, 2, 24, 0)
+    assert multimodal.decode_avi_stream_format(_avi_bytes()) is None  # no strf
+
+
+def test_decode_dib_frame_golden_bgr_bottom_up():
+    """3x2 24-bit BI_RGB: rows are stored bottom-up, BGR, padded to 4
+    bytes — the decode must flip rows, swap to RGB, and drop padding."""
+    bottom_row = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]) + b"\xee\xee\xee"  # pad
+    top_row = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9]) + b"\xee\xee\xee"
+    w, h, ch, pixels = multimodal.decode_dib_frame(
+        bottom_row + top_row, 3, 2, 24
+    )
+    assert (w, h, ch) == (3, 2, 3)
+    # top row first (was stored second), each pixel BGR->RGB swapped
+    assert bytes(pixels) == bytes(
+        [3, 2, 1, 6, 5, 4, 9, 8, 7, 0, 0, 255, 0, 255, 0, 255, 0, 0]
+    )
+
+
+def test_sample_video_frames_decodes_bi_rgb_pixels(spark):
+    """End-to-end third modality: a BI_RGB AVI's sampled frames come out
+    with REAL decoded shape and an exact pixel mean that excludes the
+    row-alignment padding bytes."""
+    # 3x2, stride 12: 9 pixel bytes + 3 padding bytes (0xFF) per row
+    frame = (bytes([10] * 9) + b"\xff\xff\xff") * 2
+    payload = _avi_bytes(width=3, height=2, frames=(frame,), bit_count=24)
+    media = spark.createDataFrame(
+        [(1, "video", "video/avi", bytearray(payload), (3, 2, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.sample_video_frames(media, every_nth=1, max_frames=5).collect()[0]
+    assert (row.frame_width, row.frame_height, row.n_channels) == (3, 2, 3)
+    # raw-byte mean would be polluted by the 0xFF padding (~0.107);
+    # the real pixel mean is exactly 10/255
+    assert row.frame_mean == round(10 / 255.0, 6)
 
 
 def test_sample_video_frames_real_avi(spark):
@@ -571,3 +633,73 @@ def test_ensure_timestamp_ntz_is_timezone_independent(spark):
         assert out.collect()[0].us == 1_704_067_207_179_575
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streaming_event_counts_append_mode_watermark_eviction(spark, tmp_path):
+    """Append-mode replay with controlled micro-batch order (one file per
+    trigger, mtime-ordered): a window is emitted exactly once when the
+    watermark passes its end, rows later than the watermark are DROPPED
+    (the closed window is not re-emitted), in-window late rows are still
+    accepted, and a window the watermark never passes is never emitted.
+    These are the semantics a 100 TB production stream actually runs —
+    the driver-checked row uses complete mode, which evicts nothing."""
+    import os as _os
+
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_event_type_counts,
+    )
+
+    src = tmp_path / "append_src"
+    src.mkdir()
+    # batch 0: two rows in [10:00,10:10) + one at 10:21 that advances the
+    # watermark to 10:16 once the batch completes
+    (src / "a.csv").write_text(
+        "ts,event_type\n"
+        "2024-01-01 10:00:00,view\n"
+        "2024-01-01 10:02:00,view\n"
+        "2024-01-01 10:21:00,view\n"
+    )
+    # batch 1: an accepted late row into the still-open [10:20,10:30)
+    # window; runs under watermark 10:16, so [10:00,10:10) is emitted and
+    # its state evicted at this batch's end
+    (src / "b.csv").write_text("ts,event_type\n2024-01-01 10:25:00,view\n")
+    # batch 2: a row for the ALREADY-CLOSED first window — beyond the
+    # watermark, must be dropped (not re-emitted, not resurrected as a
+    # count-1 window) — plus a 10:40 row that advances the watermark to
+    # 10:35 and closes [10:20,10:30)
+    (src / "c.csv").write_text(
+        "ts,event_type\n2024-01-01 10:03:00,view\n2024-01-01 10:40:00,view\n"
+    )
+    now = _os.stat(src / "c.csv").st_mtime
+    _os.utime(src / "a.csv", (now - 120, now - 120))  # strict mtime order
+    _os.utime(src / "b.csv", (now - 60, now - 60))
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("event_type", T.StringType())]
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .load(str(src))
+    )
+    agg = streaming_event_type_counts(
+        stream, window_duration="10 minutes", watermark_delay="5 minutes"
+    )
+    out = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.window_start_sec: r.n_events for r in out}
+    w1 = 1704103200  # 2024-01-01 10:00:00 UTC
+    assert got == {
+        w1: 2,            # closed with its on-time rows; late 10:03 dropped
+        w1 + 1200: 2,     # [10:20,10:30): 10:21 + accepted-late 10:25
+    }
+    # the dropped 10:03 must not resurrect w1 as a count-1 re-emission,
+    # and [10:40,10:50) is never finalized -> never emitted in append mode
+    assert len(out) == len(got), "a window was emitted more than once"
