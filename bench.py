@@ -42,22 +42,49 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()\
         .orderBy("r_regionkey").collect()
-    # Whole-stage-codegen classes are keyed by generated source (operator
-    # tree + schema), NOT by data volume — so running every query once at
-    # sf0.001 compiles exactly the classes the sf0.1 runs reuse. This
-    # mirrors a long-running session (plans compile once, then serve many
-    # queries) and is counted in startup_sec, visibly. Uniform (full
-    # registry, not a hand-picked list) so no query's number depends on
-    # which classes earlier queries happened to compile.
+    # Warm-JVM steady state, honestly bounded: warm the SHARED codegen
+    # paths (vectorized parquet scan, hash aggregate, exchanges,
+    # broadcast join, window, explode/higher-order functions) by running
+    # a small fixed subset of cheap queries at sf0.001 — NOT the full
+    # registry, which would move every query's first-compile cost out of
+    # its own timed window wholesale (the r5 shape; see SCALE.md
+    # "Warm vs cold" for the measured A/B). Codegen for plans the subset
+    # doesn't cover stays in that query's timed number. The loop is also
+    # time-capped so warmup cost can't silently grow with the registry.
+    # SPARK_GRAFT_WARM=none disables warmup (cold A/B), =full restores
+    # the full-registry r5 behavior for comparison.
+    WARM_KEYS = (
+        "avg_price_weekly",   # parquet scan + hash agg + exchange + sort
+        "curated_join",       # broadcast hash joins
+        "top_listings_topk",  # window function + rank filter
+        "doc_stats",          # text projection (regex + higher-order fns)
+        "token_frequencies",  # explode + aggregate
+        "minhash_near_dups",  # array fold + self equi-join
+    )
+    WARM_BUDGET_SEC = 20.0
+    warm_mode = os.environ.get("SPARK_GRAFT_WARM", "subset")
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_sf):
-        try:
-            entrymod.prebuild_indexes(spark, warm_sf)
-        except Exception as exc:
-            print(f"WARNING: warmup prebuild failed: {exc}", file=sys.stderr)
-        for name, fn in entrymod.queries().items():
+    if os.path.isdir(warm_sf) and warm_mode != "none":
+        registry = entrymod.queries()
+        if warm_mode == "full":
             try:
-                materialize(fn(spark, warm_sf))
+                entrymod.prebuild_indexes(spark, warm_sf)
+            except Exception as exc:
+                print(f"WARNING: warmup prebuild failed: {exc}", file=sys.stderr)
+            warm_names = list(registry)
+        else:
+            warm_names = [k for k in WARM_KEYS if k in registry]
+        warm_start = time.perf_counter()
+        for name in warm_names:
+            if time.perf_counter() - warm_start > WARM_BUDGET_SEC:
+                print(
+                    f"WARNING: warmup budget ({WARM_BUDGET_SEC}s) hit at "
+                    f"{name}; remaining plans compile in their timed runs",
+                    file=sys.stderr,
+                )
+                break
+            try:
+                materialize(registry[name](spark, warm_sf))
             except Exception as exc:
                 print(f"WARNING: warmup {name} failed: {exc}", file=sys.stderr)
     # Materialize the IVF ANN index if absent (an offline build job at

@@ -342,6 +342,13 @@ def cosine_near_dups(
     split it (skew-join watches join input sizes, the blowup is in the
     output). Output-invariant; ignored in broadcast mode where the probe
     side is already round-robin-spread.
+
+    Probe-side parallelism is enforced in every mode (round-6 receipt):
+    a small corpus arrives as 1-2 parquet partitions, and when Catalyst
+    auto-broadcasts the build side the per-pair scoring parallelism is
+    bounded by probe partitions — the salted form measured 6.3 s at
+    sf0.1 purely from a single-partition probe; round-robin spreading
+    it recovers 1.35 s (salt=8) with the identical plan otherwise.
     """
     cols = [
         F.col(id_col).alias("id"),
@@ -352,15 +359,23 @@ def cosine_near_dups(
         cols.append(F.col(block_col).alias("block"))
     prepared = embeddings.select(*cols)
     salted = block_col and not broadcast_right and salt > 1
+    # The probe (left) side is round-robin spread in EVERY mode: a small
+    # corpus arrives as one or two parquet partitions, and whichever join
+    # strategy Catalyst picks (it auto-broadcasts the build side when it
+    # fits), per-pair scoring parallelism is bounded by probe partitions.
+    # At scale the probe side has thousands of natural partitions and the
+    # repartition is a no-op-sized cost next to the join itself.
     if salted:
         bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(salt))
         fanout = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-        a = prepared.select("*", bucket.alias("salt_a"), fanout.alias("salt_b")).alias("a")
+        a = (
+            ensure_parallelism(prepared)
+            .select("*", bucket.alias("salt_a"), fanout.alias("salt_b"))
+            .alias("a")
+        )
         b = prepared.select("*", fanout.alias("salt_a"), bucket.alias("salt_b")).alias("b")
     else:
-        a = (
-            ensure_parallelism(prepared) if broadcast_right else prepared
-        ).alias("a")
+        a = ensure_parallelism(prepared).alias("a")
         b = (F.broadcast(prepared) if broadcast_right else prepared).alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
