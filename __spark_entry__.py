@@ -519,6 +519,21 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components of the strong
+    (>= 0.6) Jaccard pair graph via iterative hash-to-min label
+    propagation (operators/graph.py). Pair lists only say "a looks like
+    b" — keeping one doc per cluster needs the transitive closure, and
+    the oracle checks it with a recursive CTE, so the iterative
+    algorithm is value-hash-checked, not rows-only."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    pairs = dedup_fuzzy.jaccard_near_dups(
+        _t(spark, sf_dir, "documents"), threshold=0.6, sort=False
+    )
+    return graph.connected_components(pairs)
+
+
 def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token accounting: word tokens + symbol tokens per document
     (regex split, the standard cheap token-count proxy)."""
@@ -1310,9 +1325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       decontamination, pii_scrub, corpus_mixture, cardinality_gate,
       pack_offsets, ann_quantized_recall) their first driver-checked
       round; all seven are exact outputs pinned by pytest parity tests.
-    - revenue_cube: rotated out r6 (driver-green r2-r5) to give
-      curated_partition_scan — the partition-pruning proof row — a
-      driver-checked round; pytest-parity-pinned like the rest.
+    - revenue_cube / orders_shipped_7d: rotated out r6 (driver-green
+      r2-r5) to give curated_partition_scan (the partition-pruning
+      proof) and near_dup_clusters (iterative connected components vs a
+      recursive-CTE oracle) driver-checked rounds; both are
+      pytest-parity-pinned like the rest.
     - corpus_prep_auto: the routed (dense-corpus self-defending) form of
       the funnel; approximate by design on its MinHash route, so
       rows-only — recall-gated vs the oracle-checked exact funnel in
@@ -1365,7 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "orders_profile": q_orders_profile,
         "curated_partition_scan": q_curated_partition_scan,
-        "orders_shipped_7d": q_orders_shipped_7d,
+        "near_dup_clusters": q_near_dup_clusters,
         "corpus_mixture": q_corpus_mixture,
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
@@ -1391,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_custkey_list": q_nation_custkey_list,
         "orders_by_weekday": q_orders_by_weekday,
         "revenue_cube": q_revenue_cube,
+        "orders_shipped_7d": q_orders_shipped_7d,
         "corpus_prep_auto": q_corpus_prep_auto,
     }
 
@@ -1511,7 +1529,8 @@ FROM ranked WHERE sim_rank <= 5
 """
 
 _TOK_SET = f"list_distinct({_LTOKENS})"
-_JACCARD_SQL = f"""
+def _jaccard_sql(threshold: float) -> str:
+    return f"""
 WITH prep AS (
   SELECT
     doc_id,
@@ -1533,7 +1552,32 @@ WITH prep AS (
 )
 SELECT * FROM (
   SELECT doc_id_a, doc_id_b, ROUND(n_inter / n_union, 6) AS jaccard FROM pairs
-) WHERE jaccard >= 0.3
+) WHERE jaccard >= {threshold}
+"""
+
+
+_JACCARD_SQL = _jaccard_sql(0.3)
+
+# Connected components of the strong-duplicate (>= 0.6) pair graph via
+# transitive closure — DuckDB's recursive CTE is the declarative twin of
+# the engine's iterative hash-to-min propagation (operators/graph.py), so
+# an ITERATIVE algorithm still gets a value-hash oracle: component_id =
+# min reachable doc id, which both formulations produce deterministically.
+_CC_SQL = f"""
+WITH RECURSIVE strong_pairs AS ({_jaccard_sql(0.6)}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM strong_pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM strong_pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+)
+SELECT CAST(a AS BIGINT) AS node_id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS component_id
+FROM reach GROUP BY a ORDER BY 1
 """
 
 # Degree form: same pair space, collapsed per doc (both pair sides count).
@@ -1854,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY 3
         """,
         "near_dup_jaccard": _JACCARD_DEGREE_SQL,
+        "near_dup_clusters": _CC_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "sessionization": _SESSION_SQL,
         "user_engagement": """

@@ -63,6 +63,7 @@ TAIL_KEYS = {
     "nation_custkey_list": "test_spot_oracle_parity",
     "orders_by_weekday": "test_spot_oracle_parity",
     "revenue_cube": "test_spot_oracle_parity",
+    "orders_shipped_7d": "test_spot_oracle_parity",
     # approximate by design on its routed path; exact-path parity comes
     # from the corpus_prep oracle row, routing + recall pinned by
     # tests/test_text_dedup.py::test_corpus_prep_dense_routing*
@@ -111,6 +112,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "nation_custkey_list",
         "orders_by_weekday",
         "revenue_cube",
+        "orders_shipped_7d",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
