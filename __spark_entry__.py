@@ -534,6 +534,56 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(pairs)
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity ranges of each user's event-type state (operators/
+    scd.py): consecutive repeats collapse, versions count per user,
+    valid_to is NULL on the open version. Timestamps surface as epoch
+    micros so the row is encoding- and timezone-independent. One shuffle:
+    both window passes share the user_id partitioning."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    ev = _events_ts(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts_utc"))
+    return scd.scd2_history(
+        ev, "user_id", "event_type", "ts_us", order_cols=("event_id",)
+    )
+
+
+def q_event_type_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew profile of the events stream by event_type
+    (operators/profiling.py) — the pre-flight number SCALE.md's salting
+    decisions act on. Broadcast single-row total; ranking window runs
+    after a distributed top-k."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    return profiling.key_skew(_t(spark, sf_dir, "events"), ["event_type"], top_k=10)
+
+
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch gate (the cardinality_gate pattern for
+    approx_percentile): per order status, exact p50/p90 plus a boolean
+    asserting the approximate answer (accuracy=1000) lands within 2% of
+    exact. DuckDB recomputes the exact side and asserts TRUE, so sketch
+    parameter drift flips the value hash. At 100 TB approx_percentile is
+    the profiling default — mergeable partials instead of a full sort —
+    and this row keeps it honest."""
+    orders = _t(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.9))")
+    approx = F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
+    agg = orders.groupBy("o_orderstatus").agg(
+        exact.alias("e"), approx.alias("a")
+    )
+    within = lambda i: (  # noqa: E731
+        F.abs(F.element_at("a", i) - F.element_at("e", i))
+        <= F.lit(0.02) * F.abs(F.element_at("e", i))
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.element_at("e", 1).alias("p50_exact"),
+        F.element_at("e", 2).alias("p90_exact"),
+        (within(1) & within(2)).alias("quantile_ok"),
+    ).orderBy("o_orderstatus")
+
+
 def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token accounting: word tokens + symbol tokens per document
     (regex split, the standard cheap token-count proxy)."""
@@ -1410,6 +1460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": q_revenue_cube,
         "orders_shipped_7d": q_orders_shipped_7d,
         "corpus_prep_auto": q_corpus_prep_auto,
+        "scd2_user_state": q_scd2_user_state,
+        "event_type_skew": q_event_type_skew,
+        "quantile_gate": q_quantile_gate,
     }
 
 
@@ -1899,6 +1952,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_jaccard": _JACCARD_DEGREE_SQL,
         "near_dup_clusters": _CC_SQL,
+        "scd2_user_state": """
+            WITH obs AS (
+              SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id
+              FROM events
+            ), marked AS (
+              SELECT user_id, state, ts_us, event_id,
+                     LAG(state) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+              FROM obs
+            ), changes AS (
+              SELECT user_id, state, ts_us, event_id FROM marked
+              WHERE prev IS NULL OR state <> prev
+            )
+            SELECT user_id, state,
+                   ts_us AS valid_from,
+                   LEAD(ts_us) OVER w AS valid_to,
+                   CAST(ROW_NUMBER() OVER w AS INT) AS version,
+                   (LEAD(ts_us) OVER w IS NULL) AS is_current
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ORDER BY user_id, valid_from
+        """,
+        "event_type_skew": """
+            WITH counts AS (
+              SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1
+            ), total AS (SELECT SUM(n_rows) AS t FROM counts),
+            top AS (
+              SELECT * FROM counts ORDER BY n_rows DESC, event_type LIMIT 10
+            )
+            SELECT event_type,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   ROUND(n_rows / (SELECT t FROM total), 6) AS share,
+                   CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+                   ROUND(SUM(n_rows) OVER w / (SELECT t FROM total), 6)
+                     AS cum_share
+            FROM top
+            WINDOW w AS (ORDER BY n_rows DESC, event_type)
+            ORDER BY rank
+        """,
+        "quantile_gate": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS p50_exact,
+                   quantile_cont(o_totalprice, 0.9) AS p90_exact,
+                   TRUE AS quantile_ok
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
         "ann_cosine_topk": _ANN_SQL,
         "sessionization": _SESSION_SQL,
         "user_engagement": """

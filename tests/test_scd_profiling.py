@@ -1,0 +1,67 @@
+"""SCD2 history (operators/scd.py) and skew profiling
+(operators/profiling.py) unit semantics."""
+
+from __future__ import annotations
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import profiling, scd
+
+
+def test_scd2_compresses_repeats_and_versions(spark):
+    df = spark.createDataFrame(
+        [
+            # user 1: A, A (repeat -> collapsed), B, A again (new version)
+            (1, "A", 10, 100),
+            (1, "A", 20, 101),
+            (1, "B", 30, 102),
+            (1, "A", 40, 103),
+            # user 2: single state stays open
+            (2, "X", 15, 104),
+        ],
+        "user_id long, state string, ts long, event_id long",
+    )
+    out = scd.scd2_history(df, "user_id", "state", "ts", ("event_id",)).collect()
+    rows = [
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in out
+    ]
+    assert rows == [
+        (1, "A", 10, 30, 1, False),
+        (1, "B", 30, 40, 2, False),
+        (1, "A", 40, None, 3, True),
+        (2, "X", 15, None, 1, True),
+    ]
+
+
+def test_scd2_tiebreak_is_deterministic(spark):
+    # two observations share ts=10: event_id orders them, so the state
+    # stream is B(1), A(2) -> two versions, deterministic at any parallelism
+    df = spark.createDataFrame(
+        [(1, "B", 10, 1), (1, "A", 10, 2)],
+        "user_id long, state string, ts long, event_id long",
+    )
+    out = scd.scd2_history(df, "user_id", "state", "ts", ("event_id",)).collect()
+    assert [(r.state, r.version) for r in out] == [("B", 1), ("A", 2)]
+
+
+def test_scd2_single_shuffle(spark):
+    """Both window passes must share one user_id exchange."""
+    df = spark.createDataFrame(
+        [(1, "A", 10, 1)], "user_id long, state string, ts long, event_id long"
+    )
+    out = scd.scd2_history(df, "user_id", "state", "ts", ("event_id",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning exchange for the windows + the final range sort
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash == 1, f"expected one window exchange, got {n_hash}:\n{plan}"
+
+
+def test_key_skew_profile(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1],
+        "k string",
+    )
+    out = profiling.key_skew(df, ["k"], top_k=2).collect()
+    assert [(r.k, r.n_rows, r.share, r.rank, r.cum_share) for r in out] == [
+        ("a", 6, 0.6, 1, 0.6),
+        ("b", 3, 0.3, 2, 0.9),  # share denominators include the cut "c"
+    ]
