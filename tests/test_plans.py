@@ -220,3 +220,55 @@ def test_curated_scan_dynamic_partition_pruning(spark, curated_partitioned):
     assert "dynamicpruning" in plan.lower(), (
         "no dynamic partition pruning filter injected on the curated scan"
     )
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """At 100 TB a selective dim-filtered shuffle join should inject a
+    runtime bloom filter on the fact side (rows failing might_contain
+    drop BEFORE the shuffle). The 10 GB application-side scan threshold
+    keeps it out of small local runs, so the test lowers that one to
+    prove the engine's plan shape actually activates. (The creation-side
+    threshold is a MAX — the dim side must be small — so it stays at its
+    default.)"""
+    from pyspark.sql import functions as F
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 1000).alias("k"), F.rand(7).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("cat")
+    ).write.parquet(dim_p)
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "1b"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("cat") == 3)
+        joined = fact.join(dim, "k").groupBy("cat").count()
+        plan = formatted_plan(joined)
+        assert "might_contain" in plan, (
+            "no runtime bloom filter injected on the fact scan side"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
