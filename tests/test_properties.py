@@ -100,3 +100,43 @@ def test_jaccard_bounds_and_exact_dup_is_one(spark, texts):
     if texts[0].strip():
         match = [p for p in pairs if p.doc_id_a == 0 and p.doc_id_b == len(texts)]
         assert match and match[0].jaccard == 1.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 25), st.integers(1, 25)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_match_union_find(spark, edges):
+    """The recursive contraction must agree with a reference union-find
+    on arbitrary graphs (chains, cliques, forests, multi-edges)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    got = {
+        r.node_id: r.component_id for r in graph.connected_components(df).collect()
+    }
+    assert got == expected
