@@ -584,6 +584,48 @@ def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE gap-based session operator (F.session_window, the
+    declarative form Structured Streaming shares) pinned against the
+    classic LAG-flag SQL sessionization in the oracle: same 12 h gap as
+    the manual `sessionization` row, so the two formulations cross-check.
+    session_window end = last event + gap by definition; epochs surface
+    as micros for encoding independence."""
+    ev = _events_ts(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts_utc", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON via Spark 4 VariantType: parse_json once into the binary
+    variant encoding, typed try_variant_get extraction — the modern
+    engine path for semi-structured columns (vs the string-walking
+    get_json_object row events_json and the schema'd from_json row
+    events_json_struct; all three rollups agree)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("total_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token accounting: word tokens + symbol tokens per document
     (regex split, the standard cheap token-count proxy)."""
@@ -1463,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": q_scd2_user_state,
         "event_type_skew": q_event_type_skew,
         "quantile_gate": q_quantile_gate,
+        "session_window_rollup": q_session_window_rollup,
+        "events_variant": q_events_variant,
     }
 
 
@@ -1997,6 +2041,40 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(o_totalprice, 0.9) AS p90_exact,
                    TRUE AS quantile_ok
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        # LAG-flag sessionization expressing the SAME semantics as Spark's
+        # native session_window: end = last event + gap.
+        "session_window_rollup": """
+            WITH obs AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+            ), flagged AS (
+              SELECT user_id, ts_us,
+                     CASE WHEN ts_us - LAG(ts_us) OVER w > 43200000000
+                          OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), sess AS (
+              SELECT user_id, ts_us,
+                     SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts_us) AS session_start_us,
+                   MAX(ts_us) + 43200000000 AS session_end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_no
+            ORDER BY user_id, session_start_us
+        """,
+        "events_variant": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS total_k,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
+                     AS avg_k,
+                   ROUND(AVG(value), 2) AS avg_value
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "ann_cosine_topk": _ANN_SQL,
         "sessionization": _SESSION_SQL,

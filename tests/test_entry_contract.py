@@ -72,6 +72,8 @@ TAIL_KEYS = {
     "scd2_user_state": "test_spot_oracle_parity",
     "event_type_skew": "test_spot_oracle_parity",
     "quantile_gate": "test_spot_oracle_parity",
+    "session_window_rollup": "test_spot_oracle_parity",
+    "events_variant": "test_spot_oracle_parity",
 }
 
 
@@ -120,6 +122,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "scd2_user_state",
         "event_type_skew",
         "quantile_gate",
+        "session_window_rollup",
+        "events_variant",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
