@@ -626,6 +626,16 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_documents): 32-token windows,
+    8-token overlap — the corpus-to-batch step RAG indexes and
+    context-bounded training consume. Map-only with one Generate;
+    fan-out bounded at ceil(n/stride) rows per doc."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    )
+
+
 def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token accounting: word tokens + symbol tokens per document
     (regex split, the standard cheap token-count proxy)."""
@@ -1507,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_gate": q_quantile_gate,
         "session_window_rollup": q_session_window_rollup,
         "events_variant": q_events_variant,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2075,6 +2086,23 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_k,
                    ROUND(AVG(value), 2) AS avg_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # 32-token windows, stride 24 (= max - overlap); DuckDB list
+        # slices are 1-based inclusive, so t[s : s+31] is the 32-token
+        # window starting at s. // is integer division.
+        "doc_chunks": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     {_TOKENS.format(src="lower(text)")} AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 24 + 1 AS INT) AS chunk_id,
+                   CAST(len(t[s : s + 31]) AS INT) AS n_tokens,
+                   array_to_string(t[s : s + 31], ' ') AS chunk_text
+            FROM d CROSS JOIN UNNEST(generate_series(1, len(t), 24)) AS u(s)
+            WHERE len(t) > 0
+            ORDER BY doc_id, chunk_id
         """,
         "ann_cosine_topk": _ANN_SQL,
         "sessionization": _SESSION_SQL,

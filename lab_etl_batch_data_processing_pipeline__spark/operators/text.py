@@ -612,3 +612,52 @@ def pack_offsets(
             "seq_bin", F.floor(F.col("start_offset") / seq_len).cast("long")
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document into fixed-token
+    windows with ``overlap`` tokens of stride overlap — the step between
+    a cleaned corpus and an embedding/pretraining batch (RAG indexes and
+    context-bounded training both consume chunks, not documents).
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text), chunk_id counting
+    from 1; the final chunk may be short; empty documents produce no
+    chunks. Map-only: tokenization, window starts (one ``sequence`` per
+    doc), and slicing happen in a single projection with the token array
+    let-bound once (the _word_gram_array pattern — referencing the
+    tokenizer inside the per-window lambda would re-run it per window),
+    then one Generate (explode). Fan-out is ceil(n_tokens/stride) rows
+    per doc — bounded, and no shuffle at any size.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+    def chunks_of(t):
+        starts = F.when(
+            F.size(t) > 0, F.sequence(F.lit(1), F.size(t), F.lit(stride))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                (i + 1).cast("int").alias("chunk_id"),
+                F.size(F.slice(t, s, max_tokens)).alias("n_tokens"),
+                F.concat_ws(" ", F.slice(t, s, max_tokens)).alias("chunk_text"),
+            ),
+        )
+
+    bound = F.element_at(F.transform(F.array(toks), chunks_of), 1)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(bound).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text")
+        .orderBy("doc_id", "chunk_id")
+    )

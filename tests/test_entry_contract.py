@@ -74,6 +74,7 @@ TAIL_KEYS = {
     "quantile_gate": "test_spot_oracle_parity",
     "session_window_rollup": "test_spot_oracle_parity",
     "events_variant": "test_spot_oracle_parity",
+    "doc_chunks": "test_spot_oracle_parity",
 }
 
 
@@ -124,6 +125,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "quantile_gate",
         "session_window_rollup",
         "events_variant",
+        "doc_chunks",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -153,3 +153,33 @@ def test_pack_offsets_rejects_unachievable_bucket_count(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="256"):
         text.pack_offsets(docs, buckets=512)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """Window/stride semantics: chunks start every (max-overlap) tokens,
+    consecutive chunks share exactly `overlap` tokens, the tail chunk may
+    be short, and empty docs produce nothing."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, ""), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    out = text.chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens, r.chunk_text))
+    assert 2 not in by_doc  # empty doc -> no chunks
+    assert by_doc[3] == [(1, 2, "a b")]  # short doc -> single short chunk
+    assert by_doc[1] == [
+        (1, 4, "t0 t1 t2 t3"),
+        (2, 4, "t3 t4 t5 t6"),  # starts at 4 = 1 + (4-1): one-token overlap
+        (3, 4, "t6 t7 t8 t9"),
+        (4, 1, "t9"),           # tail
+    ]
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(docs, max_tokens=4, overlap=4)
