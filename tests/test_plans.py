@@ -272,3 +272,31 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_chunking_is_map_only(spark):
+    """chunk_documents must stay a projection + one Generate — no
+    exchange anywhere (the orderBy is the caller's, not the operator's)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = text.chunk_documents(docs, max_tokens=2, overlap=1)
+    # strip the terminal presentation sort before plan inspection
+    plan = formatted_plan(out.limit(10**9))
+    body = plan.split("Sort")[0]
+    assert "Generate" in plan
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_session_window_single_shuffle(spark):
+    """The native session_window aggregate: partial agg -> ONE user-key
+    hash exchange -> MergingSessions -> final agg (the only other
+    exchange is the terminal presentation sort's range partitioning)."""
+    plan = formatted_plan(
+        entrymod.queries()["session_window_rollup"](spark, SF)
+    )
+    assert "MergingSessions" in plan
+    hash_exchanges = [
+        l for l in plan.splitlines() if "hashpartitioning(" in l
+    ]
+    assert len(hash_exchanges) == 1 and "user_id" in hash_exchanges[0]
