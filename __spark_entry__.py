@@ -674,6 +674,21 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "ivf", tag)
 
 
+def _sweep_stale_cache(parent: str, keep: str) -> None:
+    """Best-effort removal of cache tags superseded by a newer testdata
+    generation of the SAME scale factor (the driver regenerates
+    /root/testdata between rounds, so mtime+size tags rotate and dead
+    dirs would otherwise accumulate forever — same hygiene as the Derby
+    cache sweep). Tags are '<sf>-<mtime>-<size>'; other SFs' caches are
+    live and stay."""
+    if not os.path.isdir(parent):
+        return
+    sf_prefix = keep.split("-", 1)[0] + "-"
+    for name in os.listdir(parent):
+        if name != keep and name.startswith(sf_prefix):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 source-layer parity, end-to-end: write a CSV copy of supplier
     (cached per testdata generation), read it back through the engine's
@@ -690,6 +705,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", "csv", tag
     )
+    _sweep_stale_cache(os.path.dirname(csv_dir), keep=tag)
     # A bare isdir check would treat an interrupted write as a valid cache
     # forever; Spark's _SUCCESS marker only exists for completed jobs.
     if not os.path.isfile(os.path.join(csv_dir, "_SUCCESS")):
@@ -718,6 +734,7 @@ def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", "curated", tag
     )
+    _sweep_stale_cache(os.path.dirname(out_dir), keep=tag)
     if not os.path.isfile(os.path.join(out_dir, "_SUCCESS")):
         curated = q_curated_join(spark, sf_dir).withColumn(
             "order_month", F.date_format("order_date", "yyyy-MM")
