@@ -626,6 +626,23 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-day revenue per order status via a RANGE
+    window frame over an integer day index (operators/windows.py
+    rolling_window_sum) — rows-frames silently stretch across date gaps;
+    range-frames are the correct calendar semantics. Daily pre-aggregate
+    first, so the frame slides over day-grain rows."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    return windows.rolling_window_sum(
+        _t(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "o_orderdate",
+        "o_totalprice",
+        window_days=7,
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (text.chunk_documents): 32-token windows,
     8-token overlap — the corpus-to-batch step RAG indexes and
@@ -1540,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_rollup": q_session_window_rollup,
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
     }
 
 
@@ -2108,6 +2126,28 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_k,
                    ROUND(AVG(value), 2) AS avg_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "rolling_revenue_7d": """
+            WITH daily AS (
+              SELECT o_orderstatus,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day_idx,
+                     CAST(o_orderdate AS DATE) AS day_date,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_amt,
+                     COUNT(*) AS day_rows
+              FROM orders GROUP BY 1, 2, 3
+            )
+            SELECT o_orderstatus,
+                   day_date,
+                   CAST(ROUND(day_amt, 2) AS DOUBLE) AS day_amount,
+                   CAST(day_rows AS BIGINT) AS day_rows,
+                   CAST(ROUND(SUM(day_amt) OVER w, 2) AS DOUBLE)
+                     AS rolling_amount,
+                   CAST(SUM(day_rows) OVER w AS BIGINT) AS rolling_rows
+            FROM daily
+            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day_idx
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY o_orderstatus, day_date
         """,
         # 32-token windows, stride 24 (= max - overlap); DuckDB list
         # slices are 1-based inclusive, so t[s : s+31] is the 32-token

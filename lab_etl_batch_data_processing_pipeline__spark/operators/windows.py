@@ -61,3 +61,56 @@ def zscore_normalize(
             F.when(std != 0.0, (F.col(value_col) - mean) / std), decimals
         ).alias("zscore"),
     )
+
+
+def rolling_window_sum(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    amount_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Calendar-aware rolling aggregates via a RANGE window frame:
+    per (key, day), the amount sum and row count over the trailing
+    ``window_days`` CALENDAR days — days with no rows still age out of
+    the frame, which a rowsBetween frame gets wrong (it counts ROWS, so
+    gaps silently stretch the window's time span).
+
+    Two windowed passes, one shuffle: a daily pre-aggregate first (the
+    range frame then slides over day-grain rows — at most one row per
+    (key, day), so frame evaluation is O(days), not O(orders)), then the
+    RANGE frame over the integer day index. Decimal sums keep every
+    frame total exact and parallelism-independent.
+    """
+    day = F.datediff(F.col(day_col).cast("date"), F.lit("1970-01-01").cast("date"))
+    daily = (
+        df.select(
+            F.col(key_col),
+            day.alias("day_idx"),
+            F.col(day_col).cast("date").alias("day_date"),
+            F.col(amount_col).cast("decimal(18,4)").alias("__amt"),
+        )
+        .groupBy(key_col, "day_idx", "day_date")
+        .agg(
+            F.sum("__amt").alias("__day_amt"),
+            F.count(F.lit(1)).alias("day_rows"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day_idx")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return (
+        daily.select(
+            F.col(key_col),
+            F.col("day_date"),
+            F.round(F.col("__day_amt"), 2).cast("double").alias("day_amount"),
+            F.col("day_rows"),
+            F.round(F.sum("__day_amt").over(w), 2)
+            .cast("double")
+            .alias("rolling_amount"),
+            F.sum("day_rows").over(w).alias("rolling_rows"),
+        )
+        .orderBy(key_col, "day_date")
+    )

@@ -75,6 +75,7 @@ TAIL_KEYS = {
     "session_window_rollup": "test_spot_oracle_parity",
     "events_variant": "test_spot_oracle_parity",
     "doc_chunks": "test_spot_oracle_parity",
+    "rolling_revenue_7d": "test_spot_oracle_parity",
 }
 
 
@@ -126,6 +127,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "session_window_rollup",
         "events_variant",
         "doc_chunks",
+        "rolling_revenue_7d",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -173,3 +173,26 @@ def test_repeat_rate_30_day_boundary_inclusive(spark):
     assert {str(r.month): r.repeat_customers for r in out} == {
         "2024-01-01": 1  # exactly 30 days apart counts as repeat
     }
+
+
+def test_rolling_range_frame_ages_out_calendar_gaps(spark):
+    """RANGE frames slide over calendar days: a day 10 days after the
+    last activity must NOT include it (a rowsBetween frame would — rows
+    frames stretch across date gaps)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    df = spark.createDataFrame(
+        [
+            ("A", "2024-01-01", 10.0),
+            ("A", "2024-01-03", 20.0),   # within 7d of the 1st
+            ("A", "2024-01-20", 40.0),   # 17 days later: alone in its frame
+        ],
+        "k string, d string, amt double",
+    )
+    out = {
+        str(r.day_date): (r.rolling_amount, r.rolling_rows)
+        for r in windows.rolling_window_sum(df, "k", "d", "amt", window_days=7).collect()
+    }
+    assert out["2024-01-01"] == (10.0, 1)
+    assert out["2024-01-03"] == (30.0, 2)
+    assert out["2024-01-20"] == (40.0, 1)  # old days aged out of the frame
