@@ -643,6 +643,64 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-upsert round-trip (sources.writers.upsert_parquet): write
+    orders month-partitioned, upsert a batch that bumps 1995-03 prices
+    by 10% (exact decimal arithmetic), read the dataset back and roll it
+    up per month. The DuckDB oracle computes the post-upsert state
+    straight from the base table, so a merge bug — lost update, replay
+    duplication, wrong-partition rewrite — hash-mismatches. Cached per
+    testdata generation with a completion marker; the upsert itself is
+    replay-idempotent (pinned in tests)."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        upsert_parquet,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
+    ds_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "upsert", tag
+    )
+    _sweep_stale_cache(os.path.dirname(ds_dir), keep=tag)
+    marker = os.path.join(ds_dir, "_UPSERT_DONE")
+    if not os.path.isfile(marker):
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),
+            F.lit(0).alias("version"),
+        )
+        upsert_parquet(
+            spark, ds_dir, base, ["o_orderkey"], "version",
+            partition_by=["order_month"],
+        )
+        updates = base.filter(F.col("order_month") == "1995-03").select(
+            "o_orderkey",
+            "order_month",
+            (F.col("amount") * F.lit("1.10").cast("decimal(3,2)"))
+            .cast("decimal(18,4)")
+            .alias("amount"),
+            F.lit(1).alias("version"),
+        )
+        upsert_parquet(
+            spark, ds_dir, updates, ["o_orderkey"], "version",
+            partition_by=["order_month"],
+        )
+        open(marker, "w").close()
+    return (
+        spark.read.parquet(ds_dir)
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("amount"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (text.chunk_documents): 32-token windows,
     8-token overlap — the corpus-to-batch step RAG indexes and
@@ -1558,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
+        "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
     }
 
 
@@ -2126,6 +2185,26 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_k,
                    ROUND(AVG(value), 2) AS avg_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # Post-upsert state computed straight from the base table: 1995-03
+        # amounts bumped 10% in exact decimal (cent-scale values x 1.10
+        # have at most 3 fractional digits, so the DECIMAL(18,4) cast is
+        # exact on both engines — no rounding-mode divergence possible).
+        "parquet_upsert_roundtrip": """
+            WITH upserted AS (
+              SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+                     CASE WHEN strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                               = '1995-03'
+                          THEN CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                                    * CAST(1.10 AS DECIMAL(3,2))
+                                    AS DECIMAL(18,4))
+                          ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS amount
+              FROM orders
+            )
+            SELECT order_month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS revenue
+            FROM upserted GROUP BY 1 ORDER BY 1
         """,
         "rolling_revenue_7d": """
             WITH daily AS (

@@ -76,6 +76,7 @@ TAIL_KEYS = {
     "events_variant": "test_spot_oracle_parity",
     "doc_chunks": "test_spot_oracle_parity",
     "rolling_revenue_7d": "test_spot_oracle_parity",
+    "parquet_upsert_roundtrip": "test_spot_oracle_parity",
 }
 
 
@@ -128,6 +129,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "events_variant",
         "doc_chunks",
         "rolling_revenue_7d",
+        "parquet_upsert_roundtrip",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -703,3 +703,50 @@ def test_streaming_event_counts_append_mode_watermark_eviction(spark, tmp_path):
     # the dropped 10:03 must not resurrect w1 as a count-1 re-emission,
     # and [10:40,10:50) is never finalized -> never emitted in append mode
     assert len(out) == len(got), "a window was emitted more than once"
+
+
+def test_upsert_parquet_is_idempotent_and_partition_scoped(spark, tmp_path):
+    """Key-upsert semantics: latest version wins, replaying the same
+    batch changes nothing (the reference's append-on-rerun duplication
+    class), untouched partitions' files are not rewritten."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01", 10.0, 0),
+            (2, "2024-01", 20.0, 0),
+            (3, "2024-02", 30.0, 0),
+        ],
+        "id long, month string, amount double, version int",
+    )
+    upsert_parquet(spark, path, base, ["id"], "version", partition_by=["month"])
+    feb_files = sorted(os.listdir(os.path.join(path, "month=2024-02")))
+
+    updates = spark.createDataFrame(
+        [(1, "2024-01", 11.0, 1), (4, "2024-01", 40.0, 1)],
+        "id long, month string, amount double, version int",
+    )
+    upsert_parquet(spark, path, updates, ["id"], "version", partition_by=["month"])
+    got = {
+        r.id: (r.month, r.amount, r.version)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("2024-01", 11.0, 1),   # updated
+        2: ("2024-01", 20.0, 0),   # untouched key in touched partition
+        3: ("2024-02", 30.0, 0),   # untouched partition
+        4: ("2024-01", 40.0, 1),   # inserted
+    }
+    # untouched partition was not rewritten (same files on disk)
+    assert sorted(os.listdir(os.path.join(path, "month=2024-02"))) == feb_files
+
+    # replaying the identical batch is a no-op on the data
+    upsert_parquet(spark, path, updates, ["id"], "version", partition_by=["month"])
+    again = {
+        r.id: (r.month, r.amount, r.version)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
