@@ -23,7 +23,31 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> None:
+    """Parquet sink with optional data-skipping layout control.
+
+    Parquet min/max stats only prune files/row groups when values are
+    CLUSTERED; a shuffled write leaves every file spanning the full key
+    range, so predicates scan everything. Two layout knobs:
+
+    - ``cluster_by``: range-repartition on the keys then sort within
+      each output task (the CLUSTER BY of warehouse DDL) — one extra
+      shuffle at write time buys file-level range disjointness, so a
+      point/range predicate skips whole files at read time. The receipt
+      (tests/test_sources_multimodal_streaming.py) reads footer stats
+      and asserts per-row-group ranges are narrow slices of the domain.
+    - ``sort_by``: sortWithinPartitions only (shuffle-free) — use when
+      the frame is already partitioned usefully (e.g. post-aggregate)
+      and only intra-file row-group ordering is wanted.
+
+    At 100 TB this is the difference between scanning a file and
+    skipping it."""
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    elif sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -750,3 +750,55 @@ def test_upsert_parquet_is_idempotent_and_partition_scoped(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_sorted_write_produces_prunable_row_groups(spark, tmp_path):
+    """write_parquet(cluster_by=...) must yield files/row groups whose
+    min/max stats cover narrow disjoint slices of the key domain —
+    that's what lets a point/range predicate skip them entirely at scan
+    time. An unsorted shuffled write gives near-full-range stats."""
+    import pyarrow.parquet as pq
+
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        write_parquet,
+    )
+
+    df = (
+        spark.range(200_000)
+        .selectExpr("pmod(hash(id), 100000) AS k", "id AS v")
+        .repartition(2)
+    )
+    sorted_p = str(tmp_path / "sorted")
+    unsorted_p = str(tmp_path / "unsorted")
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        # at test scale AQE coalesces the tiny range shuffle to ONE
+        # partition (correct at 200k rows; at real scale there are many)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        write_parquet(df, sorted_p, cluster_by=["k"])
+        write_parquet(df, unsorted_p)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+    def ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # k
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    def coverage(rs):
+        # mean fraction of the full key range each row group spans
+        return sum(mx - mn for mn, mx in rs) / (len(rs) * 100_000)
+
+    sorted_rs, unsorted_rs = ranges(sorted_p), ranges(unsorted_p)
+    assert len(sorted_rs) >= 2
+    # sorted: each row group covers a narrow slice; unsorted: nearly all
+    assert coverage(sorted_rs) < 0.6 * coverage(unsorted_rs), (
+        sorted_rs,
+        unsorted_rs,
+    )
