@@ -1529,10 +1529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       rows-only — recall-gated vs the oracle-checked exact funnel in
       tests/test_text_dedup.py.
     - scd2_user_state / event_type_skew / quantile_gate /
-      session_window_rollup / events_variant / doc_chunks: born in the
-      tail r6 (the window was already full); each has full DuckDB
-      parity via test_spot_oracle_parity and is first in line for the
-      r7 window rotation.
+      session_window_rollup / events_variant / doc_chunks /
+      rolling_revenue_7d / parquet_upsert_roundtrip: born in the tail
+      r6 (the window was already full); each has full DuckDB parity via
+      test_spot_oracle_parity and is first in line for the r7 window
+      rotation.
 
     tests/test_entry_contract.py::TAIL_KEYS is the enforced source of
     truth for this split.
