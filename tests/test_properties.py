@@ -140,3 +140,73 @@ def test_connected_components_match_union_find(spark, edges):
         r.node_id: r.component_id for r in graph.connected_components(df).collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),                 # user
+            st.sampled_from(["A", "B", "C"]),  # state
+            st.integers(0, 50),                # ts
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_matches_python_reference(spark, rows):
+    """SCD2 compression must agree with a sequential reference: dedupe
+    consecutive states per user (ordered by ts with a monotonic
+    tiebreaker), close each version at the next change."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    data = [(u, s, t, i) for i, (u, s, t) in enumerate(rows)]
+    expected = []
+    by_user = {}
+    for u, s, t, i in sorted(data, key=lambda r: (r[0], r[2], r[3])):
+        by_user.setdefault(u, []).append((s, t))
+    for u, seq in by_user.items():
+        changes = [seq[0]] + [
+            cur for prev, cur in zip(seq, seq[1:]) if cur[0] != prev[0]
+        ]
+        for v, ((s, t), nxt) in enumerate(zip(changes, changes[1:] + [None])):
+            expected.append(
+                (u, s, t, nxt[1] if nxt else None, v + 1, nxt is None)
+            )
+
+    df = spark.createDataFrame(
+        data, "user_id long, state string, ts long, event_id long"
+    )
+    got = [
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in scd.scd2_history(df, "user_id", "state", "ts", ("event_id",)).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+@given(
+    n_tokens=st.integers(0, 60),
+    max_tokens=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_reconstructs_token_stream(spark, n_tokens, max_tokens, overlap):
+    """Dropping the first `overlap` tokens of every chunk after the
+    first must reconstruct the document's token stream exactly — the
+    invariant that makes overlapped chunks safe to detokenize/join."""
+    from hypothesis import assume
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text
+
+    assume(overlap < max_tokens)
+    tokens = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(tokens))], "doc_id long, text string")
+    chunks = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in text.chunk_documents(df, max_tokens, overlap).collect()
+    )
+    rebuilt = []
+    for cid, chunk_text in chunks:
+        toks = chunk_text.split(" ") if chunk_text else []
+        rebuilt.extend(toks if cid == 1 else toks[overlap:])
+    assert rebuilt == tokens
