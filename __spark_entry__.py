@@ -531,7 +531,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_fuzzy.jaccard_near_dups(
         _t(spark, sf_dir, "documents"), threshold=0.6, sort=False
     )
-    return graph.connected_components(pairs)
+    # the pair generator emits each undirected pair once (a < b), so the
+    # edge-dedup shuffle is skippable (see connected_components)
+    return graph.connected_components(pairs, assume_unique_pairs=True)
 
 
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:

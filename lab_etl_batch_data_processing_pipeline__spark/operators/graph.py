@@ -48,6 +48,7 @@ def connected_components(
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_iter: int = 20,
+    assume_unique_pairs: bool = False,
 ) -> DataFrame:
     """Resolve the connected components of an undirected pair list.
 
@@ -55,24 +56,30 @@ def connected_components(
     where component_id is the MINIMUM node id in the component — a
     deterministic canonical label, so downstream "keep the canonical
     doc" decisions are reproducible at any parallelism.
+
+    ``assume_unique_pairs=True`` skips the edge-dedup shuffle — correct
+    whenever the input emits each undirected pair once with src < dst
+    (every pair generator in this engine does). Duplicate edges would
+    not change the RESULT either way (min-propagation is idempotent);
+    the distinct only bounds per-round join fan-out when the caller may
+    pass repeats, so it is pure overhead — a full shuffle of the
+    edge-scale frame — on an already-unique pair stream.
     """
     # Symmetrize with ONE pass over the pair pipeline: a union of two
     # selects would execute the (possibly expensive) pair-generating
     # subtree twice — Spark does not dedupe common subtrees across union
     # branches. explode(array(fwd, rev)) reads each pair once.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .distinct()
-        .persist()
-    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    if not assume_unique_pairs:
+        edges = edges.distinct()
+    edges = edges.persist()
     try:
         return _resolve(edges, max_iter).orderBy("node_id")
     finally:
