@@ -838,3 +838,27 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
     run_once()   # restart from the checkpoint: must NOT re-emit a.csv
     rows = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
     assert rows == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_upsert_parquet_partition_migration_caveat_is_real(spark, tmp_path):
+    """Documents (and pins) the stated caveat: a key whose PARTITION
+    VALUE changes in an update leaves its old row in the old partition —
+    partition-scoped upserts cannot see rows outside the touched
+    partitions. If this test starts failing, the caveat docs must change
+    too."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0, 0)], "id long, month string, amount double, version int"
+    )
+    upsert_parquet(spark, path, base, ["id"], "version", partition_by=["month"])
+    moved = spark.createDataFrame(
+        [(1, "2024-02", 11.0, 1)], "id long, month string, amount double, version int"
+    )
+    upsert_parquet(spark, path, moved, ["id"], "version", partition_by=["month"])
+    rows = sorted((r.id, r.month, r.version) for r in spark.read.parquet(path).collect())
+    # both versions exist — the old partition's row survives (the caveat)
+    assert rows == [(1, "2024-01", 0), (1, "2024-02", 1)]
