@@ -645,6 +645,32 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-batch pipeline — the north-star composition:
+    corpus funnel (quality gate -> exact dedup -> near-dup removal) ->
+    context-window chunking (32 tokens, 8 overlap) -> sequence packing
+    (512-token bins via the two-phase distributed prefix sum). Every
+    stage is an already-oracle-checked operator; this row hash-checks
+    their COMPOSITION, so a survivor-set, chunk-boundary, or offset
+    regression anywhere in the chain surfaces here even if each unit row
+    stays green. chunk_key = doc_id*1000 + chunk_id (chunk counts are
+     3 digits at these chunk sizes)."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    corpus = corpus_prep(
+        _t(spark, sf_dir, "documents"), min_quality=0.7, jaccard_threshold=0.5
+    )
+    chunks = text.chunk_documents(corpus, max_tokens=32, overlap=8)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "chunk_text",
+    )
+    return (
+        text.pack_offsets(keyed, seq_len=512, id_col="chunk_key", text_col="chunk_text")
+        .withColumnRenamed("doc_id", "chunk_key")
+    )
+
+
 def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-upsert round-trip (sources.writers.upsert_parquet): write
     orders month-partitioned, upsert a batch that bumps 1995-03 prices
@@ -1620,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
+        "training_batches": q_training_batches,
     }
 
 
@@ -1945,6 +1972,37 @@ ORDER BY doc_id
 """
 
 
+# North-star composition: the corpus funnel's survivors, chunked into
+# 32-token windows (stride 24), packed onto a 512-token axis — the same
+# CTE chain the Spark side composes from corpus_prep + chunk_documents +
+# pack_offsets, so a regression anywhere in the chain hash-mismatches.
+_TRAINING_BATCHES_SQL = f"""
+WITH survivors AS ({_CORPUS_PREP_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKENS.format(src="lower(text)")} AS t FROM survivors
+),
+chunks AS (
+  SELECT doc_id * 1000 + ((s - 1) // 24 + 1) AS chunk_key,
+         len(t[s : s + 31]) AS n_tokens
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(t), 24)) AS u(s)
+  WHERE len(t) > 0
+),
+d AS (
+  SELECT chunk_key, n_tokens,
+         md5(CAST(chunk_key AS VARCHAR)) AS sort_key
+  FROM chunks
+)
+SELECT CAST(chunk_key AS BIGINT) AS chunk_key,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS start_offset,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER w, 0) / 512) AS BIGINT) AS seq_bin
+FROM d
+WINDOW w AS (ORDER BY sort_key, chunk_key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+ORDER BY chunk_key
+"""
+
+
 # Portable MinHash-LSH twin (operators/dedup_fuzzy.py): same md5-derived
 # 31-bit base hash, same inlined (a_i, b_i) universal-hash family, same
 # md5 band buckets — signatures and est_jaccard match bit-for-bit.
@@ -2109,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_jaccard": _JACCARD_DEGREE_SQL,
         "near_dup_clusters": _CC_SQL,
+        "training_batches": _TRAINING_BATCHES_SQL,
         "scd2_user_state": """
             WITH obs AS (
               SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id

@@ -77,6 +77,7 @@ TAIL_KEYS = {
     "doc_chunks": "test_spot_oracle_parity",
     "rolling_revenue_7d": "test_spot_oracle_parity",
     "parquet_upsert_roundtrip": "test_spot_oracle_parity",
+    "training_batches": "test_spot_oracle_parity",
 }
 
 
@@ -130,6 +131,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "doc_chunks",
         "rolling_revenue_7d",
         "parquet_upsert_roundtrip",
+        "training_batches",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
