@@ -660,15 +660,22 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_prep(
         _t(spark, sf_dir, "documents"), min_quality=0.7, jaccard_threshold=0.5
     )
-    chunks = text.chunk_documents(corpus, max_tokens=32, overlap=8)
+    # sort=False + an EAGER localCheckpoint: the packer's plan references
+    # the chunk stream in multiple subtrees (in-bucket windows, bucket
+    # totals, offsets join), and within one job those subtrees race to
+    # populate a lazy cache — each re-executing the whole funnel
+    # (measured 34 s vs ~15 s single-pass at sf0.1). Checkpointing the
+    # chunk-key frame (tiny: two columns, chunk-count rows) runs the
+    # funnel exactly once and truncates its lineage out of pack's plan;
+    # the checkpoint blocks are GC'd with the returned frame.
+    chunks = text.chunk_documents(corpus, max_tokens=32, overlap=8, sort=False)
     keyed = chunks.select(
         (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
         "chunk_text",
-    )
-    return (
-        text.pack_offsets(keyed, seq_len=512, id_col="chunk_key", text_col="chunk_text")
-        .withColumnRenamed("doc_id", "chunk_key")
-    )
+    ).localCheckpoint()
+    return text.pack_offsets(
+        keyed, seq_len=512, id_col="chunk_key", text_col="chunk_text"
+    ).withColumnRenamed("doc_id", "chunk_key")
 
 
 def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

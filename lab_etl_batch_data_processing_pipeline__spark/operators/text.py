@@ -620,6 +620,7 @@ def chunk_documents(
     overlap: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sort: bool = True,
 ) -> DataFrame:
     """Context-window chunking: split each document into fixed-token
     windows with ``overlap`` tokens of stride overlap — the step between
@@ -656,8 +657,10 @@ def chunk_documents(
         )
 
     bound = F.element_at(F.transform(F.array(toks), chunks_of), 1)
-    return (
-        documents.select(F.col(id_col).alias("doc_id"), F.explode(bound).alias("c"))
-        .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text")
-        .orderBy("doc_id", "chunk_id")
-    )
+    out = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(bound).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text")
+    # sort=False for pipeline use: a mid-pipeline orderBy range-samples
+    # its child, re-executing the (possibly expensive) upstream once
+    # more just to pick sort boundaries — the jaccard_near_dups lesson
+    return out.orderBy("doc_id", "chunk_id") if sort else out
