@@ -645,6 +645,30 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_WEIGHTS = {"src0": 5.0, "src1": 4.0, "src2": 3.0, "src3": 2.0, "src4": 1.0}
+
+
+def q_corpus_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixing — the production form of corpus_mixture:
+    explicit per-source target shares of the 60k-token budget
+    (5:4:3:2:1 over five sources; everything else weight 0 and
+    excluded). Same deterministic md5-Bernoulli keep decision, so the
+    summary is bit-stable across engines and cluster sizes."""
+    sampled = text.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=60_000,
+        weights=MIXTURE_WEIGHTS,
+    )
+    return (
+        sampled.groupBy("source", "keep_thresh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-batch pipeline — the north-star composition:
     corpus funnel (quality gate -> exact dedup -> near-dup removal) ->
@@ -1654,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
         "training_batches": q_training_batches,
+        "corpus_mixture_weighted": q_corpus_mixture_weighted,
     }
 
 
@@ -2834,6 +2859,34 @@ def oracle_sql() -> dict[str, str]:
                           (60000.0 / (COUNT(*) OVER ())) / source_tokens)
                           * 65536) AS BIGINT) AS keep_thresh
               FROM s
+            )
+            SELECT d.source, s2.keep_thresh,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_kept
+            FROM d JOIN s2 USING (source)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  < s2.keep_thresh
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        # Weighted-mixing twin: same share arithmetic in the same IEEE
+        # operation order (budget * (w/total) / source_tokens), weights
+        # inlined as a VALUES dim; unweighted sources drop via the join.
+        "corpus_mixture_weighted": f"""
+            WITH w(source, wt) AS (VALUES {", ".join(
+                f"('{k}', {v})" for k, v in MIXTURE_WEIGHTS.items()
+            )}),
+            d AS (
+              SELECT doc_id, source,
+                     len({_TOKENS.format(src="lower(text)")}) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT source, SUM(n_tokens) AS source_tokens FROM d GROUP BY 1
+            ), s2 AS (
+              SELECT source,
+                     CAST(FLOOR(LEAST(1.0,
+                          (60000.0 * (wt / {float(sum(MIXTURE_WEIGHTS.values()))}))
+                          / source_tokens) * 65536) AS BIGINT) AS keep_thresh
+              FROM s JOIN w USING (source)
             )
             SELECT d.source, s2.keep_thresh,
                    CAST(COUNT(*) AS BIGINT) AS n_docs_kept,

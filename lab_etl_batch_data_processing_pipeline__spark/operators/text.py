@@ -465,12 +465,17 @@ def mixture_sample(
     text_col: str = "text",
     source_col: str = "source",
     salt: str = "",
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Token-budget mixture sampling: equalize sources under a global
-    token budget via deterministic hash-Bernoulli downsampling.
+    """Token-budget mixture sampling: divide a global token budget
+    across sources via deterministic hash-Bernoulli downsampling.
 
-    The classic pre-training "data mixing" step: each source gets an
-    equal share ``budget_tokens / n_sources``; a source whose corpus
+    The classic pre-training "data mixing" step. ``weights`` sets each
+    source's target share of the budget (``budget * w_s / sum(w)``) —
+    the production form, where web/code/reference corpora get tuned
+    proportions; a source missing from the dict gets weight 0 and is
+    excluded entirely. With ``weights=None`` each source gets an equal
+    share ``budget_tokens / n_sources``; a source whose corpus
     exceeds its share is downsampled at rate ``share / source_tokens``
     (capped at 1.0 — under-represented sources pass through whole; this
     samples, it does not upsample). The keep decision reuses
@@ -508,12 +513,20 @@ def mixture_sample(
     )
     # Single-partition window over the SOURCE DIMENSION (n_sources rows),
     # not the corpus — the cheap way to divide the budget without a
-    # driver-side collect.
-    n_sources = F.count(F.lit(1)).over(Window.partitionBy())
-    rate = F.least(
-        F.lit(1.0),
-        (F.lit(float(budget_tokens)) / n_sources) / F.col("source_tokens"),
-    )
+    # driver-side collect. With explicit weights the share is a pure
+    # literal expression (total weight is a Python-side constant).
+    if weights is not None:
+        total_w = float(sum(weights.values()))
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        share = F.lit(float(budget_tokens)) * (
+            F.coalesce(wmap[F.col("source")], F.lit(0.0)) / F.lit(total_w)
+        )
+    else:
+        n_sources = F.count(F.lit(1)).over(Window.partitionBy())
+        share = F.lit(float(budget_tokens)) / n_sources
+    rate = F.least(F.lit(1.0), share / F.col("source_tokens"))
     thresholds = per_source.select(
         "source",
         "source_tokens",

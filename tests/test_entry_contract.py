@@ -78,6 +78,7 @@ TAIL_KEYS = {
     "rolling_revenue_7d": "test_spot_oracle_parity",
     "parquet_upsert_roundtrip": "test_spot_oracle_parity",
     "training_batches": "test_spot_oracle_parity",
+    "corpus_mixture_weighted": "test_spot_oracle_parity",
 }
 
 
@@ -132,6 +133,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "rolling_revenue_7d",
         "parquet_upsert_roundtrip",
         "training_batches",
+        "corpus_mixture_weighted",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

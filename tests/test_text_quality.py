@@ -183,3 +183,30 @@ def test_chunk_documents_validates_overlap(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="overlap"):
         text.chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_mixture_sample_explicit_weights(spark):
+    """Weighted mixing: shares follow the weight dict, an absent source
+    is excluded, and an under-budget weighted source passes through."""
+    rows = (
+        [(i, "web", "tok " * 100) for i in range(40)]       # 4000 tokens
+        + [(100 + i, "code", "tok " * 100) for i in range(40)]  # 4000 tokens
+        + [(200 + i, "junk", "tok " * 10) for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = text.mixture_sample(
+        docs, budget_tokens=4000, weights={"web": 3.0, "code": 1.0}
+    ).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    assert "junk" not in by_source  # weight 0 -> excluded
+    # web share = 3000/4000 -> thresh floor(0.75*65536); code = 1000/4000
+    assert all(r.keep_thresh == 49152 for r in by_source["web"])
+    assert all(r.keep_thresh == 16384 for r in by_source["code"])
+    assert len(by_source["web"]) > len(by_source["code"])
+    # deterministic on re-run
+    out2 = text.mixture_sample(
+        docs, budget_tokens=4000, weights={"web": 3.0, "code": 1.0}
+    ).collect()
+    assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
