@@ -1589,8 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tests/test_text_dedup.py.
     - scd2_user_state / event_type_skew / quantile_gate /
       session_window_rollup / events_variant / doc_chunks /
-      rolling_revenue_7d / parquet_upsert_roundtrip: born in the tail
-      r6 (the window was already full); each has full DuckDB parity via
+      rolling_revenue_7d / parquet_upsert_roundtrip / training_batches /
+      corpus_mixture_weighted: born in the tail r6 (the window was
+      already full); each has full DuckDB parity via
       test_spot_oracle_parity and is first in line for the r7 window
       rotation.
 
