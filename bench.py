@@ -1,9 +1,15 @@
 """Benchmark harness: times every headline query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
-  {"metric": "...", "value": <total query sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>, "startup_sec": ...}
+Output contract (the driver captures a bounded TAIL of stdout, so the
+FINAL line must always fit — r6's single 1000+-char line got clipped
+and the round total was lost):
+  1. the FULL payload (incl. the per-query timing map) is written to
+     the sidecar file BENCH_FULL.json next to this script and echoed
+     to stderr, then
+  2. stdout gets EXACTLY ONE compact (<300 char) JSON line:
+     {"metric", "value", "unit", "sf", "startup_sec", "n_queries",
+      "n_errors", "queries_file"} — always fits any tail buffer.
 
 Each query is materialized with the noop sink (full computation, no
 driver-side result transfer) so the number reflects engine work, not
@@ -121,7 +127,27 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    full_line = json.dumps(payload)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError as exc:
+        print(f"WARNING: could not write {sidecar}: {exc}", file=sys.stderr)
+    print(full_line, file=sys.stderr)
+    summary = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "startup_sec": round(startup, 3),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_file": "BENCH_FULL.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

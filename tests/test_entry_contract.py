@@ -68,17 +68,26 @@ TAIL_KEYS = {
     # from the corpus_prep oracle row, routing + recall pinned by
     # tests/test_text_dedup.py::test_corpus_prep_dense_routing*
     "corpus_prep_auto": "tests/test_text_dedup.py dense-routing + recall tests",
-    # born in the tail r6 (window full); rotate into the window next round
-    "scd2_user_state": "test_spot_oracle_parity",
-    "event_type_skew": "test_spot_oracle_parity",
-    "quantile_gate": "test_spot_oracle_parity",
-    "session_window_rollup": "test_spot_oracle_parity",
-    "events_variant": "test_spot_oracle_parity",
-    "doc_chunks": "test_spot_oracle_parity",
-    "rolling_revenue_7d": "test_spot_oracle_parity",
-    "parquet_upsert_roundtrip": "test_spot_oracle_parity",
-    "training_batches": "test_spot_oracle_parity",
-    "corpus_mixture_weighted": "test_spot_oracle_parity",
+    # rotated out r7 after multiple driver-green rounds (r5/r6 or r1-r6)
+    # to give the r6-born operators + training_mix their driver rounds:
+    "csv_roundtrip": "test_spot_oracle_parity",
+    "jdbc_roundtrip": "test_spot_oracle_parity",
+    "date_normalize": "test_spot_oracle_parity",
+    "currency_convert": "test_spot_oracle_parity",
+    "csv_single_file": "test_spot_oracle_parity",
+    "metric_sql_view": "test_spot_oracle_parity",
+    "corpus_splits": "test_spot_oracle_parity",
+    "user_engagement": "test_spot_oracle_parity",
+    "label_centroids": "test_spot_oracle_parity",
+    "running_totals": "test_spot_oracle_parity",
+    "salted_status_agg": "test_spot_oracle_parity",
+    # rows-only by necessity: testdata ships no media table, so the query
+    # synthesizes one from the golden fixtures; correctness is pinned by
+    # the golden decode/resample tests.
+    "multimodal_features": (
+        "tests/test_sources_multimodal_streaming.py golden decode tests"
+        " + tests/test_media_synth.py"
+    ),
 }
 
 
@@ -124,25 +133,33 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_by_weekday",
         "revenue_cube",
         "orders_shipped_7d",
-        "scd2_user_state",
-        "event_type_skew",
-        "quantile_gate",
-        "session_window_rollup",
-        "events_variant",
-        "doc_chunks",
-        "rolling_revenue_7d",
-        "parquet_upsert_roundtrip",
-        "training_batches",
-        "corpus_mixture_weighted",
+        "csv_roundtrip",
+        "jdbc_roundtrip",
+        "date_normalize",
+        "currency_convert",
+        "csv_single_file",
+        "metric_sql_view",
+        "corpus_splits",
+        "user_engagement",
+        "label_centroids",
+        "running_totals",
+        "salted_status_agg",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
+    # None-safe total order (NULLable columns, e.g. date_normalize's
+    # malformed->NULL dates, break bare tuple comparison)
+    def key(t):
+        return tuple(str(x) for x in t)
+
     sdf = entrymod.queries()[name](spark, SF)
     spark_rows = sorted(
-        tuple(row[c] for c in sorted(sdf.columns)) for row in sdf.collect()
+        (tuple(row[c] for c in sorted(sdf.columns)) for row in sdf.collect()),
+        key=key,
     )
     tbl = duck.execute(entrymod.oracle_sql()[name]).fetch_arrow_table()
     duck_rows = sorted(
-        tuple(r[c] for c in sorted(tbl.column_names)) for r in tbl.to_pylist()
+        (tuple(r[c] for c in sorted(tbl.column_names)) for r in tbl.to_pylist()),
+        key=key,
     )
     assert spark_rows == duck_rows
