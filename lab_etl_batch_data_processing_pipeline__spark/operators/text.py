@@ -517,6 +517,15 @@ def mixture_sample(
     # literal expression (total weight is a Python-side constant).
     if weights is not None:
         total_w = float(sum(weights.values()))
+        if total_w <= 0:
+            # share would be budget * (w / 0.0) -> NaN, and F.least(1.0,
+            # NaN) is 1.0 (Spark orders NaN above all doubles) — every
+            # source would be kept whole, the opposite of "weight 0 is
+            # excluded". Refuse loudly instead.
+            raise ValueError(
+                "mixture_sample: weights must sum to > 0 "
+                f"(got {total_w} from {len(weights)} entries)"
+            )
         wmap = F.create_map(
             *[F.lit(x) for kv in weights.items() for x in kv]
         )

@@ -48,3 +48,34 @@ def test_max_iter_bounds_work(spark):
 def test_dup_clusters_summary(spark):
     out = graph.dup_clusters(pairs_df(spark, [(1, 2), (2, 3), (5, 6)])).collect()
     assert [(r.component_id, r.n_docs) for r in out] == [(1, 3), (5, 2)]
+
+
+def test_first_level_tolerates_unbroadcastable_labels(spark, monkeypatch):
+    """The FIRST contraction level's label frame is node-count-sized —
+    unbounded at corpus scale — so it must never get the hard F.broadcast
+    hint (Spark obeys the hint regardless of size -> OOM instead of a
+    shuffle join). Recursive levels work on quotient-sized frames and
+    keep the hint. Pinned by counting hint calls through the operator."""
+    calls = []
+    real_broadcast = graph.F.broadcast
+
+    def counting_broadcast(df):
+        calls.append(df)
+        return real_broadcast(df)
+
+    monkeypatch.setattr(graph.F, "broadcast", counting_broadcast)
+
+    # Clique: converges at level 0. The quotient join is still BUILT
+    # (hint callable chosen before the convergence probe), so zero calls
+    # proves level 0 uses no hard hint at all.
+    cc = graph.connected_components(pairs_df(spark, [(1, 2), (1, 3), (2, 3)]))
+    got = {r.node_id: r.component_id for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert calls == [], "first contraction level must not hard-broadcast"
+
+    # Chain: needs a recursive (quotient-sized) level, which SHOULD hint.
+    edges = [(i, i + 1) for i in range(1, 8)]
+    cc = graph.connected_components(pairs_df(spark, edges))
+    got = {r.node_id: r.component_id for r in cc.collect()}
+    assert got == {i: 1 for i in range(1, 9)}
+    assert len(calls) >= 2, "recursive quotient levels should keep the hint"

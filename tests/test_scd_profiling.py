@@ -65,3 +65,33 @@ def test_key_skew_profile(spark):
         ("a", 6, 0.6, 1, 0.6),
         ("b", 3, 0.3, 2, 0.9),  # share denominators include the cut "c"
     ]
+
+
+def test_scd2_null_states_are_versions_not_dropped(spark):
+    """A NULL-state observation opens its own version (null-safe change
+    test); the following non-NULL row is a real change, and a repeat
+    after a NULL of the pre-NULL state is still a new version."""
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10, 100),
+            (1, None, 20, 101),   # NULL state: its own version
+            (1, None, 30, 102),   # repeat NULL: collapsed
+            (1, "A", 40, 103),    # back to A: new version, not a re-emit
+            # user 2 STARTS with NULL: first row kept by position
+            (2, None, 15, 104),
+            (2, "X", 25, 105),
+        ],
+        "user_id long, state string, ts long, event_id long",
+    )
+    out = scd.scd2_history(df, "user_id", "state", "ts", ("event_id",)).collect()
+    rows = [
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in out
+    ]
+    assert rows == [
+        (1, "A", 10, 20, 1, False),
+        (1, None, 20, 40, 2, False),
+        (1, "A", 40, None, 3, True),
+        (2, None, 15, 25, 1, False),
+        (2, "X", 25, None, 2, True),
+    ]

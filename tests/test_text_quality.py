@@ -210,3 +210,16 @@ def test_mixture_sample_explicit_weights(spark):
         docs, budget_tokens=4000, weights={"web": 3.0, "code": 1.0}
     ).collect()
     assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
+
+
+def test_mixture_sample_rejects_degenerate_weights(spark):
+    """weights={} / all-zero would make share = NaN and keep EVERYTHING
+    (Spark's least() orders NaN above all doubles) — refused loudly."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "web", "tok tok")], ["doc_id", "source", "text"]
+    )
+    for bad in ({}, {"web": 0.0}, {"web": 2.0, "code": -2.0}):
+        with pytest.raises(ValueError, match="weights must sum"):
+            text.mixture_sample(docs, budget_tokens=100, weights=bad)
