@@ -18,6 +18,7 @@ collect() serialization.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -34,6 +35,60 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Warm the SHARED codegen paths (vectorized parquet scan, hash aggregate,
+# exchanges, broadcast join, window, explode/higher-order functions) — a
+# small fixed subset, NOT the full registry, which would move every
+# query's first-compile cost out of its own timed window wholesale (the
+# r5 shape; see SCALE.md "Warm vs cold" for the measured A/B).
+WARM_KEYS = (
+    "avg_price_weekly",   # parquet scan + hash agg + exchange + sort
+    "curated_join",       # broadcast hash joins
+    "top_listings_topk",  # window function + rank filter
+    "doc_stats",          # text projection (regex + higher-order fns)
+    "token_frequencies",  # explode + aggregate
+    "minhash_near_dups",  # array fold + self equi-join
+)
+WARM_BUDGET_SEC = 20.0
+
+
+def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
+    """JVM/codegen warmup, honestly bounded (time-capped so warmup cost
+    can't silently grow with the registry). Codegen for plans the subset
+    doesn't cover stays in that query's timed number. Modes: 'subset'
+    (default), 'full' (r5-style whole-registry warm, for A/B), 'none'."""
+    # JIT spinup + the vectorized reader / hash-agg / exchange paths
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()\
+        .orderBy("r_regionkey").collect()
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_sf) or warm_mode == "none":
+        return
+    registry = entrymod.queries()
+    if warm_mode == "full":
+        try:
+            entrymod.prebuild_indexes(spark, warm_sf)
+        except Exception as exc:
+            print(f"WARNING: warmup prebuild failed: {exc}", file=sys.stderr)
+        warm_names = list(registry)
+        budget = float("inf")  # the A/B mode measures the r5 shape as-was
+    else:
+        warm_names = [k for k in WARM_KEYS if k in registry]
+        budget = WARM_BUDGET_SEC
+    warm_start = time.perf_counter()
+    for name in warm_names:
+        if time.perf_counter() - warm_start > budget:
+            print(
+                f"WARNING: warmup budget ({budget}s) hit at "
+                f"{name}; remaining plans compile in their timed runs",
+                file=sys.stderr,
+            )
+            break
+        try:
+            materialize(registry[name](spark, warm_sf))
+        except Exception as exc:
+            print(f"WARNING: warmup {name} failed: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -42,57 +97,7 @@ def main() -> None:
     t0 = time.perf_counter()
     spark = get_spark("lab-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JIT/codegen warmup so query 1 isn't taxed for JVM spinup: one trivial
-    # job, plus one tiny parquet scan + agg + sort to warm the vectorized
-    # reader, hash-aggregate and exchange codegen paths.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()\
-        .orderBy("r_regionkey").collect()
-    # Warm-JVM steady state, honestly bounded: warm the SHARED codegen
-    # paths (vectorized parquet scan, hash aggregate, exchanges,
-    # broadcast join, window, explode/higher-order functions) by running
-    # a small fixed subset of cheap queries at sf0.001 — NOT the full
-    # registry, which would move every query's first-compile cost out of
-    # its own timed window wholesale (the r5 shape; see SCALE.md
-    # "Warm vs cold" for the measured A/B). Codegen for plans the subset
-    # doesn't cover stays in that query's timed number. The loop is also
-    # time-capped so warmup cost can't silently grow with the registry.
-    # SPARK_GRAFT_WARM=none disables warmup (cold A/B), =full restores
-    # the full-registry r5 behavior for comparison.
-    WARM_KEYS = (
-        "avg_price_weekly",   # parquet scan + hash agg + exchange + sort
-        "curated_join",       # broadcast hash joins
-        "top_listings_topk",  # window function + rank filter
-        "doc_stats",          # text projection (regex + higher-order fns)
-        "token_frequencies",  # explode + aggregate
-        "minhash_near_dups",  # array fold + self equi-join
-    )
-    WARM_BUDGET_SEC = 20.0
-    warm_mode = os.environ.get("SPARK_GRAFT_WARM", "subset")
-    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_sf) and warm_mode != "none":
-        registry = entrymod.queries()
-        if warm_mode == "full":
-            try:
-                entrymod.prebuild_indexes(spark, warm_sf)
-            except Exception as exc:
-                print(f"WARNING: warmup prebuild failed: {exc}", file=sys.stderr)
-            warm_names = list(registry)
-        else:
-            warm_names = [k for k in WARM_KEYS if k in registry]
-        warm_start = time.perf_counter()
-        for name in warm_names:
-            if time.perf_counter() - warm_start > WARM_BUDGET_SEC:
-                print(
-                    f"WARNING: warmup budget ({WARM_BUDGET_SEC}s) hit at "
-                    f"{name}; remaining plans compile in their timed runs",
-                    file=sys.stderr,
-                )
-                break
-            try:
-                materialize(registry[name](spark, warm_sf))
-            except Exception as exc:
-                print(f"WARNING: warmup {name} failed: {exc}", file=sys.stderr)
+    warm_up(spark, sf_dir, os.environ.get("SPARK_GRAFT_WARM", "subset"))
     # Materialize the IVF ANN index if absent (an offline build job at
     # scale — the benched query is the probe path, matching how an IVF
     # index is actually operated). Counted in startup_sec, not query time.
@@ -109,6 +114,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
+        # Flush Python GC OUTSIDE the timed window: a gen-2 collection
+        # firing mid-query runs weakref finalizers for every dead frame
+        # accumulated since the last collection (cache unpersists, py4j
+        # detaches — thousands of JVM round-trips), randomly taxing
+        # whichever small query it lands in (observed: 0.8 s queries
+        # reading 5-6 s in-bench). Inter-query cleanup is not query work.
+        gc.collect()
         start = time.perf_counter()
         try:
             materialize(fn(spark, sf_dir))
