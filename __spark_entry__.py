@@ -381,6 +381,39 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(exact, approx, floor=0.8)
 
 
+def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k against a materialized PQ index
+    (similarity.cosine_topk_pq): the corpus scans as m=16 one-byte codes
+    (16 B/vector vs 256 B float32 — 16x less memory/bandwidth, the
+    billion-scale RAM lever), each pair scores via the per-query LUT,
+    and the top-100 PQ shortlist is exactly re-ranked. Rows-only check
+    (KMeans codebooks have no SQL oracle); quality is pinned by
+    ann_pq_recall below, mechanics by tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    p = _PQ_PARAMS
+    return similarity.cosine_topk_pq(
+        emb, _query_vectors(emb), k=5, m=p["m"], ksub=p["ksub"],
+        seed=p["seed"], rerank=p["rerank"], index_dir=_pq_index_dir(sf_dir),
+    )
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 floor (0.6) for the exact config q_ann_cosine_pq runs,
+    probing the same materialized index. Measured per-query recall with
+    the top-100 exact re-rank is 0.8-1.0 across sf0.001/0.01/0.1; the
+    PQ-only shortlist (no re-rank) sits at 0.2-0.8 on this fixture's
+    near-random embedding geometry — the re-rank stage is what makes PQ
+    production-usable, and this gate pins the composed pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = _ground_truth_topk(spark, sf_dir, k=5)
+    p = _PQ_PARAMS
+    approx = similarity.cosine_topk_pq(
+        emb, _query_vectors(emb), k=5, m=p["m"], ksub=p["ksub"],
+        seed=p["seed"], rerank=p["rerank"], index_dir=_pq_index_dir(sf_dir),
+    ).select("query_id", "neighbor_id")
+    return _ann_recall(exact, approx, floor=0.6)
+
+
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with the ts column normalized to TimestampType, whatever the
     parquet generation stored (nanos long, TIMESTAMP_NTZ micros, or an
@@ -890,6 +923,24 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "ivf", tag)
 
 
+_PQ_PARAMS = {"m": 16, "ksub": 32, "seed": 42, "rerank": 100}
+
+
+def _pq_index_dir(sf_dir: str) -> str:
+    """Repo-local cache dir for the materialized PQ index (codebooks +
+    encoded corpus) of one corpus — same keying contract as
+    _ivf_index_dir: sf name + source mtime/size + build parameters."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    p = _PQ_PARAMS
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+        f"-m{p['m']}-k{p['ksub']}-s{p['seed']}"
+    )
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "pq", tag)
+
+
 def _sweep_stale_cache(parent: str, keep: str) -> None:
     """Best-effort removal of cache tags superseded by a newer testdata
     generation of the SAME scale factor (the driver regenerates
@@ -1184,6 +1235,54 @@ def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("window_start_sec", "event_type")
 
 
+_USER_TOTALS_SINK_SEQ = [0]
+
+
+def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 CUSTOM stateful streaming operator, oracle-checked: file
+    source -> ``applyInPandasWithState`` running per-user event totals
+    (streaming/jobs.py streaming_user_totals: Arrow-batched, one long of
+    state per user, update output mode) -> memory sink, availableNow.
+    The counter is monotone, so the FINAL total per user is
+    max(total_events) over the update stream no matter how the bounded
+    replay slices into micro-batches — which is what makes a custom
+    state-store operator value-hash checkable against DuckDB's plain
+    GROUP BY count. Restart/checkpoint semantics of the same operator
+    are pinned in tests (test_stateful_streaming_totals_survive_restart).
+    At scale: state is hash-partitioned by user across executors and one
+    long per key, so the state store stays tiny at billions of users."""
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_user_totals,
+    )
+
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    totals = streaming_user_totals(stream, user_col="user_id")
+
+    _USER_TOTALS_SINK_SEQ[0] += 1
+    sink = f"stream_user_totals_{os.getpid()}_{_USER_TOTALS_SINK_SEQ[0]}"
+    query = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    prev = f"stream_user_totals_{os.getpid()}_{_USER_TOTALS_SINK_SEQ[0] - 1}"
+    spark.catalog.dropTempView(prev)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("total_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Materialize offline index structures (the IVF inverted file and
     the ANN ground-truth table) for ``sf_dir`` if absent, and sweep
@@ -1192,6 +1291,13 @@ def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
     probe/read."""
     sweep_stale_caches(sf_dir)
     _ground_truth_topk(spark, sf_dir, k=5)
+    pq_dir = _pq_index_dir(sf_dir)
+    if not os.path.isfile(os.path.join(pq_dir, "_BUILT")):
+        p = _PQ_PARAMS
+        similarity.build_pq_index(
+            _t(spark, sf_dir, "embeddings"), pq_dir,
+            m=p["m"], ksub=p["ksub"], seed=p["seed"],
+        )
     index_dir = _ivf_index_dir(sf_dir)
     # The _BUILT sentinel is written after BOTH index writes complete
     # (partitioned writes leave no root _SUCCESS under dynamic partition
@@ -1679,7 +1785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_features (rows-only: testdata ships no media table, so it
     synthesizes one deterministically — correctness pinned by the golden
     decode tests in tests/test_sources_multimodal_streaming.py and
-    tests/test_media_synth.py).
+    tests/test_media_synth.py), and the r7-born rows streaming_user_totals
+    (custom stateful operator), ann_pq_recall (product-quantization recall
+    gate) and ann_cosine_pq (rows-only PQ probe) — DuckDB parity via
+    test_spot_oracle_parity where an oracle exists; first in line for the
+    r8 rotation.
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born operators in, stable IO/metric rows out).
@@ -1768,6 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": q_running_totals,
         "salted_status_agg": q_salted_status_agg,
         "multimodal_features": q_multimodal_features,
+        "streaming_user_totals": q_streaming_user_totals,
+        "ann_cosine_pq": q_ann_cosine_pq,
+        "ann_pq_recall": q_ann_pq_recall,
     }
 
 
@@ -2338,6 +2451,12 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _CC_SQL,
         "training_batches": _TRAINING_BATCHES_SQL,
         "training_mix": _TRAINING_MIX_SQL,
+        # Stateful-streaming twin: the update-stream max of a monotone
+        # per-user counter equals the batch GROUP BY count.
+        "streaming_user_totals": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "scd2_user_state": """
             WITH obs AS (
               SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id
@@ -2865,6 +2984,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
         """,
         "ann_quantized_recall": f"""
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   TRUE AS recall_ok
+            FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
+        """,
+        "ann_pq_recall": f"""
             SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
                    TRUE AS recall_ok
             FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1

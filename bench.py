@@ -60,6 +60,15 @@ def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()\
         .orderBy("r_regionkey").collect()
+    # Python/Arrow worker-pool spinup (shared infrastructure for every
+    # Pandas-UDF/mapInPandas path, e.g. the multimodal decoders): one
+    # trivial identity mapInPandas forks the daemon + worker processes
+    # and opens the Arrow channels WITHOUT pre-running any registry
+    # query's own logic.
+    if warm_mode != "none":
+        spark.range(64).repartition(8).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_sf) or warm_mode == "none":
         return

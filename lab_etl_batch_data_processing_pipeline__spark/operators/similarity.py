@@ -633,3 +633,288 @@ def cosine_topk_pandas(
         .filter(F.col("sim_rank") <= k)
         .orderBy(query_id_col, "sim_rank")
     )
+
+
+def build_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 4,
+) -> DataFrame:
+    """Train product-quantization codebooks: returns (subspace, code,
+    centroid array<double>) — m * ksub rows, the only non-DataFrame-scale
+    state (like the IVF centroid table).
+
+    Vectors are L2-normalized and split into ``m`` contiguous subvectors
+    of dim/m dims; each subspace gets an independent KMeans codebook of
+    ``ksub`` centroids (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI'11 — public method). A PQ code is then m
+    bytes per vector vs 4*dim for float32: at dim=64/m=8 a 32x smaller
+    index, the memory lever that keeps billion-scale ANN in RAM.
+
+    The m fits scan one cached featurized projection (build-time only —
+    at scale this is an offline job, like build_ivf_index).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    norm = l2_norm(F.col(vec_col))
+    normalized = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    featurized = ensure_parallelism(corpus).select(
+        *[
+            array_to_vector(F.slice(normalized, j * dsub + 1, dsub)).alias(
+                f"__sub{j}"
+            )
+            for j in range(m)
+        ]
+    )
+    featurized.persist()
+    try:
+        rows = []
+        for j in range(m):
+            model = KMeans(
+                k=ksub, seed=seed + j, featuresCol=f"__sub{j}", maxIter=max_iter
+            ).fit(featurized)
+            rows += [
+                (j, c, [float(x) for x in cent])
+                for c, cent in enumerate(model.clusterCenters())
+            ]
+        return corpus.sparkSession.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        )
+    finally:
+        featurized.unpersist()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<tinyint>), codes[j] =
+    argmin_c ||subvec_j - centroid_{j,c}||.
+
+    Shape for scale: posexplode to (row, subspace) pairs, broadcast-join
+    the m*ksub codebook, min_by per (row, subspace), re-assemble with
+    array_agg ordered by subspace. Two hash shuffles keyed by (id,
+    subspace) — an offline encode job; queries touch only the m-byte
+    codes. argmin ties break toward the LOWER code id (deterministic at
+    any parallelism).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    dsub = dim // m
+
+    norm = l2_norm(F.col(vec_col))
+    normalized = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    subvecs = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(normalized, j * dsub + 1, dsub) for j in range(m)]
+            )
+        ).alias("subspace", "__sub"),
+    )
+    # squared euclidean to each centroid of the matching subspace
+    d2 = F.aggregate(
+        F.zip_with(F.col("__sub"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        subvecs.join(F.broadcast(codebooks), "subspace")
+        .select(
+            F.col(id_col),
+            "subspace",
+            # round to kill float noise in the argmin comparison, then
+            # tiebreak on code id via the struct ordering of min()
+            F.struct(F.round(d2, 12).alias("d2"), F.col("code")).alias("__sc"),
+        )
+        .groupBy(id_col, "subspace")
+        .agg(F.min("__sc").getField("code").cast("tinyint").alias("code"))
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("subspace"), F.col("code")))
+            ),
+            lambda s: s.getField("code"),
+        ).alias("codes")
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize a PQ index (codebooks + encoded corpus) as parquet —
+    the offline build job; queries read codes only. Same _BUILT-sentinel
+    contract as build_ivf_index (partitioned/overwrite writes leave no
+    trustworthy root _SUCCESS)."""
+    codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
+    encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
+    codebooks.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    encoded.write.mode("overwrite").parquet(f"{index_dir}/encoded")
+    with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
+        marker.write("ok\n")
+    return read_pq_index(corpus.sparkSession, index_dir)
+
+
+def read_pq_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Load a materialized PQ index written by :func:`build_pq_index`."""
+    return (
+        spark.read.parquet(f"{index_dir}/codebooks"),
+        spark.read.parquet(f"{index_dir}/encoded"),
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+    rerank: int = 0,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """PQ approximate cosine top-k via asymmetric distance computation:
+    the query stays exact, the corpus is m-byte codes, and each pair
+    scores as sum_j LUT[j][codes[j]] where LUT holds the query-subvector
+    x centroid partial dot products.
+
+    The per-query LUT (m*ksub doubles) is built as a DataFrame aggregate
+    and broadcast into the encoded corpus — the corpus never shuffles
+    and each pair costs m array lookups + adds instead of dim multiplies.
+    Both sides are L2-normalized up front, so the summed partial dots
+    approximate cosine directly; ranking quality is pinned by the
+    ``ann_pq_recall`` recall gate (same invariant form as LSH/IVF/int8).
+
+    ``rerank=R`` enables the standard two-stage shape: PQ scores prune
+    the corpus to a per-query shortlist of R candidates, then EXACT
+    cosine re-ranks only those R rows (a semi-join of the corpus against
+    the shortlist — |queries|*R rows of float math instead of
+    |queries|*|corpus|). This is how PQ indexes are actually operated:
+    the compressed scan bounds memory/compute, the re-rank restores
+    ranking quality lost to quantization distortion.
+
+    Pass ``codebooks``/``encoded`` (from :func:`build_pq_codebooks` /
+    :func:`pq_encode`, possibly parquet-materialized) to skip the build —
+    the at-scale shape, mirroring cosine_topk_ivf's index_dir contract.
+    """
+    if codebooks is None or encoded is None:
+        if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
+            codebooks, encoded = read_pq_index(corpus.sparkSession, index_dir)
+        elif index_dir is not None:
+            codebooks, encoded = build_pq_index(
+                corpus, index_dir, m, ksub, id_col, vec_col, seed
+            )
+        else:
+            codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
+            encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
+
+    qnorm = l2_norm(F.col(vec_col))
+    qnormalized = F.transform(F.col(vec_col), lambda x: x.cast("double") / qnorm)
+    dim_row = queries.select(F.size(vec_col).alias("d")).first()
+    dsub = dim_row["d"] // m
+    qsub = queries.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(qnormalized, j * dsub + 1, dsub) for j in range(m)]
+            )
+        ).alias("subspace", "__qsub"),
+    )
+    partial = qsub.join(F.broadcast(codebooks), "subspace").select(
+        F.col(query_id_col),
+        "subspace",
+        "code",
+        dot_product(F.col("__qsub"), F.col("centroid")).alias("__pd"),
+    )
+    # flat LUT: index j*ksub + code -> partial dot, assembled by ordered
+    # struct sort (subspace major, code minor)
+    lut = partial.groupBy(query_id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("subspace"), F.col("code"), F.col("__pd"))
+                )
+            ),
+            lambda s: s.getField("__pd"),
+        ).alias("__lut")
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.element_at(
+                F.col("__lut"), (j * ksub + code.cast("int") + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = ensure_parallelism(encoded).join(
+        F.broadcast(lut), on=F.col(id_col) != F.col(query_id_col)
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(score, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= max(k, rerank))
+        .orderBy(query_id_col, "sim_rank")
+    )
+    if rerank <= k:
+        return topk
+    # exact re-rank of the PQ shortlist: per (query, candidate) pair one
+    # exact cosine — |queries|*rerank rows, corpus touched via semi-join
+    shortlist = topk.select(query_id_col, "neighbor_id")
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__c_vec"),
+        l2_norm(F.col(vec_col)).alias("__c_norm"),
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__q_vec"),
+        l2_norm(F.col(vec_col)).alias("__q_norm"),
+    )
+    denom = F.col("__q_norm") * F.col("__c_norm")
+    rescored = cand.join(F.broadcast(q), query_id_col).select(
+        F.col(query_id_col),
+        "neighbor_id",
+        F.round(
+            F.when(
+                denom != 0.0, dot_product(F.col("__q_vec"), F.col("__c_vec")) / denom
+            ),
+            6,
+        ).alias("cosine_sim"),
+    )
+    return (
+        rescored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .orderBy(query_id_col, "sim_rank")
+    )

@@ -88,6 +88,10 @@ TAIL_KEYS = {
         "tests/test_sources_multimodal_streaming.py golden decode tests"
         " + tests/test_media_synth.py"
     ),
+    # born in the tail r7 (window full); first in line for r8 rotation
+    "streaming_user_totals": "test_spot_oracle_parity",
+    "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
+    "ann_pq_recall": "test_spot_oracle_parity",
 }
 
 
@@ -144,6 +148,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "label_centroids",
         "running_totals",
         "salted_status_agg",
+        "streaming_user_totals",
+        "ann_pq_recall",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
