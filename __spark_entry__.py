@@ -1722,6 +1722,18 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization pass (text.normalize_text): zero-width/
+    control stripping, CRLF->LF, whitespace collapse, NFC composition
+    (the one Arrow-batched pandas_udf step — Spark has no built-in
+    normalizer). The fixture corpus is ASCII, so the value proven at the
+    driver is that both engines agree the text survives the whole chain
+    byte-exact with changed=false everywhere; non-ASCII behavior
+    (decomposed accents, ZWSP, BEL, CRLF) is pinned by golden unit tests
+    in tests/test_text_quality.py — the pii_scrub pattern."""
+    return text.normalize_text(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction counts over the corpus (regexp projection; the
     fixture corpus is PII-free, so the value proven here is that both
@@ -1787,9 +1799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decode tests in tests/test_sources_multimodal_streaming.py and
     tests/test_media_synth.py), and the r7-born rows streaming_user_totals
     (custom stateful operator), ann_pq_recall (product-quantization recall
-    gate) and ann_cosine_pq (rows-only PQ probe) — DuckDB parity via
-    test_spot_oracle_parity where an oracle exists; first in line for the
-    r8 rotation.
+    gate), ann_cosine_pq (rows-only PQ probe) and doc_normalize (Unicode
+    canonicalization) — DuckDB parity via test_spot_oracle_parity where an
+    oracle exists; first in line for the r8 rotation.
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born operators in, stable IO/metric rows out).
@@ -1881,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_totals": q_streaming_user_totals,
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_pq_recall": q_ann_pq_recall,
+        "doc_normalize": q_doc_normalize,
     }
 
 
@@ -2992,6 +3005,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
                    TRUE AS recall_ok
             FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
+        """,
+        # Unicode-canonicalization twin: same regexp chain (RE2 classes
+        # rendered from the SAME codepoint lists as Spark's java classes)
+        # + utf8proc nfc_normalize vs Python unicodedata NFC.
+        "doc_normalize": f"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     nfc_normalize(trim(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(text,
+                         '{text.re2_class(text.ZW_CODEPOINTS)}', '', 'g'),
+                         '{text.re2_class(text.CTRL_CODEPOINTS)}', '', 'g'),
+                       '\\r\\n?', chr(10), 'g'),
+                       '[ \\t]+', ' ', 'g'))) AS norm_text,
+                     CAST(len(regexp_extract_all(text,
+                       '{text.re2_class(text.ZW_CODEPOINTS)}')) AS INT)
+                       AS n_zero_width,
+                     CAST(len(regexp_extract_all(text,
+                       '{text.re2_class(text.CTRL_CODEPOINTS)}')) AS INT)
+                       AS n_control
+              FROM documents
+            )
+            SELECT doc_id, norm_text, n_zero_width, n_control,
+                   (norm_text IS DISTINCT FROM text) AS changed
+            FROM n ORDER BY doc_id
         """,
         "csv_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey, s_acctbal

@@ -686,3 +686,86 @@ def chunk_documents(
     # its child, re-executing the (possibly expensive) upstream once
     # more just to pick sort boundaries — the jaccard_near_dups lesson
     return out.orderBy("doc_id", "chunk_id") if sort else out
+
+
+#: Codepoints stripped by normalize_text, kept as ONE list each so the
+#: Spark (java.util.regex \uXXXX) and DuckDB (RE2 \x{XXXX}) character
+#: classes are rendered from the same source and can never drift.
+#: Zero-width + bidi controls: the classic invisible-character pollution
+#: in scraped corpora. C0 controls except tab/newline, plus DEL.
+ZW_CODEPOINTS = (
+    0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF, 0x200E, 0x200F,
+    0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+)
+CTRL_CODEPOINTS = (
+    tuple(range(0x00, 0x09)) + (0x0B, 0x0C) + tuple(range(0x0E, 0x20)) + (0x7F,)
+)
+
+
+def java_class(codepoints) -> str:
+    """Render a java.util.regex character class for Spark."""
+    return "[" + "".join(f"\\u{c:04x}" for c in codepoints) + "]"
+
+
+def re2_class(codepoints) -> str:
+    """Render the equivalent RE2 character class for DuckDB oracles."""
+    return "[" + "".join(f"\\x{{{c:04X}}}" for c in codepoints) + "]"
+
+
+ZERO_WIDTH_CLASS = java_class(ZW_CODEPOINTS)
+CONTROL_CLASS = java_class(CTRL_CODEPOINTS)
+
+
+def normalize_text(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode canonicalization — the corpus-prep stage that runs BEFORE
+    any hashing/dedup/tokenization (two byte-different spellings of the
+    same string otherwise land in different dedup buckets forever):
+
+    1. count + strip zero-width/bidi controls and C0 controls
+       (regexp projections, JVM whole-stage codegen),
+    2. canonicalize newlines (CRLF/CR -> LF),
+    3. collapse horizontal whitespace runs to one space, trim ends,
+    4. Unicode NFC composition — Spark has no built-in normalizer, so
+       this one step is an Arrow-batched pandas_udf (the documented
+       slow-path rule: built-ins where possible, vectorized Python only
+       where the engine genuinely lacks the primitive).
+
+    Returns (doc_id, norm_text, n_zero_width, n_control, changed).
+    Map-only at any scale: one projection, no shuffle; the pandas_udf
+    processes Arrow record batches so peak memory is one batch.
+
+    DuckDB twin: nfc_normalize over the same regexp chain — parity is
+    exercised on the fixture corpus (ASCII: identity, changed=false) and
+    the non-trivial behavior is pinned by golden non-ASCII unit tests
+    (tests/test_text_quality.py), mirroring the pii_scrub pattern.
+    """
+    def _nfc_batch(series):
+        import unicodedata
+
+        return series.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # non-decorator form: the module's `from __future__ import annotations`
+    # turns type hints into strings, which pandas_udf's hint inference
+    # rejects; an explicit SCALAR udf sidesteps inference entirely.
+    nfc = F.pandas_udf(_nfc_batch, "string")
+
+    raw = F.col(text_col)
+    stripped = F.regexp_replace(
+        F.regexp_replace(raw, ZERO_WIDTH_CLASS, ""), CONTROL_CLASS, ""
+    )
+    unixed = F.regexp_replace(stripped, "\r\n?", "\n")
+    collapsed = F.trim(F.regexp_replace(unixed, "[ \t]+", " "))
+    norm = nfc(collapsed)
+    return ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        F.regexp_count(raw, F.lit(ZERO_WIDTH_CLASS)).alias("n_zero_width"),
+        F.regexp_count(raw, F.lit(CONTROL_CLASS)).alias("n_control"),
+        (~norm.eqNullSafe(raw)).alias("changed"),
+    )

@@ -92,6 +92,7 @@ TAIL_KEYS = {
     "streaming_user_totals": "test_spot_oracle_parity",
     "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
     "ann_pq_recall": "test_spot_oracle_parity",
+    "doc_normalize": "test_spot_oracle_parity + non-ASCII goldens",
 }
 
 
@@ -150,6 +151,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "salted_status_agg",
         "streaming_user_totals",
         "ann_pq_recall",
+        "doc_normalize",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -223,3 +223,73 @@ def test_mixture_sample_rejects_degenerate_weights(spark):
     for bad in ({}, {"web": 0.0}, {"web": 2.0, "code": -2.0}):
         with pytest.raises(ValueError, match="weights must sum"):
             text.mixture_sample(docs, budget_tokens=100, weights=bad)
+
+
+
+def test_normalize_text_goldens(spark):
+    """Non-ASCII canonicalization goldens (the fixture corpus is ASCII,
+    so the driver row only proves identity — this pins the real work):
+    NFC composition, zero-width strip, control strip, CRLF->LF,
+    whitespace collapse, NULL passthrough."""
+    rows = [
+        # decomposed e + combining acute -> composed; ZWSP stripped
+        (1, "cafe" + chr(0x0301) + " zero" + chr(0x200B) + "width"),
+        (2, "a\r\nb\rc"),                       # CRLF + bare CR -> LF
+        (3, "x" + chr(7) + "y  \t z  "),         # BEL + ws runs + trim
+        (4, "plain ascii"),
+        (5, None),
+        # bidi override stripped and counted as zero-width
+        (6, "rtl" + chr(0x202E) + "txt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.normalize_text(df).collect()}
+    assert out[1].norm_text == "caf" + chr(0xE9) + " zerowidth"
+    assert out[1].n_zero_width == 1 and out[1].changed
+    assert out[2].norm_text == "a\nb\nc" and out[2].changed
+    assert out[3].norm_text == "xy z" and out[3].n_control == 1
+    assert out[4].norm_text == "plain ascii" and not out[4].changed
+    assert out[5].norm_text is None and not out[5].changed
+    assert out[6].norm_text == "rtltxt" and out[6].n_zero_width == 1
+
+
+def test_normalize_text_duckdb_parity_on_non_ascii(spark):
+    """Cross-engine parity on NON-ascii content: the oracle SQL chain
+    (RE2 classes + utf8proc nfc_normalize) must agree with the Spark
+    chain (java classes + Python unicodedata NFC) beyond the trivial
+    fixture — guards the renderer pair in text.java_class/re2_class."""
+    import duckdb
+
+    samples = [
+        "cafe" + chr(0x0301) + "s",
+        "A" + chr(0x200D) + "B" + chr(0x200C) + "C",
+        "o" + chr(0x0308) + "ver  lines\r\nhere",
+        chr(0x202A) + "embed" + chr(0x202C),
+        "n" + chr(0x0303) + " plus " + chr(0x1F) + "ctrl",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.norm_text, r.n_zero_width, r.n_control, r.changed)
+        for r in text.normalize_text(df).collect()
+    }
+    con = duckdb.connect()
+    zw = text.re2_class(text.ZW_CODEPOINTS)
+    ctrl = text.re2_class(text.CTRL_CODEPOINTS)
+    for i, s in enumerate(samples):
+        row = con.execute(
+            f"""
+            WITH n AS (
+              SELECT nfc_normalize(trim(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(?,
+                         '{zw}', '', 'g'), '{ctrl}', '', 'g'),
+                       '\\r\\n?', chr(10), 'g'),
+                       '[ \\t]+', ' ', 'g'))) AS norm_text,
+                     CAST(len(regexp_extract_all(?, '{zw}')) AS INT) AS nz,
+                     CAST(len(regexp_extract_all(?, '{ctrl}')) AS INT) AS nc
+            )
+            SELECT norm_text, nz, nc, norm_text IS DISTINCT FROM ? FROM n
+            """,
+            [s, s, s, s],
+        ).fetchone()
+        assert got[i] == row, f"sample {i}: spark={got[i]} duck={row}"
