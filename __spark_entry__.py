@@ -1633,6 +1633,25 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long via Spark-native UNPIVOT (DataFrame.unpivot / melt):
+    part's numeric attributes become (p_partkey, attr, val) rows — the
+    inverse surface of events_pivot and the shape feeding generic
+    per-attribute profiling (cleaning.profile_columns uses the same
+    primitive internally). Map-only fan-out of rows x attrs; no shuffle
+    until the terminal sort."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot(["p_partkey"], ["size", "retailprice"], "attr", "val")
+        .orderBy("p_partkey", "attr")
+    )
+
+
 def q_docs_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group quota sampling: first 3 docs per source by
     doc_id (the downsampling shape used for per-source corpus quotas —
@@ -1722,6 +1741,18 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM familiarity over the corpus (text.
+    char_lm_familiarity): self-trained conditional char probabilities,
+    integer micro-prob accumulation (no order-dependent float sums), so
+    the quality signal that separates prose from gibberish is fully
+    hash-checkable against DuckDB. Discrimination behavior (English >>
+    shuffled chars) is pinned in tests/test_text_quality.py."""
+    return text.char_lm_familiarity(
+        _t(spark, sf_dir, "documents"), n=3
+    ).orderBy("doc_id")
+
+
 def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization pass (text.normalize_text): zero-width/
     control stripping, CRLF->LF, whitespace collapse, NFC composition
@@ -1799,9 +1830,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decode tests in tests/test_sources_multimodal_streaming.py and
     tests/test_media_synth.py), and the r7-born rows streaming_user_totals
     (custom stateful operator), ann_pq_recall (product-quantization recall
-    gate), ann_cosine_pq (rows-only PQ probe) and doc_normalize (Unicode
-    canonicalization) — DuckDB parity via test_spot_oracle_parity where an
-    oracle exists; first in line for the r8 rotation.
+    gate), ann_cosine_pq (rows-only PQ probe), doc_normalize (Unicode
+    canonicalization), char_lm_scores (char-trigram LM quality) and
+    part_unpivot (native UNPIVOT) — DuckDB parity via
+    test_spot_oracle_parity where an oracle exists; first in line for the
+    r8 rotation.
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born operators in, stable IO/metric rows out).
@@ -1894,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_pq_recall": q_ann_pq_recall,
         "doc_normalize": q_doc_normalize,
+        "char_lm_scores": q_char_lm_scores,
+        "part_unpivot": q_part_unpivot,
     }
 
 
@@ -3029,6 +3064,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, norm_text, n_zero_width, n_control,
                    (norm_text IS DISTINCT FROM text) AS changed
             FROM n ORDER BY doc_id
+        """,
+        # Char-LM twin: identical integer micro-prob pipeline — counts,
+        # floor(1e6*c/cp), exact integer sum, ONE final float division.
+        "char_lm_scores": """
+            WITH d AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN length(t) >= 3
+                     THEN list_transform(generate_series(1, length(t) - 2),
+                                         i -> substr(t, i, 3))
+                     ELSE [] END) AS gram
+              FROM d
+            ), gc AS (
+              SELECT gram, COUNT(*) AS c_gram FROM g GROUP BY 1
+            ), pc AS (
+              SELECT substr(gram, 1, 2) AS prefix, SUM(c_gram) AS c_prefix
+              FROM gc GROUP BY 1
+            ), p AS (
+              SELECT gram,
+                     CAST(FLOOR(1000000 * c_gram / (c_prefix + 10)) AS BIGINT)
+                       AS micro_p
+              FROM gc JOIN pc ON substr(gc.gram, 1, 2) = pc.prefix
+            ), s AS (
+              SELECT g.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(micro_p) AS BIGINT) AS sum_micro_p
+              FROM g JOIN p USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_grams, 0) AS n_grams,
+                   COALESCE(s.sum_micro_p, 0) AS sum_micro_p,
+                   CASE WHEN COALESCE(s.n_grams, 0) > 0
+                        THEN ROUND(s.sum_micro_p / (s.n_grams * 1000000.0), 6)
+                        ELSE 0.0 END AS avg_char_prob
+            FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+        """,
+        "part_unpivot": """
+            SELECT p_partkey, attr, val FROM (
+              SELECT p_partkey, 'size' AS attr,
+                     CAST(p_size AS DOUBLE) AS val FROM part
+              UNION ALL
+              SELECT p_partkey, 'retailprice' AS attr,
+                     CAST(p_retailprice AS DOUBLE) AS val FROM part
+            ) ORDER BY p_partkey, attr
         """,
         "csv_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey, s_acctbal

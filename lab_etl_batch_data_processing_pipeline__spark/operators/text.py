@@ -769,3 +769,92 @@ def normalize_text(
         F.regexp_count(raw, F.lit(CONTROL_CLASS)).alias("n_control"),
         (~norm.eqNullSafe(raw)).alias("changed"),
     )
+
+
+def char_lm_familiarity(
+    documents: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_k: int = 10,
+) -> DataFrame:
+    """Character n-gram LM familiarity — quality scoring one step past
+    the doc_stats heuristics: each char n-gram g gets the corpus-trained
+    conditional probability P(last char | prefix) = C(g)/C(prefix), and
+    a document scores the average over its grams. Gibberish, mojibake
+    and wrong-charset text contain char transitions the corpus rarely
+    makes, so they score low — the classic KenLM-filter signal, here
+    self-trained on the corpus with no model artifact to ship.
+
+    ``smoothing_k`` is the add-k denominator smoothing
+    (P = C(g)/(C(prefix)+k)) — WITHOUT it a singleton gram in a
+    singleton context scores a perfect 1.0, so unique gibberish would
+    out-score common prose (measured: shuffled chars 0.67 vs English
+    0.55 unsmoothed; 0.03 vs 0.33 with k=10). Integer k keeps the
+    arithmetic engine-stable.
+
+    Numeric shape chosen for CROSS-ENGINE bit-stability: probabilities
+    are floored to integer micro-probs (floor(1e6 * C(g)/C(prefix))), a
+    doc aggregates them with an exact integer SUM, and only the final
+    single division + round is floating point — no order-dependent
+    float summation anywhere, so the DuckDB oracle hash-matches at any
+    parallelism.
+
+    Returns (doc_id, n_grams, sum_micro_p, avg_char_prob). Scale: one
+    explode shuffle on gram for counting; the gram-probability table is
+    alphabet^n-bounded (tiny relative to corpus) and broadcast back, so
+    the corpus-side join never shuffles.
+    """
+    lower = F.lower(F.col(text_col))
+    length = F.length(lower)
+    grams_expr = F.when(
+        length >= n,
+        F.transform(
+            F.sequence(F.lit(1), length - n + 1),
+            lambda i: lower.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"), grams_expr.alias("grams")
+    )
+    grams = docs.select("doc_id", F.explode("grams").alias("gram"))
+    gram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
+    prefix_counts = gram_counts.groupBy(
+        F.substring("gram", 1, n - 1).alias("prefix")
+    ).agg(F.sum("c_gram").alias("c_prefix"))
+    probs = gram_counts.join(
+        prefix_counts, F.substring("gram", 1, n - 1) == F.col("prefix")
+    ).select(
+        "gram",
+        F.floor(
+            F.lit(1_000_000) * F.col("c_gram")
+            / (F.col("c_prefix") + F.lit(smoothing_k))
+        ).cast("long").alias("micro_p"),
+    )
+    scored = (
+        grams.join(F.broadcast(probs), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("micro_p").alias("sum_micro_p"),
+        )
+    )
+    base = docs.select("doc_id")
+    return (
+        base.join(scored, "doc_id", "left")
+        .na.fill(0, ["n_grams", "sum_micro_p"])
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_micro_p",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("sum_micro_p") / (F.col("n_grams") * F.lit(1_000_000.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_char_prob"),
+        )
+    )

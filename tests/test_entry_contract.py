@@ -93,6 +93,8 @@ TAIL_KEYS = {
     "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
     "ann_pq_recall": "test_spot_oracle_parity",
     "doc_normalize": "test_spot_oracle_parity + non-ASCII goldens",
+    "char_lm_scores": "test_spot_oracle_parity + discrimination test",
+    "part_unpivot": "test_spot_oracle_parity",
 }
 
 
@@ -152,6 +154,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "streaming_user_totals",
         "ann_pq_recall",
         "doc_normalize",
+        "char_lm_scores",
+        "part_unpivot",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

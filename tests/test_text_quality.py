@@ -293,3 +293,45 @@ def test_normalize_text_duckdb_parity_on_non_ascii(spark):
             [s, s, s, s],
         ).fetchone()
         assert got[i] == row, f"sample {i}: spark={got[i]} duck={row}"
+
+
+def test_char_lm_discriminates_gibberish(spark):
+    """The corpus-trained char-trigram familiarity must score natural
+    English above character-shuffled gibberish of the same length —
+    the property that makes it a quality filter."""
+    english = [
+        "the quick brown fox jumps over the lazy dog and runs away",
+        "this is a perfectly normal english sentence about the weather",
+        "machine learning models need large amounts of training data",
+        "the cat sat on the mat and then the dog came along too",
+        "reading books in the evening is a pleasant way to relax",
+        "people often walk along the river in the early morning light",
+    ]
+    import random
+
+    rng = random.Random(7)
+    gibberish = []
+    for s in english[:3]:
+        chars = list(s.replace(" ", ""))
+        rng.shuffle(chars)
+        gibberish.append("".join(chars))
+    rows = [(i, s) for i, s in enumerate(english)] + [
+        (100 + i, s) for i, s in enumerate(gibberish)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_char_prob for r in text.char_lm_familiarity(df).collect()}
+    eng_avg = sum(out[i] for i in range(len(english))) / len(english)
+    gib_avg = sum(out[100 + i] for i in range(len(gibberish))) / len(gibberish)
+    assert eng_avg > gib_avg * 1.5, (eng_avg, gib_avg)
+
+
+def test_char_lm_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "abcabc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.char_lm_familiarity(df).collect()}
+    assert out[1].n_grams == 0 and out[1].avg_char_prob == 0.0
+    assert out[2].n_grams == 0
+    assert out[3].n_grams == 0
+    assert out[4].n_grams == 4 and out[4].avg_char_prob > 0
