@@ -805,18 +805,24 @@ def char_lm_familiarity(
     alphabet^n-bounded (tiny relative to corpus) and broadcast back, so
     the corpus-side join never shuffles.
     """
-    lower = F.lower(F.col(text_col))
-    length = F.length(lower)
+    # 1-element explode = Generate barrier: without it Catalyst inlines
+    # lower(text) into EVERY per-gram lambda element (O(len) work per
+    # gram -> O(len^2) per doc; measured 4.7 s vs 2.1 s per pass at
+    # sf0.1) — same trap repetition_stats documents.
+    lowered = ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    t = F.col("__t")
+    length = F.length(t)
     grams_expr = F.when(
         length >= n,
         F.transform(
             F.sequence(F.lit(1), length - n + 1),
-            lambda i: lower.substr(i, F.lit(n)),
+            lambda i: t.substr(i, F.lit(n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    docs = ensure_parallelism(documents).select(
-        F.col(id_col).alias("doc_id"), grams_expr.alias("grams")
-    )
+    docs = lowered.select("doc_id", grams_expr.alias("grams"))
     grams = docs.select("doc_id", F.explode("grams").alias("gram"))
     gram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
     prefix_counts = gram_counts.groupBy(
