@@ -300,3 +300,32 @@ def test_session_window_single_shuffle(spark):
         l for l in plan.splitlines() if "hashpartitioning(" in l
     ]
     assert len(hash_exchanges) == 1 and "user_id" in hash_exchanges[0]
+
+
+def test_normalize_text_is_map_only(spark):
+    # zero-width/control strip + CRLF + collapse + NFC pandas_udf: one
+    # projection chain, no shuffle besides the terminal orderBy range
+    plan = formatted_plan(entrymod.queries()["doc_normalize"](spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "ArrowEvalPython" in plan  # the NFC step is Arrow-batched
+
+
+def test_char_lm_scoring_join_broadcasts_prob_table(spark):
+    # the gram-probability table (alphabet^n-bounded) must broadcast
+    # into the corpus gram stream — the scoring side never hash-shuffles
+    # on gram; gram exchanges are allowed only for the COUNT aggregates
+    plan = formatted_plan(entrymod.queries()["char_lm_scores"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Generate") >= 2  # barrier explode + gram explode
+
+
+def test_pq_probe_broadcasts_lut_and_shortlist(spark):
+    # probe path: per-query LUT broadcast into the encoded corpus, then
+    # the rerank shortlist + query vectors broadcast into the corpus —
+    # the corpus-sized sides never shuffle for any of the three joins
+    q = entrymod.queries()["ann_cosine_pq"]
+    plan = formatted_plan(q(spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3
+    assert "SortMergeJoin" not in plan
