@@ -458,6 +458,51 @@ def pii_scrub(
     )
 
 
+def temperature_weights(
+    raw_sizes: dict[str, float], temperature: float
+) -> dict[str, float]:
+    """Temperature-scale mixture weights from raw source sizes: the
+    standard multilingual/data-mixing knob (w_s ∝ size_s^(1/T), the
+    UNIMAX / mT5 sampling-temperature formulation, public method).
+
+    T=1 reproduces natural proportions; T→∞ approaches uniform; T<1
+    sharpens toward the biggest sources. Computed driver-side from the
+    dimension-sized per-source totals (one number per source), then fed
+    to :func:`mixture_sample` as explicit weights — the scaling itself
+    never touches data-scale frames.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    scaled = {
+        s: float(v) ** (1.0 / temperature)
+        for s, v in raw_sizes.items()
+        if v > 0
+    }
+    total = sum(scaled.values())
+    if total <= 0:
+        raise ValueError("temperature_weights: no source with positive size")
+    return {s: v / total for s, v in scaled.items()}
+
+
+def source_token_totals(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict[str, int]:
+    """Per-source token totals as a plain dict (dimension-sized collect:
+    one row per source) — the input to :func:`temperature_weights`."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    rows = (
+        documents.select(F.col(source_col).alias("source"), F.size(toks).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("source_tokens"))
+        .collect()
+    )
+    return {r.source: int(r.source_tokens) for r in rows}
+
+
 def mixture_sample(
     documents: DataFrame,
     budget_tokens: int,

@@ -95,6 +95,7 @@ def corpus_prep(
     keep_cols: tuple[str, ...] = ("lang", "source"),
     max_dup_2gram_frac: float | None = None,
     near_dup_pair_budget: int | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus: columns (doc_id, text, *keep_cols,
     quality_score), quality-gated, exact- and near-deduplicated.
@@ -112,7 +113,27 @@ def corpus_prep(
     (query key ``corpus_prep``); the routed form is recall-gated against
     it in tests (the ``ann_lsh_recall`` pattern) and registered as
     ``corpus_prep_auto``.
+
+    ``normalize=True`` prepends :func:`text.normalize_text` as stage 0
+    (zero-width/control strip, CRLF->LF, whitespace collapse, NFC):
+    byte-variant spellings of the same content then share fingerprints
+    and token sets, so dedup catches them — without it a ZWSP-polluted
+    copy of a document survives every dedup stage forever. Opt-in so
+    the oracle-checked default funnel stays byte-exact on its input.
     """
+    if normalize:
+        documents = (
+            text.normalize_text(documents, id_col, text_col)
+            .withColumnRenamed("norm_text", text_col)
+            .join(
+                documents.select(
+                    F.col(id_col).alias("doc_id"), *keep_cols
+                ),
+                "doc_id",
+            )
+            .select("doc_id", text_col, *keep_cols)
+        )
+        id_col = "doc_id"
     stats = text.doc_stats(documents, id_col, text_col).select(
         "doc_id", "quality_score"
     )

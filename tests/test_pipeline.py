@@ -123,3 +123,42 @@ def test_sql_view_parity_with_dsl_metrics(spark, raw):
         a = sorted(map(str, dsl[name].collect()))
         b = sorted(map(str, via_sql[name].collect()))
         assert a == b, f"DSL vs SQL mismatch for {name}"
+
+
+
+def test_corpus_prep_normalize_stage_collapses_byte_variants(spark):
+    """normalize=True: a ZWSP-polluted, CRLF-ed copy of a document must
+    collapse into its clean twin at the exact-dedup stage; without the
+    stage both survive (the forever-duplicate failure mode)."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and the morning is "
+        "bright and the people walk to the market with the fresh bread"
+    )
+    polluted = base.replace("quick", "qu" + chr(0x200B) + "ick").replace(
+        " and the people", " and the people\r\n"
+    ).replace("jumps", "jumps ")
+    other = (
+        "training data pipelines need the deduplication stage and the "
+        "quality gates to keep the corpus clean for the model to learn"
+    )
+    rows = [
+        (1, base, "en", "src0"),
+        (2, polluted, "en", "src0"),
+        (3, other, "en", "src1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    plain = corpus_prep(docs, min_quality=0.0, jaccard_threshold=0.99)
+    norm = corpus_prep(docs, min_quality=0.0, jaccard_threshold=0.99, normalize=True)
+    plain_ids = {r.doc_id for r in plain.collect()}
+    norm_ids = {r.doc_id for r in norm.collect()}
+    # byte-different -> both survive the plain funnel at this threshold
+    assert plain_ids == {1, 2, 3}
+    # normalized -> identical fingerprints, min doc_id survives
+    assert norm_ids == {1, 3}
+    # survivor text is the NORMALIZED form, schema unchanged
+    out = {r.doc_id: r for r in norm.collect()}
+    assert out[1].text == base
+    assert set(norm.columns) == set(plain.columns)

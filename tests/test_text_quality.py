@@ -335,3 +335,42 @@ def test_char_lm_short_and_empty_docs(spark):
     assert out[2].n_grams == 0
     assert out[3].n_grams == 0
     assert out[4].n_grams == 4 and out[4].avg_char_prob > 0
+
+
+def test_temperature_weights_limits_and_composition(spark):
+    """T=1 -> natural proportions; large T -> near-uniform; T<1 sharpens;
+    composes with mixture_sample as explicit weights."""
+    sizes = {"web": 8000.0, "code": 1000.0, "ref": 1000.0}
+    import pytest as _pytest
+
+    w1 = text.temperature_weights(sizes, 1.0)
+    assert abs(w1["web"] - 0.8) < 1e-9
+
+    w_inf = text.temperature_weights(sizes, 100.0)
+    assert abs(w_inf["web"] - 1 / 3) < 0.02  # near-uniform
+
+    w_sharp = text.temperature_weights(sizes, 0.5)
+    assert w_sharp["web"] > 0.9  # sharpened toward the big source
+
+    with _pytest.raises(ValueError, match="temperature"):
+        text.temperature_weights(sizes, 0.0)
+    # zero-size sources drop instead of polluting the normalization
+    assert "empty" not in text.temperature_weights({**sizes, "empty": 0.0}, 1.0)
+
+    rows = (
+        [(i, "web", "tok " * 50) for i in range(40)]
+        + [(100 + i, "code", "tok " * 50) for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    totals = text.source_token_totals(docs)
+    assert totals == {"web": 2000, "code": 250}
+    out = text.mixture_sample(
+        docs, budget_tokens=1000, weights=text.temperature_weights(totals, 2.0)
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r)
+    # web is over its tempered share -> downsampled; code under -> whole
+    assert all(r.keep_thresh < 65536 for r in by["web"])
+    assert all(r.keep_thresh == 65536 for r in by["code"])
+    assert len(by["code"]) == 5
