@@ -14,6 +14,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from lab_etl_batch_data_processing_pipeline__spark.operators import (
     cleaning,
     dedup_fuzzy,
@@ -210,3 +212,57 @@ def test_chunking_reconstructs_token_stream(spark, n_tokens, max_tokens, overlap
         toks = chunk_text.split(" ") if chunk_text else []
         rebuilt.extend(toks if cid == 1 else toks[overlap:])
     assert rebuilt == tokens
+
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("L", "N", "P", "Z", "Cc", "Cf"),
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=text_strategy)
+@settings(**SETTINGS)
+def test_normalize_text_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode —
+    canonicalization must be a projection onto its own fixed points, or
+    re-running the corpus-prep stage would keep changing bytes."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    once = t.normalize_text(df).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    twice = t.normalize_text(once)
+    for r in twice.collect():
+        assert not r.changed, (texts[r.doc_id], r.norm_text)
+
+
+@given(texts=st.lists(st.text(max_size=40), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_char_lm_scores_are_probabilities(spark, texts):
+    """avg_char_prob in [0, 1]; n_grams == max(len-2, 0) in chars; docs
+    with identical text get identical scores (pure function of corpus)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text as t
+
+    rows = [(i, s) for i, s in enumerate(texts)] + [
+        (100 + i, s) for i, s in enumerate(texts)  # duplicate block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in t.char_lm_familiarity(df).collect()}
+    for i, s in enumerate(texts):
+        r = out[i]
+        assert 0.0 <= r.avg_char_prob <= 1.0
+        assert r.n_grams == max(len(s.lower()) - 2, 0)
+        assert (r.n_grams, r.sum_micro_p) == (
+            out[100 + i].n_grams,
+            out[100 + i].sum_micro_p,
+        )
