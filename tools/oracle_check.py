@@ -10,6 +10,7 @@ Usage: python tools/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -37,7 +38,20 @@ def normalize(rows, columns):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Replicate the DRIVER's environment: a bare SparkSession with
+        # none of session.py's confs (timezone, AQE tuning, parquet
+        # nanos). Every query must survive this — the driver imports
+        # __spark_entry__ with its own vanilla session.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
 
     con = duckdb.connect()
     for t in [
