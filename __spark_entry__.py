@@ -1741,6 +1741,51 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over orders (cleaning.
+    expectation_report): not-null/unique keys, status domain, price
+    range, date-format regex, and referential integrity to customer —
+    all row-local rules fused into ONE aggregate pass, plus one groupBy
+    (unique) and one broadcast anti-join (foreign key). The DuckDB twin
+    recomputes every violation count, so a silently-weakened gate
+    hash-mismatches."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return cleaning.expectation_report(
+        orders,
+        [
+            {"name": "orderkey_not_null", "kind": "not_null", "column": "o_orderkey"},
+            {"name": "orderkey_unique", "kind": "unique", "column": "o_orderkey"},
+            {
+                "name": "status_in_domain",
+                "kind": "in_set",
+                "column": "o_orderstatus",
+                "values": ["F", "O", "P"],
+            },
+            {
+                "name": "price_positive",
+                "kind": "range",
+                "column": "o_totalprice",
+                "min": 0.0,
+            },
+            {
+                "name": "priority_format",
+                "kind": "regex",
+                "column": "o_orderpriority",
+                "pattern": "^[1-5]-[A-Z ]+$",
+            },
+            {
+                "name": "custkey_references_customer",
+                "kind": "foreign_key",
+                "column": "o_custkey",
+                "ref": "customer",
+                "ref_column": "c_custkey",
+            },
+        ],
+        ref_tables={"customer": customer},
+    )
+
+
 def q_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM familiarity over the corpus (text.
     char_lm_familiarity): self-trained conditional char probabilities,
@@ -1929,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": q_doc_normalize,
         "char_lm_scores": q_char_lm_scores,
         "part_unpivot": q_part_unpivot,
+        "orders_expectations": q_orders_expectations,
     }
 
 
@@ -3109,6 +3155,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey, 'retailprice' AS attr,
                      CAST(p_retailprice AS DOUBLE) AS val FROM part
             ) ORDER BY p_partkey, attr
+        """,
+        # Expectation-suite twin: every violation count recomputed in SQL.
+        "orders_expectations": """
+            WITH v AS (
+              SELECT 'orderkey_not_null' AS rule, 'o_orderkey' AS "column",
+                     'not_null' AS kind,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                      WHERE o_orderkey IS NULL) AS n_violations
+              UNION ALL
+              SELECT 'orderkey_unique', 'o_orderkey', 'unique',
+                     (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
+                        SELECT COUNT(*) AS n FROM orders
+                        WHERE o_orderkey IS NOT NULL
+                        GROUP BY o_orderkey HAVING COUNT(*) > 1))
+              UNION ALL
+              SELECT 'status_in_domain', 'o_orderstatus', 'in_set',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                      WHERE o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('F', 'O', 'P'))
+              UNION ALL
+              SELECT 'price_positive', 'o_totalprice', 'range',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                      WHERE o_totalprice IS NOT NULL AND o_totalprice < 0.0)
+              UNION ALL
+              SELECT 'priority_format', 'o_orderpriority', 'regex',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                      WHERE o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority,
+                                               '^[1-5]-[A-Z ]+$'))
+              UNION ALL
+              SELECT 'custkey_references_customer', 'o_custkey', 'foreign_key',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                      WHERE o.o_custkey IS NOT NULL
+                        AND o.o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))
+            )
+            SELECT rule, "column", kind, n_violations,
+                   n_violations = 0 AS passed
+            FROM v ORDER BY rule
         """,
         "csv_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey, s_acctbal

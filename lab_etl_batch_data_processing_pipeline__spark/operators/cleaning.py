@@ -170,3 +170,130 @@ def profile_columns(
         )
         .orderBy("column_name")
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: Sequence[Mapping],
+    ref_tables: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-quality expectations — the audit-table form of
+    the reference's never-called validation TODO (helper_func.py:50-51),
+    graduated into a reusable constraint suite (the deequ/dbt-tests
+    shape, re-expressed as plain aggregates).
+
+    ``rules`` is a sequence of dicts: ``{"name", "kind", "column",
+    ...params}`` with kinds:
+
+    - ``not_null``                        — column has no NULLs
+    - ``unique``                          — no duplicate values (NULLs ignored)
+    - ``in_set``      (``values``)        — value ∈ allowed set
+    - ``range``       (``min``/``max``)   — min <= value <= max (either bound optional)
+    - ``regex``       (``pattern``)       — value matches (NULLs violate not_null, not regex)
+    - ``foreign_key`` (``ref``/``ref_column``) — value exists in ``ref_tables[ref]``
+
+    Returns (rule, column, kind, n_violations, passed) ordered by rule.
+
+    Scale shape: every row-local kind (not_null/in_set/range/regex)
+    compiles into ONE conditional-sum aggregate — a single pass over the
+    table no matter how many such rules. ``unique`` adds one groupBy on
+    its column (count>1 keys only), ``foreign_key`` one left-anti join
+    per referenced dimension (broadcast when small). The report itself
+    is rules-count rows.
+    """
+    spark = df.sparkSession
+    row_local_aggs = []
+    row_local_meta = []
+    extra_frames = []
+
+    for rule in rules:
+        name, kind, col = rule["name"], rule["kind"], rule["column"]
+        c = F.col(col)
+        if kind == "not_null":
+            cond = c.isNull()
+        elif kind == "in_set":
+            cond = c.isNotNull() & ~c.isin(list(rule["values"]))
+        elif kind == "range":
+            cond = F.lit(False)
+            if "min" in rule:
+                cond = cond | (c < F.lit(rule["min"]))
+            if "max" in rule:
+                cond = cond | (c > F.lit(rule["max"]))
+            cond = c.isNotNull() & cond
+        elif kind == "regex":
+            cond = c.isNotNull() & ~c.rlike(rule["pattern"])
+        elif kind == "unique":
+            extra_frames.append(
+                df.filter(c.isNotNull())
+                .groupBy(c.alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
+                .select(
+                    F.lit(name).alias("rule"),
+                    F.lit(col).alias("column"),
+                    F.lit(kind).alias("kind"),
+                    "n_violations",
+                )
+            )
+            continue
+        elif kind == "foreign_key":
+            ref = (ref_tables or {})[rule["ref"]]
+            ref_col = rule.get("ref_column", col)
+            extra_frames.append(
+                df.filter(c.isNotNull())
+                .select(c.alias("__v"))
+                .join(
+                    F.broadcast(ref.select(F.col(ref_col).alias("__v")).distinct()),
+                    "__v",
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                .select(
+                    F.lit(name).alias("rule"),
+                    F.lit(col).alias("column"),
+                    F.lit(kind).alias("kind"),
+                    "n_violations",
+                )
+            )
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        row_local_aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        )
+        row_local_meta.append((name, col, kind))
+
+    frames = list(extra_frames)
+    if row_local_aggs:
+        wide = df.agg(*row_local_aggs)
+        frames.append(
+            wide.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(n).alias("rule"),
+                                F.lit(c).alias("column"),
+                                F.lit(k).alias("kind"),
+                                F.col(n).alias("n_violations"),
+                            )
+                            for n, c, k in row_local_meta
+                        ]
+                    )
+                ).alias("e")
+            ).select("e.rule", "e.column", "e.kind", "e.n_violations")
+        )
+    if not frames:
+        raise ValueError("expectation_report: no rules given")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "rule", "column", "kind", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")

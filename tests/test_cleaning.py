@@ -88,3 +88,69 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert rows["k"].n_nulls == 0 and rows["v"].n_nulls == 1
     assert rows["k"].n_distinct == 3
     assert rows["v"].n_distinct == 2  # NULL excluded from distincts
+
+
+def test_expectation_report_counts_injected_violations(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import (
+        expectation_report,
+    )
+
+    rows = [
+        (1, "F", 10.0, "1-URGENT", 100),
+        (1, "F", 20.0, "2-HIGH", 101),      # duplicate key 1 (x2)
+        (1, "X", -5.0, "bad", 999),         # dup + bad status + neg + regex + fk
+        (None, "O", 30.0, "3-MEDIUM", 100), # null key
+        (4, None, None, None, None),        # nulls are not domain violations
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, status string, amount double, prio string, fk long"
+    )
+    ref = spark.createDataFrame([(100,), (101,)], "rk long")
+    rep = {
+        r.rule: r
+        for r in expectation_report(
+            df,
+            [
+                {"name": "k_not_null", "kind": "not_null", "column": "k"},
+                {"name": "k_unique", "kind": "unique", "column": "k"},
+                {"name": "status_domain", "kind": "in_set", "column": "status",
+                 "values": ["F", "O", "P"]},
+                {"name": "amount_range", "kind": "range", "column": "amount",
+                 "min": 0.0, "max": 25.0},
+                {"name": "prio_regex", "kind": "regex", "column": "prio",
+                 "pattern": "^[1-5]-[A-Z]+$"},
+                {"name": "fk_ref", "kind": "foreign_key", "column": "fk",
+                 "ref": "r", "ref_column": "rk"},
+            ],
+            ref_tables={"r": ref},
+        ).collect()
+    }
+    assert rep["k_not_null"].n_violations == 1
+    # three rows share k=1 -> 2 surplus rows
+    assert rep["k_unique"].n_violations == 2
+    assert rep["status_domain"].n_violations == 1          # 'X'; NULL ignored
+    # -5.0 below min and 30.0 above max
+    assert rep["amount_range"].n_violations == 2
+    assert rep["prio_regex"].n_violations == 1             # 'bad'; NULL ignored
+    assert rep["fk_ref"].n_violations == 1                 # 999
+    assert not rep["k_unique"].passed and rep["k_not_null"].passed is False
+    # a clean column passes
+    clean = {
+        r.rule: r
+        for r in expectation_report(
+            df, [{"name": "status_ok", "kind": "in_set", "column": "status",
+                  "values": ["F", "O", "P", "X"]}]
+        ).collect()
+    }
+    assert clean["status_ok"].passed
+
+
+def test_expectation_report_rejects_unknown_kind(spark):
+    import pytest
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        expectation_report(df, [{"name": "x", "kind": "nope", "column": "k"}])

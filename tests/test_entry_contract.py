@@ -95,6 +95,7 @@ TAIL_KEYS = {
     "doc_normalize": "test_spot_oracle_parity + non-ASCII goldens",
     "char_lm_scores": "test_spot_oracle_parity + discrimination test",
     "part_unpivot": "test_spot_oracle_parity",
+    "orders_expectations": "test_spot_oracle_parity + violation-injection test",
 }
 
 
@@ -156,6 +157,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "doc_normalize",
         "char_lm_scores",
         "part_unpivot",
+        "orders_expectations",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
