@@ -102,12 +102,18 @@ def q_occupancy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_popular_locations_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3: bookings per (week, nation) via customer→nation dims (broadcast)."""
+    """M3: bookings per (week, nation) via customer→nation dims.
+
+    Broadcast-hint discipline (the graph.py first-level rule): nation is
+    25 rows by construction — hard hint. customer SCALES with the data
+    (billions of rows at 100 TB), so it gets NO hard hint — F.broadcast
+    is obeyed regardless of size and would OOM; AQE still broadcasts it
+    at runtime whenever it actually fits."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        customer, orders.o_custkey == customer.c_custkey, "left"
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
     return metrics.popular_locations_weekly(
         joined, "o_orderdate", "n_name", "o_orderstatus", "F"
@@ -167,13 +173,20 @@ def q_repeat_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2-J4 chain: orders⟕customer⟕nation⟕broadcast(region), projected."""
+    """J2-J4 chain: orders⟕customer⟕nation⟕region, projected.
+
+    Broadcast-hint discipline: nation (25 rows) and region (5 rows) are
+    bounded by construction — hard hints. customer scales with the data,
+    so NO hard hint (F.broadcast is obeyed regardless of size — at 100 TB
+    that's a driver OOM, the graph.py first-level lesson); AQE converts
+    the join to broadcast at runtime whenever customer actually fits,
+    which the plan test pins on the final adaptive plan."""
     orders = _t(spark, sf_dir, "orders").alias("o")
     customer = _t(spark, sf_dir, "customer").alias("c")
     nation = _t(spark, sf_dir, "nation").alias("n")
     region = _t(spark, sf_dir, "region").alias("r")
     return (
-        orders.join(F.broadcast(customer), F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
+        orders.join(customer, F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
         .join(F.broadcast(nation), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left")
         .join(F.broadcast(region), F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left")
         .select(

@@ -190,7 +190,10 @@ def expectation_report(
     - ``in_set``      (``values``)        — value ∈ allowed set
     - ``range``       (``min``/``max``)   — min <= value <= max (either bound optional)
     - ``regex``       (``pattern``)       — value matches (NULLs violate not_null, not regex)
-    - ``foreign_key`` (``ref``/``ref_column``) — value exists in ``ref_tables[ref]``
+    - ``foreign_key`` (``ref``/``ref_column``) — value exists in ``ref_tables[ref]``;
+      set ``"broadcast_ref": False`` when the referenced table scales
+      with the data (a hard broadcast hint is obeyed regardless of size
+      — OOM at 100 TB; without the hint AQE picks broadcast iff it fits)
 
     Returns (rule, column, kind, n_violations, passed) ordered by rule.
 
@@ -244,11 +247,14 @@ def expectation_report(
         elif kind == "foreign_key":
             ref = (ref_tables or {})[rule["ref"]]
             ref_col = rule.get("ref_column", col)
+            ref_keys = ref.select(F.col(ref_col).alias("__v")).distinct()
+            if rule.get("broadcast_ref", True):
+                ref_keys = F.broadcast(ref_keys)
             extra_frames.append(
                 df.filter(c.isNotNull())
                 .select(c.alias("__v"))
                 .join(
-                    F.broadcast(ref.select(F.col(ref_col).alias("__v")).distinct()),
+                    ref_keys,
                     "__v",
                     "left_anti",
                 )

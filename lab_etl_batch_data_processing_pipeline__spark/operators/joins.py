@@ -38,26 +38,31 @@ def curated_apartment_bookings(
     apartments: DataFrame,
     attributes: DataFrame,
     rates: DataFrame,
+    broadcast_listings: bool = True,
 ) -> DataFrame:
     """The reference's curated join table, 16-column shape
     (curated_tranformation.py:193-221; curate_db.sql:9-27).
 
     Inputs are the *cleaned* tables (dates already DateType, rows deduped).
-    apartments/attributes are listing-dimension-sized -> broadcast both; at
-    a scale where listings no longer fit a broadcast, drop the hint and let
-    AQE pick sort-merge (the code path is identical).
+    rates is bounded by construction (currency cardinality) — always
+    hard-hinted. apartments/attributes are listing-CATALOG-sized: pass
+    ``broadcast_listings=False`` when the catalog scales past broadcast
+    range — F.broadcast is obeyed regardless of size, so the hard hint
+    would OOM where AQE would have degraded gracefully to sort-merge (or
+    still broadcast at runtime if the catalog fits).
     """
     b = bookings.alias("b")
-    a = apartments.alias("a")
-    attr = attributes.alias("attr")
+    hint = F.broadcast if broadcast_listings else (lambda df: df)
+    a = hint(apartments.alias("a"))
+    attr = hint(attributes.alias("attr"))
     # Rename the rates key so the join condition is alias-unambiguous (the
     # reference's dotted-string drop of join byproducts silently no-ops,
     # curate_data_etl_job.py:180 — proper Column references avoid that bug).
     r = rates.withColumnRenamed("currency", "__rate_ccy")
 
     joined = (
-        b.join(F.broadcast(a), F.col("b.apartment_id") == F.col("a.id"), "left")
-        .join(F.broadcast(attr), F.col("a.id") == F.col("attr.id"), "left")
+        b.join(a, F.col("b.apartment_id") == F.col("a.id"), "left")
+        .join(attr, F.col("a.id") == F.col("attr.id"), "left")
         .join(F.broadcast(r), F.col("b.currency") == F.col("__rate_ccy"), "left")
     )
 

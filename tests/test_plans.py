@@ -32,9 +32,20 @@ def test_column_pruning_reads_only_needed_columns(spark):
 
 
 def test_dimension_joins_broadcast(spark):
-    plan = formatted_plan(entrymod.queries()["curated_join"](spark, SF))
-    assert plan.count("BroadcastHashJoin LeftOuter BuildRight") == 3
-    assert "SortMergeJoin" not in plan  # fact side must not shuffle
+    # Hint discipline: nation/region are bounded-by-construction -> hard
+    # hints visible in the STATIC plan; customer scales with data -> no
+    # hard hint (a hint would OOM at 100 TB), but AQE must still convert
+    # its join to broadcast at runtime when it fits — pinned on the FINAL
+    # adaptive plan after execution.
+    df = entrymod.queries()["curated_join"](spark, SF)
+    static = formatted_plan(df)
+    assert static.count("BroadcastHashJoin LeftOuter BuildRight") >= 2
+    df.collect()  # materialize so the adaptive plan is final
+    full = formatted_plan(df)
+    assert "isFinalPlan=true" in full
+    final = full.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin LeftOuter BuildRight") == 3
+    assert "SortMergeJoin" not in final  # fact side must not shuffle
 
 
 def test_metrics_use_partial_aggregation(spark):
