@@ -1754,6 +1754,23 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD bin-packing audit (text.pack_bins + pack_bins_summary):
+    first-fit-decreasing packs docs into 256-token bins inside 8
+    independent hash-bucket domains; the summary emits per-bucket
+    (n_docs, total_tokens, bins_ok) where bins_ok is the any-fit
+    packing invariant triple (no overfill, >= volume lower bound,
+    <= the more-than-half-full upper bound). DuckDB recomputes the
+    exact doc/token totals and asserts TRUE — a lost doc, overfilled
+    bin, or fragmented packing hash-mismatches without the oracle
+    replaying FFD. Waste-vs-pack_offsets and determinism pinned in
+    tests/test_text_quality.py."""
+    packed = text.pack_bins(
+        _t(spark, sf_dir, "documents"), seq_len=256, num_buckets=8
+    )
+    return text.pack_bins_summary(packed, seq_len=256)
+
+
 def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite over orders (cleaning.
     expectation_report): not-null/unique keys, status domain, price
@@ -1988,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_lm_scores": q_char_lm_scores,
         "part_unpivot": q_part_unpivot,
         "orders_expectations": q_orders_expectations,
+        "pack_bins": q_pack_bins,
     }
 
 
@@ -3168,6 +3186,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey, 'retailprice' AS attr,
                      CAST(p_retailprice AS DOUBLE) AS val FROM part
             ) ORDER BY p_partkey, attr
+        """,
+        # Bin-packing twin: bucket assignment + totals recomputed exactly
+        # (same md5 projection), packing invariants asserted TRUE.
+        "pack_bins": """
+            WITH d AS (
+              SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 8 AS bucket,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents
+            )
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   TRUE AS bins_ok
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         # Expectation-suite twin: every violation count recomputed in SQL.
         "orders_expectations": """

@@ -909,3 +909,111 @@ def char_lm_familiarity(
             .alias("avg_char_prob"),
         )
     )
+
+
+def pack_bins(
+    documents: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Bin-packing sequence packer: first-fit-decreasing into bins of
+    ``seq_len`` tokens — the padding-waste-minimizing packer production
+    training pipelines use, complementing :func:`pack_offsets` (which
+    packs in stream order: simple, exact offsets, but a long doc after
+    short ones strands capacity).
+
+    Distributed shape: docs hash into ``num_buckets`` INDEPENDENT packing
+    domains (bucket = md5(doc_id) mod B — a pure projection, stable at
+    any parallelism); each bucket runs local FFD in one Arrow-batched
+    ``applyInPandas`` group. The group carries only (doc_id, n_tokens)
+    — ~12 bytes/doc, never text — so at a billion docs and B=1024 a
+    bucket is ~12 MB of state; size B so bucket token mass / seq_len
+    bins fit comfortably. Within-bucket order is (n_tokens DESC, doc_id)
+    — fully deterministic. Bin ids are namespaced bucket * 2^32 + local.
+
+    Docs longer than seq_len get a bin of their own (truncation belongs
+    upstream in chunk_documents). The any-fit guarantee — every bin but
+    one ends more than half full — bounds bins at
+    floor(2*total/seq_len)+1 per bucket, which the ``pack_bins`` summary
+    row turns into an oracle-checkable invariant.
+
+    Returns (doc_id, n_tokens, bucket, bin_id).
+    """
+    import pandas as pd
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    docs = ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % num_buckets
+        ).cast("int").alias("bucket"),
+    )
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assigned = []
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        base = bucket << 32
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = None
+            for i, fill in enumerate(fills):
+                if fill + n <= seq_len:
+                    placed = i
+                    break
+            if placed is None:
+                fills.append(n)
+                placed = len(fills) - 1
+            else:
+                fills[placed] += n
+            assigned.append(base + placed)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        return pdf[["doc_id", "n_tokens", "bucket", "bin_id"]]
+
+    return docs.groupBy("bucket").applyInPandas(
+        ffd, "doc_id long, n_tokens int, bucket int, bin_id long"
+    )
+
+
+def pack_bins_summary(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-bucket packing audit over :func:`pack_bins` output:
+    (bucket, n_docs, total_tokens, bins_ok) where bins_ok asserts the
+    three invariants any correct any-fit packing satisfies —
+    max bin fill <= seq_len (given no oversized docs),
+    n_bins >= ceil(total/seq_len) (volume lower bound), and
+    n_bins <= floor(2*total/seq_len)+1 (the more-than-half-full
+    guarantee). A DuckDB oracle recomputes n_docs/total_tokens exactly
+    and asserts TRUE, so a packing regression (lost doc, overfilled or
+    fragmented bins) hash-mismatches without the oracle having to
+    replay FFD."""
+    bins = packed.groupBy("bucket", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+    )
+    per_bucket = bins.groupBy("bucket").agg(
+        F.sum("n_in_bin").alias("n_docs"),
+        F.sum("fill").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("fill").alias("max_fill"),
+    )
+    lb = F.ceil(F.col("total_tokens") / F.lit(seq_len))
+    ub = F.floor(F.lit(2) * F.col("total_tokens") / F.lit(seq_len)) + 1
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        (
+            (F.col("max_fill") <= F.lit(seq_len))
+            & (F.col("n_bins") >= lb)
+            & (F.col("n_bins") <= ub)
+        ).alias("bins_ok"),
+    ).orderBy("bucket")

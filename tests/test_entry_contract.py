@@ -96,6 +96,7 @@ TAIL_KEYS = {
     "char_lm_scores": "test_spot_oracle_parity + discrimination test",
     "part_unpivot": "test_spot_oracle_parity",
     "orders_expectations": "test_spot_oracle_parity + violation-injection test",
+    "pack_bins": "test_spot_oracle_parity + FFD invariant/waste tests",
 }
 
 
@@ -158,6 +159,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "char_lm_scores",
         "part_unpivot",
         "orders_expectations",
+        "pack_bins",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

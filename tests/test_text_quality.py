@@ -374,3 +374,66 @@ def test_temperature_weights_limits_and_composition(spark):
     assert all(r.keep_thresh < 65536 for r in by["web"])
     assert all(r.keep_thresh == 65536 for r in by["code"])
     assert len(by["code"]) == 5
+
+
+def test_pack_bins_invariants_and_determinism(spark):
+    rows = [(i, "tok " * (10 + (i * 37) % 120)) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = text.pack_bins(docs, seq_len=256, num_buckets=4).collect()
+    # every doc assigned exactly once
+    assert sorted(r.doc_id for r in packed) == list(range(200))
+    # no bin overfills; bin ids stay inside their bucket namespace
+    fills = {}
+    for r in packed:
+        fills.setdefault(r.bin_id, 0)
+        fills[r.bin_id] += r.n_tokens
+        assert r.bin_id >> 32 == r.bucket
+    assert all(f <= 256 for f in fills.values())
+    # any-fit guarantee: all bins but (at most) one per bucket > half full
+    by_bucket = {}
+    for b, f in fills.items():
+        by_bucket.setdefault(b >> 32, []).append(f)
+    for fl in by_bucket.values():
+        assert sum(1 for f in fl if f <= 128) <= 1
+    # deterministic under different input partitioning
+    again = text.pack_bins(
+        docs.repartition(13), seq_len=256, num_buckets=4
+    ).collect()
+    assert sorted((r.doc_id, r.bin_id) for r in again) == sorted(
+        (r.doc_id, r.bin_id) for r in packed
+    )
+
+
+def test_pack_bins_oversized_doc_gets_own_bin(spark):
+    docs = spark.createDataFrame(
+        [(1, "tok " * 500), (2, "tok " * 10), (3, "tok " * 10)],
+        ["doc_id", "text"],
+    )
+    packed = {r.doc_id: r for r in text.pack_bins(docs, seq_len=64, num_buckets=1).collect()}
+    others = {packed[2].bin_id, packed[3].bin_id}
+    assert packed[1].bin_id not in others
+
+
+def test_pack_bins_beats_sequential_packing_on_waste(spark):
+    """FFD's reason to exist: fewer bins than stream-order packing on a
+    skewed size mix (long docs interleaved with short ones)."""
+    rows = []
+    for i in range(120):
+        n = 200 if i % 3 == 0 else 30
+        rows.append((i, "tok " * n))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    seq_len = 256
+    packed = text.pack_bins(docs, seq_len=seq_len, num_buckets=1).collect()
+    ffd_bins = len({r.bin_id for r in packed})
+    # sequential (stream-order) packing baseline, same doc order
+    fill, seq_bins = 0, 1
+    for i in range(120):
+        n = 200 if i % 3 == 0 else 30
+        if fill + n > seq_len:
+            seq_bins += 1
+            fill = n
+        else:
+            fill += n
+    assert ffd_bins < seq_bins, (ffd_bins, seq_bins)
+    total = sum(r.n_tokens for r in packed)
+    assert ffd_bins >= -(-total // seq_len)  # >= volume lower bound
