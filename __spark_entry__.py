@@ -1754,6 +1754,29 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tables_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content manifests (cleaning.table_manifest) for orders + supplier:
+    order-independent BIT_XOR fold of 60-bit md5 row hashes plus row and
+    null counts — the cross-engine "did the migration keep every row"
+    fingerprint. XOR (not SUM) because Spark wraps 64-bit sums while
+    DuckDB widens to HUGEINT; XOR is closed over bigint on both. The
+    DuckDB oracle recomputes the digests byte-identically, so the row
+    pins the whole manifest machinery, not just counts. Columns are
+    int/string/date only (float-to-string formatting is engine-specific
+    — documented restriction)."""
+    orders = cleaning.table_manifest(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+        table_name="orders",
+    )
+    supplier = cleaning.table_manifest(
+        _t(spark, sf_dir, "supplier"),
+        ["s_suppkey", "s_name", "s_nationkey"],
+        table_name="supplier",
+    )
+    return orders.unionByName(supplier).orderBy("table")
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFD bin-packing audit (text.pack_bins + pack_bins_summary):
     first-fit-decreasing packs docs into 256-token bins inside 8
@@ -2006,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_unpivot": q_part_unpivot,
         "orders_expectations": q_orders_expectations,
         "pack_bins": q_pack_bins,
+        "tables_manifest": q_tables_manifest,
     }
 
 
@@ -3186,6 +3210,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey, 'retailprice' AS attr,
                      CAST(p_retailprice AS DOUBLE) AS val FROM part
             ) ORDER BY p_partkey, attr
+        """,
+        # Manifest twin: identical md5 row hashes + BIT_XOR fold in SQL.
+        "tables_manifest": """
+            WITH o AS (
+              SELECT ('0x' || substr(md5(concat_ws('|#|',
+                       coalesce(CAST(o_orderkey AS VARCHAR), '[[NULL]]'),
+                       coalesce(CAST(o_custkey AS VARCHAR), '[[NULL]]'),
+                       coalesce(o_orderstatus, '[[NULL]]'),
+                       coalesce(CAST(o_orderdate AS VARCHAR), '[[NULL]]')
+                     )), 1, 15))::BIGINT AS h,
+                     (o_orderkey IS NULL)::INT + (o_custkey IS NULL)::INT
+                     + (o_orderstatus IS NULL)::INT
+                     + (o_orderdate IS NULL)::INT AS nn
+              FROM orders
+            ), s AS (
+              SELECT ('0x' || substr(md5(concat_ws('|#|',
+                       coalesce(CAST(s_suppkey AS VARCHAR), '[[NULL]]'),
+                       coalesce(s_name, '[[NULL]]'),
+                       coalesce(CAST(s_nationkey AS VARCHAR), '[[NULL]]')
+                     )), 1, 15))::BIGINT AS h,
+                     (s_suppkey IS NULL)::INT + (s_name IS NULL)::INT
+                     + (s_nationkey IS NULL)::INT AS nn
+              FROM supplier
+            )
+            SELECT * FROM (
+              SELECT 'orders' AS "table",
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(bit_xor(h) AS BIGINT) AS content_xor,
+                     CAST(SUM(nn) AS BIGINT) AS n_nulls
+              FROM o
+              UNION ALL
+              SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+                     CAST(bit_xor(h) AS BIGINT), CAST(SUM(nn) AS BIGINT)
+              FROM s
+            ) ORDER BY "table"
         """,
         # Bin-packing twin: bucket assignment + totals recomputed exactly
         # (same md5 projection), packing invariants asserted TRUE.

@@ -303,3 +303,47 @@ def expectation_report(
         "rule", "column", "kind", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("rule")
+
+
+def table_manifest(
+    df: DataFrame,
+    cols: Sequence[str],
+    table_name: str = "table",
+) -> DataFrame:
+    """Content manifest for a table snapshot: (table, n_rows,
+    content_xor, n_nulls) — the cheap cross-engine "did the data
+    change / did the migration preserve every row" fingerprint.
+
+    Row hash = 60-bit md5 prefix of the column values joined with a
+    separator (NULL -> a distinct sentinel so NULL and '' differ);
+    the table digest folds row hashes with BIT_XOR — commutative and
+    associative, so the digest is independent of row order, partitioning
+    and parallelism, and never overflows (the reason it beats SUM:
+    Spark wraps 64-bit sums while DuckDB widens to HUGEINT — an
+    engine-visible divergence). XOR cancels PAIRS of identical rows, so
+    n_rows rides along to catch even-multiplicity edits.
+
+    Restrict ``cols`` to types with engine-stable string casts (ints,
+    strings, dates, decimals) — float-to-string formatting differs
+    between engines.
+    """
+    # printable sentinels: NUL/unit-separator literals don't survive
+    # every engine's SQL string literal path, and the oracle must build
+    # the identical concatenation
+    sep = "|#|"
+    null_sentinel = "[[NULL]]"
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel)) for c in cols
+    ]
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws(sep, *parts)), 1, 15), 16, 10
+    ).cast("long")
+    null_count = sum(
+        (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) for c in cols),
+        F.lit(0),
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor(row_h).alias("content_xor"),
+        null_count.cast("long").alias("n_nulls"),
+    ).select(F.lit(table_name).alias("table"), "n_rows", "content_xor", "n_nulls")

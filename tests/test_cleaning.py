@@ -154,3 +154,40 @@ def test_expectation_report_rejects_unknown_kind(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="unknown expectation kind"):
         expectation_report(df, [{"name": "x", "kind": "nope", "column": "k"}])
+
+
+def test_table_manifest_detects_changes_and_ignores_order(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import (
+        table_manifest,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    m1 = table_manifest(df, ["k", "v"], "t").first()
+    assert m1.n_rows == 3 and m1.n_nulls == 1
+
+    # row order / partitioning invariance
+    m2 = table_manifest(
+        spark.createDataFrame(list(reversed(rows)), "k long, v string")
+        .repartition(7),
+        ["k", "v"],
+        "t",
+    ).first()
+    assert (m2.n_rows, m2.content_xor, m2.n_nulls) == (
+        m1.n_rows, m1.content_xor, m1.n_nulls,
+    )
+
+    # a one-value edit flips the digest
+    m3 = table_manifest(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, None)], "k long, v string"),
+        ["k", "v"],
+        "t",
+    ).first()
+    assert m3.content_xor != m1.content_xor
+    # NULL and empty string hash differently
+    m4 = table_manifest(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "")], "k long, v string"),
+        ["k", "v"],
+        "t",
+    ).first()
+    assert m4.content_xor != m1.content_xor and m4.n_nulls == 0

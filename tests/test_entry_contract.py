@@ -97,6 +97,7 @@ TAIL_KEYS = {
     "part_unpivot": "test_spot_oracle_parity",
     "orders_expectations": "test_spot_oracle_parity + violation-injection test",
     "pack_bins": "test_spot_oracle_parity + FFD invariant/waste tests",
+    "tables_manifest": "test_spot_oracle_parity + change-detection tests",
 }
 
 
@@ -160,6 +161,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "part_unpivot",
         "orders_expectations",
         "pack_bins",
+        "tables_manifest",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
