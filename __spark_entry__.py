@@ -1929,10 +1929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_media_synth.py), and the r7-born rows streaming_user_totals
     (custom stateful operator), ann_pq_recall (product-quantization recall
     gate), ann_cosine_pq (rows-only PQ probe), doc_normalize (Unicode
-    canonicalization), char_lm_scores (char-trigram LM quality) and
-    part_unpivot (native UNPIVOT) — DuckDB parity via
-    test_spot_oracle_parity where an oracle exists; first in line for the
-    r8 rotation.
+    canonicalization), char_lm_scores (char-trigram LM quality),
+    part_unpivot (native UNPIVOT), orders_expectations (data-quality
+    rule suite), pack_bins (FFD packing audit) and tables_manifest
+    (content fingerprints) — DuckDB parity via test_spot_oracle_parity
+    where an oracle exists; first in line for the r8 rotation.
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born operators in, stable IO/metric rows out).
