@@ -165,3 +165,63 @@ def upsert_parquet(
     # dynamic partition overwrite (session.py conf): only partitions
     # present in `merged` are replaced; everything else is untouched
     write_parquet(merged, path, mode="overwrite", partition_by=partition_by)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the operational hygiene job every
+    streaming sink / micro-batch upsert target eventually needs: tiny
+    part-files multiply task-scheduling and footer-read overhead until
+    scans are metadata-bound, so periodically rewrite the dataset into
+    ~``target_file_bytes`` files.
+
+    Shape: target file count = ceil(on-disk bytes / target) (compressed
+    size is the practical proxy), one round-robin ``repartition`` write
+    to a temp sibling, then an atomic-on-local-FS directory swap — the
+    dataset is never half-compacted in place, and Spark never overwrites
+    the directory it is reading. On an object store, swap via a metadata
+    catalog (Delta/Iceberg commit) instead of rename — the compaction
+    plan itself is identical.
+
+    Returns {"files_before", "files_after", "total_bytes", "target_files"}.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    parts_before = [
+        p
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    if not parts_before:
+        raise FileNotFoundError(f"no parquet part-files under {path}")
+    total_bytes = sum(os.path.getsize(p) for p in parts_before)
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    parts_after = [
+        p
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    return {
+        "files_before": len(parts_before),
+        "files_after": len(parts_after),
+        "total_bytes": total_bytes,
+        "target_files": n_target,
+    }

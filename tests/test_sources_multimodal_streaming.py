@@ -862,3 +862,42 @@ def test_upsert_parquet_partition_migration_caveat_is_real(spark, tmp_path):
     rows = sorted((r.id, r.month, r.version) for r in spark.read.parquet(path).collect())
     # both versions exist — the old partition's row survives (the caveat)
     assert rows == [(1, "2024-01", 0), (1, "2024-02", 1)]
+
+
+def test_compact_parquet_reduces_files_and_preserves_content(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import (
+        table_manifest,
+    )
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr(
+        "id AS k", "CAST(id % 97 AS STRING) AS v"
+    ).repartition(40).write.parquet(path)
+
+    before = table_manifest(spark.read.parquet(path), ["k", "v"], "t").first()
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1 == stats["target_files"]
+    after_df = spark.read.parquet(path)
+    after = table_manifest(after_df, ["k", "v"], "t").first()
+    # byte-identical content, order notwithstanding
+    assert (after.n_rows, after.content_xor) == (before.n_rows, before.content_xor)
+    # no temp/backup litter
+    import os
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")
+
+
+def test_compact_parquet_rejects_empty_dir(spark, tmp_path):
+    import pytest
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        compact_parquet,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        compact_parquet(spark, str(empty))
