@@ -804,7 +804,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_sources_multimodal_streaming.py)."""
     from lab_etl_batch_data_processing_pipeline__spark.sources import media_synth
 
-    media = media_synth.synthetic_media(spark, n_per_modality=40).repartition(4)
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "media", "v1-n40"
+    )
+    media = media_synth.materialized_media(
+        spark, cache_dir, n_per_modality=40
+    ).repartition(4)
     base = media.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.length("payload")).alias("payload_bytes"),
