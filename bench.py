@@ -120,6 +120,11 @@ def main() -> None:
         )
     startup = time.perf_counter() - t0
 
+    # SPARK_GRAFT_BENCH_REPEAT=n re-runs each query n times and records
+    # the MINIMUM — for local A/Bs where steady-state matters more than
+    # the first-execution number. The official per-round figure stays
+    # n=1 (first run in a warm session — what a user actually pays).
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
@@ -129,13 +134,18 @@ def main() -> None:
         # detaches — thousands of JVM round-trips), randomly taxing
         # whichever small query it lands in (observed: 0.8 s queries
         # reading 5-6 s in-bench). Inter-query cleanup is not query work.
-        gc.collect()
-        start = time.perf_counter()
-        try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # one broken query must not kill the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        runs = []
+        for _ in range(repeat):
+            gc.collect()
+            start = time.perf_counter()
+            try:
+                materialize(fn(spark, sf_dir))
+                runs.append(round(time.perf_counter() - start, 3))
+            except Exception as exc:  # one broken query must not kill the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+        if runs:
+            timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     payload = {
