@@ -3243,12 +3243,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
               SELECT 'orders' AS "table",
                      CAST(COUNT(*) AS BIGINT) AS n_rows,
-                     CAST(bit_xor(h) AS BIGINT) AS content_xor,
-                     CAST(SUM(nn) AS BIGINT) AS n_nulls
+                     CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS content_xor,
+                     CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_nulls
               FROM o
               UNION ALL
               SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
-                     CAST(bit_xor(h) AS BIGINT), CAST(SUM(nn) AS BIGINT)
+                     CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+                     CAST(COALESCE(SUM(nn), 0) AS BIGINT)
               FROM s
             ) ORDER BY "table"
         """,

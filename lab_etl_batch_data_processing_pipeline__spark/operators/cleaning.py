@@ -269,8 +269,12 @@ def expectation_report(
             continue
         else:
             raise ValueError(f"unknown expectation kind: {kind}")
+        # coalesce: SUM over an empty table is NULL, but zero rows is
+        # zero violations, not an unknown
         row_local_aggs.append(
-            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(name)
         )
         row_local_meta.append((name, col, kind))
 
@@ -342,8 +346,10 @@ def table_manifest(
         (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) for c in cols),
         F.lit(0),
     )
+    # empty-table aggregates return NULL; the manifest of nothing is a
+    # well-defined (0, 0, 0) so empty snapshots diff cleanly
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.bit_xor(row_h).alias("content_xor"),
-        null_count.cast("long").alias("n_nulls"),
+        F.coalesce(F.bit_xor(row_h), F.lit(0).cast("long")).alias("content_xor"),
+        F.coalesce(null_count.cast("long"), F.lit(0).cast("long")).alias("n_nulls"),
     ).select(F.lit(table_name).alias("table"), "n_rows", "content_xor", "n_nulls")

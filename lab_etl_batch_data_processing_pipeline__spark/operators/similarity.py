@@ -660,7 +660,12 @@ def build_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "PQ: cannot train codebooks on an empty corpus / NULL embedding"
+        )
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -710,7 +715,10 @@ def pq_encode(
     codes. argmin ties break toward the LOWER code id (deterministic at
     any parallelism).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("PQ: cannot encode an empty corpus / NULL embedding")
+    dim = len(first[0])
     dsub = dim // m
 
     norm = l2_norm(F.col(vec_col))
@@ -834,6 +842,8 @@ def cosine_topk_pq(
     qnorm = l2_norm(F.col(vec_col))
     qnormalized = F.transform(F.col(vec_col), lambda x: x.cast("double") / qnorm)
     dim_row = queries.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None or dim_row["d"] < 0:
+        raise ValueError("PQ probe: empty query set / NULL query embedding")
     dsub = dim_row["d"] // m
     qsub = queries.select(
         F.col(query_id_col),

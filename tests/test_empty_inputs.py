@@ -1,0 +1,80 @@
+"""Empty-input robustness: at 100 TB, empty slices/partitions/filters
+are routine — every core operator must return an empty (or
+correctly-degenerate) result instead of crashing, and operators whose
+semantics genuinely require data must refuse with a clear ValueError."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    cleaning,
+    dedup_fuzzy,
+    graph,
+    scd,
+    similarity,
+    text,
+)
+from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+
+@pytest.fixture(scope="module")
+def empty(spark):
+    return {
+        "docs": spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string"
+        ),
+        "emb": spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        ),
+        "pairs": spark.createDataFrame([], "doc_id_a long, doc_id_b long"),
+        "events": spark.createDataFrame(
+            [], "user_id long, state string, ts long, event_id long"
+        ),
+    }
+
+
+def test_text_operators_return_empty(spark, empty):
+    docs = empty["docs"]
+    assert text.doc_stats(docs).count() == 0
+    assert text.normalize_text(docs).count() == 0
+    assert text.char_lm_familiarity(docs).count() == 0
+    assert text.mixture_sample(docs, 1000).count() == 0
+    assert text.pack_offsets(docs, 512).count() == 0
+    assert text.pack_bins(docs, 256).count() == 0
+    assert text.chunk_documents(docs, 32, 8).count() == 0
+    assert text.decontaminate(docs, docs, 8).count() == 0
+
+
+def test_dedup_and_funnel_return_empty(spark, empty):
+    docs = empty["docs"]
+    assert dedup_fuzzy.jaccard_near_dups(docs, "doc_id", "text").count() == 0
+    assert dedup_fuzzy.minhash_near_dups(docs, "doc_id", "text").count() == 0
+    assert corpus_prep(docs).count() == 0
+    assert graph.connected_components(empty["pairs"]).count() == 0
+    assert graph.dup_clusters(empty["pairs"]).count() == 0
+    assert scd.scd2_history(empty["events"], "user_id", "state", "ts").count() == 0
+
+
+def test_similarity_empty_behavior(spark, empty):
+    emb = empty["emb"]
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert similarity.cosine_topk_bruteforce(emb, queries).count() == 0
+    assert similarity.quantize_embeddings(emb).count() == 0
+    # codebook training over nothing is meaningless -> loud refusal,
+    # never a NoneType crash
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.build_pq_codebooks(emb, m=4, ksub=2)
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.pq_encode(emb, emb, m=4)
+
+
+def test_audit_operators_degenerate_but_valid(spark, empty):
+    docs = empty["docs"]
+    m = cleaning.table_manifest(docs, ["doc_id", "text"]).first()
+    assert m.n_rows == 0 and m.n_nulls == 0
+    rep = cleaning.expectation_report(
+        docs, [{"name": "nn", "kind": "not_null", "column": "doc_id"}]
+    ).first()
+    assert rep.n_violations == 0 and rep.passed
