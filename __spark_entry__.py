@@ -998,6 +998,7 @@ def sweep_stale_caches(sf_dir: str) -> None:
         ("csv", "supplier.parquet"),
         ("curated", "orders.parquet"),
         ("upsert", "orders.parquet"),
+        ("jsonl", "documents.parquet"),
     ):
         try:
             tag = _gen_tag(sf_dir, src)
@@ -1028,6 +1029,28 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isfile(os.path.join(csv_dir, "_SUCCESS")):
         pq.write.mode("overwrite").option("header", "true").csv(csv_dir)
     return read_csv(spark, csv_dir, pq.schema, header=True).orderBy("s_suppkey")
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-interchange round-trip: export documents as JSON-Lines (the
+    format every public LLM corpus ships in), read it back through the
+    engine's schema'd JSONL reader, and hash-match the parquet truth —
+    exercises JSON string escaping (newlines, quotes, unicode) through a
+    full write→read cycle. Cached per testdata generation, _SUCCESS-gated
+    like csv_roundtrip."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    pq = _t(spark, sf_dir, "documents")
+    tag = _gen_tag(sf_dir, "documents.parquet")
+    jl_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "jsonl", tag
+    )
+    if not os.path.isfile(os.path.join(jl_dir, "_SUCCESS")):
+        write_jsonl(pq, jl_dir)
+    return read_jsonl(spark, jl_dir, pq.schema).orderBy("doc_id")
 
 
 def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2036,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_expectations": q_orders_expectations,
         "pack_bins": q_pack_bins,
         "tables_manifest": q_tables_manifest,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
     }
 
 
@@ -3216,6 +3240,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey, 'retailprice' AS attr,
                      CAST(p_retailprice AS DOUBLE) AS val FROM part
             ) ORDER BY p_partkey, attr
+        """,
+        # Round-trip oracle reads the parquet truth directly (the Spark
+        # side is what exercises the JSONL write+scan), like csv_roundtrip.
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents ORDER BY doc_id
         """,
         # Manifest twin: identical md5 row hashes + BIT_XOR fold in SQL.
         "tables_manifest": """

@@ -5,6 +5,15 @@ from .readers import (  # noqa: F401
     nanos_to_timestamp,
     read_csv,
     read_jdbc,
+    read_jsonl,
     read_parquet,
 )
-from .writers import write_csv_single_file, write_jdbc, write_parquet  # noqa: F401
+from .writers import (  # noqa: F401
+    compact_parquet,
+    upsert_parquet,
+    write_bucketed_table,
+    write_csv_single_file,
+    write_jdbc,
+    write_jsonl,
+    write_parquet,
+)

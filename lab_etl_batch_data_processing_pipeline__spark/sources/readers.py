@@ -165,3 +165,22 @@ def memory_table(
 ) -> DataFrame:
     """Literal in-memory table (small dimensions like exchange rates)."""
     return spark.createDataFrame(list(rows), schema)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """JSON-Lines scan with a declared schema — the LLM-corpus
+    interchange format (one JSON document per line; every public corpus
+    release ships this way).
+
+    Same no-inference discipline as read_csv: schema inference over
+    JSONL costs a full extra pass and silently unions drifting shapes;
+    a fixed StructType makes malformed rows surface as NULLs
+    (columnNameOfCorruptRecord) instead of mutating the schema. JSONL is
+    line-splittable, so the scan parallelizes like CSV (unlike a single
+    multi-line JSON document).
+    """
+    return spark.read.schema(schema).json(path)

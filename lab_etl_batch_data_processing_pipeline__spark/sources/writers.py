@@ -225,3 +225,10 @@ def compact_parquet(
         "total_bytes": total_bytes,
         "target_files": n_target,
     }
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink (one document per line, partitioned output files)
+    — the corpus-export twin of read_jsonl. No coalesce: JSONL exports
+    are sharded at scale like any other sink; downstream consumers glob."""
+    df.write.mode(mode).json(path)

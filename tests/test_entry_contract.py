@@ -98,6 +98,7 @@ TAIL_KEYS = {
     "orders_expectations": "test_spot_oracle_parity + violation-injection test",
     "pack_bins": "test_spot_oracle_parity + FFD invariant/waste tests",
     "tables_manifest": "test_spot_oracle_parity + change-detection tests",
+    "jsonl_roundtrip": "test_spot_oracle_parity",
 }
 
 
@@ -162,6 +163,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_expectations",
         "pack_bins",
         "tables_manifest",
+        "jsonl_roundtrip",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

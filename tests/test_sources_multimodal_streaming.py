@@ -901,3 +901,28 @@ def test_compact_parquet_rejects_empty_dir(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         compact_parquet(spark, str(empty))
+
+
+
+def test_jsonl_roundtrip_preserves_hostile_strings(spark, tmp_path):
+    """JSONL write->read must survive newlines, quotes, backslashes,
+    unicode and NULLs byte-exactly (the reason the format escapes)."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, 'line1\nline2\r\nline3'),
+        (2, 'quote " and backslash \\ and tab\t'),
+        (3, "unicode: caf" + chr(0xE9) + " " + chr(0x4F60) + chr(0x597D)),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, path)
+    back = {r.doc_id: r.text for r in read_jsonl(spark, path, df.schema).collect()}
+    # Spark's JSON sink drops NULL fields entirely on write; the schema'd
+    # read restores them as NULL — the documented round-trip semantics
+    assert back == {r[0]: r[1] for r in rows}
