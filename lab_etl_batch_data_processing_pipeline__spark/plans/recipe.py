@@ -1,0 +1,164 @@
+"""Declarative pipeline recipes — the engine's composition surface.
+
+The reference wires its pipeline as imperative scripts (one hard-coded
+read→clean→join→write per job: curated_tranformation.py,
+present_summary.py); this module re-expresses that lifecycle as DATA: a
+recipe dict names its sources, a sequence of steps, and its sinks, and
+:func:`run_recipe` interprets it into one lazy DataFrame DAG. Because
+every step registers as a temp view, steps compose through plain SQL or
+through the operator registry interchangeably, and Catalyst optimizes
+ACROSS steps (a filter in step 5 still pushes into step 1's scan — the
+payoff of declaring the plan instead of executing per step).
+
+Recipe shape::
+
+    {
+      "tables": {
+        "orders":   {"format": "parquet", "path": ".../orders.parquet"},
+        "raw_csv":  {"format": "csv", "path": "...", "schema": "bookings"},
+        "docs":     {"format": "jsonl", "path": "...",
+                     "schema": "doc_id long, text string"},
+      },
+      "steps": [
+        {"name": "cleaned", "op": "dedup_by_keys", "input": "orders",
+         "args": {"keys": ["o_orderkey"]}},
+        {"name": "metric",  "sql": "SELECT o_custkey AS user_id, COUNT(*) n
+                                    FROM cleaned GROUP BY 1"},
+      ],
+      "outputs": {
+        "metric": {"format": "parquet", "path": "...", "mode": "overwrite"},
+      },
+    }
+
+Steps run in order; each is EITHER ``{"sql": ...}`` (referencing any
+prior step/table as a view) or ``{"op": ...}`` naming a registered
+operator (df-first callable; extra ``args`` pass through). ``outputs``
+maps step names to sinks — the only actions; everything before stays
+one lazy plan per sink.
+
+At 100 TB this is also the governance surface: recipes are reviewable,
+diffable artifacts, and every operator they can invoke already carries
+its own scale contract (SCALE.md) — composing them cannot introduce a
+new shuffle shape that code review hasn't seen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .. import schemas as _schemas
+from ..operators import cleaning, enrich, joins, text
+from ..sources import read_csv, read_jsonl, read_parquet, write_parquet
+from ..sources.writers import write_csv_single_file, write_jsonl
+
+
+def _op_join(df: DataFrame, right: DataFrame, on, how: str = "left") -> DataFrame:
+    return df.join(right, on=on, how=how)
+
+
+def _op_filter(df: DataFrame, condition: str) -> DataFrame:
+    return df.filter(condition)
+
+
+def _op_select(df: DataFrame, columns: list[str]) -> DataFrame:
+    return df.selectExpr(*columns)
+
+
+#: df-first operator constructors a recipe step may invoke by name.
+#: Deliberately explicit (no getattr dispatch): the recipe surface is a
+#: reviewed allow-list, not arbitrary code execution.
+OP_REGISTRY: dict[str, Callable[..., DataFrame]] = {
+    "select": _op_select,
+    "filter": _op_filter,
+    "join": _op_join,
+    "dedup_exact": cleaning.dedup_exact,
+    "dedup_by_keys": cleaning.dedup_by_keys,
+    "normalize_dates": cleaning.normalize_dates,
+    "project_cast": cleaning.project_cast,
+    "expectation_report": cleaning.expectation_report,
+    "table_manifest": cleaning.table_manifest,
+    "convert_currency": enrich.convert_currency,
+    "curated_apartment_bookings": joins.curated_apartment_bookings,
+    "doc_stats": text.doc_stats,
+    "normalize_text": text.normalize_text,
+    "mixture_sample": text.mixture_sample,
+    "pii_scrub": text.pii_scrub,
+}
+
+
+def _resolve_schema(spec_schema) -> T.StructType:
+    """A table spec's schema may be a StructType, a reference-layer table
+    name (schemas.RAW_TABLES), or a DDL string ("a int, b string")."""
+    if isinstance(spec_schema, T.StructType):
+        return spec_schema
+    if spec_schema in _schemas.RAW_TABLES:
+        return _schemas.RAW_TABLES[spec_schema]
+    return T.StructType.fromDDL(spec_schema)
+
+
+def _read_table(spark: SparkSession, name: str, spec: Mapping) -> DataFrame:
+    fmt = spec.get("format", "parquet")
+    if fmt == "parquet":
+        return read_parquet(spark, spec["path"])
+    schema = _resolve_schema(spec["schema"])
+    if fmt == "csv":
+        return read_csv(spark, spec["path"], schema, header=spec.get("header", True))
+    if fmt == "jsonl":
+        return read_jsonl(spark, spec["path"], schema)
+    raise ValueError(f"recipe table {name!r}: unknown format {fmt!r}")
+
+
+def run_recipe(
+    spark: SparkSession, recipe: Mapping, execute_outputs: bool = True
+) -> dict[str, DataFrame]:
+    """Interpret a recipe: returns {step/table name: DataFrame} and (by
+    default) materializes every declared output sink. Pass
+    ``execute_outputs=False`` to get the lazy frames only (testing /
+    dry-run / EXPLAIN review)."""
+    frames: dict[str, DataFrame] = {}
+
+    for name, spec in (recipe.get("tables") or {}).items():
+        frames[name] = _read_table(spark, name, spec)
+        frames[name].createOrReplaceTempView(name)
+
+    for step in recipe.get("steps") or []:
+        name = step["name"]
+        if "sql" in step:
+            df = spark.sql(step["sql"])
+        elif "op" in step:
+            op = OP_REGISTRY.get(step["op"])
+            if op is None:
+                raise ValueError(
+                    f"recipe step {name!r}: unknown op {step['op']!r} "
+                    f"(allowed: {sorted(OP_REGISTRY)})"
+                )
+            inputs = step.get("inputs") or [step["input"]]
+            dfs = [frames[i] for i in inputs]
+            df = op(*dfs, **(step.get("args") or {}))
+        else:
+            raise ValueError(f"recipe step {name!r}: needs 'sql' or 'op'")
+        frames[name] = df
+        df.createOrReplaceTempView(name)
+
+    if execute_outputs:
+        for name, sink in (recipe.get("outputs") or {}).items():
+            df = frames[name]
+            fmt = sink.get("format", "parquet")
+            mode = sink.get("mode", "overwrite")
+            if fmt == "parquet":
+                write_parquet(
+                    df,
+                    sink["path"],
+                    mode=mode,
+                    partition_by=sink.get("partition_by"),
+                )
+            elif fmt == "csv_single_file":
+                write_csv_single_file(df, sink["path"], mode=mode)
+            elif fmt == "jsonl":
+                write_jsonl(df, sink["path"], mode=mode)
+            else:
+                raise ValueError(f"recipe output {name!r}: unknown format {fmt!r}")
+    return frames
