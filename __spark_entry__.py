@@ -1782,6 +1782,51 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event values resampled onto a 6-hour grid with
+    forward-fill (windows.resample_ffill): last observation per tick
+    (event_id tiebreak), gaps carry the last known value, leading gaps
+    stay NULL. The gap-filling twin rolling_revenue_7d's RANGE frames
+    deliberately aren't — dashboards/feature stores need "value as of
+    every tick". Summarized per user (grid size, observed ticks, filled
+    ticks, value checksum) so the driver row stays compact while every
+    tick's fill decision feeds the hash."""
+    ev = _events_ts(spark, sf_dir)
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    grid = windows.resample_ffill(
+        ev, "user_id", "ts_utc", "value", interval_seconds=21_600,
+        tiebreak_col="event_id",
+    )
+    return (
+        grid.groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("is_observed").cast("long")).alias("n_observed"),
+            F.sum(
+                (~F.col("is_observed") & F.col("value").isNotNull()).cast("long")
+            ).alias("n_filled"),
+            # decimal accumulation: float SUM is order-dependent in the
+            # low bits; rounding each tick to 3dp then summing exactly
+            # makes the checksum partitioning-invariant
+            F.sum(
+                F.round(F.col("value"), 3).cast("decimal(18,3)")
+            ).cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 12-bin histogram of o_totalprice
+    (profiling.histogram): min/max pre-pass fixes the width, one hash
+    aggregate on the bin index counts, empty bins emitted for stable
+    plotting shape. DuckDB recomputes the identical binning."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    return profiling.histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 12)
+
+
 def q_tables_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content manifests (cleaning.table_manifest) for orders + supplier:
     order-independent BIT_XOR fold of 60-bit md5 row hashes plus row and
@@ -2061,6 +2106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "tables_manifest": q_tables_manifest,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "events_resampled": q_events_resampled,
+        "price_histogram": q_price_histogram,
     }
 
 
@@ -3241,6 +3288,72 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey, 'retailprice' AS attr,
                      CAST(p_retailprice AS DOUBLE) AS val FROM part
             ) ORDER BY p_partkey, attr
+        """,
+        # Resample twin: identical tick floor, per-tick last (ts desc +
+        # event_id desc), grid via generate_series, ffill via
+        # last_value IGNORE NULLS, decimal checksum.
+        "events_resampled": """
+            WITH obs0 AS (
+              SELECT user_id,
+                     CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS tick_ts,
+                     epoch(ts) AS ets, event_id, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id,
+                                    CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT)
+                       ORDER BY epoch(ts) DESC, event_id DESC) AS rn
+              FROM events
+            ), obs AS (
+              SELECT user_id, tick_ts, value AS observed FROM obs0 WHERE rn = 1
+            ), spans AS (
+              SELECT user_id, MIN(tick_ts) AS lo, MAX(tick_ts) AS hi
+              FROM obs GROUP BY 1
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS tick_ts
+              FROM spans
+            ), filled AS (
+              SELECT g.user_id, g.tick_ts,
+                     last_value(o.observed IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.tick_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS value,
+                     o.observed IS NOT NULL AS is_observed
+              FROM grid g LEFT JOIN obs o
+                ON g.user_id = o.user_id AND g.tick_ts = o.tick_ts
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ticks,
+                   CAST(SUM(CASE WHEN is_observed THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_observed,
+                   CAST(SUM(CASE WHEN NOT is_observed AND value IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                   CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS DOUBLE)
+                     AS value_sum
+            FROM filled GROUP BY 1 ORDER BY 1
+        """,
+        # Histogram twin: same two-pass binning (min/max then floor bins,
+        # top edge closed into the last bin, empty bins emitted).
+        "price_histogram": """
+            WITH b AS (
+              SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+                     MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+              FROM orders
+            ), c AS (
+              SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.lo)
+                                      / ((b.hi - b.lo) / 12)) AS INT), 11)
+                       AS bin,
+                     COUNT(*) AS n_rows
+              FROM orders, b
+              WHERE o_totalprice IS NOT NULL
+              GROUP BY 1
+            )
+            SELECT g.bin,
+                   b.lo + g.bin * ((b.hi - b.lo) / 12) AS lo,
+                   b.lo + (g.bin + 1) * ((b.hi - b.lo) / 12) AS hi,
+                   CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows
+            FROM (SELECT unnest(generate_series(0, 11)) AS bin) g
+            CROSS JOIN b
+            LEFT JOIN c USING (bin)
+            ORDER BY g.bin
         """,
         # Round-trip oracle reads the parquet truth directly (the Spark
         # side is what exercises the JSONL write+scan), like csv_roundtrip.

@@ -43,3 +43,61 @@ def key_skew(
         )
         .orderBy("rank")
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n_rows).
+
+    Two jobs by necessity: a dimension-sized min/max aggregate fixes the
+    bin width, then one hash aggregate on the bin index counts rows —
+    the profiling primitive behind any numeric-distribution dashboard.
+    The top edge closes into the last bin (floor((max-min)/w) == n_bins
+    collapses to n_bins-1) so every non-NULL row lands in exactly one
+    bin; NULLs are excluded (profile them with profile_columns). Empty
+    bins are emitted with n_rows=0 via a bin-index grid join, so the
+    histogram shape is stable for plotting. Degenerate case min==max:
+    one bin holding everything.
+    """
+    bounds = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    ).first()
+    if bounds["lo"] is None:
+        raise ValueError(f"histogram: no non-NULL values in {value_col}")
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if hi == lo:
+        return df.agg(
+            F.count(F.when(F.col(value_col).isNotNull(), 1)).alias("n_rows")
+        ).select(
+            F.lit(0).alias("bin"),
+            F.lit(lo).alias("lo"),
+            F.lit(hi).alias("hi"),
+            F.col("n_rows").cast("long"),
+        )
+    width = (hi - lo) / n_bins
+    idx = F.least(
+        F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .na.fill(0, ["n_rows"])
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("bin")
+    )

@@ -114,3 +114,75 @@ def rolling_window_sum(
         )
         .orderBy(key_col, "day_date")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a fixed grid with
+    forward-fill — the gap-filling operator rolling_window_sum's
+    calendar frames deliberately do NOT provide (a RANGE frame ages
+    values out; dashboards and feature stores need "last known value at
+    every tick" instead).
+
+    Shape: per key, the grid spans floor(min_ts) .. floor(max_ts) at
+    ``interval_seconds`` (one dimension-sized aggregate + a per-key
+    ``sequence`` explode — grid rows, not data rows, dominate the output
+    so pick the interval to taste); observed values aggregate per tick
+    (last wins by max ts) and gaps fill via ``last(value, ignorenulls)``
+    over the per-key ordered window. Leading gaps (before a key's first
+    observation) stay NULL — honest "no data yet", not zero.
+
+    ``tiebreak_col`` makes "last observation in a tick" deterministic
+    when timestamps collide (e.g. a monotonic event id) — without it,
+    max-by on a duplicated ts picks an arbitrary row at any engine.
+    Emits (key, tick_ts, value, is_observed); one (key, tick) ranking
+    window plus the per-key ffill window — both hash on the key family.
+    """
+    tick = (F.floor(F.col(ts_col).cast("double") / interval_seconds)
+            * interval_seconds).cast("long")
+    order = [F.col("__ts").desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w_last = Window.partitionBy("key", "tick_ts").orderBy(*order)
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            tick.alias("tick_ts"),
+            F.col(ts_col).cast("double").alias("__ts"),
+            F.col(value_col).alias("__v"),
+            *([tiebreak_col] if tiebreak_col else []),
+        )
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select("key", "tick_ts", F.col("__v").alias("observed"))
+    )
+    spans = obs.groupBy("key").agg(
+        F.min("tick_ts").alias("__lo"), F.max("tick_ts").alias("__hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(interval_seconds))
+        ).alias("tick_ts"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("tick_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["key", "tick_ts"], "left")
+        .select(
+            "key",
+            "tick_ts",
+            F.last("observed", ignorenulls=True).over(w).alias("value"),
+            F.col("observed").isNotNull().alias("is_observed"),
+        )
+        .orderBy("key", "tick_ts")
+    )

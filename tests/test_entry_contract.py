@@ -99,6 +99,8 @@ TAIL_KEYS = {
     "pack_bins": "test_spot_oracle_parity + FFD invariant/waste tests",
     "tables_manifest": "test_spot_oracle_parity + change-detection tests",
     "jsonl_roundtrip": "test_spot_oracle_parity",
+    "events_resampled": "test_spot_oracle_parity + ffill-semantics tests",
+    "price_histogram": "test_spot_oracle_parity + binning-edge tests",
 }
 
 
@@ -164,6 +166,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "pack_bins",
         "tables_manifest",
         "jsonl_roundtrip",
+        "events_resampled",
+        "price_histogram",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -95,3 +95,58 @@ def test_scd2_null_states_are_versions_not_dropped(spark):
         (2, None, 15, 25, 1, False),
         (2, "X", 25, None, 2, True),
     ]
+
+
+def test_resample_ffill_semantics(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        resample_ffill,
+    )
+
+    rows = [
+        # user 1: obs at t=5 (v=1.0), t=25 (v=2.0) -> grid 0..20 step 10
+        (1, 5.0, 1.0, 100),
+        (1, 25.0, 2.0, 101),
+        # same-tick tie at t=5: higher event_id wins
+        (1, 5.0, 9.0, 102),
+        # user 2: single obs
+        (2, 13.0, 7.0, 103),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, value double, event_id long")
+    out = resample_ffill(
+        df, "user_id", "ts", "value", interval_seconds=10, tiebreak_col="event_id"
+    ).collect()
+    got = {(r.key, r.tick_ts): (r.value, r.is_observed) for r in out}
+    assert got == {
+        (1, 0): (9.0, True),    # tie -> event_id 102's value
+        (1, 10): (9.0, False),  # gap forward-fills
+        (1, 20): (2.0, True),
+        (2, 10): (7.0, True),
+    }
+
+
+def test_histogram_edges_and_degenerate(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
+        histogram,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,), (10.0,), (None,)], "v double"
+    )
+    out = histogram(df, "v", n_bins=2).collect()
+    rows = [(r.bin, r.lo, r.hi, r.n_rows) for r in out]
+    # max lands in the LAST bin (closed top edge); NULL excluded
+    assert rows == [(0, 0.0, 5.0, 1), (1, 5.0, 10.0, 3)]
+
+    # empty bins still emitted
+    sparse = spark.createDataFrame([(0.0,), (100.0,)], "v double")
+    out2 = histogram(sparse, "v", n_bins=4).collect()
+    assert [r.n_rows for r in out2] == [1, 0, 0, 1]
+
+    # degenerate min==max -> one bin
+    const = spark.createDataFrame([(3.0,), (3.0,)], "v double")
+    out3 = histogram(const, "v", n_bins=5).collect()
+    assert len(out3) == 1 and out3[0].n_rows == 2
+
+    with pytest.raises(ValueError, match="no non-NULL"):
+        histogram(spark.createDataFrame([(None,)], "v double"), "v")
