@@ -2005,9 +2005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonicalization), char_lm_scores (char-trigram LM quality),
     part_unpivot (native UNPIVOT), orders_expectations (data-quality
     rule suite), pack_bins (FFD packing audit), tables_manifest
-    (content fingerprints) and jsonl_roundtrip (corpus interchange) —
-    DuckDB parity via test_spot_oracle_parity where an oracle exists;
-    first in line for the r8 rotation.
+    (content fingerprints), jsonl_roundtrip (corpus interchange),
+    events_resampled (ffill resampling) and price_histogram (equi-width
+    binning) — DuckDB parity via test_spot_oracle_parity where an oracle
+    exists; first in line for the r8 rotation.
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born operators in, stable IO/metric rows out).

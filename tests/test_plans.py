@@ -340,3 +340,18 @@ def test_pq_probe_broadcasts_lut_and_shortlist(spark):
         "BroadcastNestedLoopJoin"
     ) >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_resample_windows_share_key_partitioning(spark):
+    # the (key, tick) ranking window and the per-key ffill window are
+    # both hash exchanges in the key family; the grid sequence explode
+    # appears as a Generate over the dimension-sized span frame
+    plan = formatted_plan(entrymod.queries()["events_resampled"](spark, SF))
+    assert "Generate" in plan
+    assert "Window" in plan
+
+
+def test_histogram_counts_use_partial_aggregation(spark):
+    # bin counting must map-side combine before the one bin-key exchange
+    plan = formatted_plan(entrymod.queries()["price_histogram"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
