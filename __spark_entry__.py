@@ -1782,6 +1782,55 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recipe_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative recipe runner in the oracle-checked surface
+    (plans/recipe.py): a dict-defined pipeline — parquet sources, a
+    keyed-dedup op step, a filter op step, a SQL aggregation step —
+    interpreted into one Catalyst plan and hash-matched against DuckDB
+    running the equivalent SQL directly. Proves the interpretation layer
+    adds nothing and loses nothing; cross-step pushdown and sink
+    execution are pinned in tests/test_recipe.py."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.recipe import run_recipe
+
+    recipe = {
+        "tables": {
+            "r_orders": {"format": "parquet", "path": f"{sf_dir}/orders.parquet"},
+            "r_customer": {
+                "format": "parquet",
+                "path": f"{sf_dir}/customer.parquet",
+            },
+        },
+        "steps": [
+            {
+                "name": "r_deduped",
+                "op": "dedup_by_keys",
+                "input": "r_orders",
+                "args": {"keys": ["o_orderkey"], "order_by": ["o_orderdate"]},
+            },
+            {
+                "name": "r_confirmed",
+                "op": "filter",
+                "input": "r_deduped",
+                "args": {"condition": "o_orderstatus = 'F'"},
+            },
+            {
+                "name": "r_metric",
+                "sql": """
+                    SELECT c.c_mktsegment AS segment,
+                           CAST(COUNT(*) AS BIGINT) AS n_orders,
+                           CAST(ROUND(SUM(CAST(o.o_totalprice
+                                              AS DECIMAL(18,4))), 2)
+                                AS DOUBLE) AS revenue
+                    FROM r_confirmed o JOIN r_customer c
+                      ON o.o_custkey = c.c_custkey
+                    GROUP BY 1 ORDER BY 1
+                """,
+            },
+        ],
+    }
+    return run_recipe(spark, recipe, execute_outputs=False)["r_metric"]
+
+
 def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event values resampled onto a 6-hour grid with
     forward-fill (windows.resample_ffill): last observation per tick
@@ -2109,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_resampled": q_events_resampled,
         "price_histogram": q_price_histogram,
+        "recipe_metric": q_recipe_metric,
     }
 
 
@@ -3289,6 +3339,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey, 'retailprice' AS attr,
                      CAST(p_retailprice AS DOUBLE) AS val FROM part
             ) ORDER BY p_partkey, attr
+        """,
+        # Recipe twin: the equivalent SQL straight over the base tables —
+        # the recipe interpretation must add nothing and lose nothing.
+        # orders keys are unique in testdata, so the keyed-dedup step is
+        # an identity here; the oracle mirrors that.
+        "recipe_metric": """
+            SELECT c.c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY 1 ORDER BY 1
         """,
         # Resample twin: identical tick floor, per-tick last (ts desc +
         # event_id desc), grid via generate_series, ffill via

@@ -101,6 +101,7 @@ TAIL_KEYS = {
     "jsonl_roundtrip": "test_spot_oracle_parity",
     "events_resampled": "test_spot_oracle_parity + ffill-semantics tests",
     "price_histogram": "test_spot_oracle_parity + binning-edge tests",
+    "recipe_metric": "test_spot_oracle_parity + tests/test_recipe.py",
 }
 
 
@@ -168,6 +169,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "jsonl_roundtrip",
         "events_resampled",
         "price_histogram",
+        "recipe_metric",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
