@@ -394,6 +394,41 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(exact, approx, floor=0.8)
 
 
+def q_ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×PQ probe against the materialized FAISS-style index
+    (similarity.cosine_topk_ivfpq): centroid ranking picks nprobe of
+    nlist cells, the coded index is STATICALLY partition-pruned to those
+    cells (probed cell ids are dimension-sized, collected for an isin
+    pushdown), candidates score as m-byte codes via the per-query LUT,
+    and the shortlist re-ranks exactly. The two pruning levers compose:
+    nprobe/nlist of the corpus read × 16 B per candidate. Rows-only;
+    quality pinned by ann_ivfpq_recall below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    p = _IVFPQ_PARAMS
+    return similarity.cosine_topk_ivfpq(
+        emb, _query_vectors(emb), k=5, nlist=p["nlist"], nprobe=p["nprobe"],
+        m=p["m"], ksub=p["ksub"], seed=p["seed"], rerank=p["rerank"],
+        index_dir=_ivfpq_index_dir(sf_dir),
+    )
+
+
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 floor (0.2: every query finds a true neighbor — the same
+    floor as the plain-IVF gate, since the cell restriction dominates
+    and the PQ distortion is repaired by the exact re-rank) for the
+    exact config q_ann_cosine_ivfpq runs, probing the same index.
+    Measured per-query recall 0.2-1.0 across sf0.001/0.01/0.1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = _ground_truth_topk(spark, sf_dir, k=5)
+    p = _IVFPQ_PARAMS
+    approx = similarity.cosine_topk_ivfpq(
+        emb, _query_vectors(emb), k=5, nlist=p["nlist"], nprobe=p["nprobe"],
+        m=p["m"], ksub=p["ksub"], seed=p["seed"], rerank=p["rerank"],
+        index_dir=_ivfpq_index_dir(sf_dir),
+    ).select("query_id", "neighbor_id")
+    return _ann_recall(exact, approx, floor=0.2)
+
+
 def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k against a materialized PQ index
     (similarity.cosine_topk_pq): the corpus scans as m=16 one-byte codes
@@ -959,6 +994,27 @@ def _pq_index_dir(sf_dir: str) -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "pq", tag)
 
 
+_IVFPQ_PARAMS = {
+    "nlist": 8, "nprobe": 3, "m": 16, "ksub": 32, "seed": 42, "rerank": 100,
+}
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Cache dir for the composed IVF×PQ index (coded cells + centroids
+    + codebooks) — same keying contract as _ivf_index_dir."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    p = _IVFPQ_PARAMS
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+        f"-nl{p['nlist']}-m{p['m']}-k{p['ksub']}-s{p['seed']}"
+    )
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "ivfpq", tag
+    )
+
+
 def _sweep_stale_cache(parent: str, keep: str) -> None:
     """Best-effort removal of cache tags superseded by a newer testdata
     generation of the SAME scale factor (the driver regenerates
@@ -1338,6 +1394,13 @@ def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
         similarity.build_pq_index(
             _t(spark, sf_dir, "embeddings"), pq_dir,
             m=p["m"], ksub=p["ksub"], seed=p["seed"],
+        )
+    ivfpq_dir = _ivfpq_index_dir(sf_dir)
+    if not os.path.isfile(os.path.join(ivfpq_dir, "_BUILT")):
+        p = _IVFPQ_PARAMS
+        similarity.build_ivfpq_index(
+            _t(spark, sf_dir, "embeddings"), ivfpq_dir,
+            nlist=p["nlist"], m=p["m"], ksub=p["ksub"], seed=p["seed"],
         )
     index_dir = _ivf_index_dir(sf_dir)
     # The _BUILT sentinel is written after BOTH index writes complete
@@ -2159,6 +2222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resampled": q_events_resampled,
         "price_histogram": q_price_histogram,
         "recipe_metric": q_recipe_metric,
+        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,
     }
 
 
@@ -3267,6 +3332,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
         """,
         "ann_pq_recall": f"""
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   TRUE AS recall_ok
+            FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
+        """,
+        "ann_ivfpq_recall": f"""
             SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
                    TRUE AS recall_ok
             FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1

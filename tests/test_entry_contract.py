@@ -102,6 +102,8 @@ TAIL_KEYS = {
     "events_resampled": "test_spot_oracle_parity + ffill-semantics tests",
     "price_histogram": "test_spot_oracle_parity + binning-edge tests",
     "recipe_metric": "test_spot_oracle_parity + tests/test_recipe.py",
+    "ann_cosine_ivfpq": "ann_ivfpq_recall parity + tests/test_similarity.py",
+    "ann_ivfpq_recall": "test_spot_oracle_parity",
 }
 
 
@@ -170,6 +172,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "events_resampled",
         "price_histogram",
         "recipe_metric",
+        "ann_ivfpq_recall",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

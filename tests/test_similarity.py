@@ -242,3 +242,31 @@ def test_pq_index_materialize_roundtrip(clustered_vectors, tmp_path):
 def test_pq_rejects_indivisible_dim(clustered_vectors):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.build_pq_codebooks(clustered_vectors, m=2, ksub=4)
+
+
+def test_ivfpq_matches_bruteforce_on_clustered_data(clustered_vectors, tmp_path):
+    queries = clustered_vectors.filter(F.col("vec_id").isin([0, 20, 40])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(clustered_vectors, queries, k=5)
+    ivfpq = similarity.cosine_topk_ivfpq(
+        clustered_vectors, queries, k=5, nlist=3, nprobe=1, m=3, ksub=8,
+        rerank=20, index_dir=str(tmp_path / "ivfpq"),
+    )
+    es, ps = {}, {}
+    for r in exact.collect():
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivfpq.collect():
+        ps.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # probing only the query's own cluster + exact re-rank recovers the
+    # true top-5 on well-separated clusters
+    assert ps == es
+    # index round-trips: second call probes the materialized index
+    again = similarity.cosine_topk_ivfpq(
+        clustered_vectors, queries, k=5, nlist=3, nprobe=1, m=3, ksub=8,
+        rerank=20, index_dir=str(tmp_path / "ivfpq"),
+    )
+    ps2 = {}
+    for r in again.collect():
+        ps2.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert ps2 == ps
