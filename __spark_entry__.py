@@ -1398,9 +1398,18 @@ def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
     ivfpq_dir = _ivfpq_index_dir(sf_dir)
     if not os.path.isfile(os.path.join(ivfpq_dir, "_BUILT")):
         p = _IVFPQ_PARAMS
+        # the flat-PQ index above trained identical codebooks (same
+        # m/ksub/seed over the same corpus) — reuse them instead of
+        # re-running the m KMeans fits
+        shared_cb = None
+        if p["m"] == _PQ_PARAMS["m"] and p["ksub"] == _PQ_PARAMS["ksub"] and (
+            p["seed"] == _PQ_PARAMS["seed"]
+        ):
+            shared_cb, _ = similarity.read_pq_index(spark, pq_dir)
         similarity.build_ivfpq_index(
             _t(spark, sf_dir, "embeddings"), ivfpq_dir,
             nlist=p["nlist"], m=p["m"], ksub=p["ksub"], seed=p["seed"],
+            codebooks=shared_cb,
         )
     index_dir = _ivf_index_dir(sf_dir)
     # The _BUILT sentinel is written after BOTH index writes complete
@@ -2118,9 +2127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     part_unpivot (native UNPIVOT), orders_expectations (data-quality
     rule suite), pack_bins (FFD packing audit), tables_manifest
     (content fingerprints), jsonl_roundtrip (corpus interchange),
-    events_resampled (ffill resampling) and price_histogram (equi-width
-    binning) — DuckDB parity via test_spot_oracle_parity where an oracle
-    exists; first in line for the r8 rotation.
+    events_resampled (ffill resampling), price_histogram (equi-width
+    binning), recipe_metric (declarative recipe runner) and the composed
+    ann_cosine_ivfpq / ann_ivfpq_recall pair — DuckDB parity via
+    test_spot_oracle_parity where an oracle exists; first in line for
+    the r8 rotation.
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born operators in, stable IO/metric rows out).

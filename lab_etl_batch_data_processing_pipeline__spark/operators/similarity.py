@@ -940,6 +940,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 4,
+    codebooks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Composed IVF×PQ index — the production billion-scale ANN layout
     (FAISS IVFPQ, Jégou et al. TPAMI'11): one parquet dataset of
@@ -958,7 +959,10 @@ def build_ivfpq_index(
     inverted, centroid_df = build_ivf_index(
         corpus, nlist, id_col, vec_col, seed, max_iter, index_dir=None
     )
-    codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
+    if codebooks is None:
+        # pass precomputed codebooks (e.g. the flat-PQ index's, same
+        # m/ksub/seed => identical training) to skip the m KMeans fits
+        codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
     encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
     coded = inverted.select(id_col, "cell").join(encoded, id_col)
     coded.write.mode("overwrite").partitionBy("cell").parquet(
