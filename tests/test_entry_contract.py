@@ -81,6 +81,22 @@ TAIL_KEYS = {
     "label_centroids": "test_spot_oracle_parity",
     "running_totals": "test_spot_oracle_parity",
     "salted_status_agg": "test_spot_oracle_parity",
+    # rotated out LATE r7 (driver-green r1-r6) to give the r7-born
+    # operator rows their first driver-checked round this round instead
+    # of queueing them behind an r8 rotation:
+    "avg_price_weekly": "test_spot_oracle_parity",
+    "occupancy_monthly": "test_spot_oracle_parity",
+    "top_listings_topk": "test_spot_oracle_parity",
+    "bookings_per_user": "test_spot_oracle_parity",
+    "avg_duration_monthly": "test_spot_oracle_parity",
+    "repeat_rate_monthly": "test_spot_oracle_parity",
+    "dedup_exact": "test_spot_oracle_parity",
+    "dedup_keys": "test_spot_oracle_parity",
+    "doc_stats": "test_spot_oracle_parity",
+    "language_id": "test_spot_oracle_parity",
+    "doc_fingerprint": "test_spot_oracle_parity",
+    "simhash": "test_spot_oracle_parity",
+    "sessionization": "test_spot_oracle_parity",
     # rows-only by necessity: testdata ships no media table, so the query
     # synthesizes one from the golden fixtures; correctness is pinned by
     # the golden decode/resample tests.
@@ -89,21 +105,8 @@ TAIL_KEYS = {
         " + tests/test_media_synth.py"
     ),
     # born in the tail r7 (window full); first in line for r8 rotation
-    "streaming_user_totals": "test_spot_oracle_parity",
     "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
-    "ann_pq_recall": "test_spot_oracle_parity",
-    "doc_normalize": "test_spot_oracle_parity + non-ASCII goldens",
-    "char_lm_scores": "test_spot_oracle_parity + discrimination test",
-    "part_unpivot": "test_spot_oracle_parity",
-    "orders_expectations": "test_spot_oracle_parity + violation-injection test",
-    "pack_bins": "test_spot_oracle_parity + FFD invariant/waste tests",
-    "tables_manifest": "test_spot_oracle_parity + change-detection tests",
-    "jsonl_roundtrip": "test_spot_oracle_parity",
-    "events_resampled": "test_spot_oracle_parity + ffill-semantics tests",
-    "price_histogram": "test_spot_oracle_parity + binning-edge tests",
-    "recipe_metric": "test_spot_oracle_parity + tests/test_recipe.py",
     "ann_cosine_ivfpq": "ann_ivfpq_recall parity + tests/test_similarity.py",
-    "ann_ivfpq_recall": "test_spot_oracle_parity",
 }
 
 
@@ -130,6 +133,17 @@ def test_oracle_sql_parses_in_duckdb(duck):
     [
         "bookings_per_user",
         "doc_fingerprint",
+        "avg_price_weekly",
+        "occupancy_monthly",
+        "top_listings_topk",
+        "avg_duration_monthly",
+        "repeat_rate_monthly",
+        "dedup_exact",
+        "dedup_keys",
+        "doc_stats",
+        "language_id",
+        "simhash",
+        "sessionization",
         # every oracle-bearing key past the driver's 50-key window
         # (TAIL_KEYS) gets its driver hash-check replaced by this test:
         "top_listings_weekly",
@@ -160,19 +174,6 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "label_centroids",
         "running_totals",
         "salted_status_agg",
-        "streaming_user_totals",
-        "ann_pq_recall",
-        "doc_normalize",
-        "char_lm_scores",
-        "part_unpivot",
-        "orders_expectations",
-        "pack_bins",
-        "tables_manifest",
-        "jsonl_roundtrip",
-        "events_resampled",
-        "price_histogram",
-        "recipe_metric",
-        "ann_ivfpq_recall",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
