@@ -1834,6 +1834,50 @@ def q_cardinality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch gate — the recall-gate pattern applied to
+    Spark 4's approx_top_k (DataSketches frequent-items): the EXACT
+    top-5 corpus tokens (count desc, token tiebreak) each asserted
+    present in the approx top-20. At 100 TB the sketch is the profiling
+    default (mergeable partials, no full token shuffle for a dashboard
+    top-N); this row keeps it honest the same way cardinality_gate pins
+    HLL and quantile_gate pins approx_percentile. DuckDB recomputes the
+    exact side and asserts TRUE."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("token")
+        )
+    )
+    exact5 = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(5)
+    )
+    approx_items = (
+        toks.agg(F.expr("approx_top_k(token, 20)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"))
+    )
+    return (
+        exact5.join(
+            approx_items.withColumn("__hit", F.lit(True)), "token", "left"
+        )
+        .select(
+            "token",
+            "n_exact",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("hh_ok"),
+        )
+        .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling (the pre-training data-mixing step):
     equalize sources under a 60k-token global budget via deterministic
@@ -2230,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        "heavy_hitters_gate": q_heavy_hitters_gate,
     }
 
 
@@ -3712,6 +3757,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
                    TRUE AS card_ok
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # Frequent-items gate twin: exact top-5 recomputed, presence in
+        # the sketch's top-20 asserted TRUE (the cardinality_gate form).
+        "heavy_hitters_gate": f"""
+            WITH t AS (
+              SELECT unnest({_LTOKENS}) AS token FROM documents
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   TRUE AS hh_ok
+            FROM t GROUP BY 1
+            ORDER BY n_exact DESC, token LIMIT 5
         """,
         # Mixture sampling twin: integer keep threshold floor(rate*65536)
         # vs the 16-bit md5 prefix of the doc id — all-integer compares,

@@ -107,6 +107,7 @@ TAIL_KEYS = {
     # born in the tail r7 (window full); first in line for r8 rotation
     "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
     "ann_cosine_ivfpq": "ann_ivfpq_recall parity + tests/test_similarity.py",
+    "heavy_hitters_gate": "test_spot_oracle_parity",
 }
 
 
@@ -174,6 +175,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "label_centroids",
         "running_totals",
         "salted_status_agg",
+        "heavy_hitters_gate",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
