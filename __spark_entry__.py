@@ -2168,9 +2168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recall/invariant twin (ann_cosine_lsh/ivf/pq/ivfpq ← ann_*_recall;
     corpus_prep_auto ← corpus_prep + dense-routing tests;
     top_listings_weekly ← top_listings_topk; events_json ←
-    events_json_struct), and multimodal_features (rows-only: testdata
+    events_json_struct), multimodal_features (rows-only: testdata
     ships no media table, so it synthesizes one deterministically —
-    pinned by the golden decode tests).
+    pinned by the golden decode tests), and the late-r7-born
+    heavy_hitters_gate (frequent-items sketch gate, pytest parity).
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born operators in, stable IO/metric rows out).
