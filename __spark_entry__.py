@@ -1061,6 +1061,20 @@ def sweep_stale_caches(sf_dir: str) -> None:
         except OSError:
             continue
         _sweep_stale_cache(os.path.join(base, ".cache", sub), keep=tag)
+    # index/ground-truth families carry param-suffixed generation tags;
+    # their dir helpers are the single source of the live tag
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        sf_name = os.path.basename(os.path.normpath(sf_dir))
+        gt_keep = f"{sf_name}-{int(st.st_mtime)}-{st.st_size}-k5"
+        _sweep_stale_cache(os.path.join(base, ".cache", "ann_gt"), keep=gt_keep)
+        for dir_fn in (_ivf_index_dir, _pq_index_dir, _ivfpq_index_dir):
+            live = dir_fn(sf_dir)
+            _sweep_stale_cache(os.path.dirname(live), keep=os.path.basename(live))
+    except OSError:
+        pass
+    # csv_single and media dirs are version/sf-named (no generation
+    # tags) and overwritten in place — nothing to sweep there
     derby_root = os.path.join(base, ".cache", "derby")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     for stale in glob.glob(os.path.join(derby_root, f"{sf_tag}-*")):
