@@ -266,3 +266,73 @@ def test_char_lm_scores_are_probabilities(spark, texts):
             out[100 + i].n_grams,
             out[100 + i].sum_micro_p,
         )
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # key
+            st.integers(min_value=0, max_value=500),        # ts
+            st.integers(min_value=-50, max_value=50),       # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_resample_ffill_invariants(spark, obs):
+    """For any observation set: grid is dense per key; filled values
+    never invent numbers (every non-NULL value was observed for that
+    key); observed ticks carry an observed value; leading gaps are NULL."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        resample_ffill,
+    )
+
+    rows = [(k, float(t), float(v), i) for i, (k, t, v) in enumerate(obs)]
+    df = spark.createDataFrame(rows, "k long, ts double, v double, eid long")
+    out = resample_ffill(df, "k", "ts", "v", 50, tiebreak_col="eid").collect()
+    per_key_vals = {}
+    for k, t, v, _ in rows:
+        per_key_vals.setdefault(k, set()).add(v)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    for k, ticks in by_key.items():
+        ts_list = [r.tick_ts for r in ticks]
+        # dense ascending grid at the interval
+        assert ts_list == list(range(min(ts_list), max(ts_list) + 1, 50))
+        seen_value = False
+        for r in sorted(ticks, key=lambda r: r.tick_ts):
+            if r.value is not None:
+                seen_value = True
+                assert r.value in per_key_vals[k]  # never invented
+            else:
+                assert not seen_value  # NULLs only before first observation
+            if r.is_observed:
+                assert r.value is not None
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-1e6, 1e6)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_histogram_partitions_all_non_null_rows(spark, vals):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
+        histogram,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    non_null = [v for v in vals if v is not None]
+    if not non_null:
+        with pytest.raises(ValueError):
+            histogram(df, "v", 4)
+        return
+    out = histogram(df, "v", 4).collect()
+    assert sum(r.n_rows for r in out) == len(non_null)
+    assert all(r.n_rows >= 0 for r in out)
+    # bins tile [min, max] without gaps
+    if len(out) > 1:
+        for a, b in zip(out, out[1:]):
+            assert a.hi == pytest.approx(b.lo)
