@@ -926,3 +926,47 @@ def test_jsonl_roundtrip_preserves_hostile_strings(spark, tmp_path):
     # Spark's JSON sink drops NULL fields entirely on write; the schema'd
     # read restores them as NULL — the documented round-trip semantics
     assert back == {r[0]: r[1] for r in rows}
+
+
+def test_read_jsonl_malformed_rows_become_nulls(spark, tmp_path):
+    """Schema'd JSONL read: malformed lines surface as all-NULL rows
+    (no schema mutation, no job failure) — the declared-schema
+    discipline's failure mode, visible and countable."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "not-a-number", "text": "type clash"}\n'
+    )
+    out = read_jsonl(
+        spark, str(p), spark.createDataFrame([], "doc_id long, text string").schema
+    ).collect()
+    good = {r.doc_id: r.text for r in out if r.doc_id is not None}
+    assert good == {1: "ok", 2: "also ok"}
+    # malformed + type-clash rows survive as NULL-keyed rows, not errors
+    assert sum(1 for r in out if r.doc_id is None) == 2
+
+
+def test_compact_parquet_partitioned_dataset(spark, tmp_path):
+    """Compaction over a hive-partitioned dataset: recursive part-file
+    discovery, content preserved (partition column included), temp/old
+    dirs cleaned."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import (
+        table_manifest,
+    )
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "part_ds")
+    spark.range(2_000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p"
+    ).repartition(12).write.partitionBy("p").parquet(path)
+    before = table_manifest(spark.read.parquet(path), ["k", "p"], "t").first()
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] > stats["files_after"]
+    after = table_manifest(spark.read.parquet(path), ["k", "p"], "t").first()
+    assert (after.n_rows, after.content_xor) == (before.n_rows, before.content_xor)
