@@ -171,6 +171,7 @@ def compact_parquet(
     spark,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Small-file compaction — the operational hygiene job every
     streaming sink / micro-batch upsert target eventually needs: tiny
@@ -185,6 +186,13 @@ def compact_parquet(
     the directory it is reading. On an object store, swap via a metadata
     catalog (Delta/Iceberg commit) instead of rename — the compaction
     plan itself is identical.
+
+    ``partition_by`` preserves a hive-partitioned layout: rows are
+    repartitioned BY the partition columns (so each task holds whole
+    partition values and writes one file per value it owns) and written
+    back partitioned. Without it, a partitioned input compacts to a
+    FLAT layout — the partition column survives as data, but directory
+    pruning is lost; pass the partition columns when readers rely on it.
 
     Returns {"files_before", "files_after", "total_bytes", "target_files"}.
     """
@@ -207,7 +215,11 @@ def compact_parquet(
     tmp = path.rstrip("/") + ".__compact_tmp__"
     old = path.rstrip("/") + ".__compact_old__"
     shutil.rmtree(tmp, ignore_errors=True)
-    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    if partition_by:
+        writer = df.repartition(n_target, *[F.col(c) for c in partition_by]).write
+        writer.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
 
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

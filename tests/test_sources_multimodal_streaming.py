@@ -970,3 +970,24 @@ def test_compact_parquet_partitioned_dataset(spark, tmp_path):
     assert stats["files_before"] > stats["files_after"]
     after = table_manifest(spark.read.parquet(path), ["k", "p"], "t").first()
     assert (after.n_rows, after.content_xor) == (before.n_rows, before.content_xor)
+
+
+def test_compact_parquet_preserves_partition_layout_when_asked(spark, tmp_path):
+    import glob as _glob
+    import os as _os
+
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "keep_parts")
+    spark.range(3_000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p"
+    ).repartition(12).write.partitionBy("p").parquet(path)
+    compact_parquet(spark, path, target_file_bytes=10**9, partition_by=["p"])
+    # hive layout intact: p=0/1/2 dirs each holding exactly one file
+    for v in ("0", "1", "2"):
+        files = _glob.glob(_os.path.join(path, f"p={v}", "*.parquet"))
+        assert len(files) == 1, (v, files)
+    # pruning still works
+    assert spark.read.parquet(path).filter("p = '1'").count() == 1000
