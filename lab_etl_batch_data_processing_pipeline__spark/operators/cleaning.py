@@ -191,9 +191,11 @@ def expectation_report(
     - ``range``       (``min``/``max``)   — min <= value <= max (either bound optional)
     - ``regex``       (``pattern``)       — value matches (NULLs violate not_null, not regex)
     - ``foreign_key`` (``ref``/``ref_column``) — value exists in ``ref_tables[ref]``;
-      set ``"broadcast_ref": False`` when the referenced table scales
-      with the data (a hard broadcast hint is obeyed regardless of size
-      — OOM at 100 TB; without the hint AQE picks broadcast iff it fits)
+      no hard broadcast hint by default (a hint is obeyed regardless of
+      size — OOM at 100 TB for a data-scaled reference; AQE picks
+      broadcast iff the distinct key set fits). Set
+      ``"broadcast_ref": True`` only for bounded-by-construction
+      references (enum/dimension tables)
 
     Returns (rule, column, kind, n_violations, passed) ordered by rule.
 
@@ -248,7 +250,7 @@ def expectation_report(
             ref = (ref_tables or {})[rule["ref"]]
             ref_col = rule.get("ref_column", col)
             ref_keys = ref.select(F.col(ref_col).alias("__v")).distinct()
-            if rule.get("broadcast_ref", True):
+            if rule.get("broadcast_ref", False):
                 ref_keys = F.broadcast(ref_keys)
             extra_frames.append(
                 df.filter(c.isNotNull())

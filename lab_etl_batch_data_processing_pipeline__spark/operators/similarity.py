@@ -22,6 +22,7 @@ enough (>~1k dims) that per-element codegen loses to BLAS.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -405,6 +406,43 @@ def cosine_near_dups(
     )
 
 
+def _write_built(index_dir: str, **params) -> None:
+    """Write the build sentinel LAST (partitioned/overwrite writes leave
+    no trustworthy root _SUCCESS), recording the build parameters as JSON
+    so a probe with mismatching args fails loudly instead of silently
+    mis-scoring (e.g. LUT indexed with the probe's ksub against codes
+    encoded with another, or the residual centroid-dot term added/dropped
+    by the caller's flag against a differently-built index)."""
+    with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
+        json.dump(params, marker)
+
+
+def _check_built(index_dir: str, **expected) -> None:
+    """Assert a probe's args match the materialized index's recorded
+    build params. Legacy plain-text sentinels ("ok" / "ok residual")
+    recorded only the residual flag — validate what they carry rather
+    than invalidating existing caches."""
+    with open(os.path.join(index_dir, "_BUILT")) as marker:
+        content = marker.read().strip()
+    try:
+        built = json.loads(content)
+        if not isinstance(built, dict):
+            raise ValueError
+    except ValueError:
+        built = {"residual": content == "ok residual"}
+    mismatched = {
+        key: {"built": built[key], "probe": expected[key]}
+        for key in expected
+        if key in built and built[key] != expected[key]
+    }
+    if mismatched:
+        raise ValueError(
+            f"index at {index_dir} was built with different parameters "
+            f"than the probe asks for: {mismatched}; rebuild the index "
+            "or fix the probe args"
+        )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     nlist: int = 16,
@@ -475,8 +513,7 @@ def build_ivf_index(
             # under dynamic partition-overwrite leave no root _SUCCESS
             # marker, and a bare isdir check would accept an interrupted
             # build forever. The sentinel exists iff both writes finished.
-            with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
-                marker.write("ok\n")
+            _write_built(index_dir, kind="ivf", nlist=nlist, seed=seed)
             return read_ivf_index(spark, index_dir)
         return inverted, centroid_df
     finally:
@@ -568,6 +605,7 @@ def cosine_topk_ivf(
     reused and the KMeans fit is skipped entirely."""
 
     if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
+        _check_built(index_dir, kind="ivf", nlist=nlist)
         inverted, centroid_df = read_ivf_index(corpus.sparkSession, index_dir)
     else:
         inverted, centroid_df = build_ivf_index(
@@ -669,6 +707,10 @@ def build_pq_codebooks(
     dim = len(first[0])
     if dim % m:
         raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
+    if ksub > 127:
+        # codes are stored as tinyint (1 byte/subspace — the whole point
+        # of PQ); a larger ksub would wrap negative in the cast
+        raise ValueError(f"PQ: ksub {ksub} exceeds tinyint code range (127)")
     dsub = dim // m
 
     if normalize:
@@ -724,6 +766,18 @@ def pq_encode(
     if first is None or first[0] is None:
         raise ValueError("PQ: cannot encode an empty corpus / NULL embedding")
     dim = len(first[0])
+    if dim % m:
+        # same guard build_pq_codebooks enforces — without it a
+        # mismatched m silently drops the tail dims from every subvector
+        raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
+    # codebooks are m*ksub rows (dimension-sized, often driver-local), so
+    # this bound check is a trivial job; codes wrap negative past 127 in
+    # the non-ANSI tinyint cast below, corrupting the encoded index
+    max_code = codebooks.agg(F.max("code")).first()[0]
+    if max_code is not None and max_code > 127:
+        raise ValueError(
+            f"PQ: codebook code {max_code} exceeds tinyint range (127)"
+        )
     dsub = dim // m
 
     if normalize:
@@ -784,8 +838,7 @@ def build_pq_index(
     encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
     codebooks.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     encoded.write.mode("overwrite").parquet(f"{index_dir}/encoded")
-    with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
-        marker.write("ok\n")
+    _write_built(index_dir, kind="pq", m=m, ksub=ksub, seed=seed)
     return read_pq_index(corpus.sparkSession, index_dir)
 
 
@@ -838,6 +891,7 @@ def cosine_topk_pq(
     """
     if codebooks is None or encoded is None:
         if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
+            _check_built(index_dir, kind="pq", m=m, ksub=ksub)
             codebooks, encoded = read_pq_index(corpus.sparkSession, index_dir)
         elif index_dir is not None:
             codebooks, encoded = build_pq_index(
@@ -1004,8 +1058,10 @@ def build_ivfpq_index(
             residuals.unpersist()
         centroid_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
         codebooks.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
-        with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
-            marker.write("ok residual\n")
+        _write_built(
+            index_dir, kind="ivfpq", nlist=nlist, m=m, ksub=ksub,
+            seed=seed, residual=True,
+        )
         return read_ivfpq_index(corpus.sparkSession, index_dir)
     if codebooks is None:
         # pass precomputed codebooks (e.g. the flat-PQ index's, same
@@ -1018,8 +1074,10 @@ def build_ivfpq_index(
     )
     centroid_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
-    with open(os.path.join(index_dir, "_BUILT"), "w") as marker:
-        marker.write("ok\n")
+    _write_built(
+        index_dir, kind="ivfpq", nlist=nlist, m=m, ksub=ksub,
+        seed=seed, residual=False,
+    )
     return read_ivfpq_index(corpus.sparkSession, index_dir)
 
 
@@ -1060,6 +1118,10 @@ def cosine_topk_ivfpq(
     adds the per-(query, cell) centroid dot to the LUT sum — pass the
     SAME flag used at build time."""
     if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
+        _check_built(
+            index_dir, kind="ivfpq", nlist=nlist, m=m, ksub=ksub,
+            residual=residual,
+        )
         coded, centroid_df, codebooks = read_ivfpq_index(
             corpus.sparkSession, index_dir
         )

@@ -221,9 +221,20 @@ def compact_parquet(
     else:
         df.repartition(n_target).write.mode("overwrite").parquet(tmp)
 
+    # Two-rename swap. POSIX only makes each rename atomic, not the
+    # pair: a crash between them would leave no dataset at `path` (the
+    # data would sit at `old`). Roll the original back on any failure of
+    # the second rename so `path` is never left empty; a hard kill in
+    # the window still needs a manual `mv` from `old` — documented
+    # non-atomicity, same as every directory-swap compactor on a
+    # non-transactional filesystem.
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)
+        raise
     shutil.rmtree(old, ignore_errors=True)
 
     parts_after = [

@@ -183,7 +183,13 @@ def test_scd2_matches_python_reference(spark, rows):
         (r.user_id, r.state, r.valid_from, r.valid_to, r.version, r.is_current)
         for r in scd.scd2_history(df, "user_id", "state", "ts", ("event_id",)).collect()
     ]
-    assert sorted(got) == sorted(expected)
+    # None-safe total order: valid_to is None on the current version, and
+    # same-timestamp duplicate states can make two rows tie through
+    # valid_from then compare valid_to int-vs-None (crashes bare sorted()).
+    def key(t):
+        return tuple(str(x) for x in t)
+
+    assert sorted(got, key=key) == sorted(expected, key=key)
 
 
 @given(
