@@ -79,6 +79,48 @@ def jaccard_block_tok(toks):
     return F.array_min(F.transform(toks, lambda t: F.md5(t)))
 
 
+def token_sketch(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_bucket: int = 10,
+) -> DataFrame:
+    """The per-document Jaccard sketch every blocked-Jaccard consumer
+    shares: (doc_id, tok_set array<long>, len_bucket, block_tok).
+
+    Factored out of :func:`jaccard_near_dups` so the sketch can be
+    computed ONCE per corpus and passed to
+    jaccard_near_dups/near_dup_degree/jaccard_block_stats via their
+    ``sketch`` parameter — or materialized as a per-corpus parquet
+    artifact (the IVF/PQ offline-index pattern) and read by all of
+    them. Tokenize+hash is the dominant map-side cost of every one of
+    those operators, and at 100 TB re-tokenizing the corpus per
+    consumer multiplies the most expensive scan in the pipeline.
+
+    Columns:
+    - ``tok_set``  — distinct xxhash64 of the distinct lowercase
+      whitespace tokens (the verify stage intersects 64-bit hashes, not
+      strings; set sizes are collision-exact for any real vocabulary)
+    - ``len_bucket`` — floor(|tokens| / length_bucket), half of the
+      blocking key
+    - ``block_tok`` — MIN over tokens of md5(token) (a 1-hash MinHash
+      band, uniformly distributed); NULL for an empty/whitespace-only
+      doc, which drops it from every pair space via NULL-join semantics
+    """
+    raw_toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    toks = F.array_distinct(raw_toks)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(toks, lambda t: F.xxhash64(t))
+        ).alias("tok_set"),
+        F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
+        jaccard_block_tok(toks).alias("block_tok"),
+    )
+
+
 def jaccard_near_dups(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -87,6 +129,7 @@ def jaccard_near_dups(
     length_bucket: int = 10,
     salt: int = 8,
     sort: bool = True,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact token-set Jaccard, with deterministic blocking.
 
@@ -125,25 +168,22 @@ def jaccard_near_dups(
     the whole pair pipeline a second time — measured 2x wall on the
     dense fixture (3.0 s unsorted count vs 6.2 s sorted materialize at
     sf0.1). Only a terminal, order-sensitive consumer should pay that.
+
+    ``sketch`` takes a precomputed :func:`token_sketch` (possibly
+    parquet-materialized) and skips tokenization entirely — the shared-
+    artifact shape for pipelines where several consumers sketch the same
+    corpus. The caller is responsible for the sketch covering exactly
+    the intended document set (restrict with a semi-join when deduping
+    a filtered subset).
     """
-    documents = ensure_parallelism(documents)
-    raw_toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
-    )
-    toks = F.array_distinct(raw_toks)
-    prepared = documents.select(
-        F.col(id_col).alias("doc_id"),
-        # The verify stage intersects 64-bit token hashes, not strings:
-        # long equality beats string hashing per comparison, and set SIZES
-        # are collision-exact for any real vocabulary (p ~ n^2/2^64).
-        F.array_distinct(
-            F.transform(toks, lambda t: F.xxhash64(t))
-        ).alias("tok_set"),
-        F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
-        # An empty/whitespace-only doc yields NULL, which drops the doc
-        # from the pair space via the equi-join (SQL NULL-join semantics).
-        jaccard_block_tok(toks).alias("block_tok"),
-    )
+    if sketch is not None:
+        prepared = ensure_parallelism(
+            sketch.select("doc_id", "tok_set", "len_bucket", "block_tok")
+        )
+    else:
+        prepared = token_sketch(
+            ensure_parallelism(documents), id_col, text_col, length_bucket
+        )
     # Triangle-decomposition salt (see docstring): a pair (x, y) with
     # buckets (i, j) matches exactly once, in the (i, j) task.
     bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
@@ -192,6 +232,7 @@ def near_dup_degree(
     threshold: float = 0.6,
     length_bucket: int = 10,
     salt: int = 8,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document near-duplicate degree: (doc_id, n_near_dups,
     max_jaccard); docs with no near-dup are absent.
@@ -210,7 +251,8 @@ def near_dup_degree(
     |docs| rows instead of |pairs|.
     """
     pairs = jaccard_near_dups(
-        documents, id_col, text_col, threshold, length_bucket, salt, sort=False
+        documents, id_col, text_col, threshold, length_bucket, salt,
+        sort=False, sketch=sketch,
     )
     sides = pairs.select(
         F.explode(F.array("doc_id_a", "doc_id_b")).alias(id_col), "jaccard"
@@ -230,6 +272,7 @@ def jaccard_block_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     length_bucket: int = 10,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Per-block candidate accounting for the Jaccard blocking scheme:
     (len_bucket, block_tok, n_docs, n_candidate_pairs), largest first.
@@ -241,12 +284,17 @@ def jaccard_block_stats(
     corpus is dense — route it through banded MinHash
     (:func:`minhash_near_dups`) or raise the threshold rather than
     brute-forcing a quadratic block (SCALE.md documents the trade)."""
-    toks = _token_set(F.col(text_col))
-    prepared = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
-        jaccard_block_tok(toks).alias("block_tok"),
-    ).filter(F.col("block_tok").isNotNull())
+    if sketch is not None:
+        # column-pruned read of the shared sketch: tok_set never loads
+        prepared = sketch.select("doc_id", "len_bucket", "block_tok")
+    else:
+        toks = _token_set(F.col(text_col))
+        prepared = documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
+            jaccard_block_tok(toks).alias("block_tok"),
+        )
+    prepared = prepared.filter(F.col("block_tok").isNotNull())
     return (
         prepared.groupBy("len_bucket", "block_tok")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -379,6 +427,7 @@ def minhash_bucket_dedup(
     shingle_size: int = 3,
     threshold: float = 0.5,
     portable: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup drop set by LSH-bucket canonicalization: (doc_id,) of
     every doc that shares some band bucket with a smaller doc_id.
@@ -403,9 +452,12 @@ def minhash_bucket_dedup(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(
-        documents, id_col, text_col, num_hashes, shingle_size, portable
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            documents, id_col, text_col, num_hashes, shingle_size, portable
+        )
+    else:
+        sigs = ensure_parallelism(sigs)
     banded = _banded(sigs, bands, r, portable).select("doc_id", "band_id", "band_hash")
     bucket_min = banded.groupBy("band_id", "band_hash").agg(
         F.min("doc_id").alias("min_id")
@@ -428,6 +480,7 @@ def minhash_near_dups(
     threshold: float = 0.5,
     portable: bool = True,
     sort: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures, bucket-join, verify.
 
@@ -437,13 +490,23 @@ def minhash_near_dups(
     equi-join on (band_id, band_hash), and verification re-estimates
     similarity from the full signatures (estimated Jaccard = fraction of
     matching signature slots).
+
+    ``sigs`` takes precomputed :func:`minhash_signatures` output
+    (possibly parquet-materialized) built with the SAME
+    num_hashes/shingle_size/portable — signatures are the dominant cost
+    (one string-hash per shingle over the whole corpus), so sharing one
+    materialized signature table across every LSH consumer is the
+    at-scale shape (the token_sketch contract).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(
-        documents, id_col, text_col, num_hashes, shingle_size, portable
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            documents, id_col, text_col, num_hashes, shingle_size, portable
+        )
+    else:
+        sigs = ensure_parallelism(sigs)
 
     banded = _banded(sigs, bands, r, portable).select(
         "doc_id", "signature", "band_id", "band_hash"

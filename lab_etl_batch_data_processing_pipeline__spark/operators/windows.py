@@ -123,6 +123,7 @@ def resample_ffill(
     value_col: str,
     interval_seconds: int,
     tiebreak_col: str | None = None,
+    chunk_ticks: int | None = None,
 ) -> DataFrame:
     """Resample an irregular per-key time series onto a fixed grid with
     forward-fill — the gap-filling operator rolling_window_sum's
@@ -143,6 +144,18 @@ def resample_ffill(
     max-by on a duplicated ts picks an arbitrary row at any engine.
     Emits (key, tick_ts, value, is_observed); one (key, tick) ranking
     window plus the per-key ffill window — both hash on the key family.
+
+    SKEW BOUND: the ffill window partitions by KEY, so one hot key (a
+    single series with 10^8 ticks) serializes its whole grid into one
+    task. Fine for user/device-keyed data where per-key cardinality is
+    bounded; for unbounded single series pass ``chunk_ticks=N`` — the
+    grid-chunked form: each key's grid splits into ranges of N ticks,
+    ffill runs per (key, chunk) at N-bounded task size, and the last
+    known value carries across chunk boundaries via one extra
+    chunk-level window (#chunks rows per key, i.e. grid/N — e.g. a
+    10^8-tick series at N=10^5 leaves a 10^3-row serial pass instead of
+    10^8). Output is identical to the plain form (pinned by
+    tests/test_scd_profiling.py::test_resample_ffill_chunked_matches_plain).
     """
     tick = (F.floor(F.col(ts_col).cast("double") / interval_seconds)
             * interval_seconds).cast("long")
@@ -171,17 +184,68 @@ def resample_ffill(
             F.sequence(F.col("__lo"), F.col("__hi"), F.lit(interval_seconds))
         ).alias("tick_ts"),
     )
-    w = (
-        Window.partitionBy("key")
+    if chunk_ticks is None:
+        w = (
+            Window.partitionBy("key")
+            .orderBy("tick_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            grid.join(obs, ["key", "tick_ts"], "left")
+            .select(
+                "key",
+                "tick_ts",
+                F.last("observed", ignorenulls=True).over(w).alias("value"),
+                F.col("observed").isNotNull().alias("is_observed"),
+            )
+            .orderBy("key", "tick_ts")
+        )
+    # Grid-chunked form: ffill within (key, chunk) — task size bounded at
+    # chunk_ticks rows — then carry the last observation across chunk
+    # boundaries with a window over CHUNKS (grid/chunk_ticks rows per
+    # key), and take whichever is closer.
+    chunk_span = chunk_ticks * interval_seconds
+    chunk = F.floor(F.col("tick_ts") / chunk_span).alias("__chunk")
+    w_chunk = (
+        Window.partitionBy("key", "__chunk")
         .orderBy("tick_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    within = (
         grid.join(obs, ["key", "tick_ts"], "left")
+        .withColumn("__chunk", chunk)
+        .withColumn("__ffill", F.last("observed", ignorenulls=True).over(w_chunk))
+    )
+    # last observed value of each chunk (max-by tick among non-null
+    # observations; NULL for chunks with no observation) ...
+    chunk_last = (
+        obs.withColumn("__chunk", chunk)
+        .groupBy("key", "__chunk")
+        .agg(
+            F.max(F.struct("tick_ts", "observed"))["observed"].alias("__last_obs")
+        )
+    )
+    # ... forward-filled over PRIOR chunks only = the carry-in each chunk
+    # inherits when its own prefix has no observation yet
+    w_carry = (
+        Window.partitionBy("key")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        within.select("key", "__chunk").distinct()
+        .join(chunk_last, ["key", "__chunk"], "left")
+        .withColumn(
+            "__carry", F.last("__last_obs", ignorenulls=True).over(w_carry)
+        )
+        .select("key", "__chunk", "__carry")
+    )
+    return (
+        within.join(carry, ["key", "__chunk"])
         .select(
             "key",
             "tick_ts",
-            F.last("observed", ignorenulls=True).over(w).alias("value"),
+            F.coalesce(F.col("__ffill"), F.col("__carry")).alias("value"),
             F.col("observed").isNotNull().alias("is_observed"),
         )
         .orderBy("key", "tick_ts")

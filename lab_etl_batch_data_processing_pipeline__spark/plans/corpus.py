@@ -64,6 +64,7 @@ def near_dup_route(
     id_col: str = "doc_id",
     text_col: str = "text",
     length_bucket: int = 10,
+    sketch: DataFrame | None = None,
 ) -> tuple[str, int]:
     """Pre-flight routing decision for the funnel's near-dup stage:
     returns ``("exact" | "minhash", n_candidate_pairs)``.
@@ -79,7 +80,9 @@ def near_dup_route(
     not at hour three of the verify join.
     """
     n = (
-        dedup_fuzzy.jaccard_block_stats(documents, id_col, text_col, length_bucket)
+        dedup_fuzzy.jaccard_block_stats(
+            documents, id_col, text_col, length_bucket, sketch=sketch
+        )
         .agg(F.sum("n_candidate_pairs").alias("n"))
         .first()["n"]
     ) or 0
@@ -96,6 +99,8 @@ def corpus_prep(
     max_dup_2gram_frac: float | None = None,
     near_dup_pair_budget: int | None = None,
     normalize: bool = False,
+    sketch: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: columns (doc_id, text, *keep_cols,
     quality_score), quality-gated, exact- and near-deduplicated.
@@ -120,7 +125,21 @@ def corpus_prep(
     and token sets, so dedup catches them — without it a ZWSP-polluted
     copy of a document survives every dedup stage forever. Opt-in so
     the oracle-checked default funnel stays byte-exact on its input.
+
+    ``sketch`` / ``sigs`` take the corpus's precomputed
+    dedup_fuzzy.token_sketch / minhash_signatures artifacts (full-corpus;
+    the funnel semi-join-restricts them to the exact-dedup survivor set)
+    so the near-dup stage skips re-tokenizing text the pipeline has
+    already sketched. ``sigs`` must match the funnel's dense-route
+    parameters (num_hashes=32, shingle_size=1, portable=False).
+    Incompatible with ``normalize=True`` — normalization changes the
+    text the sketch would have to reflect.
     """
+    if normalize and (sketch is not None or sigs is not None):
+        raise ValueError(
+            "corpus_prep: precomputed sketch/sigs reflect the raw text and "
+            "cannot be combined with normalize=True"
+        )
     if normalize:
         documents = (
             text.normalize_text(documents, id_col, text_col)
@@ -167,9 +186,24 @@ def corpus_prep(
         .persist()
     )
 
+    # Restrict the shared full-corpus artifacts to the survivor set: the
+    # sketch rows are doc-local, so a doc_id semi-join (ids only, no
+    # bodies) is exact — and far cheaper than re-tokenizing survivors.
+    sub_sketch = sub_sigs = None
+    if sketch is not None:
+        sub_sketch = sketch.join(
+            exact_unique.select("doc_id"), "doc_id", "left_semi"
+        )
+    if sigs is not None:
+        sub_sigs = sigs.join(
+            exact_unique.select("doc_id"), "doc_id", "left_semi"
+        )
+
     strategy = "exact"
     if near_dup_pair_budget is not None:
-        strategy, _ = near_dup_route(exact_unique, near_dup_pair_budget)
+        strategy, _ = near_dup_route(
+            exact_unique, near_dup_pair_budget, sketch=sub_sketch
+        )
     if strategy == "minhash":
         # A corpus dense enough to trip the budget makes even the banded
         # candidate JOIN quadratic (every bucket holds a large corpus
@@ -185,12 +219,14 @@ def corpus_prep(
             threshold=jaccard_threshold,
             shingle_size=1,
             portable=False,
+            sigs=sub_sigs,
         ).persist()
     else:
         # sort=False: the pairs feed a distinct + anti-join, and a sorted
         # pair list would range-sample (= re-execute) the pair pipeline.
         near_pairs = dedup_fuzzy.jaccard_near_dups(
-            exact_unique, "doc_id", "text", threshold=jaccard_threshold, sort=False
+            exact_unique, "doc_id", "text", threshold=jaccard_threshold,
+            sort=False, sketch=sub_sketch,
         )
         to_drop = (
             near_pairs.select(F.col("doc_id_b").alias("doc_id")).distinct().persist()

@@ -50,9 +50,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .. import schemas as _schemas
-from ..operators import cleaning, enrich, joins, text
+from ..operators import cleaning, dedup_fuzzy, enrich, joins, text
 from ..sources import read_csv, read_jsonl, read_parquet, write_parquet
 from ..sources.writers import write_csv_single_file, write_jsonl
+from .corpus import corpus_prep
 
 
 def _op_join(df: DataFrame, right: DataFrame, on, how: str = "left") -> DataFrame:
@@ -86,6 +87,12 @@ OP_REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "normalize_text": text.normalize_text,
     "mixture_sample": text.mixture_sample,
     "pii_scrub": text.pii_scrub,
+    # training-data intake (the full funnel the hand-built training_mix
+    # composition uses, so the declarative layer can express it end-to-end)
+    "corpus_prep": corpus_prep,
+    "decontaminate": text.decontaminate,
+    "near_dup_degree": dedup_fuzzy.near_dup_degree,
+    "jaccard_near_dups": dedup_fuzzy.jaccard_near_dups,
 }
 
 
@@ -137,9 +144,22 @@ def run_recipe(
                 )
             inputs = step.get("inputs") or [step["input"]]
             dfs = [frames[i] for i in inputs]
-            df = op(*dfs, **(step.get("args") or {}))
+            # frame_args maps keyword parameters to prior step/table
+            # frames (e.g. corpus_prep's sketch=, decontaminate-style
+            # secondary inputs) — args stays JSON-serializable.
+            frame_kwargs = {
+                k: frames[v] for k, v in (step.get("frame_args") or {}).items()
+            }
+            df = op(*dfs, **frame_kwargs, **(step.get("args") or {}))
         else:
             raise ValueError(f"recipe step {name!r}: needs 'sql' or 'op'")
+        if step.get("checkpoint"):
+            # Eager lineage cut, declared in data: a step whose output
+            # feeds multiple downstream subtrees would otherwise re-run
+            # per subtree (the training_mix lesson — measured 39 s vs
+            # 4 s at sf0.1). localCheckpoint materializes once; the
+            # blocks are GC'd with the frame.
+            df = df.localCheckpoint()
         frames[name] = df
         df.createOrReplaceTempView(name)
 

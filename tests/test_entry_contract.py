@@ -104,10 +104,13 @@ TAIL_KEYS = {
         "tests/test_sources_multimodal_streaming.py golden decode tests"
         " + tests/test_media_synth.py"
     ),
-    # born in the tail r7 (window full); first in line for r8 rotation
+    # born in the tail r7 (window full)
     "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
     "ann_cosine_ivfpq": "ann_ivfpq_recall parity + tests/test_similarity.py",
-    "heavy_hitters_gate": "test_spot_oracle_parity",
+    # rotated out r8 (driver-green r6+r7, unchanged in r8) to make room
+    # for heavy_hitters_gate + recipe_training_mix's first driver rounds
+    "revenue_rollup": "test_spot_oracle_parity",
+    "events_json_struct": "test_spot_oracle_parity",
 }
 
 
@@ -175,7 +178,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "label_centroids",
         "running_totals",
         "salted_status_agg",
-        "heavy_hitters_gate",
+        "revenue_rollup",
+        "events_json_struct",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

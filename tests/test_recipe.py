@@ -129,3 +129,52 @@ def test_recipe_jsonl_source_and_sink(spark, tmp_path):
     assert frames["stats"].count() == 2
     back = spark.read.json(dst)
     assert back.count() == 2 and "quality_score" in back.columns
+
+
+def test_recipe_training_mix_matches_imperative(spark):
+    """The declarative training_mix recipe (entry key recipe_training_mix)
+    must return value-identical rows to the hand-built q_training_mix —
+    the pin that the recipe interpreter (op steps, two-input steps,
+    checkpoint flag, SQL steps) adds nothing and loses nothing across
+    the full five-stage composition."""
+    import __spark_entry__ as entrymod
+
+    imperative = entrymod.q_training_mix(spark, SF).collect()
+    declarative = entrymod.q_recipe_training_mix(spark, SF).collect()
+    assert [tuple(r) for r in declarative] == [tuple(r) for r in imperative]
+
+
+def test_recipe_frame_args_and_checkpoint(spark):
+    """frame_args resolves keyword args to prior frames (corpus_prep's
+    sketch= contract) and a checkpointed step truncates lineage while
+    preserving values."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import dedup_fuzzy
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("rfa_docs")
+    sketch = dedup_fuzzy.token_sketch(docs)
+    sketch.createOrReplaceTempView("rfa_sketch")
+    recipe = {
+        "steps": [
+            {"name": "rfa_s", "sql": "SELECT * FROM rfa_sketch"},
+            {"name": "rfa_d", "sql": "SELECT * FROM rfa_docs"},
+            {
+                "name": "rfa_pairs",
+                "op": "jaccard_near_dups",
+                "input": "rfa_d",
+                "args": {"threshold": 0.5},
+                "frame_args": {"sketch": "rfa_s"},
+                "checkpoint": True,
+            },
+        ],
+    }
+    frames = run_recipe(spark, recipe, execute_outputs=False)
+    got = [(r.doc_id_a, r.doc_id_b) for r in frames["rfa_pairs"].collect()]
+    assert got == [(1, 2)]
+    # checkpointed frame has truncated lineage (no scan of the source)
+    assert "Scan" not in frames["rfa_pairs"]._jdf.queryExecution().toString() or (
+        "ExistingRDD" in frames["rfa_pairs"]._jdf.queryExecution().toString()
+    )

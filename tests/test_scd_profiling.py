@@ -150,3 +150,41 @@ def test_histogram_edges_and_degenerate(spark):
 
     with pytest.raises(ValueError, match="no non-NULL"):
         histogram(spark.createDataFrame([(None,)], "v double"), "v")
+
+
+def test_resample_ffill_chunked_matches_plain(spark):
+    """The grid-chunked skew variant (chunk_ticks=N) must equal the plain
+    per-key-window form row-for-row — including observations falling in
+    different chunks (carry-in), multi-chunk gaps (carry skips empty
+    chunks), leading gaps (stay NULL across chunk boundaries), and
+    same-tick ties."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        resample_ffill,
+    )
+
+    rows = [
+        # key 1: obs in tick 0 and tick 9 -> 8 consecutive gap ticks
+        # spanning several 3-tick chunks (carry through empty chunks)
+        (1, 2.0, 1.0, 1),
+        (1, 95.0, 2.0, 2),
+        # key 1 same-tick tie (event 3 wins)
+        (1, 2.5, 9.0, 3),
+        # key 2: starts mid-grid in chunk 1 (leading-gap + carry-in)
+        (2, 31.0, 5.0, 4),
+        (2, 74.0, 6.0, 5),
+        # key 3: single observation exactly on a chunk boundary
+        (3, 30.0, 7.0, 6),
+        (3, 99.0, 8.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts double, v double, eid long"
+    )
+    plain = resample_ffill(
+        df, "k", "ts", "v", interval_seconds=10, tiebreak_col="eid"
+    ).collect()
+    for n in (1, 3, 100):  # chunk sizes below/at/above every key's grid
+        chunked = resample_ffill(
+            df, "k", "ts", "v", interval_seconds=10, tiebreak_col="eid",
+            chunk_ticks=n,
+        ).collect()
+        assert [tuple(r) for r in chunked] == [tuple(r) for r in plain], n

@@ -334,3 +334,97 @@ def test_corpus_prep_dense_routing_recall(spark):
     assert routed_drops, "routed funnel removed nothing: MinHash path broken"
     recall = len(exact_drops & routed_drops) / len(exact_drops)
     assert recall >= 0.5, f"routed near-dup recall collapsed: {recall:.3f}"
+
+
+def test_precomputed_sketch_matches_inline(spark):
+    """The shared-artifact contract: jaccard_near_dups / near_dup_degree /
+    jaccard_block_stats fed a precomputed token_sketch must return
+    byte-identical results to the inline-tokenizing form — the invariant
+    that lets bench materialize ONE sketch per corpus generation while
+    the driver's vanilla session tokenizes inline."""
+    docs = text_table(spark)
+    sketch = dedup_fuzzy.token_sketch(docs)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(dedup_fuzzy.jaccard_near_dups(docs, threshold=0.3)) == rows(
+        dedup_fuzzy.jaccard_near_dups(docs, threshold=0.3, sketch=sketch)
+    )
+    assert rows(dedup_fuzzy.near_dup_degree(docs, threshold=0.3)) == rows(
+        dedup_fuzzy.near_dup_degree(docs, threshold=0.3, sketch=sketch)
+    )
+    assert rows(dedup_fuzzy.jaccard_block_stats(docs)) == rows(
+        dedup_fuzzy.jaccard_block_stats(docs, sketch=sketch)
+    )
+
+
+def test_precomputed_sigs_match_inline(spark):
+    """Same contract for the MinHash side: minhash_near_dups /
+    minhash_bucket_dedup fed precomputed signatures (same
+    num_hashes/shingle_size/portable) must match the inline form."""
+    docs = text_table(spark)
+    for portable, shingle in ((True, 3), (False, 1)):
+        sigs = dedup_fuzzy.minhash_signatures(
+            docs, num_hashes=32, shingle_size=shingle, portable=portable
+        )
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        assert rows(
+            dedup_fuzzy.minhash_near_dups(
+                docs, threshold=0.3, shingle_size=shingle, portable=portable
+            )
+        ) == rows(
+            dedup_fuzzy.minhash_near_dups(
+                docs, threshold=0.3, shingle_size=shingle, portable=portable,
+                sigs=sigs,
+            )
+        )
+        assert rows(
+            dedup_fuzzy.minhash_bucket_dedup(
+                docs, threshold=0.5, shingle_size=shingle, portable=portable
+            )
+        ) == rows(
+            dedup_fuzzy.minhash_bucket_dedup(
+                docs, threshold=0.5, shingle_size=shingle, portable=portable,
+                sigs=sigs,
+            )
+        )
+
+
+def test_corpus_prep_with_sketch_matches_plain(spark):
+    """corpus_prep fed the full-corpus sketch/sigs artifacts must return
+    the same survivors as the self-sketching form (the funnel restricts
+    the artifacts to the exact-dedup survivor set by semi-join), on both
+    the exact and the dense-routed paths; normalize=True must refuse the
+    artifacts (they reflect pre-normalization text)."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    docs = text_table(spark)
+    sketch = dedup_fuzzy.token_sketch(docs)
+    sigs = dedup_fuzzy.minhash_signatures(
+        docs, num_hashes=32, shingle_size=1, portable=False
+    )
+    plain = [tuple(r) for r in corpus_prep(docs, min_quality=0.0).collect()]
+    with_sketch = [
+        tuple(r) for r in corpus_prep(docs, min_quality=0.0, sketch=sketch).collect()
+    ]
+    assert plain == with_sketch
+    routed_plain = [
+        tuple(r)
+        for r in corpus_prep(
+            docs, min_quality=0.0, near_dup_pair_budget=1_000
+        ).collect()
+    ]
+    routed_art = [
+        tuple(r)
+        for r in corpus_prep(
+            docs, min_quality=0.0, near_dup_pair_budget=1_000,
+            sketch=sketch, sigs=sigs,
+        ).collect()
+    ]
+    assert routed_plain == routed_art
+    with pytest.raises(ValueError, match="normalize"):
+        corpus_prep(docs, normalize=True, sketch=sketch)
