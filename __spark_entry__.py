@@ -40,6 +40,8 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     text,
 )
 from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs
+from lab_etl_batch_data_processing_pipeline__spark import oracles as _oracles
+from lab_etl_batch_data_processing_pipeline__spark.oracles import MIXTURE_WEIGHTS
 from lab_etl_batch_data_processing_pipeline__spark.sources import (
     ensure_timestamp,
     read_csv,
@@ -730,7 +732,8 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MIXTURE_WEIGHTS = {"src0": 5.0, "src1": 4.0, "src2": 3.0, "src3": 2.0, "src4": 1.0}
+# MIXTURE_WEIGHTS lives in the package oracles module (shared by the
+# Spark queries and the DuckDB oracle strings)
 
 
 def q_corpus_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2490,1604 +2493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_struct": q_events_json_struct,
     }
 
-
-# ---------------------------------------------------------------------------
-# DuckDB oracles. Shared fragments keep Spark/DuckDB expressions aligned.
-# ---------------------------------------------------------------------------
-
-_TOKENS = "list_filter(string_split_regex({src}, '\\s+'), x -> x <> '')"
-_LTOKENS = _TOKENS.format(src="lower(text)")
-
-# Word n-gram array over a token list column named t (space-joined), same
-# short-doc guard as text._word_gram_array. DuckDB list slices are 1-based
-# inclusive, so t[i:i+n-1] is the n-token window starting at i.
-_GRAMS = (
-    "CASE WHEN len(t) >= {n} THEN list_transform("
-    "generate_series(1, len(t) - {n} + 1), "
-    "i -> array_to_string(t[i:i+{n}-1], ' ')) ELSE [] END"
-)
-
-# The exact PII regex/replacement pairs the Spark operator uses — imported,
-# not re-typed, so the two engines can never drift.
-_PII = {
-    name: (pattern, token) for name, pattern, token in text.PII_PATTERNS
-}
-
-_DOC_STATS_SQL = f"""
-WITH base AS (
-  SELECT
-    doc_id,
-    length(text) AS n_chars,
-    len({_TOKENS.format(src='text')}) AS n_tokens,
-    len(list_filter({_LTOKENS},
-        x -> x IN ('the','a','an','and','of','to','in','is','it'))) AS n_stopwords,
-    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
-  FROM documents
-)
-SELECT
-  doc_id,
-  CAST(n_chars AS INT) AS n_chars,
-  CAST(n_tokens AS INT) AS n_tokens,
-  CAST(n_stopwords AS INT) AS n_stopwords,
-  CAST(n_punct AS INT) AS n_punct,
-  ROUND(n_chars / greatest(n_tokens, 1), 4) AS avg_token_len,
-  ROUND(n_stopwords / greatest(n_tokens, 1), 4) AS stopword_ratio,
-  ROUND(least(1.0,
-      (least(n_tokens, 50) / 50.0) * 0.5
-      + (1.0 - least(n_punct / greatest(n_chars, 1), 1.0)) * 0.3
-      + least(n_stopwords / greatest(n_tokens, 1) * 5.0, 1.0) * 0.2), 4)
-    AS quality_score
-FROM base
-"""
-
-_LANG_SCORES = {
-    "de": ("der", "die", "und"),
-    "en": ("the", "and", "of"),
-    "es": ("el", "los", "y"),
-    "fr": ("le", "la", "et"),
-}
-_LANG_SCORE_EXPRS = ",\n    ".join(
-    f"len(list_filter({_LTOKENS}, x -> x IN {markers!r})) AS score_{lang}"
-    for lang, markers in _LANG_SCORES.items()
-)
-_LANGUAGE_ID_SQL = f"""
-WITH scores AS (
-  SELECT doc_id,
-    {_LANG_SCORE_EXPRS}
-  FROM documents
-), best AS (
-  SELECT *, greatest(score_de, score_en, score_es, score_fr, 0) AS best_score
-  FROM scores
-)
-SELECT
-  CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(score_de AS INT) AS score_de,
-  CAST(score_en AS INT) AS score_en,
-  CAST(score_es AS INT) AS score_es,
-  CAST(score_fr AS INT) AS score_fr,
-  CASE
-    WHEN best_score = 0 THEN 'und'
-    WHEN score_de = best_score THEN 'de'
-    WHEN score_en = best_score THEN 'en'
-    WHEN score_es = best_score THEN 'es'
-    WHEN score_fr = best_score THEN 'fr'
-    ELSE 'und'
-  END AS lang_pred
-FROM best
-"""
-
-_COS_DOT = (
-    "list_reduce(list_transform(generate_series(1, len({a})), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
-)
-_COS_NORM = (
-    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-    "(x, y) -> x + y))"
-)
-_ANN_SQL = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
-), scored AS (
-  SELECT
-    q.query_id,
-    e.vec_id AS neighbor_id,
-    ROUND(
-      {_COS_DOT.format(a="q.q_emb", b="e.embedding")}
-      / ({_COS_NORM.format(a="q.q_emb")} * {_COS_NORM.format(a="e.embedding")}),
-      6) AS cosine_sim
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id
-), ranked AS (
-  SELECT *, CAST(ROW_NUMBER() OVER (
-      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS sim_rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cosine_sim, sim_rank
-FROM ranked WHERE sim_rank <= 5
-"""
-
-_TOK_SET = f"list_distinct({_LTOKENS})"
-def _jaccard_sql(threshold: float) -> str:
-    return f"""
-WITH prep AS (
-  SELECT
-    doc_id,
-    {_TOK_SET} AS tok_set,
-    CAST(floor(len({_TOK_SET}) / 10) AS BIGINT) AS len_bucket,
-    list_aggregate(list_transform({_TOK_SET}, t -> md5(t)), 'min') AS block_tok
-  FROM documents
-), pairs AS (
-  SELECT
-    a.doc_id AS doc_id_a,
-    b.doc_id AS doc_id_b,
-    len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))) AS n_inter,
-    len(a.tok_set) + len(b.tok_set)
-      - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x))) AS n_union
-  FROM prep a JOIN prep b
-    ON a.len_bucket = b.len_bucket
-   AND a.block_tok = b.block_tok
-   AND a.doc_id < b.doc_id
-)
-SELECT * FROM (
-  SELECT doc_id_a, doc_id_b, ROUND(n_inter / n_union, 6) AS jaccard FROM pairs
-) WHERE jaccard >= {threshold}
-"""
-
-
-_JACCARD_SQL = _jaccard_sql(0.3)
-
-# Connected components of the strong-duplicate (>= 0.6) pair graph via
-# transitive closure — DuckDB's recursive CTE is the declarative twin of
-# the engine's iterative hash-to-min propagation (operators/graph.py), so
-# an ITERATIVE algorithm still gets a value-hash oracle: component_id =
-# min reachable doc id, which both formulations produce deterministically.
-_CC_SQL = f"""
-WITH RECURSIVE strong_pairs AS ({_jaccard_sql(0.6)}),
-edges AS (
-  SELECT doc_id_a AS a, doc_id_b AS b FROM strong_pairs
-  UNION
-  SELECT doc_id_b AS a, doc_id_a AS b FROM strong_pairs
-),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
-)
-SELECT CAST(a AS BIGINT) AS node_id,
-       CAST(LEAST(a, MIN(b)) AS BIGINT) AS component_id
-FROM reach GROUP BY a ORDER BY 1
-"""
-
-# Degree form: same pair space, collapsed per doc (both pair sides count).
-_JACCARD_DEGREE_SQL = f"""
-WITH kept AS ({_JACCARD_SQL}),
-sides AS (
-  SELECT unnest([doc_id_a, doc_id_b]) AS doc_id, jaccard FROM kept
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_near_dups,
-       ROUND(MAX(jaccard), 6) AS max_jaccard
-FROM sides GROUP BY 1 ORDER BY 1
-"""
-
-_REPEAT_SQL = """
-WITH seq AS (
-  SELECT
-    o_custkey AS user_id,
-    CAST(o_orderdate AS DATE) AS booking_date,
-    LAG(CAST(o_orderdate AS DATE)) OVER (
-      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_booking_date
-  FROM orders WHERE o_orderstatus = 'F'
-), flagged AS (
-  SELECT *,
-    CASE WHEN prev_booking_date IS NOT NULL
-          AND date_diff('day', prev_booking_date, booking_date) <= 30
-         THEN 1 ELSE 0 END AS is_repeat
-  FROM seq
-)
-SELECT
-  CAST(date_trunc('month', booking_date) AS DATE) AS month,
-  CAST(COUNT(DISTINCT CASE WHEN is_repeat = 1 THEN user_id END) AS BIGINT)
-    AS repeat_customers,
-  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_customers,
-  ROUND(100.0 * COUNT(DISTINCT CASE WHEN is_repeat = 1 THEN user_id END)
-        / COUNT(DISTINCT user_id), 2) AS repeat_rate_pct
-FROM flagged GROUP BY 1 ORDER BY 1
-"""
-
-_TOPK_SQL = """
-WITH agg AS (
-  SELECT
-    CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
-    l_partkey AS listing_id,
-    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                        AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
-  FROM lineitem GROUP BY 1, 2
-), ranked AS (
-  SELECT *, CAST(ROW_NUMBER() OVER (
-      PARTITION BY week_start ORDER BY total_revenue DESC, listing_id) AS INT)
-    AS revenue_rank
-  FROM agg
-)
-SELECT week_start, listing_id, total_revenue, revenue_rank
-FROM ranked WHERE revenue_rank <= 3
-"""
-
-_DEDUP_KEYS_SQL = """
-SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
-       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
-       l_shipdate
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY l_orderkey, l_linenumber
-    ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
-             l_tax, l_returnflag, l_linestatus, l_shipdate) AS rn
-  FROM lineitem
-) WHERE rn = 1
-"""
-
-
-# Session boundaries operate at whole-second resolution on both engines
-# (Spark: timestamp cast to long; DuckDB: epoch_us // 1e6) so tie ordering
-# inside one second cannot flip a 12h-gap decision.
-_SESSION_SQL = """
-WITH e AS (
-  SELECT user_id, event_id,
-         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
-  FROM events
-), flagged AS (
-  SELECT user_id, event_id, sec,
-         CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 43200
-              THEN 1 ELSE 0 END AS new_session
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
-), sess AS (
-  SELECT user_id, sec,
-         SUM(new_session) OVER (
-           PARTITION BY user_id ORDER BY sec, event_id
-           ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM flagged
-)
-SELECT user_id,
-       CAST(session_seq AS BIGINT) AS session_seq,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
-FROM sess GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-# End-to-end corpus funnel oracle: same stage order as plans/corpus.py
-# (quality gate on the ROUNDED 4dp score -> md5-fingerprint dedup with
-# min-doc_id survivor -> blocked-Jaccard near-dup removal keeping the
-# lower doc_id).
-_CORPUS_PREP_SQL = f"""
-WITH stats AS (
-  SELECT doc_id,
-    ROUND(least(1.0,
-        (least(n_tokens, 50) / 50.0) * 0.5
-        + (1.0 - least(n_punct / greatest(n_chars, 1), 1.0)) * 0.3
-        + least(n_stopwords / greatest(n_tokens, 1) * 5.0, 1.0) * 0.2), 4)
-      AS quality_score
-  FROM (
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len({_TOKENS.format(src='text')}) AS n_tokens,
-           len(list_filter({_LTOKENS},
-               x -> x IN ('the','a','an','and','of','to','in','is','it')))
-             AS n_stopwords,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
-    FROM documents)
-), kept AS (
-  SELECT d.doc_id, d.text, d.lang, d.source, s.quality_score
-  FROM documents d JOIN stats s USING (doc_id)
-  WHERE s.quality_score >= 0.7
-), fp AS (
-  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-  FROM kept
-), exact AS (
-  SELECT doc_id, text, lang, source, quality_score FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-    FROM fp) WHERE rn = 1
-), prep AS (
-  SELECT doc_id,
-         list_distinct(lt) AS tok_set,
-         CAST(floor(len(list_distinct(lt)) / 10) AS BIGINT) AS len_bucket,
-         list_aggregate(list_transform(list_distinct(lt), t -> md5(t)), 'min')
-           AS block_tok
-  FROM (SELECT doc_id, {_LTOKENS} AS lt FROM exact)
-), pairs AS (
-  SELECT doc_id_b FROM (
-    SELECT b.doc_id AS doc_id_b,
-           ROUND(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
-                 / (len(a.tok_set) + len(b.tok_set)
-                    - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))),
-                 6) AS j
-    FROM prep a JOIN prep b
-      ON a.len_bucket = b.len_bucket
-     AND a.block_tok = b.block_tok
-     AND a.doc_id < b.doc_id
-  ) WHERE j >= 0.5
-)
-SELECT doc_id, text, lang, source, quality_score
-FROM exact WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
-ORDER BY doc_id
-"""
-
-
-# North-star composition: the corpus funnel's survivors, chunked into
-# 32-token windows (stride 24), packed onto a 512-token axis — the same
-# CTE chain the Spark side composes from corpus_prep + chunk_documents +
-# pack_offsets, so a regression anywhere in the chain hash-mismatches.
-_TRAINING_BATCHES_SQL = f"""
-WITH survivors AS ({_CORPUS_PREP_SQL}),
-toks AS (
-  SELECT doc_id, {_TOKENS.format(src="lower(text)")} AS t FROM survivors
-),
-chunks AS (
-  SELECT doc_id * 1000 + ((s - 1) // 24 + 1) AS chunk_key,
-         len(t[s : s + 31]) AS n_tokens
-  FROM toks CROSS JOIN UNNEST(generate_series(1, len(t), 24)) AS u(s)
-  WHERE len(t) > 0
-),
-d AS (
-  SELECT chunk_key, n_tokens,
-         md5(CAST(chunk_key AS VARCHAR)) AS sort_key
-  FROM chunks
-)
-SELECT CAST(chunk_key AS BIGINT) AS chunk_key,
-       CAST(n_tokens AS INT) AS n_tokens,
-       CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS start_offset,
-       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER w, 0) / 512) AS BIGINT) AS seq_bin
-FROM d
-WINDOW w AS (ORDER BY sort_key, chunk_key
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-ORDER BY chunk_key
-"""
-
-
-# Five-stage composition twin: funnel survivors -> 8-gram benchmark
-# decontamination -> weighted mixture thresholds, all in one CTE chain.
-# The keep thresholds derive from the CLEAN corpus's per-source token
-# totals, so the final grouped row is sensitive to every upstream stage.
-# Gate swapped to 0.5 to mirror q_training_mix (all five weighted sources
-# stay populated on the fixture).
-_TRAINING_MIX_SQL = f"""
-WITH survivors AS ({_CORPUS_PREP_SQL.replace(
-    "s.quality_score >= 0.7", "s.quality_score >= 0.5"
-)}),
-g AS (
-  SELECT doc_id, list_distinct({_GRAMS.format(n=8)}) AS grams
-  FROM (SELECT doc_id, {_LTOKENS} AS t FROM survivors)
-), bench AS (
-  SELECT DISTINCT unnest(grams) AS gram FROM (
-    SELECT list_distinct({_GRAMS.format(n=8)}) AS grams
-    FROM (SELECT {_LTOKENS} AS t FROM documents WHERE doc_id % 50 = 0)
-  )
-), contaminated AS (
-  SELECT DISTINCT dg.doc_id
-  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
-  JOIN bench USING (gram)
-), clean AS (
-  SELECT s.doc_id, s.source,
-         len({_TOKENS.format(src="lower(s.text)")}) AS n_tokens
-  FROM survivors s
-  WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
-), w(source, wt) AS (VALUES {", ".join(
-    f"('{k}', {v})" for k, v in MIXTURE_WEIGHTS.items()
-)}), st AS (
-  SELECT source, SUM(n_tokens) AS source_tokens FROM clean GROUP BY 1
-), s2 AS (
-  SELECT source,
-         CAST(FLOOR(LEAST(1.0,
-              (500.0 * (wt / {float(sum(MIXTURE_WEIGHTS.values()))}))
-              / source_tokens) * 65536) AS BIGINT) AS keep_thresh
-  FROM st JOIN w USING (source)
-)
-SELECT c.source, s2.keep_thresh,
-       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
-       CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_kept
-FROM clean c JOIN s2 USING (source)
-WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 4))::BIGINT
-      < s2.keep_thresh
-GROUP BY 1, 2 ORDER BY 1
-"""
-
-
-# Portable MinHash-LSH twin (operators/dedup_fuzzy.py): same md5-derived
-# 31-bit base hash, same inlined (a_i, b_i) universal-hash family, same
-# md5 band buckets — signatures and est_jaccard match bit-for-bit.
-_MINHASH_PARAMS_VALUES = ",\n              ".join(
-    f"({i}, {a}, {b})"
-    for i, (a, b) in enumerate(dedup_fuzzy.minhash_params(32))
-)
-
-_MINHASH_SQL = f"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-  FROM documents
-), tk AS (
-  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t
-  FROM norm
-), shing AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(t) - 2, 1)),
-           i -> array_to_string(t[i:i+2], ' '))) AS sh
-  FROM tk
-), hs AS (
-  SELECT DISTINCT doc_id,
-         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
-  FROM (SELECT doc_id, unnest(sh) AS s FROM shing)
-), params(i, a, b) AS (
-  VALUES {_MINHASH_PARAMS_VALUES}
-), slots AS (
-  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
-  FROM hs CROSS JOIN params GROUP BY 1, 2
-), sigs AS (
-  SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY 1
-), banded AS (
-  SELECT doc_id, sig, b,
-         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
-  FROM sigs, range(0, 8) r(b)
-), cand AS (
-  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
-         x.sig AS sig_a, y.sig AS sig_b
-  FROM banded x JOIN banded y
-    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
-)
-SELECT doc_id_a, doc_id_b, est_jaccard FROM (
-  SELECT doc_id_a, doc_id_b,
-         ROUND(len(list_filter(generate_series(1, 32),
-                               i -> sig_a[i] = sig_b[i])) / 32.0, 6)
-           AS est_jaccard
-  FROM cand
-) WHERE est_jaccard >= 0.4
-ORDER BY doc_id_a, doc_id_b
-"""
-
-
 def oracle_sql() -> dict[str, str]:
-    return {
-        "avg_price_weekly": """
-            SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(o_totalprice) AS avg_price
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "occupancy_monthly": """
-            WITH joined AS (
-              SELECT l.l_partkey,
-                     CAST(o.o_orderdate AS DATE) AS checkin,
-                     CAST(l.l_shipdate AS DATE) AS checkout,
-                     o.o_orderdate
-              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-              WHERE o.o_orderstatus = 'F'
-            )
-            SELECT
-              CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-              CAST(COUNT(*) AS BIGINT) AS total_bookings,
-              CAST(SUM(date_diff('day', checkin, checkout)) AS BIGINT) AS booked_nights,
-              CAST(COUNT(DISTINCT l_partkey) * day(last_day(any_value(checkin))) AS BIGINT)
-                AS available_nights,
-              ROUND(100.0 * SUM(date_diff('day', checkin, checkout))
-                    / (COUNT(DISTINCT l_partkey) * day(last_day(any_value(checkin)))), 2)
-                AS occupancy_rate
-            FROM joined GROUP BY 1 ORDER BY 1
-        """,
-        "popular_locations_weekly": """
-            SELECT CAST(date_trunc('week', o.o_orderdate) AS DATE) AS week_start,
-                   n.n_name AS location,
-                   CAST(COUNT(*) AS BIGINT) AS total_bookings
-            FROM orders o
-            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-            WHERE o.o_orderstatus = 'F'
-            GROUP BY 1, 2 ORDER BY 1, 3 DESC, 2
-        """,
-        "top_listings_weekly": """
-            SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
-                   l_partkey AS listing_id,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
-            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 3 DESC, 2
-        """,
-        "top_listings_topk": _TOPK_SQL,
-        "bookings_per_user": """
-            SELECT o_custkey AS user_id,
-                   CAST(COUNT(*) AS BIGINT) AS total_bookings,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
-                     AS total_spend
-            FROM orders WHERE o_orderstatus = 'F'
-            GROUP BY 1 ORDER BY 1
-        """,
-        "avg_duration_monthly": """
-            SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
-                   ROUND(AVG(date_diff('day', CAST(o.o_orderdate AS DATE),
-                                       CAST(l.l_shipdate AS DATE))), 2)
-                     AS avg_duration_days
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE o.o_orderstatus = 'F'
-            GROUP BY 1 ORDER BY 1
-        """,
-        "repeat_rate_monthly": _REPEAT_SQL,
-        "curated_partition_scan": """
-            SELECT o.o_orderstatus AS order_status,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS revenue,
-                   CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
-            FROM orders o
-            WHERE strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') = '1995-03'
-            GROUP BY 1 ORDER BY 1
-        """,
-        "curated_join": """
-            SELECT o.o_orderkey AS order_id,
-                   o.o_custkey AS customer_id,
-                   c.c_name AS customer_name,
-                   c.c_mktsegment AS segment,
-                   n.n_name AS nation,
-                   r.r_name AS region,
-                   o.o_orderstatus AS order_status,
-                   CAST(o.o_orderdate AS DATE) AS order_date,
-                   o.o_totalprice AS total_price,
-                   o.o_orderpriority AS order_priority
-            FROM orders o
-            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-        """,
-        "dedup_exact": "SELECT DISTINCT * FROM lineitem",
-        "dedup_keys": _DEDUP_KEYS_SQL,
-        "events_json": """
-            SELECT event_type,
-                   CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(AVG(value), 2) AS avg_value,
-                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-                     AS total_k,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
-            FROM events GROUP BY 1 ORDER BY 1
-        """,
-        "doc_stats": _DOC_STATS_SQL,
-        "language_id": _LANGUAGE_ID_SQL,
-        "doc_fingerprint": """
-            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
-            FROM documents GROUP BY 1 ORDER BY 3
-        """,
-        "near_dup_jaccard": _JACCARD_DEGREE_SQL,
-        "near_dup_clusters": _CC_SQL,
-        "training_batches": _TRAINING_BATCHES_SQL,
-        "training_mix": _TRAINING_MIX_SQL,
-        # the declarative twin interprets to the same plan, so it shares
-        # the imperative form's oracle verbatim
-        "recipe_training_mix": _TRAINING_MIX_SQL,
-        # Stateful-streaming twin: the update-stream max of a monotone
-        # per-user counter equals the batch GROUP BY count.
-        "streaming_user_totals": """
-            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM events GROUP BY 1 ORDER BY 1
-        """,
-        "scd2_user_state": """
-            WITH obs AS (
-              SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id
-              FROM events
-            ), marked AS (
-              SELECT user_id, state, ts_us, event_id,
-                     LAG(state) OVER (
-                       PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
-              FROM obs
-            ), changes AS (
-              -- null-safe change test, first row by position (matches
-              -- scd2_history's eqNullSafe semantics for NULL states)
-              SELECT user_id, state, ts_us, event_id FROM marked
-              WHERE rn = 1 OR state IS DISTINCT FROM prev
-            )
-            SELECT user_id, state,
-                   ts_us AS valid_from,
-                   LEAD(ts_us) OVER w AS valid_to,
-                   CAST(ROW_NUMBER() OVER w AS INT) AS version,
-                   (LEAD(ts_us) OVER w IS NULL) AS is_current
-            FROM changes
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-            ORDER BY user_id, valid_from
-        """,
-        "event_type_skew": """
-            WITH counts AS (
-              SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1
-            ), total AS (SELECT SUM(n_rows) AS t FROM counts),
-            top AS (
-              SELECT * FROM counts ORDER BY n_rows DESC, event_type LIMIT 10
-            )
-            SELECT event_type,
-                   CAST(n_rows AS BIGINT) AS n_rows,
-                   ROUND(n_rows / (SELECT t FROM total), 6) AS share,
-                   CAST(ROW_NUMBER() OVER w AS INT) AS rank,
-                   ROUND(SUM(n_rows) OVER w / (SELECT t FROM total), 6)
-                     AS cum_share
-            FROM top
-            WINDOW w AS (ORDER BY n_rows DESC, event_type)
-            ORDER BY rank
-        """,
-        "quantile_gate": """
-            SELECT o_orderstatus,
-                   quantile_cont(o_totalprice, 0.5) AS p50_exact,
-                   quantile_cont(o_totalprice, 0.9) AS p90_exact,
-                   TRUE AS quantile_ok
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        # LAG-flag sessionization expressing the SAME semantics as Spark's
-        # native session_window: end = last event + gap.
-        "session_window_rollup": """
-            WITH obs AS (
-              SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
-            ), flagged AS (
-              SELECT user_id, ts_us,
-                     CASE WHEN ts_us - LAG(ts_us) OVER w > 43200000000
-                          OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-              FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-            ), sess AS (
-              SELECT user_id, ts_us,
-                     SUM(new_s) OVER (
-                       PARTITION BY user_id ORDER BY ts_us
-                       ROWS UNBOUNDED PRECEDING) AS session_no
-              FROM flagged
-            )
-            SELECT user_id,
-                   MIN(ts_us) AS session_start_us,
-                   MAX(ts_us) + 43200000000 AS session_end_us,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM sess GROUP BY user_id, session_no
-            ORDER BY user_id, session_start_us
-        """,
-        "events_variant": """
-            SELECT event_type,
-                   CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                        AS BIGINT) AS total_k,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
-                     AS avg_k,
-                   ROUND(AVG(value), 2) AS avg_value
-            FROM events GROUP BY 1 ORDER BY 1
-        """,
-        # Post-upsert state computed straight from the base table: 1995-03
-        # amounts bumped 10% in exact decimal (cent-scale values x 1.10
-        # have at most 3 fractional digits, so the DECIMAL(18,4) cast is
-        # exact on both engines — no rounding-mode divergence possible).
-        "parquet_upsert_roundtrip": """
-            WITH upserted AS (
-              SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
-                     CASE WHEN strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-                               = '1995-03'
-                          THEN CAST(CAST(o_totalprice AS DECIMAL(18,4))
-                                    * CAST(1.10 AS DECIMAL(3,2))
-                                    AS DECIMAL(18,4))
-                          ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS amount
-              FROM orders
-            )
-            SELECT order_month,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS revenue
-            FROM upserted GROUP BY 1 ORDER BY 1
-        """,
-        "rolling_revenue_7d": """
-            WITH daily AS (
-              SELECT o_orderstatus,
-                     date_diff('day', DATE '1970-01-01',
-                               CAST(o_orderdate AS DATE)) AS day_idx,
-                     CAST(o_orderdate AS DATE) AS day_date,
-                     SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_amt,
-                     COUNT(*) AS day_rows
-              FROM orders GROUP BY 1, 2, 3
-            )
-            SELECT o_orderstatus,
-                   day_date,
-                   CAST(ROUND(day_amt, 2) AS DOUBLE) AS day_amount,
-                   CAST(day_rows AS BIGINT) AS day_rows,
-                   CAST(ROUND(SUM(day_amt) OVER w, 2) AS DOUBLE)
-                     AS rolling_amount,
-                   CAST(SUM(day_rows) OVER w AS BIGINT) AS rolling_rows
-            FROM daily
-            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day_idx
-                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-            ORDER BY o_orderstatus, day_date
-        """,
-        # 32-token windows, stride 24 (= max - overlap); DuckDB list
-        # slices are 1-based inclusive, so t[s : s+31] is the 32-token
-        # window starting at s. // is integer division.
-        "doc_chunks": f"""
-            WITH d AS (
-              SELECT doc_id,
-                     {_TOKENS.format(src="lower(text)")} AS t
-              FROM documents
-            )
-            SELECT doc_id,
-                   CAST((s - 1) // 24 + 1 AS INT) AS chunk_id,
-                   CAST(len(t[s : s + 31]) AS INT) AS n_tokens,
-                   array_to_string(t[s : s + 31], ' ') AS chunk_text
-            FROM d CROSS JOIN UNNEST(generate_series(1, len(t), 24)) AS u(s)
-            WHERE len(t) > 0
-            ORDER BY doc_id, chunk_id
-        """,
-        "ann_cosine_topk": _ANN_SQL,
-        "sessionization": _SESSION_SQL,
-        "user_engagement": """
-            SELECT user_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) // 1000000
-                        - epoch_us(CAST(MIN(ts) AS TIMESTAMP)) // 1000000 AS BIGINT)
-                     AS span_sec,
-                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
-            FROM events GROUP BY 1 ORDER BY 1
-        """,
-        "token_frequencies": f"""
-            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-            FROM (SELECT unnest({_LTOKENS}) AS token FROM documents)
-            GROUP BY 1 HAVING COUNT(*) >= 5
-            ORDER BY 2 DESC, 1
-        """,
-        "word_bigrams": f"""
-            WITH toks AS (SELECT {_LTOKENS} AS t FROM documents)
-            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-            FROM (
-              SELECT unnest(
-                CASE WHEN len(t) >= 2
-                     THEN list_transform(generate_series(1, len(t) - 1),
-                                         i -> t[i] || ' ' || t[i + 1])
-                     ELSE [] END) AS ngram
-              FROM toks)
-            GROUP BY 1 HAVING COUNT(*) >= 5
-            ORDER BY 2 DESC, 1
-        """,
-        "label_centroids": """
-            WITH ex0 AS (
-              SELECT label,
-                     unnest(list_transform(generate_series(1, len(embedding)),
-                            i -> {'pos': i, 'val': embedding[i]})) AS s
-              FROM embeddings
-            ), ex AS (
-              SELECT label, s.pos AS pos, s.val AS val FROM ex0
-            ), per_dim AS (
-              SELECT label, pos,
-                     ROUND(SUM(CAST(val AS DOUBLE)) / COUNT(*), 6) AS v,
-                     COUNT(*) AS n
-              FROM ex GROUP BY 1, 2
-            )
-            SELECT label,
-                   array_to_string(
-                     list_transform(list(v ORDER BY pos), x -> printf('%.6f', x)),
-                     ',') AS centroid,
-                   CAST(MAX(n) AS BIGINT) AS n_vectors
-            FROM per_dim GROUP BY label ORDER BY label
-        """,
-        "revenue_rollup": """
-            SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
-                   l_returnflag AS return_flag,
-                   CAST(COUNT(*) AS BIGINT) AS n_lines,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
-            FROM lineitem
-            GROUP BY ROLLUP (1, 2)
-            ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
-        """,
-        "events_json_struct": """
-            SELECT event_type,
-                   CAST(COUNT(*) AS BIGINT) AS n_high,
-                   CAST(SUM(k) AS BIGINT) AS sum_k
-            FROM (SELECT event_type,
-                         CAST(json_extract_string(props, '$.k') AS INT) AS k
-                  FROM events)
-            WHERE k >= 90
-            GROUP BY 1 ORDER BY 1
-        """,
-        "asof_purchase_view": """
-            WITH p AS (
-              SELECT event_id AS purchase_id, user_id,
-                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS purchase_sec
-              FROM events WHERE event_type = 'purchase'
-            ), v AS (
-              SELECT event_id AS view_id, user_id,
-                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS view_sec
-              FROM events WHERE event_type = 'view'
-            ), j AS (
-              SELECT p.purchase_id, p.user_id, p.purchase_sec,
-                     v.view_id, v.view_sec,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY p.purchase_id
-                       ORDER BY v.view_sec DESC, v.view_id DESC) AS rn
-              FROM p LEFT JOIN v
-                ON p.user_id = v.user_id AND v.view_sec <= p.purchase_sec
-            )
-            SELECT purchase_id, user_id,
-                   CAST(purchase_sec AS BIGINT) AS purchase_sec,
-                   view_id,
-                   CAST(view_sec AS BIGINT) AS view_sec
-            FROM j WHERE rn = 1 ORDER BY purchase_id
-        """,
-        "salted_status_agg": """
-            SELECT o_orderstatus,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                     AS sum_o_totalprice
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "embedding_near_dups": f"""
-            WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
-            SELECT * FROM (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
-                     ROUND(
-                       {_COS_DOT.format(a="a.embedding", b="b.embedding")}
-                       / ({_COS_NORM.format(a="a.embedding")}
-                          * {_COS_NORM.format(a="b.embedding")}),
-                       6) AS cosine_sim
-              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-            ) WHERE cosine_sim >= 0.2 ORDER BY id_a, id_b
-        """,
-        # Batch twin of the complete-mode streaming window aggregate:
-        # 6-hour tumbling windows are epoch-aligned, so window_start_sec
-        # is an epoch floor-division on both engines.
-        "streaming_event_counts": """
-            SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
-                        // 21600 * 21600 AS BIGINT) AS window_start_sec,
-                   event_type,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM events
-            GROUP BY 1, 2 ORDER BY 1, 2
-        """,
-        "corpus_prep": _CORPUS_PREP_SQL,
-        "running_totals": """
-            SELECT o_custkey, o_orderdate, o_orderkey,
-                   CAST(ROW_NUMBER() OVER w AS INT) AS seq,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_amount
-            FROM orders
-            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        """,
-        "status_percentiles": """
-            SELECT o_orderstatus,
-                   quantile_cont(o_totalprice, 0.25) AS p25,
-                   quantile_cont(o_totalprice, 0.50) AS p50,
-                   quantile_cont(o_totalprice, 0.75) AS p75
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "zscore_events": """
-            SELECT event_id, event_type, value,
-                   ROUND((value - AVG(value) OVER w)
-                         / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS zscore
-            FROM events
-            WINDOW w AS (PARTITION BY event_type)
-        """,
-        "events_pivot": """
-            SELECT user_id,
-                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
-                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
-            FROM events GROUP BY 1 ORDER BY 1
-        """,
-        "docs_per_source_quota": """
-            SELECT doc_id, source, lang FROM (
-              SELECT doc_id, source, lang,
-                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-              FROM documents
-            ) WHERE rn <= 3 ORDER BY source, doc_id
-        """,
-        "winnowing": """
-            WITH norm AS (
-              SELECT doc_id,
-                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-              FROM documents
-            ), grams AS (
-              SELECT doc_id,
-                     list_transform(
-                       generate_series(1, greatest(length(t) - 7, 1)),
-                       i -> md5(substr(t, i, 8))) AS g
-              FROM norm
-            ), sel AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(len(g) - 3, 1)),
-                       j -> list_min(g[j:j+3]))) AS fps
-              FROM grams
-            )
-            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints
-            FROM sel ORDER BY doc_id
-        """,
-        "customers_semi_anti": """
-            WITH confirmed AS (
-              SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-            )
-            SELECT c_mktsegment,
-                   CAST(COUNT(*) FILTER (
-                     c_custkey IN (SELECT o_custkey FROM confirmed)) AS BIGINT)
-                     AS n_with_confirmed,
-                   CAST(COUNT(*) FILTER (
-                     c_custkey NOT IN (SELECT o_custkey FROM confirmed)) AS BIGINT)
-                     AS n_without_confirmed
-            FROM customer GROUP BY 1 ORDER BY 1
-        """,
-        "orders_profile": """
-            SELECT 'o_custkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
-                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
-            FROM orders
-            UNION ALL
-            SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
-                   CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
-                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
-            UNION ALL
-            SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
-                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
-                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
-            UNION ALL
-            SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
-                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
-                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
-            UNION ALL
-            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
-                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
-                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
-            UNION ALL
-            SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
-                   CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
-                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
-            ORDER BY 1
-        """,
-        "brand_setops": """
-            WITH large AS (SELECT DISTINCT p_brand FROM part WHERE p_size >= 30),
-                 premium AS (SELECT DISTINCT p_brand FROM part
-                             WHERE p_retailprice >= 1400.0)
-            SELECT 'both' AS membership, p_brand FROM
-              (SELECT p_brand FROM large INTERSECT SELECT p_brand FROM premium)
-            UNION ALL
-            SELECT 'large_only', p_brand FROM
-              (SELECT p_brand FROM large EXCEPT SELECT p_brand FROM premium)
-            UNION ALL
-            SELECT 'premium_only', p_brand FROM
-              (SELECT p_brand FROM premium EXCEPT SELECT p_brand FROM large)
-            ORDER BY 1, 2
-        """,
-        "revenue_cube": """
-            SELECT yr, status,
-                   CAST(GROUPING(yr, status) AS BIGINT) AS gid,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS revenue
-            FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,
-                         o_orderstatus AS status, o_totalprice
-                  FROM orders)
-            GROUP BY CUBE (yr, status)
-            ORDER BY 3, 1 NULLS FIRST, 2 NULLS FIRST
-        """,
-        "orders_shipped_7d": """
-            WITH daily AS (
-              SELECT CAST(l_shipdate AS DATE) AS ship_day, COUNT(*) AS n_ship
-              FROM lineitem GROUP BY 1
-            )
-            SELECT o_orderkey,
-                   CAST(COALESCE(SUM(n_ship), 0) AS BIGINT) AS n_shipped
-            FROM orders LEFT JOIN daily
-              ON ship_day BETWEEN CAST(o_orderdate AS DATE)
-                              AND CAST(o_orderdate AS DATE) + 7
-            GROUP BY 1 ORDER BY 1
-        """,
-        "nation_top_customer": """
-            SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal
-            FROM (SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY c_nationkey
-                    ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
-                  FROM customer)
-            WHERE rn = 1 ORDER BY 1
-        """,
-        "acctbal_ntile": """
-            SELECT c_mktsegment,
-                   CAST(quartile AS INT) AS quartile,
-                   CAST(COUNT(*) AS BIGINT) AS n_customers,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(*) AS avg_bal
-            FROM (SELECT c_mktsegment, c_acctbal,
-                         ntile(4) OVER (PARTITION BY c_mktsegment
-                                        ORDER BY c_acctbal, c_custkey) AS quartile
-                  FROM customer)
-            GROUP BY 1, 2 ORDER BY 1, 2
-        """,
-        "nation_custkey_list": """
-            SELECT c_nationkey,
-                   array_to_string((list_sort(list(c_custkey)))[1:5], ',')
-                     AS first_custkeys,
-                   CAST(COUNT(*) AS BIGINT) AS n_customers
-            FROM customer GROUP BY 1 ORDER BY 1
-        """,
-        "orders_by_weekday": """
-            SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(*) AS avg_price
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS sum_qty,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS sum_base_price,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2)
-                        AS DOUBLE) AS sum_disc_price,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
-                                  * (1.00 + CAST(l_tax AS DECIMAL(4,2)))), 2)
-                        AS DOUBLE) AS sum_charge,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(*) AS avg_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(*) AS avg_price,
-                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-                     / COUNT(*) AS avg_disc,
-                   CAST(COUNT(*) AS BIGINT) AS count_order
-            FROM lineitem
-            WHERE CAST(l_shipdate AS DATE) <= DATE '2001-05-01'
-            GROUP BY 1, 2 ORDER BY 1, 2
-        """,
-        "tfidf_top_terms": """
-            WITH term_rows AS (
-              SELECT doc_id, unnest(list_filter(
-                       string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')) AS token
-              FROM documents
-            ), tf AS (
-              SELECT doc_id, token, COUNT(*) AS tf
-              FROM term_rows GROUP BY 1, 2
-            ), df AS (
-              SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
-            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
-            weights AS (
-              SELECT tf.doc_id, tf.token, tf.tf, df.df,
-                     tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))
-                       AS tfidf
-              FROM tf JOIN df USING (token) CROSS JOIN n
-            )
-            SELECT doc_id, CAST(rank AS INT) AS rank, token,
-                   ROUND(tfidf, 6) AS tfidf
-            FROM (SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
-                  FROM weights)
-            WHERE rank <= 3 ORDER BY doc_id, rank
-        """,
-        "corpus_splits": """
-            SELECT source,
-                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
-                          THEN 'train'
-                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
-                          THEN 'val'
-                        ELSE 'test' END AS split,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs
-            FROM documents GROUP BY 1, 2 ORDER BY 1, 2
-        """,
-        "doc_tokens_regex": """
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '\\w+')) AS INT)
-                     AS n_word_tokens,
-                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT)
-                     AS n_symbol_tokens,
-                   CAST(len(regexp_extract_all(text, '\\w+'))
-                        + len(regexp_extract_all(text, '[^\\w\\s]')) AS INT)
-                     AS approx_tokens
-            FROM documents
-        """,
-        "minhash_near_dups": _MINHASH_SQL,
-        # Recall invariants: DuckDB recomputes the EXACT neighbor sets and
-        # asserts the pinned floor holds (recall_ok TRUE per query); the
-        # Spark side computes actual ANN recall, so any quality regression
-        # below the floor breaks the value hash.
-        "ann_lsh_recall": f"""
-            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-                   TRUE AS recall_ok
-            FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
-        """,
-        "ann_ivf_recall": f"""
-            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-                   TRUE AS recall_ok
-            FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
-        """,
-        "ann_quantized_recall": f"""
-            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-                   TRUE AS recall_ok
-            FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
-        """,
-        "ann_pq_recall": f"""
-            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-                   TRUE AS recall_ok
-            FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
-        """,
-        "ann_ivfpq_recall": f"""
-            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-                   TRUE AS recall_ok
-            FROM ({_ANN_SQL}) GROUP BY 1 ORDER BY 1
-        """,
-        # Unicode-canonicalization twin: same regexp chain (RE2 classes
-        # rendered from the SAME codepoint lists as Spark's java classes)
-        # + utf8proc nfc_normalize vs Python unicodedata NFC.
-        "doc_normalize": f"""
-            WITH n AS (
-              SELECT doc_id, text,
-                     nfc_normalize(trim(regexp_replace(regexp_replace(
-                       regexp_replace(regexp_replace(text,
-                         '{text.re2_class(text.ZW_CODEPOINTS)}', '', 'g'),
-                         '{text.re2_class(text.CTRL_CODEPOINTS)}', '', 'g'),
-                       '\\r\\n?', chr(10), 'g'),
-                       '[ \\t]+', ' ', 'g'))) AS norm_text,
-                     CAST(len(regexp_extract_all(text,
-                       '{text.re2_class(text.ZW_CODEPOINTS)}')) AS INT)
-                       AS n_zero_width,
-                     CAST(len(regexp_extract_all(text,
-                       '{text.re2_class(text.CTRL_CODEPOINTS)}')) AS INT)
-                       AS n_control
-              FROM documents
-            )
-            SELECT doc_id, norm_text, n_zero_width, n_control,
-                   (norm_text IS DISTINCT FROM text) AS changed
-            FROM n ORDER BY doc_id
-        """,
-        # Char-LM twin: identical integer micro-prob pipeline — counts,
-        # floor(1e6*c/cp), exact integer sum, ONE final float division.
-        "char_lm_scores": """
-            WITH d AS (
-              SELECT doc_id, lower(text) AS t FROM documents
-            ), g AS (
-              SELECT doc_id, unnest(
-                CASE WHEN length(t) >= 3
-                     THEN list_transform(generate_series(1, length(t) - 2),
-                                         i -> substr(t, i, 3))
-                     ELSE [] END) AS gram
-              FROM d
-            ), gc AS (
-              SELECT gram, COUNT(*) AS c_gram FROM g GROUP BY 1
-            ), pc AS (
-              SELECT substr(gram, 1, 2) AS prefix, SUM(c_gram) AS c_prefix
-              FROM gc GROUP BY 1
-            ), p AS (
-              SELECT gram,
-                     CAST(FLOOR(1000000 * c_gram / (c_prefix + 10)) AS BIGINT)
-                       AS micro_p
-              FROM gc JOIN pc ON substr(gc.gram, 1, 2) = pc.prefix
-            ), s AS (
-              SELECT g.doc_id,
-                     CAST(COUNT(*) AS BIGINT) AS n_grams,
-                     CAST(SUM(micro_p) AS BIGINT) AS sum_micro_p
-              FROM g JOIN p USING (gram) GROUP BY 1
-            )
-            SELECT d.doc_id,
-                   COALESCE(s.n_grams, 0) AS n_grams,
-                   COALESCE(s.sum_micro_p, 0) AS sum_micro_p,
-                   CASE WHEN COALESCE(s.n_grams, 0) > 0
-                        THEN ROUND(s.sum_micro_p / (s.n_grams * 1000000.0), 6)
-                        ELSE 0.0 END AS avg_char_prob
-            FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
-        """,
-        "part_unpivot": """
-            SELECT p_partkey, attr, val FROM (
-              SELECT p_partkey, 'size' AS attr,
-                     CAST(p_size AS DOUBLE) AS val FROM part
-              UNION ALL
-              SELECT p_partkey, 'retailprice' AS attr,
-                     CAST(p_retailprice AS DOUBLE) AS val FROM part
-            ) ORDER BY p_partkey, attr
-        """,
-        # Recipe twin: the equivalent SQL straight over the base tables —
-        # the recipe interpretation must add nothing and lose nothing.
-        # orders keys are unique in testdata, so the keyed-dedup step is
-        # an identity here; the oracle mirrors that.
-        "recipe_metric": """
-            SELECT c.c_mktsegment AS segment,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS revenue
-            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-            WHERE o.o_orderstatus = 'F'
-            GROUP BY 1 ORDER BY 1
-        """,
-        # Resample twin: identical tick floor, per-tick last (ts desc +
-        # event_id desc), grid via generate_series, ffill via
-        # last_value IGNORE NULLS, decimal checksum.
-        "events_resampled": """
-            WITH obs0 AS (
-              SELECT user_id,
-                     CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS tick_ts,
-                     epoch(ts) AS ets, event_id, value,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY user_id,
-                                    CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT)
-                       ORDER BY epoch(ts) DESC, event_id DESC) AS rn
-              FROM events
-            ), obs AS (
-              SELECT user_id, tick_ts, value AS observed FROM obs0 WHERE rn = 1
-            ), spans AS (
-              SELECT user_id, MIN(tick_ts) AS lo, MAX(tick_ts) AS hi
-              FROM obs GROUP BY 1
-            ), grid AS (
-              SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS tick_ts
-              FROM spans
-            ), filled AS (
-              SELECT g.user_id, g.tick_ts,
-                     last_value(o.observed IGNORE NULLS) OVER (
-                       PARTITION BY g.user_id ORDER BY g.tick_ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS value,
-                     o.observed IS NOT NULL AS is_observed
-              FROM grid g LEFT JOIN obs o
-                ON g.user_id = o.user_id AND g.tick_ts = o.tick_ts
-            )
-            SELECT user_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_ticks,
-                   CAST(SUM(CASE WHEN is_observed THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_observed,
-                   CAST(SUM(CASE WHEN NOT is_observed AND value IS NOT NULL
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
-                   CAST(SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS DOUBLE)
-                     AS value_sum
-            FROM filled GROUP BY 1 ORDER BY 1
-        """,
-        # Histogram twin: same two-pass binning (min/max then floor bins,
-        # top edge closed into the last bin, empty bins emitted).
-        "price_histogram": """
-            WITH b AS (
-              SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
-                     MAX(CAST(o_totalprice AS DOUBLE)) AS hi
-              FROM orders
-            ), c AS (
-              SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.lo)
-                                      / ((b.hi - b.lo) / 12)) AS INT), 11)
-                       AS bin,
-                     COUNT(*) AS n_rows
-              FROM orders, b
-              WHERE o_totalprice IS NOT NULL
-              GROUP BY 1
-            )
-            SELECT g.bin,
-                   b.lo + g.bin * ((b.hi - b.lo) / 12) AS lo,
-                   b.lo + (g.bin + 1) * ((b.hi - b.lo) / 12) AS hi,
-                   CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows
-            FROM (SELECT unnest(generate_series(0, 11)) AS bin) g
-            CROSS JOIN b
-            LEFT JOIN c USING (bin)
-            ORDER BY g.bin
-        """,
-        # Round-trip oracle reads the parquet truth directly (the Spark
-        # side is what exercises the JSONL write+scan), like csv_roundtrip.
-        "jsonl_roundtrip": """
-            SELECT doc_id, text, lang, source, n_chars
-            FROM documents ORDER BY doc_id
-        """,
-        # Manifest twin: identical md5 row hashes + BIT_XOR fold in SQL.
-        "tables_manifest": """
-            WITH o AS (
-              SELECT ('0x' || substr(md5(concat_ws('|#|',
-                       coalesce(CAST(o_orderkey AS VARCHAR), '[[NULL]]'),
-                       coalesce(CAST(o_custkey AS VARCHAR), '[[NULL]]'),
-                       coalesce(o_orderstatus, '[[NULL]]'),
-                       coalesce(CAST(o_orderdate AS VARCHAR), '[[NULL]]')
-                     )), 1, 15))::BIGINT AS h,
-                     (o_orderkey IS NULL)::INT + (o_custkey IS NULL)::INT
-                     + (o_orderstatus IS NULL)::INT
-                     + (o_orderdate IS NULL)::INT AS nn
-              FROM orders
-            ), s AS (
-              SELECT ('0x' || substr(md5(concat_ws('|#|',
-                       coalesce(CAST(s_suppkey AS VARCHAR), '[[NULL]]'),
-                       coalesce(s_name, '[[NULL]]'),
-                       coalesce(CAST(s_nationkey AS VARCHAR), '[[NULL]]')
-                     )), 1, 15))::BIGINT AS h,
-                     (s_suppkey IS NULL)::INT + (s_name IS NULL)::INT
-                     + (s_nationkey IS NULL)::INT AS nn
-              FROM supplier
-            )
-            SELECT * FROM (
-              SELECT 'orders' AS "table",
-                     CAST(COUNT(*) AS BIGINT) AS n_rows,
-                     CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS content_xor,
-                     CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_nulls
-              FROM o
-              UNION ALL
-              SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
-                     CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
-                     CAST(COALESCE(SUM(nn), 0) AS BIGINT)
-              FROM s
-            ) ORDER BY "table"
-        """,
-        # Bin-packing twin: bucket assignment + totals recomputed exactly
-        # (same md5 projection), packing invariants asserted TRUE.
-        "pack_bins": """
-            WITH d AS (
-              SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                       ::BIGINT % 8 AS bucket,
-                     len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                     x -> x <> '')) AS n_tokens
-              FROM documents
-            )
-            SELECT CAST(bucket AS INT) AS bucket,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-                   TRUE AS bins_ok
-            FROM d GROUP BY 1 ORDER BY 1
-        """,
-        # Expectation-suite twin: every violation count recomputed in SQL.
-        "orders_expectations": """
-            WITH v AS (
-              SELECT 'orderkey_not_null' AS rule, 'o_orderkey' AS "column",
-                     'not_null' AS kind,
-                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-                      WHERE o_orderkey IS NULL) AS n_violations
-              UNION ALL
-              SELECT 'orderkey_unique', 'o_orderkey', 'unique',
-                     (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
-                        SELECT COUNT(*) AS n FROM orders
-                        WHERE o_orderkey IS NOT NULL
-                        GROUP BY o_orderkey HAVING COUNT(*) > 1))
-              UNION ALL
-              SELECT 'status_in_domain', 'o_orderstatus', 'in_set',
-                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-                      WHERE o_orderstatus IS NOT NULL
-                        AND o_orderstatus NOT IN ('F', 'O', 'P'))
-              UNION ALL
-              SELECT 'price_positive', 'o_totalprice', 'range',
-                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-                      WHERE o_totalprice IS NOT NULL AND o_totalprice < 0.0)
-              UNION ALL
-              SELECT 'priority_format', 'o_orderpriority', 'regex',
-                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-                      WHERE o_orderpriority IS NOT NULL
-                        AND NOT regexp_matches(o_orderpriority,
-                                               '^[1-5]-[A-Z ]+$'))
-              UNION ALL
-              SELECT 'custkey_references_customer', 'o_custkey', 'foreign_key',
-                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
-                      WHERE o.o_custkey IS NOT NULL
-                        AND o.o_custkey NOT IN
-                            (SELECT c_custkey FROM customer))
-            )
-            SELECT rule, "column", kind, n_violations,
-                   n_violations = 0 AS passed
-            FROM v ORDER BY rule
-        """,
-        "csv_roundtrip": """
-            SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-            FROM supplier ORDER BY s_suppkey
-        """,
-        # Round-trip oracles read the source of truth directly; the Spark
-        # side is what actually exercises the sink+scan (Derby / CSV).
-        "jdbc_roundtrip": """
-            SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-            FROM supplier ORDER BY s_suppkey
-        """,
-        "date_normalize": """
-            SELECT o_orderkey,
-                   CAST(try_strptime(
-                     CASE WHEN o_orderkey % 97 = 0 THEN '31/02/2024 oops'
-                          ELSE strftime(o_orderdate, '%d/%m/%Y') END,
-                     '%d/%m/%Y') AS DATE) AS booking_date
-            FROM orders ORDER BY o_orderkey
-        """,
-        "currency_convert": """
-            WITH rates AS (
-              SELECT * FROM (VALUES
-                ('USD', CAST(1.0 AS DOUBLE)),
-                ('EUR', CAST(1.1 AS DOUBLE)),
-                ('INR', CAST(0.012 AS DOUBLE))) t(currency, usd_rate)
-            ), src AS (
-              SELECT o_orderkey,
-                     ['USD','EUR','INR'][CAST(o_custkey % 3 AS INT) + 1]
-                       AS currency,
-                     o_totalprice AS amount
-              FROM orders
-            )
-            SELECT s.o_orderkey, s.currency, s.amount,
-                   s.amount * r.usd_rate AS amount_usd
-            FROM src s LEFT JOIN rates r USING (currency)
-            ORDER BY s.o_orderkey
-        """,
-        "csv_single_file": """
-            SELECT o_orderstatus,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS revenue
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "metric_sql_view": """
-            SELECT o_custkey AS user_id,
-                   CAST(COUNT(*) AS BIGINT) AS total_bookings
-            FROM orders WHERE o_orderstatus = 'F'
-            GROUP BY 1 ORDER BY 1
-        """,
-        "repetition_stats": f"""
-            WITH base AS (
-              SELECT doc_id,
-                     list_filter(list_transform(string_split(text, chr(10)),
-                                 l -> trim(l)), l -> l <> '') AS lines,
-                     {_GRAMS.format(n=2)} AS g2,
-                     {_GRAMS.format(n=3)} AS g3
-              FROM (SELECT doc_id, text, {_LTOKENS} AS t FROM documents)
-            )
-            SELECT doc_id,
-                   CAST(len(lines) AS INT) AS n_lines,
-                   CASE WHEN len(lines) > 0
-                        THEN ROUND(1 - len(list_distinct(lines)) / len(lines), 6)
-                        ELSE 0.0 END AS dup_line_frac,
-                   CAST(len(g2) AS INT) AS n_2grams,
-                   CASE WHEN len(g2) > 0
-                        THEN ROUND(1 - len(list_distinct(g2)) / len(g2), 6)
-                        ELSE 0.0 END AS dup_2gram_frac,
-                   CASE WHEN len(g3) > 0
-                        THEN ROUND(1 - len(list_distinct(g3)) / len(g3), 6)
-                        ELSE 0.0 END AS dup_3gram_frac
-            FROM base ORDER BY doc_id
-        """,
-        "decontamination": f"""
-            WITH g AS (
-              SELECT doc_id, list_distinct({_GRAMS.format(n=8)}) AS grams
-              FROM (SELECT doc_id, text, {_LTOKENS} AS t FROM documents)
-            ), bench AS (
-              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
-            ), hits AS (
-              SELECT dg.doc_id, COUNT(*) AS n_contaminated
-              FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
-              JOIN bench USING (gram)
-              GROUP BY 1
-            )
-            SELECT g.doc_id,
-                   CAST(len(g.grams) AS INT) AS n_grams,
-                   CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-                   CASE WHEN len(g.grams) > 0
-                        THEN ROUND(COALESCE(h.n_contaminated, 0) / len(g.grams), 6)
-                        ELSE 0.0 END AS contamination_frac,
-                   COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
-            FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id
-        """,
-        # Packing twin: the two-phase distributed prefix sum collapses to
-        # one global window in SQL; same (md5, id) total order.
-        "pack_offsets": f"""
-            WITH d AS (
-              SELECT doc_id,
-                     len({_TOKENS.format(src="lower(text)")}) AS n_tokens,
-                     md5(CAST(doc_id AS VARCHAR)) AS sort_key
-              FROM documents
-            )
-            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-                   CAST(COALESCE(SUM(n_tokens) OVER (
-                       ORDER BY sort_key, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS BIGINT) AS start_offset,
-                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
-                       ORDER BY sort_key, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) / 2048) AS BIGINT) AS seq_bin
-            FROM d ORDER BY doc_id
-        """,
-        # Cardinality-gate twin: exact side recomputed, invariant asserted
-        # TRUE (the HLL estimate itself is engine-specific by design).
-        "cardinality_gate": """
-            SELECT event_type,
-                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-                   TRUE AS card_ok
-            FROM events GROUP BY 1 ORDER BY 1
-        """,
-        # Frequent-items gate twin: exact top-5 recomputed, presence in
-        # the sketch's top-20 asserted TRUE (the cardinality_gate form).
-        "heavy_hitters_gate": f"""
-            WITH t AS (
-              SELECT unnest({_LTOKENS}) AS token FROM documents
-            )
-            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact,
-                   TRUE AS hh_ok
-            FROM t GROUP BY 1
-            ORDER BY n_exact DESC, token LIMIT 5
-        """,
-        # Mixture sampling twin: integer keep threshold floor(rate*65536)
-        # vs the 16-bit md5 prefix of the doc id — all-integer compares,
-        # double division/multiply is IEEE-identical on both engines.
-        "corpus_mixture": f"""
-            WITH d AS (
-              SELECT doc_id, source,
-                     len({_TOKENS.format(src="lower(text)")}) AS n_tokens
-              FROM documents
-            ), s AS (
-              SELECT source, SUM(n_tokens) AS source_tokens FROM d GROUP BY 1
-            ), s2 AS (
-              SELECT source,
-                     CAST(FLOOR(LEAST(1.0,
-                          (60000.0 / (COUNT(*) OVER ())) / source_tokens)
-                          * 65536) AS BIGINT) AS keep_thresh
-              FROM s
-            )
-            SELECT d.source, s2.keep_thresh,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
-                   CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_kept
-            FROM d JOIN s2 USING (source)
-            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
-                  < s2.keep_thresh
-            GROUP BY 1, 2 ORDER BY 1
-        """,
-        # Weighted-mixing twin: same share arithmetic in the same IEEE
-        # operation order (budget * (w/total) / source_tokens), weights
-        # inlined as a VALUES dim; unweighted sources drop via the join.
-        "corpus_mixture_weighted": f"""
-            WITH w(source, wt) AS (VALUES {", ".join(
-                f"('{k}', {v})" for k, v in MIXTURE_WEIGHTS.items()
-            )}),
-            d AS (
-              SELECT doc_id, source,
-                     len({_TOKENS.format(src="lower(text)")}) AS n_tokens
-              FROM documents
-            ), s AS (
-              SELECT source, SUM(n_tokens) AS source_tokens FROM d GROUP BY 1
-            ), s2 AS (
-              SELECT source,
-                     CAST(FLOOR(LEAST(1.0,
-                          (60000.0 * (wt / {float(sum(MIXTURE_WEIGHTS.values()))}))
-                          / source_tokens) * 65536) AS BIGINT) AS keep_thresh
-              FROM s JOIN w USING (source)
-            )
-            SELECT d.source, s2.keep_thresh,
-                   CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
-                   CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_kept
-            FROM d JOIN s2 USING (source)
-            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
-                  < s2.keep_thresh
-            GROUP BY 1, 2 ORDER BY 1
-        """,
-        "pii_scrub": f"""
-            WITH s1 AS (
-              SELECT doc_id, text AS t0,
-                     regexp_replace(text, '{_PII["email"][0]}',
-                                    '{_PII["email"][1]}', 'g') AS t1
-              FROM documents
-            ), s2 AS (
-              SELECT *, regexp_replace(t1, '{_PII["ssn"][0]}',
-                                       '{_PII["ssn"][1]}', 'g') AS t2
-              FROM s1
-            )
-            SELECT doc_id,
-                   regexp_replace(t2, '{_PII["phone"][0]}',
-                                  '{_PII["phone"][1]}', 'g') AS text,
-                   CAST(len(regexp_extract_all(t0, '{_PII["email"][0]}')) AS INT)
-                     AS n_email,
-                   CAST(len(regexp_extract_all(t1, '{_PII["ssn"][0]}')) AS INT)
-                     AS n_ssn,
-                   CAST(len(regexp_extract_all(t2, '{_PII["phone"][0]}')) AS INT)
-                     AS n_phone
-            FROM s2 ORDER BY doc_id
-        """,
-        "simhash": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(list_distinct(list_filter(
-                       string_split_regex(lower(text), '\\s+'), x -> x <> '')))
-                       AS t
-              FROM documents
-            ), hs AS (
-              SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
-              FROM toks
-            ), sums AS (
-              SELECT doc_id, b,
-                     SUM(CASE WHEN (h >> (59 - b)) & 1 = 1 THEN 1 ELSE -1 END)
-                       AS s
-              FROM hs, range(0, 60) r(b)
-              GROUP BY 1, 2
-            ), sk AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN s > 0 THEN 1::BIGINT << (59 - b)
-                              ELSE 0 END) AS simhash
-              FROM sums GROUP BY 1
-            )
-            SELECT d.doc_id, CAST(COALESCE(sk.simhash, 0) AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN sk USING (doc_id)
-            ORDER BY doc_id
-        """,
-        # ann_cosine_lsh / ann_cosine_ivf remain rows-only here: their
-        # bucketing is approximate by design, so their quality gate is the
-        # recall-vs-bruteforce invariant queries (ann_lsh_recall /
-        # ann_ivf_recall) instead of value parity.
-    }
+    """DuckDB oracles for every oracle-bearing queries() key — the
+    driver runs these against the same parquet tables and hash-compares
+    with the Spark results. Bodies live in the package oracles module
+    (lab_etl_batch_data_processing_pipeline__spark/oracles.py); this re-export keeps the driver
+    contract (entry / queries / oracle_sql in __spark_entry__) intact."""
+    return _oracles.oracle_sql()
