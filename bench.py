@@ -159,14 +159,30 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     full_line = json.dumps(payload)
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    try:
-        with open(sidecar, "w") as fh:
-            fh.write(full_line + "\n")
-    except OSError as exc:
-        print(f"WARNING: could not write {sidecar}: {exc}", file=sys.stderr)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sidecars = [os.path.join(repo, "BENCH_FULL.json")]
+    # Round-stamped copy so per-round per-query history doesn't depend
+    # on git archaeology of the mutable BENCH_FULL.json: the round is
+    # SPARK_GRAFT_ROUND if set, else inferred as (highest driver-written
+    # BENCH_r{N}.json) + 1 — the round currently being built.
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_no is not None and round_no.isdigit():
+        round_no = f"{int(round_no):02d}"
+    if round_no is None:
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        round_no = f"{max(seen) + 1:02d}" if seen else None
+    if round_no is not None:
+        sidecars.append(os.path.join(repo, f"BENCH_FULL_r{round_no}.json"))
+    for sidecar in sidecars:
+        try:
+            with open(sidecar, "w") as fh:
+                fh.write(full_line + "\n")
+        except OSError as exc:
+            print(f"WARNING: could not write {sidecar}: {exc}", file=sys.stderr)
     print(full_line, file=sys.stderr)
     summary = {
         "metric": "total_query_seconds",
