@@ -355,3 +355,63 @@ def table_manifest(
         F.coalesce(F.bit_xor(row_h), F.lit(0).cast("long")).alias("content_xor"),
         F.coalesce(null_count.cast("long"), F.lit(0).cast("long")).alias("n_nulls"),
     ).select(F.lit(table_name).alias("table"), "n_rows", "content_xor", "n_nulls")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    hash_compare: bool = False,
+) -> DataFrame:
+    """Keyed diff of two table snapshots: one row per key whose state
+    differs — ``change_type`` ∈ {'added', 'removed', 'changed'};
+    unchanged keys are absent. The change-audit primitive pipelines run
+    between loads (what did this rerun actually touch?) and the
+    verification step after a migration/backfill.
+
+    ``compare_cols`` defaults to every non-key column of ``new``.
+    Comparison is null-safe (a column going NULL→value or value→NULL is
+    'changed'; NULL==NULL is unchanged), via one struct ``eqNullSafe``.
+
+    Scale shape: one shuffle per side on the key (sort-merge full-outer
+    join); the comparison is a map-side struct equality. With
+    ``hash_compare=True`` each side shuffles (keys, xxhash64(row))
+    instead of the full compared row — 8 bytes/row, the at-scale form
+    for wide tables, exact up to a 2^-64-per-pair hash collision (use
+    the default when the diff must be certificate-grade). Both forms
+    return identical results on every fixture
+    (tests/test_cleaning.py::test_snapshot_diff_hash_matches_struct).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in set(keys)]
+    if hash_compare:
+        # null-safe: hash(concat_ws) would conflate NULL with ''; use
+        # xxhash64 over the raw columns (its null handling is
+        # deterministic and position-sensitive)
+        def side(df, alias):
+            return df.select(
+                *keys, F.xxhash64(*[df[c] for c in compare_cols]).alias(alias)
+            )
+        o, n = side(old, "__o"), side(new, "__n")
+    else:
+        o = old.select(
+            *keys, F.struct(*[old[c] for c in compare_cols]).alias("__o")
+        )
+        n = new.select(
+            *keys, F.struct(*[new[c] for c in compare_cols]).alias("__n")
+        )
+    # mark presence explicitly: a struct of all-NULL columns is still a
+    # present row, and for hash_compare the hash itself is never NULL
+    o = o.withColumn("__in_old", F.lit(True))
+    n = n.withColumn("__in_new", F.lit(True))
+    j = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

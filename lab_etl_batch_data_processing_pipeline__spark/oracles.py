@@ -1495,6 +1495,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Cardinality-gate twin: exact side recomputed, invariant asserted
         # TRUE (the HLL estimate itself is engine-specific by design).
+        # Round-trip oracle reads the parquet truth; the Spark side is
+        # what exercises the ORC sink + scan.
+        "orc_roundtrip": """
+            SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+            FROM part ORDER BY p_partkey
+        """,
+        # Keyed snapshot diff: same two deterministic orders slices, same
+        # full-outer classification with a null-safe row comparison
+        # (IS DISTINCT FROM == NOT eqNullSafe).
+        "orders_snapshot_diff": """
+            WITH old AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 3 <> 0
+            ), new AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 5 <> 0
+            ), d AS (
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE
+                       WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN (o.o_custkey, o.o_orderstatus, o.o_totalprice)
+                            IS DISTINCT FROM
+                            (n.o_custkey, n.o_orderstatus, n.o_totalprice)
+                         THEN 'changed'
+                     END AS change_type
+              FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey, change_type FROM d
+            WHERE change_type IS NOT NULL
+            ORDER BY o_orderkey
+        """,
+        # Sketch-merge gate twin: exact counts recomputed per scope (the
+        # union row included), booleans asserted TRUE — the
+        # cardinality_gate form applied to hll_union_agg.
+        "hll_union_gate": """
+            SELECT event_type AS scope,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS hll_ok
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT 'ALL' AS scope,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS hll_ok
+            FROM events
+            ORDER BY scope
+        """,
         "cardinality_gate": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,

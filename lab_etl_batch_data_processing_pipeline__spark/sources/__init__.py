@@ -6,6 +6,7 @@ from .readers import (  # noqa: F401
     read_csv,
     read_jdbc,
     read_jsonl,
+    read_orc,
     read_parquet,
 )
 from .writers import (  # noqa: F401
@@ -15,5 +16,6 @@ from .writers import (  # noqa: F401
     write_csv_single_file,
     write_jdbc,
     write_jsonl,
+    write_orc,
     write_parquet,
 )

@@ -54,6 +54,20 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (zlib default) — the interchange twin of write_parquet
+    for ORC-standardized estates; same idempotent-overwrite defaults."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv_single_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Small-output convenience only (presentation-layer summary tables)."""
     df.coalesce(1).write.mode(mode).option("header", "true").csv(path)

@@ -191,3 +191,67 @@ def test_table_manifest_detects_changes_and_ignores_order(spark):
         "t",
     ).first()
     assert m4.content_xor != m1.content_xor and m4.n_nulls == 0
+
+
+def test_snapshot_diff_classification(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),    # unchanged -> absent
+            (2, "b", 20.0),    # NULL -> value  = changed (null-safe)
+            (4, None, 40.0),   # NULL == NULL   = unchanged -> absent
+            (5, "e", 50.0),    # added
+        ],                     # 3 missing     = removed
+        "k long, s string, v double",
+    )
+    got = {
+        (r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {(2, "changed"), (3, "removed"), (5, "added")}
+
+
+def test_snapshot_diff_hash_matches_struct(spark):
+    """hash_compare=True (8-byte digests in the shuffle) must classify
+    identically to the exact struct comparison."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import snapshot_diff
+
+    old = spark.range(0, 200).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE concat('s', id % 7) END AS s",
+        "CAST(id % 13 AS DOUBLE) AS v",
+    )
+    new = spark.range(0, 210).filter("id % 17 != 0").selectExpr(
+        "id AS k",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE concat('s', id % 7) END AS s",
+        "CAST(CASE WHEN id % 19 = 0 THEN id ELSE id % 13 END AS DOUBLE) AS v",
+    )
+    exact = sorted(
+        (r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()
+    )
+    hashed = sorted(
+        (r.k, r.change_type)
+        for r in snapshot_diff(old, new, ["k"], hash_compare=True).collect()
+    )
+    assert exact == hashed and exact  # non-empty and identical
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, None, -0.25, 7)],
+        "id long, s string, v double, n int",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # partitioned form preserves hive layout
+    write_orc(df, path + "2", partition_by=["id"])
+    import os
+    assert sorted(os.listdir(path + "2"))[0].startswith("id=")

@@ -108,9 +108,14 @@ TAIL_KEYS = {
     "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
     "ann_cosine_ivfpq": "ann_ivfpq_recall parity + tests/test_similarity.py",
     # rotated out r8 (driver-green r6+r7, unchanged in r8) to make room
-    # for heavy_hitters_gate + recipe_training_mix's first driver rounds
+    # for heavy_hitters_gate and the four r8-born oracle rows
+    # (recipe_training_mix, orc_roundtrip, orders_snapshot_diff,
+    # hll_union_gate)
     "revenue_rollup": "test_spot_oracle_parity",
     "events_json_struct": "test_spot_oracle_parity",
+    "asof_purchase_view": "test_spot_oracle_parity",
+    "repetition_stats": "test_spot_oracle_parity",
+    "decontamination": "test_spot_oracle_parity",
 }
 
 
@@ -180,6 +185,9 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "salted_status_agg",
         "revenue_rollup",
         "events_json_struct",
+        "asof_purchase_view",
+        "repetition_stats",
+        "decontamination",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
