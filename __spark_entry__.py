@@ -2352,6 +2352,40 @@ def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus dedup (dedup_fuzzy.incremental_dedup) — the
+    daily-ingest shape: every 10th doc plays the incoming batch, the
+    rest the already-clean corpus; survivors are incoming docs that are
+    neither exact-fingerprint nor Jaccard>=0.5 near duplicates of the
+    corpus or of an earlier surviving batch doc. The pair space is
+    strictly batch-sided (never corpus x corpus). Both stages replay
+    exactly in DuckDB, so the full survivor set is hash-checked. Reads
+    the shared token-sketch artifact when built; the % 10 predicate
+    prunes it to each side without re-tokenizing."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    sk = _doc_sketch(spark, sf_dir)
+    kwargs = {}
+    if sk is not None:
+        kwargs = {
+            "existing_sketch": sk.filter(F.col("doc_id") % 10 != 0),
+            "incoming_sketch": sk.filter(F.col("doc_id") % 10 == 0),
+        }
+    return dedup_fuzzy.incremental_dedup(
+        existing, incoming, threshold=0.5, **kwargs
+    )
+
+
+def q_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-3 neighbors per document (text.
+    tfidf_cosine_topk): similarity WITHOUT embeddings via the inverted-
+    index token join, frequency-pruned vocabulary, and 2^-20 fixed-point
+    integer dot/norm sums — fully order-invariant, so the whole sparse
+    similarity join hash-matches DuckDB."""
+    return text.tfidf_cosine_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink parity, end-to-end: write an ORC copy of part
     (cached per testdata generation, _SUCCESS-gated like csv_roundtrip),
@@ -2440,15 +2474,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r8): the r7 window minus five multi-round-green
+    Current window (r8): the r7 window minus seven multi-round-green
     stable rows (revenue_rollup, events_json_struct, asof_purchase_view,
-    repetition_stats, decontamination — each driver-green r6+r7,
-    unchanged this round, rotated to the tail per the standing rule),
-    plus the five rows owed a first driver round: heavy_hitters_gate
-    (oracle-bearing, born after the r7 window filled) and the four
-    r8-born oracle rows (recipe_training_mix — the declarative twin of
-    training_mix sharing its oracle; orc_roundtrip;
-    orders_snapshot_diff; hll_union_gate). Every key whose
+    repetition_stats, decontamination, pii_scrub,
+    curated_partition_scan — each driver-green r6+r7, unchanged this
+    round, rotated to the tail per the standing rule), plus the seven
+    rows owed a first driver round: heavy_hitters_gate (oracle-bearing,
+    born after the r7 window filled) and the six r8-born oracle rows
+    (recipe_training_mix — the declarative twin of training_mix sharing
+    its oracle; orc_roundtrip; orders_snapshot_diff; hll_union_gate;
+    tfidf_cosine_topk — the sparse similarity join;
+    incremental_dedup — batch-vs-corpus dedup). Every key whose
     implementation changed this round stays in-window for a fresh
     driver round: the dense-dedup family now reading the shared
     token-sketch artifact (near_dup_jaccard, minhash_near_dups,
@@ -2498,13 +2534,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "hll_union_gate": q_hll_union_gate,
+        "tfidf_cosine_topk": q_tfidf_cosine_topk,
+        "incremental_dedup": q_incremental_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
         "winnowing": q_winnowing,
-        "pii_scrub": q_pii_scrub,
         "orders_profile": q_orders_profile,
-        "curated_partition_scan": q_curated_partition_scan,
         "near_dup_clusters": q_near_dup_clusters,
         "corpus_mixture": q_corpus_mixture,
         "cardinality_gate": q_cardinality_gate,
@@ -2576,6 +2612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
+        "pii_scrub": q_pii_scrub,
+        "curated_partition_scan": q_curated_partition_scan,
     }
 
 def oracle_sql() -> dict[str, str]:

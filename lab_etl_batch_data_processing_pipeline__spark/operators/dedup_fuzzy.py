@@ -704,3 +704,107 @@ def winnowing_fingerprints(
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    length_bucket: int = 10,
+    salt: int = 8,
+    existing_sketch: DataFrame | None = None,
+    incoming_sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an ingestion INCREMENT against an already-clean corpus:
+    returns the ``incoming`` rows (all columns) that are neither exact
+    nor near (token-Jaccard >= threshold) duplicates of any ``existing``
+    doc or of an earlier (smaller-id) surviving incoming doc.
+
+    This is the operation a daily-crawl pipeline actually runs — the
+    clean corpus is orders of magnitude larger than the batch, and
+    re-deduping old-vs-old (what running the full near-dup join on the
+    union would do) wastes a quadratic-in-corpus verify on pairs that
+    were already adjudicated. Here the pair space is strictly
+    batch-sided: every candidate pair has an incoming doc on the right,
+    so the join cost scales with |batch| x (matching blocks), not
+    |corpus|².
+
+    Stages (both oracle-checkable):
+    1. exact — md5 fingerprint of whitespace/case-normalized text
+       (:func:`...operators.text.fingerprint`): drop incoming docs whose
+       fingerprint exists in ``existing``; keep the min-id survivor per
+       fingerprint within the batch.
+    2. near — the jaccard_near_dups blocking (len_bucket, min-md5-token)
+       + salt² triangle decomposition, with the a-side = existing ∪
+       surviving incoming and the asymmetric guard (existing always
+       blocks incoming; incoming blocks only larger-id incoming).
+
+    ``existing_sketch`` / ``incoming_sketch`` take precomputed
+    :func:`token_sketch` frames (the shared-artifact contract) — at
+    scale the corpus sketch is a maintained artifact that the increment
+    job reads, extends, and writes back.
+    """
+    from .text import fingerprint as _fp
+
+    ex_ids = existing.select(F.col(id_col).alias("doc_id"))
+    # --- stage 1: exact fingerprints -----------------------------------
+    inc_fp = _fp(incoming, id_col, text_col)
+    ex_fp = _fp(existing, id_col, text_col).select("fingerprint").distinct()
+    batch_canonical = (
+        inc_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    )
+    exact_surv = (
+        batch_canonical.join(ex_fp, "fingerprint", "left_anti")
+        .select("doc_id")
+    )
+    # --- stage 2: near dups vs corpus + earlier survivors --------------
+    if existing_sketch is None:
+        existing_sketch = token_sketch(
+            ensure_parallelism(existing), id_col, text_col, length_bucket
+        )
+    if incoming_sketch is None:
+        incoming_sketch = token_sketch(
+            ensure_parallelism(incoming), id_col, text_col, length_bucket
+        )
+    surv_sketch = incoming_sketch.join(exact_surv, "doc_id", "left_semi")
+    a_side = existing_sketch.withColumn("__is_new", F.lit(False)).unionByName(
+        surv_sketch.withColumn("__is_new", F.lit(True))
+    )
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
+    fanout = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    a = a_side.select(
+        "*", bucket.alias("salt_a"), fanout.alias("salt_b")
+    ).alias("a")
+    b = surv_sketch.select(
+        "*", fanout.alias("salt_a"), bucket.alias("salt_b")
+    ).alias("b")
+    sa, sb = F.size(F.col("a.tok_set")), F.size(F.col("b.tok_set"))
+    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
+    union = sa + sb - inter
+    dropped = (
+        a.join(
+            b,
+            on=(
+                (F.col("a.len_bucket") == F.col("b.len_bucket"))
+                & (F.col("a.block_tok") == F.col("b.block_tok"))
+                & (F.col("a.salt_a") == F.col("b.salt_a"))
+                & (F.col("a.salt_b") == F.col("b.salt_b"))
+                # existing blocks ANY incoming; incoming blocks only
+                # larger-id incoming (and never itself)
+                & (
+                    (~F.col("a.__is_new") & (F.col("a.doc_id") != F.col("b.doc_id")))
+                    | (F.col("a.__is_new") & (F.col("a.doc_id") < F.col("b.doc_id")))
+                )
+            ),
+        )
+        .filter(F.least(sa, sb) >= F.lit(threshold - 1e-6) * F.greatest(sa, sb))
+        .filter(F.round(inter / union, 6) >= threshold)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    keep = exact_surv.join(dropped, "doc_id", "left_anti")
+    return incoming.join(
+        keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    ).orderBy(id_col)

@@ -246,6 +246,120 @@ def tfidf(
     )
 
 
+def tfidf_cosine_topk(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine top-k — document similarity WITHOUT dense
+    embeddings: (doc_id, neighbor_id, cosine_sim, sim_rank), the classic
+    sparse similarity join (inverted-index form). Candidate pairs come
+    from an equi-join on TOKEN (docs sharing no token never meet), so
+    the pair space is Σ_t df(t)² over the retained vocabulary, not
+    |docs|² — the frequency-pruning lever ``max_df_frac`` drops
+    stop-like tokens (df > frac·N) that blow that sum up quadratically
+    while contributing near-zero weight. df=1 tokens are dropped too
+    (they cannot pair; output-invariant).
+
+    Weights are tf/(df+1) — the rational-idf :func:`tfidf` weight with
+    the constant (N+1) factor dropped, which cancels in cosine.
+    EVERY aggregated quantity is an integer: per-token contributions
+    round to 2⁻²⁰-grain fixed-point (``round(w·w′·2²⁰)``, exact dyadic
+    scaling) and SUM as longs, so dot products and norms are
+    order-invariant and engine-portable — a float SUM over shuffled
+    partials would differ from the oracle in the last ulp and flip
+    rounded boundaries. Overflow bound: terms ≤ (max tf)²·2²⁰, safe for
+    any real tf under ~10⁵.
+
+    Shuffles: (doc, token) tf aggregate, token df aggregate
+    (vocabulary-sized, AQE-broadcast back), the token equi-join, one
+    (doc_a, doc_b) dot aggregate, and the per-doc ranking window.
+    At 100 TB the df table is the only state that must stay bounded —
+    exactly the vocabulary, which max_df_frac already curates.
+    """
+    docs = ensure_parallelism(documents)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+    tf = term_rows.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scale = F.lit(float(1 << 20))
+    w = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") > 1)
+            & (F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+        )
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf").cast("double") / (F.col("df") + F.lit(1))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.round(F.col("w") * F.col("w") * scale).cast("long")).alias("__n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=(
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.w") * F.col("b.w") * scale).cast("long")
+            ).alias("__dot")
+        )
+    )
+    sym = dots.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("neighbor_id"), "__dot"
+    ).unionByName(
+        dots.select(
+            F.col("db").alias("doc_id"), F.col("da").alias("neighbor_id"), "__dot"
+        )
+    )
+    na = norms.select(F.col("doc_id"), F.col("__n2").alias("__na"))
+    nb = norms.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("__n2").alias("__nb")
+    )
+    scored = (
+        sym.join(na, "doc_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "doc_id",
+            "neighbor_id",
+            F.round(
+                F.col("__dot").cast("double")
+                / F.sqrt(
+                    F.col("__na").cast("double") * F.col("__nb").cast("double")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(rank_w))
+        .filter(F.col("sim_rank") <= k)
+        .orderBy("doc_id", "sim_rank")
+    )
+
+
 def split_assign(
     documents: DataFrame,
     id_col: str = "doc_id",

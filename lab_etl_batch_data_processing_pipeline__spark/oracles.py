@@ -1495,6 +1495,105 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Cardinality-gate twin: exact side recomputed, invariant asserted
         # TRUE (the HLL estimate itself is engine-specific by design).
+        # Incremental (batch-vs-corpus) dedup twin: every 10th doc is
+        # the incoming batch; stage 1 = normalized-md5 fingerprint
+        # anti-join + min-id batch canonical, stage 2 = the blocked
+        # Jaccard pair space restricted to pairs with an incoming doc on
+        # the right (existing blocks any incoming; incoming blocks only
+        # larger-id surviving incoming).
+        "incremental_dedup": f"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fp
+              FROM documents
+            ), exact_surv AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM fp WHERE doc_id % 10 = 0
+                AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 10 <> 0)
+              GROUP BY fp
+            ), prep AS (
+              SELECT doc_id,
+                     {_TOK_SET} AS tok_set,
+                     CAST(floor(len({_TOK_SET}) / 10) AS BIGINT) AS len_bucket,
+                     list_aggregate(list_transform({_TOK_SET}, t -> md5(t)),
+                                    'min') AS block_tok
+              FROM documents
+              WHERE doc_id % 10 <> 0
+                 OR doc_id IN (SELECT doc_id FROM exact_surv)
+            ), dropped AS (
+              SELECT DISTINCT b.doc_id
+              FROM prep a JOIN prep b
+                ON a.len_bucket = b.len_bucket
+               AND a.block_tok = b.block_tok
+               AND b.doc_id % 10 = 0
+               AND ((a.doc_id % 10 <> 0 AND a.doc_id <> b.doc_id)
+                    OR (a.doc_id % 10 = 0 AND a.doc_id < b.doc_id))
+               AND ROUND(
+                     len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
+                     / (len(a.tok_set) + len(b.tok_set)
+                        - len(list_filter(a.tok_set,
+                                          x -> list_contains(b.tok_set, x)))),
+                     6) >= 0.5
+            )
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM exact_surv)
+              AND doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id
+        """,
+        # Sparse TF-IDF cosine twin: identical tf/(df+1) weights, the
+        # same df-pruned vocabulary, and the same 2^-20 fixed-point
+        # integer dot/norm sums — order-invariant on both engines, so
+        # the full sparse similarity join hash-matches.
+        "tfidf_cosine_topk": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({_LTOKENS}) AS token FROM documents
+            ), tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2
+            ), df AS (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT COUNT(*) AS n_docs FROM documents
+            ), w AS (
+              SELECT tf.doc_id, tf.token,
+                     CAST(tf.tf AS DOUBLE) / (df.df + 1) AS w
+              FROM tf JOIN df USING (token), n
+              WHERE df.df > 1 AND df.df <= 0.5 * n.n_docs
+            ), norms AS (
+              SELECT doc_id,
+                     SUM(CAST(ROUND(w * w * 1048576) AS BIGINT)) AS n2
+              FROM w GROUP BY 1
+            ), dots AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     SUM(CAST(ROUND(a.w * b.w * 1048576) AS BIGINT)) AS dot
+              FROM w a JOIN w b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sym AS (
+              SELECT da AS doc_id, db AS neighbor_id, dot FROM dots
+              UNION ALL
+              SELECT db, da, dot FROM dots
+            ), scored AS (
+              SELECT s.doc_id, s.neighbor_id,
+                     ROUND(CAST(s.dot AS DOUBLE)
+                           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                           6) AS cosine_sim
+              FROM sym s
+              JOIN norms na ON s.doc_id = na.doc_id
+              JOIN norms nb ON s.neighbor_id = nb.doc_id
+            ), ranked AS (
+              SELECT doc_id, neighbor_id, cosine_sim,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                     ) AS INT) AS sim_rank
+              FROM scored
+            )
+            SELECT doc_id, neighbor_id, cosine_sim, sim_rank
+            FROM ranked WHERE sim_rank <= 3
+            ORDER BY doc_id, sim_rank
+        """,
         # Round-trip oracle reads the parquet truth; the Spark side is
         # what exercises the ORC sink + scan.
         "orc_roundtrip": """

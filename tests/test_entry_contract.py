@@ -116,6 +116,8 @@ TAIL_KEYS = {
     "asof_purchase_view": "test_spot_oracle_parity",
     "repetition_stats": "test_spot_oracle_parity",
     "decontamination": "test_spot_oracle_parity",
+    "pii_scrub": "test_spot_oracle_parity",
+    "curated_partition_scan": "test_spot_oracle_parity",
 }
 
 
@@ -188,6 +190,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "asof_purchase_view",
         "repetition_stats",
         "decontamination",
+        "pii_scrub",
+        "curated_partition_scan",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -428,3 +428,39 @@ def test_corpus_prep_with_sketch_matches_plain(spark):
     assert routed_plain == routed_art
     with pytest.raises(ValueError, match="normalize"):
         corpus_prep(docs, normalize=True, sketch=sketch)
+
+
+def test_incremental_dedup_semantics(spark):
+    """Pins the asymmetric contract: existing docs block ANY incoming
+    match (even with a larger id), incoming blocks only larger-id
+    incoming, exact dups of the corpus drop in stage 1, and the batch
+    keeps its own min-id canonical. Sketch-fed and inline forms agree."""
+    base = "the quick brown fox jumps over the lazy dog today"
+    near = "the quick brown fox jumps over the lazy dog now"
+    existing = spark.createDataFrame(
+        [(5, base), (7, "completely unrelated corpus content here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, near),                    # near-dup of existing 5 (larger id!) -> dropped
+            (2, "  THE quick brown fox jumps over the lazy dog today "),  # exact dup of 5 -> dropped
+            (3, "fresh new content about something else entirely"),
+            (4, "fresh new content about something else entirely"),  # exact dup of 3 -> 3 survives
+            # near-dup of 3 (adds one token whose md5 is not the new min,
+            # so the pair shares its block) -> dropped by the smaller id
+            (6, "fresh new content about something else entirely extra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_fuzzy.incremental_dedup(existing, incoming, threshold=0.5)
+    assert [r.doc_id for r in out.collect()] == [3]
+    sk_all = dedup_fuzzy.token_sketch(
+        existing.unionByName(incoming)
+    )
+    out2 = dedup_fuzzy.incremental_dedup(
+        existing, incoming, threshold=0.5,
+        existing_sketch=sk_all.filter("doc_id IN (5, 7)"),
+        incoming_sketch=sk_all.filter("doc_id NOT IN (5, 7)"),
+    )
+    assert [r.doc_id for r in out2.collect()] == [3]
