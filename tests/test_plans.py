@@ -355,3 +355,47 @@ def test_histogram_counts_use_partial_aggregation(spark):
     # bin counting must map-side combine before the one bin-key exchange
     plan = formatted_plan(entrymod.queries()["price_histogram"](spark, SF))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark):
+    """ORC scans must keep the parquet pushdown story: predicate reaches
+    the ORC reader, untouched columns stay out of ReadSchema."""
+    import os
+    from lab_etl_batch_data_processing_pipeline__spark.sources import read_orc, write_orc
+
+    entrymod.queries()["orc_roundtrip"](spark, SF)  # materialize the cache
+    tag = entrymod._gen_tag(SF, "part.parquet")
+    orc_dir = os.path.join(
+        os.path.dirname(os.path.abspath(entrymod.__file__)), ".cache", "orc", tag
+    )
+    df = read_orc(spark, orc_dir).filter("p_size > 20").select("p_partkey", "p_size")
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "p_size" in plan.split("PushedFilters", 1)[1]
+    scan_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "p_name" not in scan_schema and "p_retailprice" not in scan_schema
+
+
+def test_snapshot_diff_is_single_join_no_cartesian(spark):
+    plan = formatted_plan(entrymod.queries()["orders_snapshot_diff"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Join type:") == 1, (
+        "snapshot_diff must be exactly one keyed full-outer join"
+    )
+    assert "FullOuter" in plan
+
+
+def test_tfidf_cosine_has_no_cartesian_and_partial_aggs(spark):
+    """The sparse similarity join must stay an equi-join on token (no
+    cartesian product) with map-side partial aggregation on the integer
+    dot sums. The only nested-loop joins allowed are the deliberate
+    single-row n_docs broadcasts (the tfidf no-precount pattern)."""
+    plan = formatted_plan(entrymod.queries()["tfidf_cosine_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # every BNLJ must be the bounded single-row count join
+    detail = plan.split("Join type:")
+    for seg in detail[1:]:
+        if seg.lstrip().startswith("Cross"):
+            assert "n_docs" in seg.splitlines()[1], (
+                "cross join with a non-single-row side"
+            )
+    assert "HashAggregate" in plan

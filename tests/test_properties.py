@@ -342,3 +342,93 @@ def test_histogram_partitions_all_non_null_rows(spark, vals):
     if len(out) > 1:
         for a, b in zip(out, out[1:]):
             assert a.hi == pytest.approx(b.lo)
+
+
+@given(
+    old_rows=st.lists(
+        st.tuples(
+            st.integers(0, 15),                          # key
+            st.one_of(st.none(), st.integers(0, 3)),     # v1 (nullable)
+            st.sampled_from(["a", "b"]),                 # v2
+        ),
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(
+            st.integers(0, 15),
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.sampled_from(["a", "b"]),
+        ),
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_python_reference(spark, old_rows, new_rows):
+    """snapshot_diff must agree with the obvious dict-based diff for any
+    pair of keyed snapshots, including NULL transitions — and the
+    hash_compare form must agree with the exact form."""
+    expected = {}
+    old_map = {r[0]: r[1:] for r in old_rows}
+    new_map = {r[0]: r[1:] for r in new_rows}
+    for k in old_map.keys() | new_map.keys():
+        if k not in old_map:
+            expected[k] = "added"
+        elif k not in new_map:
+            expected[k] = "removed"
+        elif old_map[k] != new_map[k]:
+            expected[k] = "changed"
+    schema = "k long, v1 int, v2 string"
+    old = spark.createDataFrame(old_rows or [], schema)
+    new = spark.createDataFrame(new_rows or [], schema)
+    for hash_compare in (False, True):
+        got = {
+            r.k: r.change_type
+            for r in cleaning.snapshot_diff(
+                old, new, ["k"], hash_compare=hash_compare
+            ).collect()
+        }
+        assert got == expected, hash_compare
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"]),
+            min_size=1, max_size=6,
+        ).map(" ".join),
+        min_size=2, max_size=14,
+    ),
+    split=st.integers(2, 5),
+)
+@settings(**SETTINGS)
+def test_incremental_dedup_invariants(spark, texts, split):
+    """For any corpus split into existing/incoming: survivors are a
+    subset of incoming; no survivor is an exact (normalized) duplicate
+    of an existing doc or of a smaller-id survivor; and re-running the
+    increment against existing ∪ survivors drops everything (idempotent
+    absorption)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    existing_rows = [r for r in rows if r[0] % split != 0]
+    incoming_rows = [r for r in rows if r[0] % split == 0]
+    if not existing_rows or not incoming_rows:
+        return
+    schema = "doc_id long, text string"
+    existing = spark.createDataFrame(existing_rows, schema)
+    incoming = spark.createDataFrame(incoming_rows, schema)
+    surv = dedup_fuzzy.incremental_dedup(existing, incoming, threshold=0.9)
+    surv_rows = [(r.doc_id, r.text) for r in surv.collect()]
+    incoming_ids = {r[0] for r in incoming_rows}
+    assert {i for i, _ in surv_rows} <= incoming_ids
+    norm = lambda t: " ".join(t.lower().split())  # noqa: E731
+    existing_norms = {norm(t) for _, t in existing_rows}
+    seen = set()
+    for i, t in sorted(surv_rows):
+        assert norm(t) not in existing_norms, "survivor duplicates corpus"
+        assert norm(t) not in seen, "survivor duplicates earlier survivor"
+        seen.add(norm(t))
+    # absorption: merging survivors into the corpus kills the whole batch
+    merged = existing.unionByName(surv)
+    again = dedup_fuzzy.incremental_dedup(merged, incoming, threshold=0.9)
+    assert again.count() == 0
