@@ -1218,6 +1218,7 @@ def sweep_stale_caches(sf_dir: str) -> None:
         ("upsert", "orders.parquet"),
         ("jsonl", "documents.parquet"),
         ("orc", "part.parquet"),
+        ("csvq", "supplier.parquet"),
     ):
         try:
             tag = _gen_tag(sf_dir, src)
@@ -2352,6 +2353,46 @@ def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine (sources.read_csv_quarantine): a CSV
+    copy of supplier plus three deliberately-broken lines (bad int, bad
+    double, junk line) parsed in PERMISSIVE mode with corrupt-record
+    capture. Returns good ∪ quarantined rows — quarantined rows keep
+    their partially-parsed fields AND the raw line (raw_record) — so the
+    oracle pins BOTH that no good row was lost or altered and that every
+    bad line landed in quarantine with exactly the fields the parser
+    could salvage. FAILFAST would kill the job; DROPMALFORMED would
+    silently lose the three lines; this is the production contract."""
+    pq = _t(spark, sf_dir, "supplier")
+    tag = _gen_tag(sf_dir, "supplier.parquet")
+    dir_ = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "csvq", tag
+    )
+    marker = os.path.join(dir_, "_QUARANTINE_READY")
+    if not os.path.isfile(marker):
+        pq.write.mode("overwrite").option("header", "true").csv(dir_)
+        # injected bad part file; first line is a header (header=true
+        # skips the first line of EVERY part file)
+        with open(os.path.join(dir_, "part-bad.csv"), "w") as fh:
+            fh.write(
+                "s_suppkey,s_name,s_nationkey,s_acctbal\n"
+                "999901,Bad#1,notanint,5.5\n"
+                "999903,Bad#3,7,notadouble\n"
+                "garbage line without commas\n"
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    from lab_etl_batch_data_processing_pipeline__spark.sources import read_csv_quarantine
+
+    good, bad = read_csv_quarantine(spark, dir_, pq.schema, header=True)
+    both = good.withColumn("raw_record", F.lit(None).cast("string")).unionByName(
+        bad.withColumnRenamed("_corrupt_record", "raw_record")
+    )
+    return both.orderBy(
+        F.col("s_suppkey").asc_nulls_last(), F.col("raw_record").asc_nulls_first()
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Increment-vs-corpus dedup (dedup_fuzzy.incremental_dedup) — the
     daily-ingest shape: every 10th doc plays the incoming batch, the
@@ -2474,17 +2515,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r8): the r7 window minus seven multi-round-green
+    Current window (r8): the r7 window minus eight multi-round-green
     stable rows (revenue_rollup, events_json_struct, asof_purchase_view,
     repetition_stats, decontamination, pii_scrub,
-    curated_partition_scan — each driver-green r6+r7, unchanged this
-    round, rotated to the tail per the standing rule), plus the seven
-    rows owed a first driver round: heavy_hitters_gate (oracle-bearing,
-    born after the r7 window filled) and the six r8-born oracle rows
-    (recipe_training_mix — the declarative twin of training_mix sharing
-    its oracle; orc_roundtrip; orders_snapshot_diff; hll_union_gate;
-    tfidf_cosine_topk — the sparse similarity join;
-    incremental_dedup — batch-vs-corpus dedup). Every key whose
+    curated_partition_scan, corpus_mixture — each driver-green r6+r7,
+    unchanged this round, rotated to the tail per the standing rule),
+    plus the eight rows owed a first driver round: heavy_hitters_gate
+    (oracle-bearing, born after the r7 window filled) and the seven
+    r8-born oracle rows (recipe_training_mix — the declarative twin of
+    training_mix sharing its oracle; orc_roundtrip;
+    orders_snapshot_diff; hll_union_gate; tfidf_cosine_topk — the
+    sparse similarity join; incremental_dedup — batch-vs-corpus dedup;
+    csv_quarantine — malformed-record capture). Every key whose
     implementation changed this round stays in-window for a fresh
     driver round: the dense-dedup family now reading the shared
     token-sketch artifact (near_dup_jaccard, minhash_near_dups,
@@ -2536,13 +2578,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_gate": q_hll_union_gate,
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
         "incremental_dedup": q_incremental_dedup,
+        "csv_quarantine": q_csv_quarantine,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
         "winnowing": q_winnowing,
         "orders_profile": q_orders_profile,
         "near_dup_clusters": q_near_dup_clusters,
-        "corpus_mixture": q_corpus_mixture,
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -2614,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "curated_partition_scan": q_curated_partition_scan,
+        "corpus_mixture": q_corpus_mixture,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -1594,6 +1594,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE sim_rank <= 3
             ORDER BY doc_id, sim_rank
         """,
+        # Quarantine twin: good rows are exactly the supplier truth with
+        # a NULL raw_record; the three injected bad lines appear with
+        # precisely the fields PERMISSIVE parsing salvages + the raw
+        # line. NULLS LAST ordering matches the Spark side.
+        "csv_quarantine": """
+            SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+                   CAST(NULL AS VARCHAR) AS raw_record
+            FROM supplier
+            UNION ALL
+            SELECT 999901, 'Bad#1', CAST(NULL AS BIGINT), 5.5,
+                   '999901,Bad#1,notanint,5.5'
+            UNION ALL
+            SELECT 999903, 'Bad#3', 7, CAST(NULL AS DOUBLE),
+                   '999903,Bad#3,7,notadouble'
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   'garbage line without commas'
+            ORDER BY s_suppkey NULLS LAST, raw_record NULLS FIRST
+        """,
         # Round-trip oracle reads the parquet truth; the Spark side is
         # what exercises the ORC sink + scan.
         "orc_roundtrip": """

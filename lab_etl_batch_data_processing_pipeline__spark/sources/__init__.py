@@ -4,6 +4,7 @@ from .readers import (  # noqa: F401
     memory_table,
     nanos_to_timestamp,
     read_csv,
+    read_csv_quarantine,
     read_jdbc,
     read_jsonl,
     read_orc,

@@ -37,6 +37,49 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV scan with explicit bad-record quarantine: returns
+    ``(good, quarantine)``. ``good`` holds rows that parsed completely
+    (the corrupt column is NULL, then dropped); ``quarantine`` holds the
+    rest WITH their partially-parsed fields plus the raw line in
+    ``corrupt_col`` — enough to route to a dead-letter sink, triage, and
+    replay. This is the malformed-input contract a production ingest
+    needs: FAILFAST kills the job on one bad row, DROPMALFORMED loses
+    data silently; quarantine keeps the pipeline running AND the
+    evidence.
+
+    Scale shape: one scan, no extra pass — the corrupt column is
+    populated by the parser itself. Spark restriction
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN): a query over the raw file
+    relation may not reference ONLY the corrupt column (e.g.
+    ``quarantine.select(corrupt_col)`` after pruning) — keep at least
+    one real column in such aggregates, or persist the frame first.
+    """
+    from pyspark.sql import functions as F
+
+    if any(f.name == corrupt_col for f in schema.fields):
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    parsed = spark.read.csv(
+        path,
+        schema=full,
+        header=header,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = parsed.filter(F.col(corrupt_col).isNotNull())
+    return good, quarantine
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan (Spark-native vectorized reader). Same pushdown story as
     parquet — filters/projection reach the scan, ORC stripe/row-group

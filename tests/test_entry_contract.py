@@ -118,6 +118,7 @@ TAIL_KEYS = {
     "decontamination": "test_spot_oracle_parity",
     "pii_scrub": "test_spot_oracle_parity",
     "curated_partition_scan": "test_spot_oracle_parity",
+    "corpus_mixture": "test_spot_oracle_parity",
 }
 
 
@@ -192,6 +193,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "decontamination",
         "pii_scrub",
         "curated_partition_scan",
+        "corpus_mixture",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

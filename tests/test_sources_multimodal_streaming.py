@@ -991,3 +991,49 @@ def test_compact_parquet_preserves_partition_layout_when_asked(spark, tmp_path):
         assert len(files) == 1, (v, files)
     # pruning still works
     assert spark.read.parquet(path).filter("p = '1'").count() == 1000
+
+
+def test_read_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+    from lab_etl_batch_data_processing_pipeline__spark.sources import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alice,3.5\n"
+        "2,bob,notanumber\n"
+        "junk\n"
+        "3,carol,7.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(tmp_path), schema, header=True)
+    assert sorted((r.id, r.name, r.score) for r in good.collect()) == [
+        (1, "alice", 3.5),
+        (3, "carol", 7.25),
+    ]
+    bad_rows = sorted(
+        ((r.id, r.name, r.score, r._corrupt_record) for r in bad.collect()),
+        key=lambda t: t[3],  # raw line — never NULL on the quarantine side
+    )
+    # partially-parsed fields survive alongside the raw line
+    assert bad_rows == [
+        (2, "bob", None, "2,bob,notanumber"),
+        (None, None, None, "junk"),
+    ]
+    # schema collision guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv_quarantine(
+            spark,
+            str(tmp_path),
+            T.StructType(
+                [T.StructField("_corrupt_record", T.StringType())]
+            ),
+        )
