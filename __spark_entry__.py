@@ -2353,6 +2353,26 @@ def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): per-part fuzzy-match
+    degree over blocked edit distance — blocks on (brand, name noun),
+    verifies levenshtein <= 2 with the length prune and Spark's
+    early-abandoning 3-arg levenshtein, and collapses to the
+    entity-sized (p_partkey, n_matches, min_distance) report instead of
+    the 220 k-pair list the sf0.1 fixture would produce. Edit distance
+    is the same classic DP in both engines, so the degrees hash-match
+    DuckDB exactly."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import linkage
+
+    return linkage.fuzzy_match_degree(
+        _t(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        ["p_brand", F.element_at(F.split(F.col("p_name"), " "), 2)],
+        max_distance=2,
+    )
+
+
 def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record quarantine (sources.read_csv_quarantine): a CSV
     copy of supplier plus three deliberately-broken lines (bad int, bad
@@ -2515,18 +2535,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r8): the r7 window minus eight multi-round-green
+    Current window (r8): the r7 window minus nine multi-round-green
     stable rows (revenue_rollup, events_json_struct, asof_purchase_view,
     repetition_stats, decontamination, pii_scrub,
-    curated_partition_scan, corpus_mixture — each driver-green r6+r7,
-    unchanged this round, rotated to the tail per the standing rule),
-    plus the eight rows owed a first driver round: heavy_hitters_gate
-    (oracle-bearing, born after the r7 window filled) and the seven
-    r8-born oracle rows (recipe_training_mix — the declarative twin of
-    training_mix sharing its oracle; orc_roundtrip;
-    orders_snapshot_diff; hll_union_gate; tfidf_cosine_topk — the
-    sparse similarity join; incremental_dedup — batch-vs-corpus dedup;
-    csv_quarantine — malformed-record capture). Every key whose
+    curated_partition_scan, corpus_mixture, event_type_skew — each
+    driver-green r6+r7, unchanged this round, rotated to the tail per
+    the standing rule), plus the nine rows owed a first driver round:
+    heavy_hitters_gate (oracle-bearing, born after the r7 window
+    filled) and the eight r8-born oracle rows (recipe_training_mix —
+    the declarative twin of training_mix sharing its oracle;
+    orc_roundtrip; orders_snapshot_diff; hll_union_gate;
+    tfidf_cosine_topk — the sparse similarity join; incremental_dedup —
+    batch-vs-corpus dedup; csv_quarantine — malformed-record capture;
+    fuzzy_part_match — blocked edit-distance record linkage). Every key
+    whose
     implementation changed this round stays in-window for a fresh
     driver round: the dense-dedup family now reading the shared
     token-sketch artifact (near_dup_jaccard, minhash_near_dups,
@@ -2579,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
         "incremental_dedup": q_incremental_dedup,
         "csv_quarantine": q_csv_quarantine,
+        "fuzzy_part_match": q_fuzzy_part_match,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2591,7 +2614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "tfidf_top_terms": q_tfidf_top_terms,
         "scd2_user_state": q_scd2_user_state,
-        "event_type_skew": q_event_type_skew,
         "quantile_gate": q_quantile_gate,
         "session_window_rollup": q_session_window_rollup,
         "events_variant": q_events_variant,
@@ -2657,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "curated_partition_scan": q_curated_partition_scan,
         "corpus_mixture": q_corpus_mixture,
+        "event_type_skew": q_event_type_skew,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -1594,6 +1594,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE sim_rank <= 3
             ORDER BY doc_id, sim_rank
         """,
+        # Record-linkage twin: same blocking keys, same length prune
+        # (output-invariant), classic Levenshtein DP in both engines,
+        # collapsed to per-entity degrees.
+        "fuzzy_part_match": """
+            WITH p AS (
+              SELECT p_partkey, p_name, p_brand,
+                     list_extract(string_split(p_name, ' '), 2) AS noun,
+                     length(p_name) AS ln
+              FROM part
+            ), kept AS (
+              SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                     levenshtein(a.p_name, b.p_name) AS distance
+              FROM p a JOIN p b
+                ON a.p_brand = b.p_brand AND a.noun = b.noun
+               AND a.p_partkey < b.p_partkey
+               AND abs(a.ln - b.ln) <= 2
+              WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ), sides AS (
+              SELECT unnest([id_a, id_b]) AS p_partkey, distance FROM kept
+            )
+            SELECT p_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   CAST(MIN(distance) AS INT) AS min_distance
+            FROM sides GROUP BY 1 ORDER BY 1
+        """,
         # Quarantine twin: good rows are exactly the supplier truth with
         # a NULL raw_record; the three injected bad lines appear with
         # precisely the fields PERMISSIVE parsing salvages + the raw

@@ -255,3 +255,31 @@ def test_orc_roundtrip_preserves_values(spark, tmp_path):
     write_orc(df, path + "2", partition_by=["id"])
     import os
     assert sorted(os.listdir(path + "2"))[0].startswith("id=")
+
+
+def test_fuzzy_pairs_and_degree(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import linkage
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "B1", "cold widget"),
+            (2, "B1", "bold widget"),    # dist 1 from 1
+            (3, "B1", "cold gadget"),    # different noun -> different block
+            (4, "B2", "cold widget"),    # different brand -> different block
+            (5, "B1", "colder widgets"), # same noun? 'widgets' != 'widget' -> other block
+            (6, "B1", "old widget"),     # dist 1 from both 1 and 2 (one deletion)
+        ],
+        "id long, brand string, name string",
+    )
+    blocks = ["brand", F.element_at(F.split(F.col("name"), " "), 2)]
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in linkage.fuzzy_pairs(df, "id", "name", blocks, 2).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 6): 1, (2, 6): 1}
+    deg = {
+        r.id: (r.n_matches, r.min_distance)
+        for r in linkage.fuzzy_match_degree(df, "id", "name", blocks, 2).collect()
+    }
+    assert deg == {1: (2, 1), 2: (2, 1), 6: (2, 1)}

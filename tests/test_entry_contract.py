@@ -119,6 +119,7 @@ TAIL_KEYS = {
     "pii_scrub": "test_spot_oracle_parity",
     "curated_partition_scan": "test_spot_oracle_parity",
     "corpus_mixture": "test_spot_oracle_parity",
+    "event_type_skew": "test_spot_oracle_parity",
 }
 
 
@@ -194,6 +195,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "pii_scrub",
         "curated_partition_scan",
         "corpus_mixture",
+        "event_type_skew",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
