@@ -2353,6 +2353,32 @@ def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (scd.apply_changelog) — the MERGE-on-ingest
+    semantic as one union + one key-hashed ranking window: a seq-1 batch
+    updates every 4th order's status to 'X', a seq-2 batch deletes every
+    6th order; highest sequence wins per key, deletes remove the key,
+    untouched keys keep their snapshot row. Fully SQL-expressible, so
+    the merged snapshot is hash-checked end-to-end."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    orders = _t(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        orders.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    return scd.apply_changelog(
+        orders, upd.unionByName(dele), ["o_orderkey"], "seq"
+    ).orderBy("o_orderkey")
+
+
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (operators/linkage.py): per-part fuzzy-match
     degree over blocked edit distance — blocks on (brand, name noun),
@@ -2547,8 +2573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orc_roundtrip; orders_snapshot_diff; hll_union_gate;
     tfidf_cosine_topk — the sparse similarity join; incremental_dedup —
     batch-vs-corpus dedup; csv_quarantine — malformed-record capture;
-    fuzzy_part_match — blocked edit-distance record linkage). Every key
-    whose
+    fuzzy_part_match — blocked edit-distance record linkage;
+    orders_cdc_apply — CDC changelog merge, with session_window_rollup
+    rotated to the tail to hold the window at 50). Every key whose
     implementation changed this round stays in-window for a fresh
     driver round: the dense-dedup family now reading the shared
     token-sketch artifact (near_dup_jaccard, minhash_near_dups,
@@ -2602,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "csv_quarantine": q_csv_quarantine,
         "fuzzy_part_match": q_fuzzy_part_match,
+        "orders_cdc_apply": q_orders_cdc_apply,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2615,7 +2643,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "scd2_user_state": q_scd2_user_state,
         "quantile_gate": q_quantile_gate,
-        "session_window_rollup": q_session_window_rollup,
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -2680,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_partition_scan": q_curated_partition_scan,
         "corpus_mixture": q_corpus_mixture,
         "event_type_skew": q_event_type_skew,
+        "session_window_rollup": q_session_window_rollup,
     }
 
 def oracle_sql() -> dict[str, str]:

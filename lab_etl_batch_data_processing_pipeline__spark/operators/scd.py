@@ -12,6 +12,8 @@ codegen. No joins, no iterative merge.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,4 +70,50 @@ def scd2_history(
             F.lead(ts_col).over(w2).isNull().alias("is_current"),
         )
         .orderBy(key_col, "valid_from")
+    )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog onto a snapshot — the MERGE a lakehouse
+    table format runs on ingest, as plain DataFrame ops: per key the
+    highest-``seq_col`` change wins; an upsert replaces the row, a
+    ``delete_op`` removes the key, keys without changes keep their
+    snapshot row. Returns the new snapshot (snapshot's columns).
+
+    ``changes`` must carry the snapshot's columns plus ``seq_col`` and
+    ``op_col``; ``seq_col`` must be unique per key (it IS the CDC
+    ordering — ties would make "latest" undefined at any engine).
+
+    Shape for scale: one union + ONE ranking window hashed on the key —
+    the same single-shuffle pattern as writers.upsert_parquet, extended
+    with delete semantics. The snapshot side never shuffles twice, and
+    at 100 TB this composes with partition pruning exactly like upsert
+    (read only the partitions the change batch touches, then dynamic
+    partition overwrite).
+    """
+    data_cols = snapshot.columns
+    base = snapshot.select(
+        *data_cols,
+        F.lit(None).cast("long").alias("__seq"),
+        F.lit(None).cast("string").alias("__op"),
+    )
+    delta = changes.select(
+        *data_cols,
+        F.col(seq_col).cast("long").alias("__seq"),
+        F.col(op_col).cast("string").alias("__op"),
+    )
+    # changes always beat the snapshot: NULL base seq sorts last
+    w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc_nulls_last())
+    return (
+        base.unionByName(delta)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.coalesce(F.col("__op"), F.lit("")) != delete_op))
+        .select(*data_cols)
     )

@@ -1594,6 +1594,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE sim_rank <= 3
             ORDER BY doc_id, sim_rank
         """,
+        # CDC merge twin: the declarative restatement of "seq-2 deletes
+        # every 6th key, seq-1 updates every 4th key's status, highest
+        # seq wins" — the window formulation must land exactly here.
+        "orders_cdc_apply": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 4 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 6 <> 0
+            ORDER BY o_orderkey
+        """,
         # Record-linkage twin: same blocking keys, same length prune
         # (output-invariant), classic Levenshtein DP in both engines,
         # collapsed to per-entity degrees.

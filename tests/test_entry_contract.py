@@ -120,6 +120,7 @@ TAIL_KEYS = {
     "curated_partition_scan": "test_spot_oracle_parity",
     "corpus_mixture": "test_spot_oracle_parity",
     "event_type_skew": "test_spot_oracle_parity",
+    "session_window_rollup": "test_spot_oracle_parity",
 }
 
 
@@ -196,6 +197,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "curated_partition_scan",
         "corpus_mixture",
         "event_type_skew",
+        "session_window_rollup",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -188,3 +188,30 @@ def test_resample_ffill_chunked_matches_plain(spark):
             chunk_ticks=n,
         ).collect()
         assert [tuple(r) for r in chunked] == [tuple(r) for r in plain], n
+
+
+def test_apply_changelog_semantics(spark):
+    """MERGE semantics: highest seq wins per key, deletes remove the
+    key, upserts replace the row, untouched keys keep the snapshot row,
+    and a change for a NEW key inserts it."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.scd import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 11.0, 1, "U"),  # update...
+            (1, "a3", 12.0, 2, "U"),  # ...superseded by higher seq
+            (2, "b", 20.0, 1, "D"),   # delete key 2
+            (4, "d", 40.0, 1, "I"),   # insert new key
+            (3, "x", 0.0, 1, "D"),    # delete then...
+            (3, "c2", 31.0, 2, "U"),  # ...reinsert with higher seq
+        ],
+        "k long, s string, v double, seq int, op string",
+    )
+    out = sorted(
+        tuple(r) for r in apply_changelog(snap, changes, ["k"], "seq").collect()
+    )
+    assert out == [(1, "a3", 12.0), (3, "c2", 31.0), (4, "d", 40.0)]
