@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .. import schemas as _schemas
-from ..operators import cleaning, dedup_fuzzy, enrich, joins, text
+from ..operators import cleaning, dedup_fuzzy, enrich, joins, linkage, scd, text
 from ..sources import read_csv, read_jsonl, read_parquet, write_parquet
 from ..sources.writers import write_csv_single_file, write_jsonl
 from .corpus import corpus_prep
@@ -93,6 +93,11 @@ OP_REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "decontaminate": text.decontaminate,
     "near_dup_degree": dedup_fuzzy.near_dup_degree,
     "jaccard_near_dups": dedup_fuzzy.jaccard_near_dups,
+    "incremental_dedup": dedup_fuzzy.incremental_dedup,
+    "tfidf_cosine_topk": text.tfidf_cosine_topk,
+    "snapshot_diff": cleaning.snapshot_diff,
+    "apply_changelog": scd.apply_changelog,
+    "fuzzy_match_degree": linkage.fuzzy_match_degree,
 }
 
 

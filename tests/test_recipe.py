@@ -178,3 +178,39 @@ def test_recipe_frame_args_and_checkpoint(spark):
     assert "Scan" not in frames["rfa_pairs"]._jdf.queryExecution().toString() or (
         "ExistingRDD" in frames["rfa_pairs"]._jdf.queryExecution().toString()
     )
+
+
+def test_recipe_exposes_r8_operators(spark):
+    """Every r8 operator is reachable from the declarative layer: a
+    recipe step can invoke each by name (the op allow-list tracks the
+    operator library — the r7-verdict recipe-gap theme)."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.recipe import OP_REGISTRY
+
+    for op in (
+        "incremental_dedup", "tfidf_cosine_topk", "snapshot_diff",
+        "apply_changelog", "fuzzy_match_degree", "corpus_prep",
+        "decontaminate", "near_dup_degree", "jaccard_near_dups",
+    ):
+        assert op in OP_REGISTRY, op
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    new = spark.createDataFrame([(1, "a"), (2, "c"), (3, "d")], "k long, s string")
+    old.createOrReplaceTempView("r8_old")
+    new.createOrReplaceTempView("r8_new")
+    frames = run_recipe(
+        spark,
+        {
+            "steps": [
+                {"name": "r8_o", "sql": "SELECT * FROM r8_old"},
+                {"name": "r8_n", "sql": "SELECT * FROM r8_new"},
+                {
+                    "name": "r8_diff",
+                    "op": "snapshot_diff",
+                    "inputs": ["r8_o", "r8_n"],
+                    "args": {"keys": ["k"]},
+                },
+            ]
+        },
+        execute_outputs=False,
+    )
+    got = sorted((r.k, r.change_type) for r in frames["r8_diff"].collect())
+    assert got == [(2, "changed"), (3, "added")]
