@@ -385,7 +385,13 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in set(keys)]
-    if hash_compare:
+    if not compare_cols:
+        # key-only tables: membership diff (added/removed only) — a
+        # constant comparator keeps the plan shape without struct()/
+        # xxhash64() zero-arg errors
+        o = old.select(*keys, F.lit(0).alias("__o"))
+        n = new.select(*keys, F.lit(0).alias("__n"))
+    elif hash_compare:
         # null-safe: hash(concat_ws) would conflate NULL with ''; use
         # xxhash64 over the raw columns (its null handling is
         # deterministic and position-sensitive)

@@ -283,3 +283,12 @@ def test_fuzzy_pairs_and_degree(spark):
         for r in linkage.fuzzy_match_degree(df, "id", "name", blocks, 2).collect()
     }
     assert deg == {1: (2, 1), 2: (2, 1), 6: (2, 1)}
+
+
+def test_snapshot_diff_key_only_tables(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {(r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(1, "removed"), (3, "added")}
