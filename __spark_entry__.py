@@ -2561,21 +2561,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r8): the r7 window minus nine multi-round-green
+    Current window (r8): the r7 window minus ten multi-round-green
     stable rows (revenue_rollup, events_json_struct, asof_purchase_view,
     repetition_stats, decontamination, pii_scrub,
-    curated_partition_scan, corpus_mixture, event_type_skew — each
-    driver-green r6+r7, unchanged this round, rotated to the tail per
-    the standing rule), plus the nine rows owed a first driver round:
-    heavy_hitters_gate (oracle-bearing, born after the r7 window
-    filled) and the eight r8-born oracle rows (recipe_training_mix —
-    the declarative twin of training_mix sharing its oracle;
-    orc_roundtrip; orders_snapshot_diff; hll_union_gate;
+    curated_partition_scan, corpus_mixture, event_type_skew,
+    session_window_rollup — each driver-green r6+r7, unchanged this
+    round, rotated to the tail per the standing rule), plus the ten
+    rows owed a first driver round: heavy_hitters_gate (oracle-bearing,
+    born after the r7 window filled) and the nine r8-born oracle rows
+    (recipe_training_mix — the declarative twin of training_mix sharing
+    its oracle; orc_roundtrip; orders_snapshot_diff; hll_union_gate;
     tfidf_cosine_topk — the sparse similarity join; incremental_dedup —
     batch-vs-corpus dedup; csv_quarantine — malformed-record capture;
     fuzzy_part_match — blocked edit-distance record linkage;
-    orders_cdc_apply — CDC changelog merge, with session_window_rollup
-    rotated to the tail to hold the window at 50). Every key whose
+    orders_cdc_apply — CDC changelog merge). Every key whose
     implementation changed this round stays in-window for a fresh
     driver round: the dense-dedup family now reading the shared
     token-sketch artifact (near_dup_jaccard, minhash_near_dups,

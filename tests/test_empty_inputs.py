@@ -78,3 +78,33 @@ def test_audit_operators_degenerate_but_valid(spark, empty):
         docs, [{"name": "nn", "kind": "not_null", "column": "doc_id"}]
     ).first()
     assert rep.n_violations == 0 and rep.passed
+
+
+def test_r8_operators_empty_behavior(spark, empty):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import linkage
+
+    docs = empty["docs"]
+    # incremental dedup: empty batch -> empty; empty corpus -> batch
+    # survives its own internal dedup only
+    assert dedup_fuzzy.incremental_dedup(docs, docs).count() == 0
+    some = spark.createDataFrame(
+        [(1, "a b c", "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    assert dedup_fuzzy.incremental_dedup(some, docs).count() == 0
+    assert dedup_fuzzy.incremental_dedup(docs, some).count() == 1
+    # sparse similarity: empty corpus -> empty (n_docs=0 prunes all)
+    assert text.tfidf_cosine_topk(docs).count() == 0
+    # snapshot diff: both empty -> empty; one side empty -> all added/removed
+    e = spark.createDataFrame([], "k long, v string")
+    s = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert cleaning.snapshot_diff(e, e, ["k"]).count() == 0
+    assert [r.change_type for r in cleaning.snapshot_diff(e, s, ["k"]).collect()] == ["added"]
+    assert [r.change_type for r in cleaning.snapshot_diff(s, e, ["k"]).collect()] == ["removed"]
+    # CDC: empty changelog is identity; empty snapshot applies inserts
+    ch = spark.createDataFrame([], "k long, v string, seq int, op string")
+    assert [tuple(r) for r in scd.apply_changelog(s, ch, ["k"], "seq").collect()] == [(1, "x")]
+    ins = spark.createDataFrame([(2, "y", 1, "I")], "k long, v string, seq int, op string")
+    assert [tuple(r) for r in scd.apply_changelog(e, ins, ["k"], "seq").collect()] == [(2, "y")]
+    # linkage over empty records -> empty
+    assert linkage.fuzzy_pairs(docs, "doc_id", "text", ["lang"]).count() == 0
+    assert linkage.fuzzy_match_degree(docs, "doc_id", "text", ["lang"]).count() == 0
