@@ -1523,6 +1523,57 @@ def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("window_start_sec", "event_type")
 
 
+_SESSIONS_SINK_SEQ = [0]
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming SESSION windows, oracle-checked: file source ->
+    watermark -> F.session_window stateful aggregate (open sessions
+    merge in the state store) -> memory sink, availableNow. Complete
+    output mode evicts nothing, so the bounded replay equals the batch
+    gap-sessionization exactly — the same LAG-flag SQL oracle that pins
+    the batch session_window_rollup row (12 h gap), making Spark's
+    streaming session-state machinery value-hash-checked, not
+    rows-only. Append-mode closure/eviction is the production form;
+    complete is the verification vehicle (see
+    streaming_session_windows docstring for the mode contract)."""
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_session_windows,
+    )
+
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts_utc", ensure_timestamp(stream, "ts"))
+    sess = streaming_session_windows(stream, "ts_utc", gap="12 hours")
+
+    _SESSIONS_SINK_SEQ[0] += 1
+    sink = f"stream_sessions_{os.getpid()}_{_SESSIONS_SINK_SEQ[0]}"
+    query = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    prev = f"stream_sessions_{os.getpid()}_{_SESSIONS_SINK_SEQ[0] - 1}"
+    spark.catalog.dropTempView(prev)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
 _USER_TOTALS_SINK_SEQ = [0]
 
 
@@ -2574,7 +2625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tfidf_cosine_topk — the sparse similarity join; incremental_dedup —
     batch-vs-corpus dedup; csv_quarantine — malformed-record capture;
     fuzzy_part_match — blocked edit-distance record linkage;
-    orders_cdc_apply — CDC changelog merge). Every key whose
+    orders_cdc_apply — CDC changelog merge; streaming_sessions —
+    streaming session windows, with scd2_user_state rotated to the tail
+    as its counterpart). Every key whose
     implementation changed this round stays in-window for a fresh
     driver round: the dense-dedup family now reading the shared
     token-sketch artifact (near_dup_jaccard, minhash_near_dups,
@@ -2629,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_quarantine": q_csv_quarantine,
         "fuzzy_part_match": q_fuzzy_part_match,
         "orders_cdc_apply": q_orders_cdc_apply,
+        "streaming_sessions": q_streaming_sessions,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2640,7 +2694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_recall": q_ann_quantized_recall,
         "pricing_summary": q_pricing_summary,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "scd2_user_state": q_scd2_user_state,
         "quantile_gate": q_quantile_gate,
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
@@ -2707,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
+        "scd2_user_state": q_scd2_user_state,
     }
 
 def oracle_sql() -> dict[str, str]:

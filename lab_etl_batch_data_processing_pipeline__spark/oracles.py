@@ -472,6 +472,30 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+_SESSION_WINDOW_SQL = """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER w > 43200000000
+                  OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 43200000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    ORDER BY user_id, session_start_us
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "avg_price_weekly": """
@@ -646,28 +670,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LAG-flag sessionization expressing the SAME semantics as Spark's
         # native session_window: end = last event + gap.
-        "session_window_rollup": """
-            WITH obs AS (
-              SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
-            ), flagged AS (
-              SELECT user_id, ts_us,
-                     CASE WHEN ts_us - LAG(ts_us) OVER w > 43200000000
-                          OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-              FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-            ), sess AS (
-              SELECT user_id, ts_us,
-                     SUM(new_s) OVER (
-                       PARTITION BY user_id ORDER BY ts_us
-                       ROWS UNBOUNDED PRECEDING) AS session_no
-              FROM flagged
-            )
-            SELECT user_id,
-                   MIN(ts_us) AS session_start_us,
-                   MAX(ts_us) + 43200000000 AS session_end_us,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM sess GROUP BY user_id, session_no
-            ORDER BY user_id, session_start_us
-        """,
+        "session_window_rollup": _SESSION_WINDOW_SQL,
+        # The streaming session-window row replays the same events
+        # through the stateful streaming aggregate in complete mode —
+        # identical final sessions, identical oracle.
+        "streaming_sessions": _SESSION_WINDOW_SQL,
         "events_variant": """
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -13,5 +13,6 @@ from .jobs import (  # noqa: F401
     streaming_dedup,
     streaming_enrich,
     streaming_event_type_counts,
+    streaming_session_windows,
     streaming_user_totals,
 )

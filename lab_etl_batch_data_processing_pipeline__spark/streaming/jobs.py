@@ -187,3 +187,40 @@ def streaming_event_type_counts(
             "n_events",
         )
     )
+
+
+def streaming_session_windows(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str = "user_id",
+    gap: str = "12 hours",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Streaming gap-sessionization: the same ``F.session_window`` the
+    batch rollup uses, as a streaming stateful aggregate — open sessions
+    live in the state store and MERGE as events arrive (two sessions
+    bridged by a late event collapse into one); the watermark closes and
+    evicts a session once event time passes its end + delay. Emits
+    (user, session_start, session_end, n_events).
+
+    Output-mode contract (pinned empirically): session windows support
+    append (emit once closed; state evicted — the unbounded-stream
+    production mode) and complete (full state each trigger — the
+    bounded-replay verification mode the oracle row uses); update is
+    rejected by Spark because session merges would need retractions.
+
+    At scale: state is one row per OPEN session hash-partitioned by the
+    grouping key, watermark-bounded — idle users' sessions close and
+    leave the store, so state tracks concurrent activity, not history.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

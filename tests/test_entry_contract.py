@@ -121,6 +121,7 @@ TAIL_KEYS = {
     "corpus_mixture": "test_spot_oracle_parity",
     "event_type_skew": "test_spot_oracle_parity",
     "session_window_rollup": "test_spot_oracle_parity",
+    "scd2_user_state": "test_spot_oracle_parity",
 }
 
 
@@ -198,6 +199,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "corpus_mixture",
         "event_type_skew",
         "session_window_rollup",
+        "scd2_user_state",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
