@@ -164,7 +164,11 @@ def main() -> None:
     # Round-stamped copy so per-round per-query history doesn't depend
     # on git archaeology of the mutable BENCH_FULL.json: the round is
     # SPARK_GRAFT_ROUND if set, else inferred as (highest driver-written
-    # BENCH_r{N}.json) + 1 — the round currently being built.
+    # BENCH_r{N}.json) + 1 — the round currently being built. Caveat:
+    # a re-run AFTER the driver has already captured this round's
+    # BENCH_r{N}.json infers N+1 and mislabels the sidecar until the
+    # real next-round run overwrites it — set SPARK_GRAFT_ROUND when
+    # reproducing timings post-capture.
     round_no = os.environ.get("SPARK_GRAFT_ROUND")
     if round_no is not None and round_no.isdigit():
         round_no = f"{int(round_no):02d}"

@@ -392,13 +392,23 @@ def snapshot_diff(
         o = old.select(*keys, F.lit(0).alias("__o"))
         n = new.select(*keys, F.lit(0).alias("__n"))
     elif hash_compare:
-        # null-safe: hash(concat_ws) would conflate NULL with ''; use
-        # xxhash64 over the raw columns (its null handling is
-        # deterministic and position-sensitive)
+        # Spark's xxhash64 SKIPS NULL children (the running hash passes
+        # through unchanged), so hashing raw columns is NOT
+        # position-sensitive for NULLs: ('555', NULL) and (NULL, '555')
+        # would collide and a value "moving" between columns would read
+        # as unchanged. Encode each column as a string with a sentinel
+        # for NULL so every position always feeds the hash chain. The
+        # residual risk is user data containing the sentinel itself —
+        # use the exact (default) form for certificate-grade diffs.
+        null_sentinel = "\x00__NULL__\x00"
+
         def side(df, alias):
-            return df.select(
-                *keys, F.xxhash64(*[df[c] for c in compare_cols]).alias(alias)
-            )
+            encoded = [
+                F.coalesce(df[c].cast("string"), F.lit(null_sentinel))
+                for c in compare_cols
+            ]
+            return df.select(*keys, F.xxhash64(*encoded).alias(alias))
+
         o, n = side(old, "__o"), side(new, "__n")
     else:
         o = old.select(

@@ -107,10 +107,11 @@ def token_sketch(
       band, uniformly distributed); NULL for an empty/whitespace-only
       doc, which drops it from every pair space via NULL-join semantics
     """
-    raw_toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
-    )
-    toks = F.array_distinct(raw_toks)
+    # _token_set is the single definition of the comparison universe —
+    # sketch-vs-inline byte equivalence (pinned by
+    # test_precomputed_sketch_matches_inline) depends on every consumer
+    # tokenizing through it
+    toks = _token_set(F.col(text_col))
     return documents.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(

@@ -88,8 +88,11 @@ def apply_changelog(
     snapshot row. Returns the new snapshot (snapshot's columns).
 
     ``changes`` must carry the snapshot's columns plus ``seq_col`` and
-    ``op_col``; ``seq_col`` must be unique per key (it IS the CDC
-    ordering — ties would make "latest" undefined at any engine).
+    ``op_col``; ``seq_col`` may be any orderable type (monotonic id,
+    timestamp, ISO string — it is compared in its own type, never cast)
+    and must be non-NULL and unique per key (it IS the CDC ordering —
+    a NULL or tied sequence would make "latest" undefined at any
+    engine).
 
     Shape for scale: one union + ONE ranking window hashed on the key —
     the same single-shuffle pattern as writers.upsert_parquet, extended
@@ -99,14 +102,19 @@ def apply_changelog(
     partition overwrite).
     """
     data_cols = snapshot.columns
+    seq_type = changes.schema[seq_col].dataType
+    # the snapshot's sentinel seq is a NULL of the CHANGES' own seq type
+    # — no cast of the change sequence (a silent long cast would turn a
+    # timestamp/ISO-string CDC ordering into all-NULL and make the merge
+    # winner arbitrary)
     base = snapshot.select(
         *data_cols,
-        F.lit(None).cast("long").alias("__seq"),
+        F.lit(None).cast(seq_type).alias("__seq"),
         F.lit(None).cast("string").alias("__op"),
     )
     delta = changes.select(
         *data_cols,
-        F.col(seq_col).cast("long").alias("__seq"),
+        F.col(seq_col).alias("__seq"),
         F.col(op_col).cast("string").alias("__op"),
     )
     # changes always beat the snapshot: NULL base seq sorts last

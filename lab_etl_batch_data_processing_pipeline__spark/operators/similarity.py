@@ -605,7 +605,11 @@ def cosine_topk_ivf(
     reused and the KMeans fit is skipped entirely."""
 
     if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
-        _check_built(index_dir, kind="ivf", nlist=nlist)
+        # kind only: nlist is a BUILD parameter — the probe reads the
+        # centroid table from disk, so a default-nlist caller probing a
+        # 32-cell index is perfectly correct (only nprobe affects probe
+        # math; seed likewise doesn't and isn't checked)
+        _check_built(index_dir, kind="ivf")
         inverted, centroid_df = read_ivf_index(corpus.sparkSession, index_dir)
     else:
         inverted, centroid_df = build_ivf_index(
@@ -707,10 +711,13 @@ def build_pq_codebooks(
     dim = len(first[0])
     if dim % m:
         raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
-    if ksub > 127:
-        # codes are stored as tinyint (1 byte/subspace — the whole point
-        # of PQ); a larger ksub would wrap negative in the cast
-        raise ValueError(f"PQ: ksub {ksub} exceeds tinyint code range (127)")
+    if ksub > 128:
+        # codes run 0..ksub-1 and are stored as tinyint (1 byte/subspace
+        # — the whole point of PQ); ksub=128 (max code 127) still fits,
+        # anything larger would wrap negative in the cast
+        raise ValueError(
+            f"PQ: ksub {ksub} exceeds tinyint code range (max 128 codes)"
+        )
     dsub = dim // m
 
     if normalize:
@@ -1118,9 +1125,12 @@ def cosine_topk_ivfpq(
     adds the per-(query, cell) centroid dot to the LUT sum — pass the
     SAME flag used at build time."""
     if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
+        # m/ksub index the LUT scoring and residual flips the
+        # centroid-dot term — mismatches mis-score silently, so they
+        # must match the build. nlist deliberately unchecked: cells come
+        # from disk, a different probe-side default is harmless.
         _check_built(
-            index_dir, kind="ivfpq", nlist=nlist, m=m, ksub=ksub,
-            residual=residual,
+            index_dir, kind="ivfpq", m=m, ksub=ksub, residual=residual,
         )
         coded, centroid_df, codebooks = read_ivfpq_index(
             corpus.sparkSession, index_dir

@@ -216,10 +216,13 @@ def resample_ffill(
         .withColumn("__chunk", chunk)
         .withColumn("__ffill", F.last("observed", ignorenulls=True).over(w_chunk))
     )
-    # last observed value of each chunk (max-by tick among non-null
-    # observations; NULL for chunks with no observation) ...
+    # last observed value of each chunk — max-by tick among NON-NULL
+    # observations (a NULL-valued observation must not erase an earlier
+    # value from the carry: the plain form's last(ignorenulls) skips it,
+    # so the chunk summary must too); NULL for chunks with none
     chunk_last = (
-        obs.withColumn("__chunk", chunk)
+        obs.filter(F.col("observed").isNotNull())
+        .withColumn("__chunk", chunk)
         .groupBy("key", "__chunk")
         .agg(
             F.max(F.struct("tick_ts", "observed"))["observed"].alias("__last_obs")

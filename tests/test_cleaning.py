@@ -292,3 +292,20 @@ def test_snapshot_diff_key_only_tables(spark):
     new = spark.createDataFrame([(2,), (3,)], "k long")
     got = {(r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {(1, "removed"), (3, "added")}
+
+
+def test_snapshot_diff_hash_detects_null_column_swap(spark):
+    """Regression: Spark's xxhash64 skips NULL children, so raw-column
+    hashing reads ('555', NULL) -> (NULL, '555') as unchanged; the
+    sentinel-encoded hash must classify it 'changed' like the exact
+    form."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame([(1, "555", None)], "k long, a string, b string")
+    new = spark.createDataFrame([(1, None, "555")], "k long, a string, b string")
+    for hc in (False, True):
+        got = [
+            (r.k, r.change_type)
+            for r in snapshot_diff(old, new, ["k"], hash_compare=hc).collect()
+        ]
+        assert got == [(1, "changed")], hc

@@ -175,6 +175,12 @@ def test_resample_ffill_chunked_matches_plain(spark):
         # key 3: single observation exactly on a chunk boundary
         (3, 30.0, 7.0, 6),
         (3, 99.0, 8.0, 7),
+        # key 4: NULL-valued observation at the END of a chunk must not
+        # erase the chunk's earlier value from the cross-chunk carry
+        # (the plain form's last(ignorenulls) skips it)
+        (4, 2.0, 5.0, 8),
+        (4, 15.0, None, 9),
+        (4, 95.0, 6.0, 10),
     ]
     df = spark.createDataFrame(
         rows, "k long, ts double, v double, eid long"
@@ -215,3 +221,22 @@ def test_apply_changelog_semantics(spark):
         tuple(r) for r in apply_changelog(snap, changes, ["k"], "seq").collect()
     )
     assert out == [(1, "a3", 12.0), (3, "c2", 31.0), (4, "d", 40.0)]
+
+
+def test_apply_changelog_orderable_seq_types(spark):
+    """seq_col keeps its own type — an ISO-8601 string or timestamp CDC
+    ordering must work (a silent long cast would NULL it out and make
+    the winner arbitrary)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.scd import apply_changelog
+
+    snap = spark.createDataFrame([(1, "a")], "k long, s string")
+    ch = spark.createDataFrame(
+        [
+            (1, "b", "2026-08-14T10:00:00Z", "U"),
+            (1, "c", "2026-08-14T11:00:00Z", "U"),
+        ],
+        "k long, s string, seq string, op string",
+    )
+    assert [tuple(r) for r in apply_changelog(snap, ch, ["k"], "seq").collect()] == [
+        (1, "c")
+    ]
