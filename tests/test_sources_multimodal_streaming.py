@@ -1037,3 +1037,50 @@ def test_read_csv_quarantine_splits_good_and_bad(spark, tmp_path):
                 [T.StructField("_corrupt_record", T.StringType())]
             ),
         )
+
+
+def test_streaming_session_windows_append_emits_closed_only(spark, tmp_path):
+    """Mode contract pin: on a bounded replay, append emits only sessions
+    the final watermark already closed (possibly none), while complete
+    emits the full final state — which is why the oracle row runs
+    complete. Also pins that the complete-mode sessions equal the batch
+    F.session_window aggregate."""
+    from pyspark.sql import functions as F
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_session_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (1, "2024-01-03 09:00:00"), (2, "2024-01-01 05:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = {}
+    for mode in ("complete", "append"):
+        sess = streaming_session_windows(
+            stream, "ts", gap="12 hours", watermark_delay="1 hour"
+        )
+        sink = f"sess_mode_{mode}"
+        q = (
+            sess.writeStream.format("memory").queryName(sink)
+            .outputMode(mode).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        out[mode] = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.table(sink).collect()
+        }
+    batch = {
+        (r.user_id, str(r.w.start), str(r.w.end), r.n_events)
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "12 hours").alias("w")
+        ).agg(F.count(F.lit(1)).alias("n_events")).collect()
+    }
+    assert out["complete"] == batch
+    assert out["append"] <= out["complete"]  # only watermark-closed sessions
+    # the session still open at end-of-input never appears in append
+    open_session = max(batch, key=lambda s: s[1])
+    assert open_session not in out["append"]

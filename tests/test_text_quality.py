@@ -437,3 +437,34 @@ def test_pack_bins_beats_sequential_packing_on_waste(spark):
     assert ffd_bins < seq_bins, (ffd_bins, seq_bins)
     total = sum(r.n_tokens for r in packed)
     assert ffd_bins >= -(-total // seq_len)  # >= volume lower bound
+
+
+def test_tfidf_cosine_topk_bounds_and_duplicates(spark):
+    """Sparse cosine invariants: scores bounded by 1 (up to fixed-point
+    rounding), exact duplicate docs score ~1.0 as each other's top
+    neighbor, and the relation is symmetric (a lists b iff the reverse
+    pair shares the same cosine)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "apple banana cherry apple"),    # exact dup of 1
+            (3, "apple banana dates"),
+            (4, "elephant giraffe hippo"),       # shares no retained token
+            (5, "elephant giraffe zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = t.tfidf_cosine_topk(docs, k=4, max_df_frac=1.0).collect()
+    by_pair = {(r.doc_id, r.neighbor_id): r.cosine_sim for r in rows}
+    for v in by_pair.values():
+        assert 0.0 <= v <= 1.000001
+    assert by_pair[(1, 2)] > 0.999999 and by_pair[(2, 1)] > 0.999999
+    # symmetry of the score (rank may differ)
+    for (a, b), v in by_pair.items():
+        assert abs(by_pair[(b, a)] - v) < 1e-9
+    # docs sharing no retained token never pair
+    assert not any(
+        (a in (4, 5)) != (b in (4, 5)) for (a, b) in by_pair
+    )
