@@ -2404,6 +2404,18 @@ def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-n stratified sample (cleaning.
+    stratified_sample_exact): 10 customers per market segment ranked by
+    md5 of the key — unlike sampleBy, per-stratum counts are exact, the
+    draw is order/parallelism-independent, and the md5 ranking is
+    engine-portable so the SAMPLE ITSELF hash-matches DuckDB row for
+    row."""
+    return cleaning.stratified_sample_exact(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment"], "c_custkey", 10
+    ).orderBy("c_custkey")
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply (scd.apply_changelog) — the MERGE-on-ingest
     semantic as one union + one key-hashed ranking window: a seq-1 batch
@@ -2761,6 +2773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
         "scd2_user_state": q_scd2_user_state,
+        # born in the tail late-r8 (window already held the round's 10
+        # new rows); oracle-bearing, spot-parity-covered, first in line
+        # for the r9 rotation
+        "customer_stratified_sample": q_customer_stratified_sample,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -431,3 +431,34 @@ def snapshot_diff(
         j.select(*keys, change.alias("change_type"))
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-n sample per stratum — the eval-set/debug-
+    slice builder: within each stratum rows rank by md5(salt || id) and
+    the first ``n_per_stratum`` survive. Unlike ``sampleBy`` (Bernoulli,
+    approximate counts, RNG-seeded) the size per stratum is exact (or
+    the whole stratum when smaller), the choice is independent of data
+    order and parallelism, and the md5 ranking is engine-portable, so
+    the sample itself is oracle-checkable. ``salt`` rotates the sample
+    without touching the data (new salt → fresh uniform draw).
+
+    Shape: one ranking window hashed on the strata — the dedup_by_keys
+    cost. Strata skew bounds apply (a single giant stratum serializes
+    its ranking into one task; for top-n of a hot stratum at 100 TB,
+    pre-filter with an approximate rank threshold first)."""
+    rank_w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -101,3 +101,48 @@ def histogram(
         )
         .orderBy("bin")
     )
+
+
+def numeric_correlations(df, cols):
+    """Pairwise Pearson correlation profile over numeric columns:
+    (col_a, col_b, pearson_r) for every i<j pair — the feature-redundancy
+    screen a training pipeline runs before fitting anything.
+
+    ONE aggregate pass computes all C(k,2) coefficients (F.corr partials
+    merge map-side); the output is dimension-sized (pairs of column
+    NAMES), never row-scale. At 100 TB this is a single full scan, so
+    screen a column subset or a TABLESAMPLE, not every wide column.
+    Float caveat: corr merges double partials, so the last ulp depends
+    on partition merge order — this is a profiling signal, not an
+    oracle-checkable value (rounded to 6dp to tame the noise)."""
+    from pyspark.sql import functions as F
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if not pairs:
+        raise ValueError("numeric_correlations: need at least two columns")
+    row = df.agg(
+        *[F.corr(a, b).alias(f"__c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    spark = df.sparkSession
+    names = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "pair_id int, col_a string, col_b string",
+    )
+    exploded = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pair_id"),
+                        F.round(F.col(f"__c{i}"), 6).alias("pearson_r"),
+                    )
+                    for i in range(len(pairs))
+                ]
+            )
+        ).alias("p")
+    ).select("p.pair_id", "p.pearson_r")
+    return (
+        exploded.join(F.broadcast(names), "pair_id")
+        .select("col_a", "col_b", "pearson_r")
+        .orderBy("col_a", "col_b")
+    )

@@ -1601,6 +1601,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE sim_rank <= 3
             ORDER BY doc_id, sim_rank
         """,
+        # Stratified-sample twin: identical md5 ranking (concat_ws of
+        # empty salt + key = '|<key>'), identical per-stratum cut.
+        "customer_stratified_sample": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY md5('|' || CAST(c_custkey AS VARCHAR)), c_custkey
+              ) AS rn
+              FROM customer
+            ) WHERE rn <= 10
+            ORDER BY c_custkey
+        """,
         # CDC merge twin: the declarative restatement of "seq-2 deletes
         # every 6th key, seq-1 updates every 4th key's status, highest
         # seq wins" — the window formulation must land exactly here.

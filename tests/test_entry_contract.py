@@ -122,6 +122,8 @@ TAIL_KEYS = {
     "event_type_skew": "test_spot_oracle_parity",
     "session_window_rollup": "test_spot_oracle_parity",
     "scd2_user_state": "test_spot_oracle_parity",
+    # born in the tail late-r8 (window full); first in line for r9
+    "customer_stratified_sample": "test_spot_oracle_parity",
 }
 
 
@@ -200,6 +202,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "event_type_skew",
         "session_window_rollup",
         "scd2_user_state",
+        "customer_stratified_sample",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -240,3 +240,37 @@ def test_apply_changelog_orderable_seq_types(spark):
     assert [tuple(r) for r in apply_changelog(snap, ch, ["k"], "seq").collect()] == [
         (1, "c")
     ]
+
+
+def test_stratified_sample_exact_and_correlations(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import (
+        stratified_sample_exact,
+    )
+    from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
+        numeric_correlations,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), float(i), float(2 * i), float(-i)) for i in range(60)],
+        "id long, stratum string, x double, y double, z double",
+    )
+    out = stratified_sample_exact(df, ["stratum"], "id", 5)
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic: same call -> same rows; new salt -> (almost surely) different draw
+    again = stratified_sample_exact(df, ["stratum"], "id", 5)
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+    salted = stratified_sample_exact(df, ["stratum"], "id", 5, salt="v2")
+    assert sorted(r.id for r in salted.collect()) != sorted(r.id for r in out.collect())
+    # small stratum survives whole
+    tiny = stratified_sample_exact(df.filter("id < 2"), ["stratum"], "id", 5)
+    assert tiny.count() == 2
+
+    corr = {(r.col_a, r.col_b): r.pearson_r for r in
+            numeric_correlations(df, ["x", "y", "z"]).collect()}
+    assert corr[("x", "y")] == 1.0 and corr[("x", "z")] == -1.0 and corr[("y", "z")] == -1.0
+    with pytest.raises(ValueError, match="two columns"):
+        numeric_correlations(df, ["x"])
