@@ -7,6 +7,7 @@ from .readers import (  # noqa: F401
     read_csv_quarantine,
     read_jdbc,
     read_jsonl,
+    read_jsonl_quarantine,
     read_orc,
     read_parquet,
 )

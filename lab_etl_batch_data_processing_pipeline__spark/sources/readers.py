@@ -236,3 +236,38 @@ def read_jsonl(
     multi-line JSON document).
     """
     return spark.read.schema(schema).json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL twin of :func:`read_csv_quarantine` — the format corrupt
+    records actually arrive in for LLM corpora (truncated uploads,
+    unescaped control characters, concatenated objects). Returns
+    ``(good, quarantine)`` with the same contract: good rows parsed
+    completely, quarantined rows keep partially-parsed fields plus the
+    raw line for dead-letter replay. Note the JSON-source nuance: a line
+    that is valid JSON but mismatches the schema TYPE of a field also
+    quarantines (the parser records the raw line), while a missing field
+    is just NULL — schema drift surfaces, sparse records don't. The
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction applies as for CSV.
+    """
+    from pyspark.sql import functions as F
+
+    if any(f.name == corrupt_col for f in schema.fields):
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = parsed.filter(F.col(corrupt_col).isNotNull())
+    return good, quarantine

@@ -1084,3 +1084,33 @@ def test_streaming_session_windows_append_emits_closed_only(spark, tmp_path):
     # the session still open at end-of-input never appears in append
     open_session = max(batch, key=lambda s: s[1])
     assert open_session not in out["append"]
+
+
+def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": "notanint", "text": "bad id type"}\n'
+        'truncated {"doc_id": 3\n'
+        '{"doc_id": 4}\n'  # missing field -> NULL, NOT quarantined
+        '{"doc_id": 5, "text": "ok"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(tmp_path), schema)
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, "hello world"),
+        (4, None),
+        (5, "ok"),
+    ]
+    bad_raw = sorted(r._corrupt_record for r in bad.collect())
+    assert bad_raw == [
+        'truncated {"doc_id": 3',
+        '{"doc_id": "notanint", "text": "bad id type"}',
+    ]
