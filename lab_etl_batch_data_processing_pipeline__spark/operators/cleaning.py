@@ -22,6 +22,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
@@ -382,9 +383,28 @@ def snapshot_diff(
     the default when the diff must be certificate-grade). Both forms
     return identical results on every fixture
     (tests/test_cleaning.py::test_snapshot_diff_hash_matches_struct).
+
+    ``hash_compare`` supports SCALAR compare columns only: the hash
+    encoding casts each column to string, which is lossy for
+    array/map/struct values (distinct nested values can render
+    identically, reading as 'unchanged'), so complex-typed compare
+    columns raise — use the default struct form, whose ``eqNullSafe``
+    compares nested values exactly.
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in set(keys)]
+    if hash_compare:
+        complex_cols = [
+            f.name
+            for f in new.select(*compare_cols).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            raise ValueError(
+                "snapshot_diff(hash_compare=True) supports scalar compare "
+                f"columns only; complex-typed: {complex_cols} — use the "
+                "default exact (struct) comparison for nested types"
+            )
     if not compare_cols:
         # key-only tables: membership diff (added/removed only) — a
         # constant comparator keeps the plan shape without struct()/

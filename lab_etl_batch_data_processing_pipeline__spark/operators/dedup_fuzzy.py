@@ -41,6 +41,44 @@ from .layout import ensure_parallelism
 #: identical in any engine with int64 arithmetic).
 MINHASH_P = 2_147_483_647
 
+#: StructField-metadata key under which sketch/signature builders stamp
+#: their build params. Column metadata rides the Spark schema into
+#: parquet footers and back, so a materialized artifact still carries it.
+ARTIFACT_META_KEY = "spark_graft_build"
+
+
+def _artifact_meta(df: DataFrame, col_name: str) -> dict | None:
+    """Build params stamped on ``col_name``, or None if absent."""
+    for field in df.schema.fields:
+        if field.name == col_name:
+            meta = field.metadata or {}
+            return meta.get(ARTIFACT_META_KEY)
+    return None
+
+
+def _check_artifact(df: DataFrame, col_name: str, expected: dict, what: str) -> None:
+    """Fail loudly when a precomputed artifact was built with different
+    params than the consumer assumes — the silent-wrong-results failure
+    mode of sharing sketches across operators (same contract as the ANN
+    index ``_BUILT`` sentinels, similarity.py). Artifacts built by this
+    module carry their params as column metadata (free to check — no
+    job); hand-built frames without the stamp are accepted as-is, with
+    the param contract on the caller."""
+    meta = _artifact_meta(df, col_name)
+    if meta is None:
+        return
+    mismatched = {
+        k: (meta.get(k), v) for k, v in expected.items() if meta.get(k) != v
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{k}: artifact={a!r} consumer={c!r}" for k, (a, c) in mismatched.items()
+        )
+        raise ValueError(
+            f"precomputed {what} artifact build params mismatch ({detail}); "
+            f"rebuild the artifact or pass matching parameters"
+        )
+
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) pairs for the portable hash family.
@@ -114,9 +152,12 @@ def token_sketch(
     toks = _token_set(F.col(text_col))
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            F.transform(toks, lambda t: F.xxhash64(t))
-        ).alias("tok_set"),
+        F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t))).alias(
+            # build-param stamp: consumers fail loudly on a mismatched
+            # artifact instead of silently deduping with wrong blocks
+            "tok_set",
+            metadata={ARTIFACT_META_KEY: {"length_bucket": length_bucket}},
+        ),
         F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
         jaccard_block_tok(toks).alias("block_tok"),
     )
@@ -175,9 +216,14 @@ def jaccard_near_dups(
     artifact shape for pipelines where several consumers sketch the same
     corpus. The caller is responsible for the sketch covering exactly
     the intended document set (restrict with a semi-join when deduping
-    a filtered subset).
+    a filtered subset). Sketches built by :func:`token_sketch` carry
+    their ``length_bucket`` as column metadata; a mismatch with this
+    call's parameter raises, unstamped hand-built sketches are trusted.
     """
     if sketch is not None:
+        _check_artifact(
+            sketch, "tok_set", {"length_bucket": length_bucket}, "token_sketch"
+        )
         prepared = ensure_parallelism(
             sketch.select("doc_id", "tok_set", "len_bucket", "block_tok")
         )
@@ -286,6 +332,9 @@ def jaccard_block_stats(
     (:func:`minhash_near_dups`) or raise the threshold rather than
     brute-forcing a quadratic block (SCALE.md documents the trade)."""
     if sketch is not None:
+        _check_artifact(
+            sketch, "tok_set", {"length_bucket": length_bucket}, "token_sketch"
+        )
         # column-pruned read of the shared sketch: tok_set never loads
         prepared = sketch.select("doc_id", "len_bucket", "block_tok")
     else:
@@ -375,7 +424,18 @@ def minhash_signatures(
         )
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        sig.alias("signature"),
+        sig.alias(
+            # build-param stamp (the token_sketch/_check_artifact contract):
+            # LSH consumers reject signatures built with a different family
+            "signature",
+            metadata={
+                ARTIFACT_META_KEY: {
+                    "num_hashes": num_hashes,
+                    "shingle_size": shingle_size,
+                    "portable": portable,
+                }
+            },
+        ),
         F.size(sh).alias("n_shingles"),
     )
 
@@ -458,6 +518,13 @@ def minhash_bucket_dedup(
             documents, id_col, text_col, num_hashes, shingle_size, portable
         )
     else:
+        _check_artifact(
+            sigs,
+            "signature",
+            {"num_hashes": num_hashes, "shingle_size": shingle_size,
+             "portable": portable},
+            "minhash_signatures",
+        )
         sigs = ensure_parallelism(sigs)
     banded = _banded(sigs, bands, r, portable).select("doc_id", "band_id", "band_hash")
     bucket_min = banded.groupBy("band_id", "band_hash").agg(
@@ -507,6 +574,13 @@ def minhash_near_dups(
             documents, id_col, text_col, num_hashes, shingle_size, portable
         )
     else:
+        _check_artifact(
+            sigs,
+            "signature",
+            {"num_hashes": num_hashes, "shingle_size": shingle_size,
+             "portable": portable},
+            "minhash_signatures",
+        )
         sigs = ensure_parallelism(sigs)
 
     banded = _banded(sigs, bands, r, portable).select(
@@ -745,7 +819,14 @@ def incremental_dedup(
     ``existing_sketch`` / ``incoming_sketch`` take precomputed
     :func:`token_sketch` frames (the shared-artifact contract) — at
     scale the corpus sketch is a maintained artifact that the increment
-    job reads, extends, and writes back.
+    job reads, extends, and writes back. Stamped sketches built with a
+    different ``length_bucket`` raise (see :func:`_check_artifact`).
+
+    Id semantics: the existing-vs-incoming relation is keyed on SIDE,
+    not id — an existing doc blocks a near-duplicate incoming doc even
+    when the two share an id (an id reused across a re-crawl). Ids only
+    order the within-batch survivor rule, so the output is well-defined
+    whether or not the two id spaces are disjoint.
     """
     from .text import fingerprint as _fp
 
@@ -765,9 +846,19 @@ def incremental_dedup(
         existing_sketch = token_sketch(
             ensure_parallelism(existing), id_col, text_col, length_bucket
         )
+    else:
+        _check_artifact(
+            existing_sketch, "tok_set", {"length_bucket": length_bucket},
+            "existing token_sketch",
+        )
     if incoming_sketch is None:
         incoming_sketch = token_sketch(
             ensure_parallelism(incoming), id_col, text_col, length_bucket
+        )
+    else:
+        _check_artifact(
+            incoming_sketch, "tok_set", {"length_bucket": length_bucket},
+            "incoming token_sketch",
         )
     surv_sketch = incoming_sketch.join(exact_surv, "doc_id", "left_semi")
     a_side = existing_sketch.withColumn("__is_new", F.lit(False)).unionByName(
@@ -792,11 +883,13 @@ def incremental_dedup(
                 & (F.col("a.block_tok") == F.col("b.block_tok"))
                 & (F.col("a.salt_a") == F.col("b.salt_a"))
                 & (F.col("a.salt_b") == F.col("b.salt_b"))
-                # existing blocks ANY incoming; incoming blocks only
-                # larger-id incoming (and never itself)
+                # existing blocks ANY incoming — keyed on the side flag,
+                # not id inequality, so an incoming doc reusing an
+                # existing doc's id is still compared (docstring: id
+                # semantics); incoming blocks only larger-id incoming
                 & (
-                    (~F.col("a.__is_new") & (F.col("a.doc_id") != F.col("b.doc_id")))
-                    | (F.col("a.__is_new") & (F.col("a.doc_id") < F.col("b.doc_id")))
+                    (~F.col("a.__is_new"))
+                    | (F.col("a.doc_id") < F.col("b.doc_id"))
                 )
             ),
         )

@@ -260,8 +260,12 @@ def tfidf_cosine_topk(
     the pair space is Σ_t df(t)² over the retained vocabulary, not
     |docs|² — the frequency-pruning lever ``max_df_frac`` drops
     stop-like tokens (df > frac·N) that blow that sum up quadratically
-    while contributing near-zero weight. df=1 tokens are dropped too
-    (they cannot pair; output-invariant).
+    while contributing near-zero weight. df=1 tokens are dropped too.
+    Pruning DEFINES the similarity metric: dropped tokens are excluded
+    from the norms as well as the pair space, so cosine values are
+    pruned-vocabulary cosine (the oracle computes the same metric), not
+    the full-vocabulary values — df=1 tokens cannot create a pair, but
+    keeping them would shrink every cosine of the docs containing them.
 
     Weights are tf/(df+1) — the rational-idf :func:`tfidf` weight with
     the constant (N+1) factor dropped, which cancels in cosine.

@@ -1534,8 +1534,7 @@ def oracle_sql() -> dict[str, str]:
                 ON a.len_bucket = b.len_bucket
                AND a.block_tok = b.block_tok
                AND b.doc_id % 10 = 0
-               AND ((a.doc_id % 10 <> 0 AND a.doc_id <> b.doc_id)
-                    OR (a.doc_id % 10 = 0 AND a.doc_id < b.doc_id))
+               AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
                AND ROUND(
                      len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
                      / (len(a.tok_set) + len(b.tok_set)

@@ -309,3 +309,16 @@ def test_snapshot_diff_hash_detects_null_column_swap(spark):
             for r in snapshot_diff(old, new, ["k"], hash_compare=hc).collect()
         ]
         assert got == [(1, "changed")], hc
+
+
+def test_snapshot_diff_hash_compare_rejects_complex(spark):
+    """ADVICE r8: hash_compare string-encodes columns, which is lossy for
+    nested types — complex compare columns must raise, steering callers
+    to the exact struct form."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame([(1, ["a", "b"])], "k long, v array<string>")
+    with pytest.raises(ValueError, match="scalar"):
+        snapshot_diff(old, old, ["k"], hash_compare=True)
+    # default struct form still handles nested types
+    assert snapshot_diff(old, old, ["k"]).count() == 0

@@ -464,3 +464,48 @@ def test_incremental_dedup_semantics(spark):
         incoming_sketch=sk_all.filter("doc_id NOT IN (5, 7)"),
     )
     assert [r.doc_id for r in out2.collect()] == [3]
+
+
+def test_artifact_param_mismatch_raises(spark, docs, tmp_path):
+    """ADVICE r8: a precomputed sketch/signature artifact built with
+    different params must fail loudly at plan time, not silently dedup
+    with wrong blocks — params ride as column metadata (and survive the
+    parquet round-trip the shared-artifact contract depends on)."""
+    sketch = dedup_fuzzy.token_sketch(docs, length_bucket=10)
+    with pytest.raises(ValueError, match="length_bucket"):
+        dedup_fuzzy.jaccard_near_dups(docs, length_bucket=5, sketch=sketch)
+    with pytest.raises(ValueError, match="length_bucket"):
+        dedup_fuzzy.jaccard_block_stats(docs, length_bucket=5, sketch=sketch)
+    with pytest.raises(ValueError, match="length_bucket"):
+        dedup_fuzzy.incremental_dedup(
+            docs, docs, length_bucket=5, existing_sketch=sketch
+        )
+    # the stamp must survive materialization: that's the artifact path
+    p = str(tmp_path / "sketch.parquet")
+    sketch.write.parquet(p)
+    reread = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="length_bucket"):
+        dedup_fuzzy.jaccard_near_dups(docs, length_bucket=5, sketch=reread)
+
+    sigs = dedup_fuzzy.minhash_signatures(docs, num_hashes=32, shingle_size=3)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup_fuzzy.minhash_near_dups(docs, num_hashes=16, bands=8, sigs=sigs)
+    with pytest.raises(ValueError, match="shingle_size"):
+        dedup_fuzzy.minhash_near_dups(docs, shingle_size=2, sigs=sigs)
+    with pytest.raises(ValueError, match="portable"):
+        dedup_fuzzy.minhash_bucket_dedup(docs, portable=False, sigs=sigs)
+
+
+def test_incremental_dedup_same_id_cross_side(spark):
+    """ADVICE r8: the existing-vs-incoming near guard keys on the SIDE
+    flag, not id inequality — an incoming doc that reuses an existing
+    doc's id is still blocked by that existing doc."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "now")
+    existing = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(1, near), (2, "totally different unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    kept = dedup_fuzzy.incremental_dedup(existing, incoming, threshold=0.5)
+    assert [r.doc_id for r in kept.collect()] == [2]
