@@ -1159,7 +1159,9 @@ def _toksketch_dir(sf_dir: str) -> str:
     the per-generation sweep of one variant can't delete another."""
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache",
-        "toksketch", f"lb{_TOKSKETCH_LB}",
+        # "b2" = sketch schema carries block_tok2 (r9 sub-blocking);
+        # bumping the variant dir retires pre-sub-blocking artifacts
+        "toksketch", f"lb{_TOKSKETCH_LB}b2",
         _gen_tag(sf_dir, "documents.parquet"),
     )
 
@@ -1241,6 +1243,13 @@ def sweep_stale_caches(sf_dir: str) -> None:
     # so each parent holds only same-variant generation tags
     try:
         doc_tag = _gen_tag(sf_dir, "documents.parquet")
+        # retire pre-sub-blocking sketch variants (schema lacks block_tok2)
+        tok_root = os.path.join(base, ".cache", "toksketch")
+        live_variant = os.path.basename(os.path.dirname(_toksketch_dir(sf_dir)))
+        if os.path.isdir(tok_root):
+            for name in os.listdir(tok_root):
+                if name != live_variant:
+                    shutil.rmtree(os.path.join(tok_root, name), ignore_errors=True)
         _sweep_stale_cache(
             os.path.dirname(_toksketch_dir(sf_dir)), keep=doc_tag
         )
@@ -2511,7 +2520,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly batch-sided (never corpus x corpus). Both stages replay
     exactly in DuckDB, so the full survivor set is hash-checked. Reads
     the shared token-sketch artifact when built; the % 10 predicate
-    prunes it to each side without re-tokenizing."""
+    prunes it to each side without re-tokenizing. block_cap=200 splits
+    the fixture's one degenerate ~300-doc block (boilerplate min-md5
+    token) on the second-min token — the oracle reproduces the split
+    exactly, so the capped survivor set is still value-hash-checked."""
     docs = _t(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 10 != 0)
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
@@ -2523,7 +2535,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "incoming_sketch": sk.filter(F.col("doc_id") % 10 == 0),
         }
     return dedup_fuzzy.incremental_dedup(
-        existing, incoming, threshold=0.5, **kwargs
+        existing, incoming, threshold=0.5, block_cap=200, **kwargs
     )
 
 

@@ -144,6 +144,9 @@ def token_sketch(
     - ``block_tok`` — MIN over tokens of md5(token) (a 1-hash MinHash
       band, uniformly distributed); NULL for an empty/whitespace-only
       doc, which drops it from every pair space via NULL-join semantics
+    - ``block_tok2`` — SECOND-smallest md5(token) (NULL when the doc has
+      fewer than two distinct tokens): the sub-blocking key consumers
+      use to split super-blocks when ``block_cap`` is set
     """
     # _token_set is the single definition of the comparison universe —
     # sketch-vs-inline byte equivalence (pinned by
@@ -160,6 +163,58 @@ def token_sketch(
         ),
         F.floor(F.size(toks) / length_bucket).alias("len_bucket"),
         jaccard_block_tok(toks).alias("block_tok"),
+        F.when(
+            F.size(toks) >= 2,
+            F.element_at(F.array_sort(F.transform(toks, lambda t: F.md5(t))), 2),
+        ).alias("block_tok2"),
+    )
+
+
+def _with_sub_tok(prepared: DataFrame, block_cap: int | None) -> DataFrame:
+    """Append the sub-blocking key ``sub_tok``: '' everywhere when
+    ``block_cap`` is None (sub-blocking off — the key is a no-op in the
+    equi-join), else the doc's second-min md5 token WITHIN blocks whose
+    population exceeds ``block_cap`` and '' in bounded blocks.
+
+    This bounds the worst-case pair space of the blocked-Jaccard family:
+    a pathological corpus (one boilerplate token as everyone's min-md5
+    token) otherwise produces a single block with a quadratic verify
+    space that salting can parallelize but not shrink. Splitting a
+    super-block on the second-min token divides its pair space into the
+    sum of sub-block squares — a TOTAL-work reduction, at a recall cost:
+    a true pair whose two docs disagree on the second-min token is lost.
+    For J(A,B) = s the second-min of the union falls in the intersection
+    with probability ≈ s (the 1-hash MinHash collision rate, again), so
+    within capped blocks candidate recall goes from s to ≈ s² — the
+    standard banding trade, taken only where the block is degenerate.
+    The split is data-dependent but deterministic (population counts),
+    so an oracle reproduces it exactly.
+
+    One extra shuffle: the block-population aggregate joined back on the
+    block key (block-count-sized — tiny next to the pair space it cuts).
+    """
+    if block_cap is None:
+        return prepared.withColumn("sub_tok", F.lit(""))
+    if "block_tok2" not in prepared.columns:
+        raise ValueError(
+            "block_cap requires a sketch with the block_tok2 column — "
+            "rebuild the token_sketch artifact (older artifacts predate "
+            "sub-blocking)"
+        )
+    sizes = prepared.groupBy("len_bucket", "block_tok").agg(
+        (F.count(F.lit(1)) > block_cap).alias("__over")
+    )
+    return (
+        # left join: NULL-block_tok rows (empty docs) never equi-match the
+        # size table but must stay present (they simply never pair)
+        prepared.join(sizes, ["len_bucket", "block_tok"], "left")
+        .withColumn(
+            "sub_tok",
+            F.when(
+                F.col("__over"), F.coalesce(F.col("block_tok2"), F.lit(""))
+            ).otherwise(F.lit("")),
+        )
+        .drop("__over")
     )
 
 
@@ -172,6 +227,7 @@ def jaccard_near_dups(
     salt: int = 8,
     sort: bool = True,
     sketch: DataFrame | None = None,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact token-set Jaccard, with deterministic blocking.
 
@@ -219,18 +275,24 @@ def jaccard_near_dups(
     a filtered subset). Sketches built by :func:`token_sketch` carry
     their ``length_bucket`` as column metadata; a mismatch with this
     call's parameter raises, unstamped hand-built sketches are trusted.
+
+    ``block_cap`` (off by default) bounds the worst-case pair space by
+    splitting blocks of more than ``block_cap`` docs on the second-min
+    md5 token — see :func:`_with_sub_tok` for the recall trade.
     """
     if sketch is not None:
         _check_artifact(
             sketch, "tok_set", {"length_bucket": length_bucket}, "token_sketch"
         )
-        prepared = ensure_parallelism(
-            sketch.select("doc_id", "tok_set", "len_bucket", "block_tok")
-        )
+        cols = ["doc_id", "tok_set", "len_bucket", "block_tok"]
+        if "block_tok2" in sketch.columns:
+            cols.append("block_tok2")
+        prepared = ensure_parallelism(sketch.select(*cols))
     else:
         prepared = token_sketch(
             ensure_parallelism(documents), id_col, text_col, length_bucket
         )
+    prepared = _with_sub_tok(prepared, block_cap)
     # Triangle-decomposition salt (see docstring): a pair (x, y) with
     # buckets (i, j) matches exactly once, in the (i, j) task.
     bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
@@ -247,6 +309,7 @@ def jaccard_near_dups(
         on=(
             (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.block_tok") == F.col("b.block_tok"))
+            & (F.col("a.sub_tok") == F.col("b.sub_tok"))
             & (F.col("a.salt_a") == F.col("b.salt_a"))
             & (F.col("a.salt_b") == F.col("b.salt_b"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -280,6 +343,7 @@ def near_dup_degree(
     length_bucket: int = 10,
     salt: int = 8,
     sketch: DataFrame | None = None,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Per-document near-duplicate degree: (doc_id, n_near_dups,
     max_jaccard); docs with no near-dup are absent.
@@ -299,7 +363,7 @@ def near_dup_degree(
     """
     pairs = jaccard_near_dups(
         documents, id_col, text_col, threshold, length_bucket, salt,
-        sort=False, sketch=sketch,
+        sort=False, sketch=sketch, block_cap=block_cap,
     )
     sides = pairs.select(
         F.explode(F.array("doc_id_a", "doc_id_b")).alias(id_col), "jaccard"
@@ -791,6 +855,7 @@ def incremental_dedup(
     salt: int = 8,
     existing_sketch: DataFrame | None = None,
     incoming_sketch: DataFrame | None = None,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Dedup an ingestion INCREMENT against an already-clean corpus:
     returns the ``incoming`` rows (all columns) that are neither exact
@@ -827,6 +892,11 @@ def incremental_dedup(
     when the two share an id (an id reused across a re-crawl). Ids only
     order the within-batch survivor rule, so the output is well-defined
     whether or not the two id spaces are disjoint.
+
+    ``block_cap`` splits blocks of more than ``block_cap`` participants
+    on the second-min md5 token (:func:`_with_sub_tok`) — population is
+    counted over the combined pair-participant set (corpus ∪ surviving
+    batch), so both join sides assign identical sub-blocks.
     """
     from .text import fingerprint as _fp
 
@@ -860,16 +930,30 @@ def incremental_dedup(
             incoming_sketch, "tok_set", {"length_bucket": length_bucket},
             "incoming token_sketch",
         )
+    if "block_tok2" not in existing_sketch.columns or (
+        "block_tok2" not in incoming_sketch.columns
+    ):
+        # one side predates sub-blocking: a mixed union would assign
+        # NULL-backed '' sub_toks to that side only, silently desyncing
+        # the block split — degrade BOTH sides so _with_sub_tok either
+        # no-ops (cap off) or raises (cap on)
+        existing_sketch = existing_sketch.drop("block_tok2")
+        incoming_sketch = incoming_sketch.drop("block_tok2")
     surv_sketch = incoming_sketch.join(exact_surv, "doc_id", "left_semi")
     a_side = existing_sketch.withColumn("__is_new", F.lit(False)).unionByName(
         surv_sketch.withColumn("__is_new", F.lit(True))
     )
+    # sub-blocking population = every pair participant (a_side already
+    # contains the b side as its __is_new slice, so deriving b from the
+    # sub-blocked union keeps both sides' sub_tok assignments identical)
+    a_side = _with_sub_tok(a_side, block_cap)
+    b_side = a_side.filter(F.col("__is_new")).drop("__is_new")
     bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
     fanout = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     a = a_side.select(
         "*", bucket.alias("salt_a"), fanout.alias("salt_b")
     ).alias("a")
-    b = surv_sketch.select(
+    b = b_side.select(
         "*", fanout.alias("salt_a"), bucket.alias("salt_b")
     ).alias("b")
     sa, sb = F.size(F.col("a.tok_set")), F.size(F.col("b.tok_set"))
@@ -881,6 +965,7 @@ def incremental_dedup(
             on=(
                 (F.col("a.len_bucket") == F.col("b.len_bucket"))
                 & (F.col("a.block_tok") == F.col("b.block_tok"))
+                & (F.col("a.sub_tok") == F.col("b.sub_tok"))
                 & (F.col("a.salt_a") == F.col("b.salt_a"))
                 & (F.col("a.salt_b") == F.col("b.salt_b"))
                 # existing blocks ANY incoming — keyed on the side flag,

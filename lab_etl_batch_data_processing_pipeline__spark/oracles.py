@@ -1523,16 +1523,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      {_TOK_SET} AS tok_set,
                      CAST(floor(len({_TOK_SET}) / 10) AS BIGINT) AS len_bucket,
-                     list_aggregate(list_transform({_TOK_SET}, t -> md5(t)),
-                                    'min') AS block_tok
+                     list_sort(list_transform({_TOK_SET}, t -> md5(t)))[1]
+                       AS block_tok,
+                     list_sort(list_transform({_TOK_SET}, t -> md5(t)))[2]
+                       AS block_tok2
               FROM documents
               WHERE doc_id % 10 <> 0
                  OR doc_id IN (SELECT doc_id FROM exact_surv)
+            ), sizes AS (
+              -- block_cap=200 sub-blocking: blocks over the cap split on
+              -- the second-min md5 token (population = corpus + survivors,
+              -- exactly the Spark side's pair-participant set)
+              SELECT len_bucket, block_tok, COUNT(*) > 200 AS over_cap
+              FROM prep GROUP BY 1, 2
+            ), prep2 AS (
+              SELECT p.*,
+                     CASE WHEN s.over_cap
+                          THEN coalesce(p.block_tok2, '') ELSE '' END AS sub_tok
+              FROM prep p LEFT JOIN sizes s USING (len_bucket, block_tok)
             ), dropped AS (
               SELECT DISTINCT b.doc_id
-              FROM prep a JOIN prep b
+              FROM prep2 a JOIN prep2 b
                 ON a.len_bucket = b.len_bucket
                AND a.block_tok = b.block_tok
+               AND a.sub_tok = b.sub_tok
                AND b.doc_id % 10 = 0
                AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
                AND ROUND(

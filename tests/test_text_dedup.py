@@ -509,3 +509,115 @@ def test_incremental_dedup_same_id_cross_side(spark):
     )
     kept = dedup_fuzzy.incremental_dedup(existing, incoming, threshold=0.5)
     assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def _hot_block_docs(spark):
+    """Six docs engineered into ONE (len_bucket, block_tok) block: every
+    doc contains `shared`, the token with the smallest md5 among all
+    tokens used, so it is everyone's block_tok; equal token counts put
+    them in the same len_bucket. Two near-dup families (1,2) and (3,4)
+    agree within-family on the second-min token; 5 and 6 are unrelated
+    fillers that blow the block population past the cap."""
+    import hashlib as _h
+
+    pool = [f"tok{i}" for i in range(40)]
+    pool.sort(key=lambda t: _h.md5(t.encode()).hexdigest())
+    shared = pool[0]  # min md5 -> block_tok for every doc
+    fam_a = pool[1:6]      # second-min of family A docs: pool[1]
+    fam_b = pool[6:11]     # family B shares pool[6] ... but pool[1] < pool[6]
+    # family B must NOT contain pool[1..5]; its second-min is pool[6]
+    rows = [
+        (1, " ".join([shared] + fam_a)),
+        (2, " ".join([shared] + fam_a[:4] + [pool[30]])),
+        (3, " ".join([shared] + fam_b)),
+        (4, " ".join([shared] + fam_b[:4] + [pool[31]])),
+        (5, " ".join([shared] + pool[11:16])),
+        (6, " ".join([shared] + pool[16:21])),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_block_cap_splits_hot_block(spark):
+    """block_cap sub-splits an oversized block on the second-min md5
+    token: total candidate space shrinks while within-family near-dup
+    pairs (which agree on the second-min token) all survive — the
+    'output-invariance where threshold permits' contract on a fixture
+    where every true pair shares its sub-block."""
+    docs = _hot_block_docs(spark)
+
+    def pairs(**kw):
+        return sorted(
+            (r.doc_id_a, r.doc_id_b)
+            for r in dedup_fuzzy.jaccard_near_dups(
+                docs, threshold=0.6, **kw
+            ).collect()
+        )
+
+    uncapped = pairs()
+    assert uncapped == [(1, 2), (3, 4)], uncapped
+    # cap below the block population: split happens, true pairs survive
+    assert pairs(block_cap=3) == uncapped
+    # cap above the population: sub-blocking is a no-op by construction
+    assert pairs(block_cap=100) == uncapped
+    # sketch path produces identical results under the cap
+    sk = dedup_fuzzy.token_sketch(docs)
+    assert pairs(block_cap=3, sketch=sk) == uncapped
+    # degree passthrough
+    deg = {
+        r.doc_id: r.n_near_dups
+        for r in dedup_fuzzy.near_dup_degree(
+            docs, threshold=0.6, block_cap=3
+        ).collect()
+    }
+    assert deg == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_block_cap_actually_prunes_candidates(spark):
+    """The capped join must consider FEWER candidate pairs: cross-family
+    pairs leave the pair space entirely (different sub-blocks). Checked
+    at threshold=0 where every candidate surfaces."""
+    docs = _hot_block_docs(spark)
+    all_pairs = dedup_fuzzy.jaccard_near_dups(docs, threshold=0.0).count()
+    capped_pairs = dedup_fuzzy.jaccard_near_dups(
+        docs, threshold=0.0, block_cap=3
+    ).count()
+    assert all_pairs == 15  # C(6,2): one hot block
+    assert capped_pairs < all_pairs
+
+
+def test_block_cap_incremental_dedup(spark):
+    """incremental_dedup under block_cap: sub-blocking population is the
+    corpus + surviving batch, both sides split identically, and a large
+    cap reproduces the uncapped output."""
+    docs = _hot_block_docs(spark)
+    existing = docs.filter("doc_id <= 3")
+    incoming = docs.filter("doc_id > 3")
+
+    def kept(**kw):
+        return [
+            r.doc_id
+            for r in dedup_fuzzy.incremental_dedup(
+                existing, incoming, threshold=0.6, **kw
+            ).collect()
+        ]
+
+    # doc 4 is a near-dup of existing doc 3; 5 and 6 are unrelated
+    assert kept() == [5, 6]
+    assert kept(block_cap=100) == [5, 6]
+    # cap=3: (3,4) still share a sub-block -> 4 still blocked
+    assert kept(block_cap=3) == [5, 6]
+
+
+def test_block_cap_requires_block_tok2(spark):
+    """A pre-sub-blocking sketch artifact (no block_tok2 column) must
+    raise when block_cap is requested rather than silently splitting on
+    NULLs."""
+    docs = _hot_block_docs(spark)
+    old_sketch = dedup_fuzzy.token_sketch(docs).drop("block_tok2")
+    with pytest.raises(ValueError, match="block_tok2"):
+        dedup_fuzzy.jaccard_near_dups(docs, block_cap=3, sketch=old_sketch)
+    with pytest.raises(ValueError, match="block_tok2"):
+        dedup_fuzzy.incremental_dedup(
+            docs.filter("doc_id <= 3"), docs.filter("doc_id > 3"),
+            block_cap=3, existing_sketch=old_sketch,
+        )
