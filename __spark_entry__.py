@@ -2539,6 +2539,33 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-level duplicate spans (dedup_fuzzy.
+    duplicate_spans) — the exact-substring dedup modality (Lee et al.
+    2022) the doc-level family (exact/Jaccard/MinHash/SimHash) cannot
+    express: verbatim repeated runs of >= 15 tokens across different
+    docs, located by a sorted k-gram fingerprint join + gaps-and-islands
+    run merge (no suffix array, no pair space). Keep-first semantics:
+    the minimum-id doc owning a gram keeps it; every span row points at
+    a removable copy. Fully deterministic md5 gram hashing, so the span
+    set value-hash-matches the DuckDB window-function twin."""
+    return dedup_fuzzy.duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_len=15
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned-text form of dup_span_report (dedup_fuzzy.
+    remove_duplicate_spans): per doc, tokens covered by a qualifying
+    cross-doc span are removed (the span's min-id home keeps its copy)
+    and the whitespace-normalized cleaned text is emitted with
+    before/removed/span counts — the full post-removal corpus is
+    value-hash-checked, not just the accounting."""
+    return dedup_fuzzy.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_len=15
+    )
+
+
 def q_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-3 neighbors per document (text.
     tfidf_cosine_topk): similarity WITHOUT embeddings via the inverted-
@@ -2676,11 +2703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators in; r7: r6-born operators in, stable IO/metric rows out).
     """
     return {
-        "popular_locations_weekly": q_popular_locations_weekly,
-        "curated_join": q_curated_join,
+        "dup_span_report": q_dup_span_report,
+        "substring_dedup": q_substring_dedup,
+        "customer_stratified_sample": q_customer_stratified_sample,
         "near_dup_jaccard": q_near_dup_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "streaming_user_totals": q_streaming_user_totals,
@@ -2727,6 +2754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_weighted": q_corpus_mixture_weighted,
         "training_mix": q_training_mix,
         # --- past the driver's 50-key correctness window (see docstring)
+        # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
+        "popular_locations_weekly": q_popular_locations_weekly,
+        "curated_join": q_curated_join,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "avg_price_weekly": q_avg_price_weekly,
         "occupancy_monthly": q_occupancy_monthly,
         "top_listings_topk": q_top_listings_topk,
@@ -2785,10 +2816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
         "scd2_user_state": q_scd2_user_state,
-        # born in the tail late-r8 (window already held the round's 10
-        # new rows); oracle-bearing, spot-parity-covered, first in line
-        # for the r9 rotation
-        "customer_stratified_sample": q_customer_stratified_sample,
     }
 
 def oracle_sql() -> dict[str, str]:

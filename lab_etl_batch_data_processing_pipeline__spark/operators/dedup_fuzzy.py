@@ -845,6 +845,155 @@ def winnowing_fingerprints(
     )
 
 
+def _span_tokens(text_col):
+    """The substring-dedup token universe: whitespace tokens of the
+    canonical text WITH POSITIONS preserved (unlike :func:`_token_set`,
+    which is a distinct set). Empty docs yield an empty array."""
+    return F.filter(
+        F.split(normalized_text(text_col), " "), lambda x: x != F.lit("")
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 15,
+) -> DataFrame:
+    """Cross-document SUBSTRING-level duplicate spans — the exact-substring
+    dedup standard for pre-training corpora (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    long verbatim repeats, not whole near-dup documents): one row per
+    maximal repeated span, ``(doc_id, span_start, span_len)`` in token
+    coordinates (1-based, over the normalized whitespace tokens).
+
+    Semantics (deterministic keep-first):
+    - a token k-gram is *duplicated* in doc d iff the same k tokens occur
+      in some doc with a smaller id — every occurrence in the gram's
+      minimum-id doc survives, so repeated content keeps exactly one
+      canonical home and the marking is reproducible by any engine;
+    - consecutive duplicated gram positions merge into runs (classic
+      gaps-and-islands), a run over positions [p1..p2] covers tokens
+      [p1 .. p2+k-1] (length p2-p1+k);
+    - only spans of >= ``min_len`` tokens are reported (short accidental
+      overlaps are noise; Lee et al. use 50 BPE tokens at corpus scale).
+
+    Scale shape — no suffix array, no driver state, no pair space:
+    1. one map-side projection emits (doc_id, pos, md5(gram)) rows —
+       corpus-token-sized, the same order as any tokenizing scan;
+    2. ONE shuffle on the gram hash: a partition-wide window MIN marks
+       positions whose gram has a smaller-id home. (The groupBy +
+       join-back alternative was measured to scan and gram-generate the
+       corpus twice — the window form sorts each gram partition once and
+       keeps the pipeline single-pass. Keys are uniform 128-bit hashes;
+       a boilerplate gram shared by M docs costs M rows in one
+       partition — linear, same as the aggregate's probe side.)
+    3. a per-doc window + aggregate merges runs (duplicated positions
+       only — the skew bound is per-doc duplicated volume, not corpus).
+    Everything is a linear pipeline of shuffles on uniform keys; this is
+    the sorted-fingerprint-join shape a 100 TB corpus needs, where the
+    suffix-array construction the single-node reference tooling would
+    use does not shard.
+
+    k-gram hashing reuses the winnowing machinery's portable md5 grams
+    (:func:`winnowing_fingerprints`), so spans are engine-reproducible
+    and the whole operator is oracle-checkable.
+    """
+    toks = _span_tokens(F.col(text_col))
+    # Generate-barrier (measured footgun: HOF lambdas re-inline aliases
+    # per element): materialize the token array once per row, THEN build
+    # grams off the attribute.
+    base = ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(toks)).alias("toks"),
+    )
+    n = F.size(F.col("toks"))
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                gram_idx,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    min_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    marked = (
+        grams.select("doc_id", "pos", min_doc.alias("min_doc"))
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id", "pos")
+    )
+    island = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        marked.select("doc_id", "pos", island.alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_id", "span_start", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def remove_duplicate_spans(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 15,
+) -> DataFrame:
+    """Cleaned-text form of :func:`duplicate_spans`: every token covered
+    by a qualifying cross-document span is removed, keeping the span's
+    single canonical (minimum-id) home intact. One row per input doc:
+    ``(doc_id, n_tokens, n_removed, n_spans, text)`` where ``text`` is
+    the whitespace-normalized cleaned text (the standard corpus-intake
+    canonical form — original spacing is not preserved).
+
+    Removal is computed MAP-SIDE against the doc's own span list: spans
+    per doc are collected into a (tiny) array, joined back on doc_id, and
+    the token array filters by position containment — no token-row
+    shuffle, no per-doc collect of corpus-scaled state. Overlapping span
+    coverage (runs separated by < k unmarked positions) double-covers
+    some tokens; position-containment removal handles that exactly.
+    """
+    spans = duplicate_spans(documents, id_col, text_col, k, min_len)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("spans")
+    )
+    toks = _span_tokens(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("toks")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    spans_arr = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:int,span_len:int>>"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda s: (i + 1 >= s["span_start"])
+            & (i + 1 < s["span_start"] + s["span_len"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("int").alias("n_removed"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("int").alias("n_spans"),
+        F.array_join(kept, " ").alias("text"),
+    ).orderBy("doc_id")
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,

@@ -134,6 +134,34 @@ FROM ranked WHERE sim_rank <= 5
 """
 
 _TOK_SET = f"list_distinct({_LTOKENS})"
+
+# Cross-document substring dedup twin (dedup_fuzzy.duplicate_spans /
+# remove_duplicate_spans, k=8, min_len=15): positional whitespace tokens
+# of the canonical text, md5 k-gram per position, min-id gram home,
+# gaps-and-islands run merge — identical arithmetic on both engines.
+_SPAN_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+_SPAN_PIPELINE = f"""
+  base AS (SELECT doc_id, {_SPAN_TOKS} AS toks FROM documents),
+  grams AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(toks[i:i+7], ' ')) AS gram
+    FROM base, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+    WHERE len(toks) >= 8),
+  gmin AS (SELECT gram, MIN(doc_id) AS min_doc FROM grams GROUP BY 1),
+  marked AS (
+    SELECT g.doc_id, g.pos FROM grams g JOIN gmin USING (gram)
+    WHERE g.doc_id > gmin.min_doc),
+  islands AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM marked),
+  spans AS (
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) - MIN(pos) + 8 AS span_len
+    FROM islands GROUP BY doc_id, isl
+    HAVING MAX(pos) - MIN(pos) + 8 >= 15)"""
 def _jaccard_sql(threshold: float) -> str:
     return f"""
 WITH prep AS (
@@ -1561,6 +1589,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (SELECT doc_id FROM exact_surv)
               AND doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
+        """,
+        # Cross-document substring dedup twins (_SPAN_PIPELINE): span
+        # report and the full post-removal corpus, value-hash-checked.
+        "dup_span_report": f"""
+            WITH {_SPAN_PIPELINE}
+            SELECT doc_id, CAST(span_start AS INT) AS span_start,
+                   CAST(span_len AS INT) AS span_len
+            FROM spans ORDER BY doc_id, span_start
+        """,
+        "substring_dedup": f"""
+            WITH {_SPAN_PIPELINE},
+            covered AS (
+              SELECT DISTINCT doc_id, c AS pos
+              FROM spans,
+                   UNNEST(generate_series(span_start,
+                                          span_start + span_len - 1)) AS t(c)),
+            tok_rows AS (
+              SELECT doc_id, i AS pos, toks[i] AS tok
+              FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM tok_rows t
+              ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id),
+            cov_n AS (SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY 1),
+            sp_n AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1)
+            SELECT b.doc_id, CAST(len(b.toks) AS INT) AS n_tokens,
+                   CAST(COALESCE(cn.n_removed, 0) AS INT) AS n_removed,
+                   CAST(COALESCE(sn.n_spans, 0) AS INT) AS n_spans,
+                   COALESCE(a.text, '') AS text
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN cov_n cn USING (doc_id)
+            LEFT JOIN sp_n sn USING (doc_id)
+            ORDER BY b.doc_id
         """,
         # Sparse TF-IDF cosine twin: identical tf/(df+1) weights, the
         # same df-pruned vocabulary, and the same 2^-20 fixed-point

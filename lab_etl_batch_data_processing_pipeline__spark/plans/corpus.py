@@ -101,6 +101,8 @@ def corpus_prep(
     normalize: bool = False,
     sketch: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    substring_min_len: int | None = None,
+    substring_k: int = 8,
 ) -> DataFrame:
     """Return the cleaned corpus: columns (doc_id, text, *keep_cols,
     quality_score), quality-gated, exact- and near-deduplicated.
@@ -134,6 +136,16 @@ def corpus_prep(
     parameters (num_hashes=32, shingle_size=1, portable=False).
     Incompatible with ``normalize=True`` — normalization changes the
     text the sketch would have to reflect.
+
+    ``substring_min_len`` arms the final intake stage: cross-document
+    SUBSTRING-level dedup (dedup_fuzzy.remove_duplicate_spans) over the
+    doc-level survivors — verbatim runs of >= ``substring_min_len``
+    tokens repeated from a smaller-id doc are cut out of the text
+    (keep-first), the removal the doc-level funnel cannot express
+    because both docs survive it. Runs AFTER near-dedup so the gram
+    join never pays for docs the funnel already dropped. Output text
+    becomes whitespace-normalized (the removal operator's canonical
+    form); off by default to keep the oracle-checked funnel byte-exact.
     """
     if normalize and (sketch is not None or sigs is not None):
         raise ValueError(
@@ -236,5 +248,15 @@ def corpus_prep(
     # would otherwise execute the whole near-dup pipeline a second time
     # just to pick sort boundaries. The cache holds doc ids only — the
     # smallest frame in the funnel.
-    result = exact_unique.join(to_drop, "doc_id", "left_anti").orderBy("doc_id")
+    result = exact_unique.join(to_drop, "doc_id", "left_anti")
+    if substring_min_len is not None:
+        cleaned = dedup_fuzzy.remove_duplicate_spans(
+            result, "doc_id", "text", k=substring_k, min_len=substring_min_len
+        ).select("doc_id", "text")
+        result = (
+            result.drop("text")
+            .join(cleaned, "doc_id")
+            .select("doc_id", "text", *keep_cols, "quality_score")
+        )
+    result = result.orderBy("doc_id")
     return _unpersist_with(_unpersist_with(result, exact_unique), to_drop)

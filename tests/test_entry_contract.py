@@ -122,8 +122,10 @@ TAIL_KEYS = {
     "event_type_skew": "test_spot_oracle_parity",
     "session_window_rollup": "test_spot_oracle_parity",
     "scd2_user_state": "test_spot_oracle_parity",
-    # born in the tail late-r8 (window full); first in line for r9
-    "customer_stratified_sample": "test_spot_oracle_parity",
+    # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
+    "popular_locations_weekly": "test_spot_oracle_parity",
+    "curated_join": "test_spot_oracle_parity",
+    "ann_cosine_topk": "test_spot_oracle_parity",
 }
 
 
@@ -202,7 +204,9 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "event_type_skew",
         "session_window_rollup",
         "scd2_user_state",
-        "customer_stratified_sample",
+        "popular_locations_weekly",
+        "curated_join",
+        "ann_cosine_topk",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

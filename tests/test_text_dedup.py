@@ -621,3 +621,86 @@ def test_block_cap_requires_block_tok2(spark):
             docs.filter("doc_id <= 3"), docs.filter("doc_id > 3"),
             block_cap=3, existing_sketch=old_sketch,
         )
+
+
+def test_duplicate_spans_keep_first(spark):
+    """Substring-level dedup semantics: a 20-token run copied across
+    docs is reported (and removed) in every doc except its minimum-id
+    home; subset copies count too; disjoint docs untouched."""
+    shared = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro tokens here " + shared + " tail one"),
+            (2, "totally different beginning " + shared + " other ending words"),
+            (3, "nothing in common with anyone at all whatsoever"),
+            (4, shared),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        tuple(r) for r in dedup_fuzzy.duplicate_spans(docs, k=8, min_len=15).collect()
+    )
+    assert spans == [(2, 4, 20), (4, 1, 20)]
+    cleaned = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_spans, r.text)
+        for r in dedup_fuzzy.remove_duplicate_spans(docs, k=8, min_len=15).collect()
+    }
+    assert cleaned[1] == (25, 0, 0, ("intro tokens here " + shared + " tail one"))
+    assert cleaned[2] == (26, 20, 1, "totally different beginning other ending words")
+    assert cleaned[3][1:3] == (0, 0)
+    assert cleaned[4] == (20, 20, 1, "")
+
+
+def test_duplicate_spans_min_len_and_short_docs(spark):
+    """Runs shorter than min_len are not reported; docs shorter than k
+    tokens emit no grams (and survive removal untouched); empty text is
+    safe."""
+    short_shared = " ".join(f"s{i}" for i in range(10))  # 10 < min_len=15
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + short_shared),
+            (2, short_shared + " x y z"),
+            (3, "tiny doc"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    assert dedup_fuzzy.duplicate_spans(docs, k=8, min_len=15).count() == 0
+    out = {r.doc_id: r for r in
+           dedup_fuzzy.remove_duplicate_spans(docs, k=8, min_len=15).collect()}
+    assert out[2].n_removed == 0 and out[2].text.endswith("x y z")
+    assert out[3].n_tokens == 2 and out[4].n_tokens == 0
+    # min_len low enough: the 10-gram run IS removed from doc 2 only
+    spans = sorted(
+        tuple(r)
+        for r in dedup_fuzzy.duplicate_spans(docs, k=8, min_len=10).collect()
+    )
+    assert spans == [(2, 1, 10)]
+
+
+def test_corpus_prep_substring_stage(spark):
+    """corpus_prep(substring_min_len=...) composes the substring-removal
+    stage after doc-level dedup: equals the manual composition of
+    corpus_prep -> remove_duplicate_spans, schema unchanged."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = corpus_prep(docs, min_quality=0.0)
+    fused = corpus_prep(docs, min_quality=0.0, substring_min_len=15)
+    assert fused.columns == base.columns
+    manual = (
+        base.drop("text")
+        .join(
+            dedup_fuzzy.remove_duplicate_spans(base, min_len=15).select(
+                "doc_id", "text"
+            ),
+            "doc_id",
+        )
+        .select(*base.columns)
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, manual.collect()))
+    # the stage actually removes something on the dense fixture
+    removed = fused.join(base, "doc_id").filter(
+        fused["text"] != base["text"]
+    ).count()
+    assert removed > 0
