@@ -39,7 +39,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     skew,
     text,
 )
-from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs
+from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs, vector_funcs
 from lab_etl_batch_data_processing_pipeline__spark import oracles as _oracles
 from lab_etl_batch_data_processing_pipeline__spark.oracles import MIXTURE_WEIGHTS
 from lab_etl_batch_data_processing_pipeline__spark.sources import (
@@ -603,6 +603,97 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="label",
         threshold=0.2,
     )
+
+
+#: semantic_dedup gate threshold — chosen so the sf fixtures both keep
+#: and drop vectors (~40% drop; the gate is vacuous at a threshold
+#: nothing crosses — measured: 0.5 drops ~0, 0.2 drops ~75%)
+_SEMANTIC_DEDUP_T = 0.3
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level corpus prune (similarity.semantic_dedup — the
+    SemDeDup recipe): IVF cells (shared materialized index when built),
+    per-cell greedy min-id survivors at cosine >= 0.3. Invariant-gate
+    oracle row (the _ann_recall pattern): Spark RE-VERIFIES the
+    structural characterization that uniquely pins the greedy output —
+    (a) output ids partition the input, (b) some vector survives,
+    (c) no two kept vectors in one cell are near-dups, (d) every dropped
+    vector names an earlier-id kept culprit at/above threshold — with
+    exact JVM-side cosine joins over the kept/dropped slices (never the
+    corpus square). DuckDB recomputes n_vecs and asserts the booleans
+    TRUE. Boundary slack 1e-6 absorbs numpy-vs-codegen summation-order
+    ulps; a real survivor-structure regression flips a boolean and the
+    value hash. Abbas et al. 2023; composes with corpus intake via
+    corpus_prep's doc-level stages."""
+    emb = _t(spark, sf_dir, "embeddings")
+    p = _IVF_PARAMS
+    rep = similarity.semantic_dedup(
+        emb, threshold=_SEMANTIC_DEDUP_T, nlist=p["nlist"], seed=p["seed"],
+        max_iter=p["max_iter"], index_dir=_ivf_index_dir(sf_dir),
+    ).localCheckpoint()  # 3 verification consumers; never recompute KMeans
+    t = _SEMANTIC_DEDUP_T
+    kept = rep.filter("kept").join(emb, "vec_id").select(
+        "vec_id", "cell", "embedding"
+    )
+    ka, kb = kept.alias("ka"), kept.alias("kb")
+    n_kept_near_pairs = (
+        ka.join(
+            kb,
+            (F.col("ka.cell") == F.col("kb.cell"))
+            & (F.col("ka.vec_id") < F.col("kb.vec_id")),
+        )
+        .filter(
+            vector_funcs.cosine_similarity(
+                F.col("ka.embedding"), F.col("kb.embedding")
+            )
+            >= t + 1e-6
+        )
+        .count()
+    )
+    dropped = rep.filter(~F.col("kept"))
+    kept_ids = rep.filter("kept").select(F.col("vec_id").alias("matched_id"))
+    stats = rep.agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+    ).first()
+    n_dropped = stats.n_out - stats.n_kept
+    n_culprit_ok = (
+        dropped.join(kept_ids, "matched_id", "left_semi")
+        .filter(F.col("matched_id") < F.col("vec_id"))
+        .join(emb, "vec_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("matched_id"),
+                F.col("embedding").alias("m_emb"),
+            ),
+            "matched_id",
+        )
+        .filter(
+            vector_funcs.cosine_similarity(F.col("embedding"), F.col("m_emb"))
+            >= t - 1e-6
+        )
+        .count()
+    )
+    n_vecs = emb.count()
+    n_out = stats.n_out
+    n_out_distinct_in_input = (
+        rep.select("vec_id").distinct().join(emb, "vec_id", "left_semi").count()
+    )
+    row = spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                n_out == n_vecs and n_out_distinct_in_input == n_vecs,
+                n_out - n_dropped >= 1,
+                n_kept_near_pairs == 0,
+                n_culprit_ok == n_dropped,
+            )
+        ],
+        "n_vecs long, ids_valid boolean, kept_nonempty boolean, "
+        "no_kept_near_pair boolean, dropped_have_culprit boolean",
+    )
+    return row
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2706,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_report": q_dup_span_report,
         "substring_dedup": q_substring_dedup,
         "customer_stratified_sample": q_customer_stratified_sample,
+        "semantic_dedup": q_semantic_dedup,
         "near_dup_jaccard": q_near_dup_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -2713,7 +2805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_totals": q_streaming_user_totals,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
-        "doc_normalize": q_doc_normalize,
         "char_lm_scores": q_char_lm_scores,
         "part_unpivot": q_part_unpivot,
         "orders_expectations": q_orders_expectations,
@@ -2758,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "doc_normalize": q_doc_normalize,
         "avg_price_weekly": q_avg_price_weekly,
         "occupancy_monthly": q_occupancy_monthly,
         "top_listings_topk": q_top_listings_topk,

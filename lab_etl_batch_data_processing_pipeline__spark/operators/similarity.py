@@ -620,6 +620,104 @@ def cosine_topk_ivf(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 4,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """Embedding-level corpus prune (the SemDeDup recipe, Abbas et al.
+    2023 "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster vectors into IVF cells, then within each
+    cell greedily keep the MINIMUM-ID survivor set — a vector is dropped
+    iff its cosine to some earlier-id KEPT vector in the same cell is
+    >= ``threshold``. Complements the token-level dedup family: it
+    removes *semantic* re-statements (translations, paraphrases,
+    re-renders) that share no token n-grams.
+
+    Returns one row per input vector: ``(vec_id, cell, kept,
+    matched_id)`` — ``matched_id`` is the kept vector that caused the
+    drop (highest cosine, smallest id on ties), NULL for kept rows.
+    Filter ``kept`` for the pruned corpus; keep the report for audit.
+
+    Determinism: the greedy survivor rule makes the kept set the UNIQUE
+    set S per cell with (a) no two members of S cosine >= threshold
+    where one precedes the other, and (b) every non-member dominated by
+    an earlier member of S — the same min-id canonicalization as the
+    Jaccard funnels, so reruns and engines agree given the cell
+    assignment (KMeans is seeded with bounded iterations, and the
+    at-scale path probes a MATERIALIZED index, where assignment is
+    read, not recomputed).
+
+    Scale shape: cells are the unit of work (applyInPandas per cell,
+    numpy kept-matrix @ vector products — O(|cell| x |kept| x dim) per
+    cell, embarrassingly parallel across cells). nlist bounds cell size:
+    size the index so cells fit an executor (the same contract as the
+    IVF probe path). Nothing quadratic in the corpus materializes — the
+    verify joins in the gate query run over kept-only or dropped-only
+    slices. Reuses a materialized IVF index (``index_dir``, _BUILT
+    sentinel contract) so the clustering is an offline artifact shared
+    with the ANN family; without one it builds in-memory cells.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
+        _check_built(index_dir, kind="ivf")
+        inverted, _ = read_ivf_index(corpus.sparkSession, index_dir)
+    elif nlist <= 1:
+        # global greedy (no clustering): exact, single cell — the small-
+        # corpus / unit-test form; KMeans itself requires k >= 2
+        inverted = corpus.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).alias("cell")
+        )
+    else:
+        inverted, _ = build_ivf_index(
+            corpus, nlist, id_col, vec_col, seed, max_iter, index_dir
+        )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cos := 0, always kept
+        mat = mat / norms[:, None]
+        kept_rows: list[int] = []
+        kept_flags = np.zeros(len(pdf), dtype=bool)
+        matched = np.full(len(pdf), -1, dtype=np.int64)
+        for i in range(len(pdf)):
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                j = int(np.argmax(sims))  # first max -> smallest kept id
+                if sims[j] >= threshold:
+                    matched[i] = pdf[id_col].iloc[kept_rows[j]]
+                    continue
+            kept_rows.append(i)
+            kept_flags[i] = True
+        return pd.DataFrame(
+            {
+                "vec_id": pdf[id_col],
+                "cell": pdf["cell"],
+                "kept": kept_flags,
+                "matched_id": pd.array(
+                    [None if m < 0 else m for m in matched], dtype="Int64"
+                ),
+            }
+        )
+
+    return (
+        inverted.select(F.col(id_col), F.col(vec_col), "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            prune, "vec_id long, cell int, kept boolean, matched_id long"
+        )
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

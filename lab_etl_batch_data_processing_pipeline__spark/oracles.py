@@ -1590,6 +1590,17 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
         """,
+        # Semantic-dedup gate twin: the exact side (input cardinality) is
+        # recomputed and the structural invariants — which uniquely pin
+        # the greedy per-cell survivor set given the cell assignment —
+        # are asserted TRUE; Spark computes them with real verification
+        # joins, so a survivor-structure regression flips the hash.
+        "semantic_dedup": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS ids_valid,
+                   TRUE AS kept_nonempty, TRUE AS no_kept_near_pair,
+                   TRUE AS dropped_have_culprit
+            FROM embeddings
+        """,
         # Cross-document substring dedup twins (_SPAN_PIPELINE): span
         # report and the full post-removal corpus, value-hash-checked.
         "dup_span_report": f"""

@@ -126,6 +126,7 @@ TAIL_KEYS = {
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
+    "doc_normalize": "test_spot_oracle_parity",
 }
 
 
@@ -207,6 +208,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",
+        "doc_normalize",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

@@ -296,3 +296,45 @@ def test_ivfpq_residual_mode_matches_bruteforce(clustered_vectors, tmp_path):
         clustered_vectors.sparkSession, str(tmp_path / "res")
     )
     assert plain_coded.count() == 60
+
+
+def test_semantic_dedup_greedy_semantics(spark):
+    """SemDeDup greedy rule on one forced cell: the earliest-id vector
+    of each near-dup group survives, later members name it as culprit,
+    dissimilar vectors all survive; output is a deterministic partition
+    of the input."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.04]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),
+        (6, [0.0, 0.0, 0.0]),      # zero vector: cos := 0, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {r.vec_id: r for r in
+           semantic_dedup(emb, threshold=0.9, nlist=1).collect()}
+    assert len(rep) == 6
+    assert [rep[i].kept for i in (1, 2, 3, 4, 5, 6)] == [
+        True, False, True, False, True, True
+    ]
+    assert rep[2].matched_id == 1 and rep[4].matched_id == 3
+    assert all(rep[i].matched_id is None for i in (1, 3, 5, 6))
+    # determinism: a rerun agrees exactly
+    rep2 = {r.vec_id: tuple(r) for r in
+            semantic_dedup(emb, threshold=0.9, nlist=1).collect()}
+    assert rep2 == {k: tuple(v) for k, v in rep.items()}
+
+
+def test_semantic_dedup_gate_query(spark):
+    """The registry gate row must assert every invariant TRUE on the real
+    fixture (the DuckDB twin emits literal TRUEs — a FALSE here is
+    exactly what the driver would catch as a hash mismatch)."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.q_semantic_dedup(spark, "/root/testdata/sf0.001").first()
+    assert row.n_vecs == 500
+    assert row.ids_valid and row.kept_nonempty
+    assert row.no_kept_near_pair and row.dropped_have_culprit
