@@ -1590,6 +1590,16 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
         """,
+        # Quality-classifier gate twin: the weak-label populations
+        # (doc_stats quality_score >= 0.8) are recomputed exactly and
+        # the per-class accuracy floor is asserted TRUE — Spark's side
+        # computes the booleans from the actually-trained deterministic
+        # model, so a training/scoring regression flips the hash.
+        "quality_classifier": f"""
+            SELECT CAST(quality_score >= 0.8 AS INT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS acc_ok
+            FROM ({_DOC_STATS_SQL}) GROUP BY 1 ORDER BY 1
+        """,
         # Semantic-dedup gate twin: the exact side (input cardinality) is
         # recomputed and the structural invariants — which uniquely pin
         # the greedy per-cell survivor set given the cell assignment —

@@ -127,6 +127,7 @@ TAIL_KEYS = {
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
     "doc_normalize": "test_spot_oracle_parity",
+    "char_lm_scores": "test_spot_oracle_parity",
 }
 
 
@@ -209,6 +210,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "curated_join",
         "ann_cosine_topk",
         "doc_normalize",
+        "char_lm_scores",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
