@@ -30,11 +30,30 @@ Recipe shape::
       },
     }
 
-Steps run in order; each is EITHER ``{"sql": ...}`` (referencing any
-prior step/table as a view) or ``{"op": ...}`` naming a registered
-operator (df-first callable; extra ``args`` pass through). ``outputs``
-maps step names to sinks — the only actions; everything before stays
-one lazy plan per sink.
+Steps run in order; each is ONE OF ``{"sql": ...}`` (referencing any
+prior step/table as a view), ``{"op": ...}`` naming a registered
+operator (df-first callable; extra ``args`` pass through), or
+``{"expect": ...}`` — a VALIDATION GATE::
+
+    {"name": "orders_gate", "expect": {
+        "input": "cleaned",
+        "rules": [{"name": "pk", "kind": "unique", "column": "order_id"},
+                  {"name": "fk", "kind": "foreign_key", "column": "cust_id",
+                   "ref": "customers", "ref_column": "c_custkey"}],
+        "on_fail": "raise",          # default; "report" records only
+    }}
+
+The gate runs :func:`cleaning.expectation_report` over the named input
+(rule ``ref`` names resolve against prior steps/tables); with
+``on_fail: "raise"`` (the default) any violated rule aborts the run
+BEFORE any output is written — the read→clean→expect→write pipeline is
+then fully expressible as data, with the gate's placement guaranteeing
+nothing lands in the sink on dirty input. The report frame registers
+under the step name either way, so a passing gate is still auditable
+(and writable as an output).
+
+``outputs`` maps step names to sinks — the only actions; everything
+before stays one lazy plan per sink.
 
 At 100 TB this is also the governance surface: recipes are reviewable,
 diffable artifacts, and every operator they can invoke already carries
@@ -101,6 +120,11 @@ OP_REGISTRY: dict[str, Callable[..., DataFrame]] = {
 }
 
 
+class RecipeExpectationError(RuntimeError):
+    """Raised by an ``expect`` gate whose rules are violated (on_fail =
+    'raise'): the recipe aborts before any declared output executes."""
+
+
 def _resolve_schema(spec_schema) -> T.StructType:
     """A table spec's schema may be a StructType, a reference-layer table
     name (schemas.RAW_TABLES), or a DDL string ("a int, b string")."""
@@ -140,6 +164,29 @@ def run_recipe(
         name = step["name"]
         if "sql" in step:
             df = spark.sql(step["sql"])
+        elif "expect" in step:
+            spec = step["expect"]
+            refs = {
+                ref: frames[ref]
+                for rule in spec.get("rules", [])
+                if (ref := rule.get("ref")) is not None
+            }
+            df = cleaning.expectation_report(
+                frames[spec["input"]], spec.get("rules", []), ref_tables=refs
+            )
+            if spec.get("on_fail", "raise") == "raise":
+                # the gate is the one place a recipe is ALLOWED to act
+                # mid-plan: a failed expectation must abort before any
+                # output write executes
+                failed = [
+                    (r["rule"], r["n_violations"])
+                    for r in df.collect()
+                    if not r["passed"]
+                ]
+                if failed:
+                    raise RecipeExpectationError(
+                        f"recipe gate {name!r} failed: {failed}"
+                    )
         elif "op" in step:
             op = OP_REGISTRY.get(step["op"])
             if op is None:
@@ -157,7 +204,9 @@ def run_recipe(
             }
             df = op(*dfs, **frame_kwargs, **(step.get("args") or {}))
         else:
-            raise ValueError(f"recipe step {name!r}: needs 'sql' or 'op'")
+            raise ValueError(
+                f"recipe step {name!r}: needs 'sql', 'op', or 'expect'"
+            )
         if step.get("checkpoint"):
             # Eager lineage cut, declared in data: a step whose output
             # feeds multiple downstream subtrees would otherwise re-run
