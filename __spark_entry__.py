@@ -42,6 +42,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     text,
 )
 from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs, vector_funcs
+from lab_etl_batch_data_processing_pipeline__spark import artifacts as _art
 from lab_etl_batch_data_processing_pipeline__spark import oracles as _oracles
 from lab_etl_batch_data_processing_pipeline__spark.oracles import MIXTURE_WEIGHTS
 from lab_etl_batch_data_processing_pipeline__spark.sources import (
@@ -285,37 +286,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_fuzzy.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-def _query_vectors(emb: DataFrame) -> DataFrame:
-    return emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-
-
-def _ground_truth_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Exact top-k neighbor ground truth for the standard query set,
-    materialized once per corpus version (parquet, mtime+k-tagged cache).
-
-    This is how ANN recall monitoring actually operates at scale: the
-    exact side is an offline batch artifact recomputed per corpus
-    release, and every gate/probe evaluation reads it — three recall
-    gates re-deriving brute force inline would triple the most expensive
-    scan in the suite. Cache validity follows the IVF-index pattern
-    (_SUCCESS of a plain parquet write; parameter in the tag)."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}-k{k}"
-    )
-    gt_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".cache", "ann_gt", tag
-    )
-    if not os.path.isfile(os.path.join(gt_dir, "_SUCCESS")):
-        emb = _t(spark, sf_dir, "embeddings")
-        similarity.cosine_topk_bruteforce(emb, _query_vectors(emb), k=k).select(
-            "query_id", "neighbor_id"
-        ).write.mode("overwrite").parquet(gt_dir)
-    return spark.read.parquet(gt_dir)
+# Offline artifact & cache layer: lives in the package (artifacts.py);
+# re-bound here because query bodies, bench, and tests address these
+# names through this module.
+_query_vectors = _art._query_vectors
+_ground_truth_topk = _art._ground_truth_topk
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,85 +592,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level corpus prune (similarity.semantic_dedup — the
     SemDeDup recipe): IVF cells (shared materialized index when built),
     per-cell greedy min-id survivors at cosine >= 0.3. Invariant-gate
-    oracle row (the _ann_recall pattern): Spark RE-VERIFIES the
-    structural characterization that uniquely pins the greedy output —
-    (a) output ids partition the input, (b) some vector survives,
-    (c) no two kept vectors in one cell are near-dups, (d) every dropped
-    vector names an earlier-id kept culprit at/above threshold — with
-    exact JVM-side cosine joins over the kept/dropped slices (never the
-    corpus square). DuckDB recomputes n_vecs and asserts the booleans
-    TRUE. Boundary slack 1e-6 absorbs numpy-vs-codegen summation-order
-    ulps; a real survivor-structure regression flips a boolean and the
-    value hash. Abbas et al. 2023; composes with corpus intake via
-    corpus_prep's doc-level stages."""
+    oracle row (the _ann_recall pattern) computed by
+    similarity.semantic_dedup_gate: Spark RE-VERIFIES the structural
+    characterization that uniquely pins the greedy output with exact
+    JVM-side cosine joins; DuckDB recomputes n_vecs and asserts the
+    booleans TRUE. A survivor-structure regression flips a boolean and
+    the value hash."""
     emb = _t(spark, sf_dir, "embeddings")
     p = _IVF_PARAMS
     rep = similarity.semantic_dedup(
         emb, threshold=_SEMANTIC_DEDUP_T, nlist=p["nlist"], seed=p["seed"],
         max_iter=p["max_iter"], index_dir=_ivf_index_dir(sf_dir),
-    ).localCheckpoint()  # 3 verification consumers; never recompute KMeans
-    t = _SEMANTIC_DEDUP_T
-    kept = rep.filter("kept").join(emb, "vec_id").select(
-        "vec_id", "cell", "embedding"
     )
-    ka, kb = kept.alias("ka"), kept.alias("kb")
-    n_kept_near_pairs = (
-        ka.join(
-            kb,
-            (F.col("ka.cell") == F.col("kb.cell"))
-            & (F.col("ka.vec_id") < F.col("kb.vec_id")),
-        )
-        .filter(
-            vector_funcs.cosine_similarity(
-                F.col("ka.embedding"), F.col("kb.embedding")
-            )
-            >= t + 1e-6
-        )
-        .count()
-    )
-    dropped = rep.filter(~F.col("kept"))
-    kept_ids = rep.filter("kept").select(F.col("vec_id").alias("matched_id"))
-    stats = rep.agg(
-        F.count(F.lit(1)).alias("n_out"),
-        F.sum(F.col("kept").cast("int")).alias("n_kept"),
-    ).first()
-    n_dropped = stats.n_out - stats.n_kept
-    n_culprit_ok = (
-        dropped.join(kept_ids, "matched_id", "left_semi")
-        .filter(F.col("matched_id") < F.col("vec_id"))
-        .join(emb, "vec_id")
-        .join(
-            emb.select(
-                F.col("vec_id").alias("matched_id"),
-                F.col("embedding").alias("m_emb"),
-            ),
-            "matched_id",
-        )
-        .filter(
-            vector_funcs.cosine_similarity(F.col("embedding"), F.col("m_emb"))
-            >= t - 1e-6
-        )
-        .count()
-    )
-    n_vecs = emb.count()
-    n_out = stats.n_out
-    n_out_distinct_in_input = (
-        rep.select("vec_id").distinct().join(emb, "vec_id", "left_semi").count()
-    )
-    row = spark.createDataFrame(
-        [
-            (
-                n_vecs,
-                n_out == n_vecs and n_out_distinct_in_input == n_vecs,
-                n_out - n_dropped >= 1,
-                n_kept_near_pairs == 0,
-                n_culprit_ok == n_dropped,
-            )
-        ],
-        "n_vecs long, ids_valid boolean, kept_nonempty boolean, "
-        "no_kept_near_pair boolean, dropped_have_culprit boolean",
-    )
-    return row
+    return similarity.semantic_dedup_gate(emb, rep, _SEMANTIC_DEDUP_T)
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,85 +842,28 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_recipe_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five-stage training_mix composition expressed as DATA — a
-    declarative recipe (plans/recipe.py) instead of hand-built DataFrame
-    code: corpus_prep funnel (op step, checkpointed via the recipe's
-    ``checkpoint`` flag — same lineage cut q_training_mix does by hand),
-    decontamination (two-input op step), contamination filter + survivor
-    semi-join + final mixture aggregate (SQL steps). Shares
-    q_training_mix's oracle, so the interpreter is pinned to produce
-    value-identical results to the imperative form — the governance
-    story: the full training-data intake is now a reviewable, diffable
-    dict. Hash-equality with q_training_mix is also pinned in
-    tests/test_recipe.py."""
-    from lab_etl_batch_data_processing_pipeline__spark.plans.recipe import run_recipe
+    declarative recipe (plans/recipe.py training_mix_recipe) instead of
+    hand-built DataFrame code. Shares q_training_mix's oracle, so the
+    interpreter is pinned to produce value-identical results to the
+    imperative form — the governance story: the full training-data
+    intake is a reviewable, diffable dict. Hash-equality with
+    q_training_mix is also pinned in tests/test_recipe.py. The shared
+    token-sketch artifact slots in as a frame_arg when built (bench
+    path); absent, the funnel tokenizes inline (driver path) — values
+    identical either way (test_precomputed_sketch_matches_inline)."""
+    from lab_etl_batch_data_processing_pipeline__spark.plans.recipe import (
+        run_recipe,
+        training_mix_recipe,
+    )
 
-    funnel_step = {
-        "name": "rtm_funnel",
-        "op": "corpus_prep",
-        "input": "rtm_documents",
-        "args": {"min_quality": 0.5, "jaccard_threshold": 0.5},
-        "checkpoint": True,
-    }
-    recipe = {
-        "tables": {
-            "rtm_documents": {
-                "format": "parquet",
-                "path": f"{sf_dir}/documents.parquet",
-            },
-        },
-        "steps": [
-            funnel_step,
-            {
-                "name": "rtm_corpus",
-                "sql": "SELECT doc_id, text, source FROM rtm_funnel",
-            },
-            {
-                "name": "rtm_benchmark",
-                "sql": "SELECT * FROM rtm_documents WHERE doc_id % 50 = 0",
-            },
-            {
-                "name": "rtm_contam",
-                "op": "decontaminate",
-                "inputs": ["rtm_corpus", "rtm_benchmark"],
-                "args": {"n": 8},
-            },
-            {
-                "name": "rtm_clean",
-                "sql": """
-                    SELECT c.* FROM rtm_corpus c
-                    LEFT SEMI JOIN (
-                        SELECT doc_id FROM rtm_contam WHERE NOT is_contaminated
-                    ) k ON c.doc_id = k.doc_id
-                """,
-            },
-            {
-                "name": "rtm_sampled",
-                "op": "mixture_sample",
-                "input": "rtm_clean",
-                "args": {"budget_tokens": 500, "weights": MIXTURE_WEIGHTS},
-            },
-            {
-                "name": "rtm_mix",
-                "sql": """
-                    SELECT source, keep_thresh,
-                           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
-                           SUM(n_tokens) AS tokens_kept
-                    FROM rtm_sampled
-                    GROUP BY source, keep_thresh
-                    ORDER BY source
-                """,
-            },
-        ],
-    }
-    # the shared token-sketch artifact slots in as a frame_arg when built
-    # (bench path); absent, the funnel tokenizes inline (driver path) —
-    # values identical either way (test_precomputed_sketch_matches_inline)
-    if _doc_sketch(spark, sf_dir) is not None:
-        recipe["tables"]["rtm_sketch"] = {
-            "format": "parquet",
-            "path": os.path.join(_toksketch_dir(sf_dir), "sketch"),
-        }
-        funnel_step["frame_args"] = {"sketch": "rtm_sketch"}
+    sketch_path = (
+        os.path.join(_toksketch_dir(sf_dir), "sketch")
+        if _doc_sketch(spark, sf_dir) is not None
+        else None
+    )
+    recipe = training_mix_recipe(
+        sf_dir, MIXTURE_WEIGHTS, sketch_path=sketch_path
+    )
     return run_recipe(spark, recipe, execute_outputs=False)["rtm_mix"]
 
 
@@ -1141,227 +993,20 @@ def q_doc_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Build parameters for the benched IVF index; part of the cache tag so a
 # parameter change invalidates the materialized artifact.
-_IVF_PARAMS = {"nlist": 8, "seed": 42, "max_iter": 4}
-
-
-def _ivf_index_dir(sf_dir: str) -> str:
-    """Repo-local cache dir for the materialized IVF index of one corpus.
-
-    Keyed by sf name + source-file mtime/size + build parameters so a
-    regenerated testdata parquet OR a parameter change invalidates the
-    cache. This is the at-scale operating shape: the index is built once
-    (offline job), queries only probe it.
-    """
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    p = _IVF_PARAMS
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-        f"-nl{p['nlist']}-s{p['seed']}-it{p['max_iter']}"
-    )
-    return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "ivf", tag)
-
-
-_PQ_PARAMS = {"m": 16, "ksub": 32, "seed": 42, "rerank": 100}
-
-
-def _pq_index_dir(sf_dir: str) -> str:
-    """Repo-local cache dir for the materialized PQ index (codebooks +
-    encoded corpus) of one corpus — same keying contract as
-    _ivf_index_dir: sf name + source mtime/size + build parameters."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    p = _PQ_PARAMS
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-        f"-m{p['m']}-k{p['ksub']}-s{p['seed']}"
-    )
-    return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "pq", tag)
-
-
-_IVFPQ_PARAMS = {
-    "nlist": 8, "nprobe": 3, "m": 16, "ksub": 32, "seed": 42, "rerank": 100,
-}
-
-
-def _ivfpq_index_dir(sf_dir: str) -> str:
-    """Cache dir for the composed IVF×PQ index (coded cells + centroids
-    + codebooks) — same keying contract as _ivf_index_dir."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    p = _IVFPQ_PARAMS
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-        f"-nl{p['nlist']}-m{p['m']}-k{p['ksub']}-s{p['seed']}"
-    )
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".cache", "ivfpq", tag
-    )
-
-
-def _sweep_stale_cache(parent: str, keep: str) -> None:
-    """Best-effort removal of cache tags superseded by a newer testdata
-    generation of the SAME scale factor (the driver regenerates
-    /root/testdata between rounds, so mtime+size tags rotate and dead
-    dirs would otherwise accumulate forever — same hygiene as the Derby
-    cache sweep). Tags are '<sf>-<mtime>-<size>'; other SFs' caches are
-    live and stay."""
-    if not os.path.isdir(parent):
-        return
-    sf_prefix = keep.split("-", 1)[0] + "-"
-    for name in os.listdir(parent):
-        if name != keep and name.startswith(sf_prefix):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
-
-
-def _gen_tag(sf_dir: str, src: str = "orders.parquet") -> str:
-    """Cache tag for one testdata generation: '<sf>-<mtime>-<size>' of a
-    representative table file — rotates whenever the driver regenerates
-    /root/testdata."""
-    st = os.stat(os.path.join(sf_dir, src))
-    return (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-{int(st.st_mtime)}-{st.st_size}"
-    )
-
-
-#: length_bucket of the shared Jaccard token sketch — must match every
-#: consumer's call (near_dup_degree/jaccard_near_dups defaults).
-_TOKSKETCH_LB = 10
-
-#: The two MinHash-signature parameterizations the registry uses:
-#: portable md5/3-gram shingles (q_minhash_near_dups, oracle-matched)
-#: and xxhash/unigram (corpus_prep_auto's dense route).
-_MINHASH_SIG_VARIANTS = (
-    {"num_hashes": 32, "shingle_size": 3, "portable": True},
-    {"num_hashes": 32, "shingle_size": 1, "portable": False},
-)
-
-
-def _toksketch_dir(sf_dir: str) -> str:
-    """Cache dir for the shared Jaccard token sketch of the documents
-    table (dedup_fuzzy.token_sketch): parquet of (doc_id, tok_set,
-    len_bucket, block_tok), built once per testdata generation by
-    prebuild_indexes and read by every blocked-Jaccard consumer
-    (near_dup_jaccard, near_dup_clusters, the corpus funnels) instead of
-    each re-tokenizing the corpus — the same offline-artifact shape as
-    the IVF/PQ indexes. Variant params live in the parent dir name so
-    the per-generation sweep of one variant can't delete another."""
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".cache",
-        # "b2" = sketch schema carries block_tok2 (r9 sub-blocking);
-        # bumping the variant dir retires pre-sub-blocking artifacts
-        "toksketch", f"lb{_TOKSKETCH_LB}b2",
-        _gen_tag(sf_dir, "documents.parquet"),
-    )
-
-
-def _minhash_sig_dir(
-    sf_dir: str, num_hashes: int, shingle_size: int, portable: bool
-) -> str:
-    """Cache dir for one MinHash-signature parameterization of the
-    documents table — same layout contract as _toksketch_dir."""
-    variant = f"nh{num_hashes}-sh{shingle_size}-{'md5' if portable else 'xx'}"
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".cache",
-        "minhashsig", variant,
-        _gen_tag(sf_dir, "documents.parquet"),
-    )
-
-
-def _doc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    """The materialized token sketch if built (bench/warm paths, where
-    prebuild_indexes ran), else None — consumers then tokenize inline
-    (the driver's vanilla correctness session). Values are identical
-    either way: the sketch is a deterministic projection of documents."""
-    d = _toksketch_dir(sf_dir)
-    if os.path.isfile(os.path.join(d, "_BUILT")):
-        return spark.read.parquet(os.path.join(d, "sketch"))
-    return None
-
-
-def _doc_sigs(
-    spark: SparkSession,
-    sf_dir: str,
-    num_hashes: int = 32,
-    shingle_size: int = 3,
-    portable: bool = True,
-) -> DataFrame | None:
-    """The materialized MinHash signatures for one parameterization if
-    built, else None — same contract as _doc_sketch."""
-    d = _minhash_sig_dir(sf_dir, num_hashes, shingle_size, portable)
-    if os.path.isfile(os.path.join(d, "_BUILT")):
-        return spark.read.parquet(os.path.join(d, "sigs"))
-    return None
-
-
-def sweep_stale_caches(sf_dir: str) -> None:
-    """One startup hygiene pass over every per-generation cache family
-    (csv / curated / upsert tag dirs superseded by a newer testdata
-    generation, Derby dirs left by dead pids). Called from
-    prebuild_indexes — NOT from query bodies, so timed bench/correctness
-    windows contain no directory-tree I/O (r6 verdict, What's wrong #4).
-    Queries stay correct without it: a stale tag dir is simply never
-    read; this only stops dead dirs accumulating across rounds."""
-    base = os.path.dirname(os.path.abspath(__file__))
-    for sub, src in (
-        ("csv", "supplier.parquet"),
-        ("curated", "orders.parquet"),
-        ("upsert", "orders.parquet"),
-        ("jsonl", "documents.parquet"),
-        ("orc", "part.parquet"),
-        ("csvq", "supplier.parquet"),
-    ):
-        try:
-            tag = _gen_tag(sf_dir, src)
-        except OSError:
-            continue
-        _sweep_stale_cache(os.path.join(base, ".cache", sub), keep=tag)
-    # index/ground-truth families carry param-suffixed generation tags;
-    # their dir helpers are the single source of the live tag
-    try:
-        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-        sf_name = os.path.basename(os.path.normpath(sf_dir))
-        gt_keep = f"{sf_name}-{int(st.st_mtime)}-{st.st_size}-k5"
-        _sweep_stale_cache(os.path.join(base, ".cache", "ann_gt"), keep=gt_keep)
-        for dir_fn in (_ivf_index_dir, _pq_index_dir, _ivfpq_index_dir):
-            live = dir_fn(sf_dir)
-            _sweep_stale_cache(os.path.dirname(live), keep=os.path.basename(live))
-    except OSError:
-        pass
-    # dedup sketch artifacts: variant params are in the parent dir name,
-    # so each parent holds only same-variant generation tags
-    try:
-        doc_tag = _gen_tag(sf_dir, "documents.parquet")
-        # retire pre-sub-blocking sketch variants (schema lacks block_tok2)
-        tok_root = os.path.join(base, ".cache", "toksketch")
-        live_variant = os.path.basename(os.path.dirname(_toksketch_dir(sf_dir)))
-        if os.path.isdir(tok_root):
-            for name in os.listdir(tok_root):
-                if name != live_variant:
-                    shutil.rmtree(os.path.join(tok_root, name), ignore_errors=True)
-        _sweep_stale_cache(
-            os.path.dirname(_toksketch_dir(sf_dir)), keep=doc_tag
-        )
-        _sweep_stale_cache(
-            os.path.dirname(_quality_weights_dir(sf_dir)), keep=doc_tag
-        )
-        for v in _MINHASH_SIG_VARIANTS:
-            _sweep_stale_cache(
-                os.path.dirname(_minhash_sig_dir(sf_dir, **v)), keep=doc_tag
-            )
-    except OSError:
-        pass
-    # csv_single and media dirs are version/sf-named (no generation
-    # tags) and overwritten in place — nothing to sweep there
-    derby_root = os.path.join(base, ".cache", "derby")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    for stale in glob.glob(os.path.join(derby_root, f"{sf_tag}-*")):
-        if stale != os.path.join(derby_root, f"{sf_tag}-{os.getpid()}"):
-            shutil.rmtree(stale, ignore_errors=True)
+_IVF_PARAMS = _art._IVF_PARAMS
+_PQ_PARAMS = _art._PQ_PARAMS
+_IVFPQ_PARAMS = _art._IVFPQ_PARAMS
+_ivf_index_dir = _art._ivf_index_dir
+_pq_index_dir = _art._pq_index_dir
+_ivfpq_index_dir = _art._ivfpq_index_dir
+_gen_tag = _art._gen_tag
+_TOKSKETCH_LB = _art._TOKSKETCH_LB
+_MINHASH_SIG_VARIANTS = _art._MINHASH_SIG_VARIANTS
+_toksketch_dir = _art._toksketch_dir
+_minhash_sig_dir = _art._minhash_sig_dir
+_doc_sketch = _art._doc_sketch
+_doc_sigs = _art._doc_sigs
+sweep_stale_caches = _art.sweep_stale_caches
 
 
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,85 +1372,7 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize offline index structures (the IVF inverted file and
-    the ANN ground-truth table) for ``sf_dir`` if absent, and sweep
-    caches superseded by a testdata regeneration. Called by bench.py
-    during setup — these are offline jobs at scale, queries only
-    probe/read."""
-    sweep_stale_caches(sf_dir)
-    _ground_truth_topk(spark, sf_dir, k=5)
-    pq_dir = _pq_index_dir(sf_dir)
-    if not os.path.isfile(os.path.join(pq_dir, "_BUILT")):
-        p = _PQ_PARAMS
-        similarity.build_pq_index(
-            _t(spark, sf_dir, "embeddings"), pq_dir,
-            m=p["m"], ksub=p["ksub"], seed=p["seed"],
-        )
-    ivfpq_dir = _ivfpq_index_dir(sf_dir)
-    if not os.path.isfile(os.path.join(ivfpq_dir, "_BUILT")):
-        p = _IVFPQ_PARAMS
-        # the flat-PQ index above trained identical codebooks (same
-        # m/ksub/seed over the same corpus) — reuse them instead of
-        # re-running the m KMeans fits
-        shared_cb = None
-        if p["m"] == _PQ_PARAMS["m"] and p["ksub"] == _PQ_PARAMS["ksub"] and (
-            p["seed"] == _PQ_PARAMS["seed"]
-        ):
-            shared_cb, _ = similarity.read_pq_index(spark, pq_dir)
-        similarity.build_ivfpq_index(
-            _t(spark, sf_dir, "embeddings"), ivfpq_dir,
-            nlist=p["nlist"], m=p["m"], ksub=p["ksub"], seed=p["seed"],
-            codebooks=shared_cb,
-        )
-    index_dir = _ivf_index_dir(sf_dir)
-    # The _BUILT sentinel is written after BOTH index writes complete
-    # (partitioned writes leave no root _SUCCESS under dynamic partition
-    # overwrite); a partial directory from an interrupted build must not
-    # pass for a valid index.
-    if not os.path.isfile(os.path.join(index_dir, "_BUILT")):
-        emb = _t(spark, sf_dir, "embeddings")
-        similarity.build_ivf_index(
-            emb,
-            nlist=_IVF_PARAMS["nlist"],
-            seed=_IVF_PARAMS["seed"],
-            max_iter=_IVF_PARAMS["max_iter"],
-            index_dir=index_dir,
-        )
-    # Shared dedup sketches: tokenize/shingle-hash the documents table
-    # ONCE per generation; every Jaccard/MinHash consumer then reads the
-    # artifact instead of re-sketching (the 4 most expensive dense-dedup
-    # bench rows shared this exact map-side cost). Sentinel written LAST,
-    # same contract as the ANN index builders.
-    sk_dir = _toksketch_dir(sf_dir)
-    if not os.path.isfile(os.path.join(sk_dir, "_BUILT")):
-        dedup_fuzzy.token_sketch(
-            _t(spark, sf_dir, "documents"), length_bucket=_TOKSKETCH_LB
-        ).write.mode("overwrite").parquet(os.path.join(sk_dir, "sketch"))
-        with open(os.path.join(sk_dir, "_BUILT"), "w") as marker:
-            marker.write("ok\n")
-    for v in _MINHASH_SIG_VARIANTS:
-        sig_dir = _minhash_sig_dir(sf_dir, **v)
-        if not os.path.isfile(os.path.join(sig_dir, "_BUILT")):
-            dedup_fuzzy.minhash_signatures(
-                _t(spark, sf_dir, "documents"), **v
-            ).write.mode("overwrite").parquet(os.path.join(sig_dir, "sigs"))
-            with open(os.path.join(sig_dir, "_BUILT"), "w") as marker:
-                marker.write("ok\n")
-    # Quality-classifier weights: the integer-GD fit is bit-deterministic,
-    # so training here vs inline in the query yields identical weights —
-    # the artifact only moves the fit out of timed bench rows.
-    qdir = _quality_weights_dir(sf_dir)
-    if not os.path.isfile(os.path.join(qdir, "_BUILT")):
-        docs = _t(spark, sf_dir, "documents")
-        weights = quality.train_quality_classifier(
-            quality.hashed_char_ngram_features(docs), _quality_labels(docs)
-        )
-        os.makedirs(qdir, exist_ok=True)
-        with open(os.path.join(qdir, "weights.json"), "w") as fh:
-            json.dump(weights, fh)
-        with open(os.path.join(qdir, "_BUILT"), "w") as marker:
-            marker.write("ok\n")
+prebuild_indexes = _art.prebuild_indexes
 
 
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2649,29 +2216,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_weights_dir(sf_dir: str) -> str:
-    """Cache dir for the trained quality-classifier weights of the
-    documents table — same per-generation offline-artifact contract as
-    the sketches/indexes. Training is bit-deterministic (integer GD),
-    so the artifact and the vanilla inline-training path produce
-    identical weights; caching only moves the ~8 s fit out of timed
-    bench rows."""
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".cache",
-        "quality", "d512-i12",
-        _gen_tag(sf_dir, "documents.parquet"),
-    )
-
-
-#: weak-label threshold: doc_stats quality_score >= this is "quality"
-_QUALITY_LABEL_T = 0.8
-
-
-def _quality_labels(docs: DataFrame) -> DataFrame:
-    return text.doc_stats(docs).select(
-        "doc_id",
-        (F.col("quality_score") >= _QUALITY_LABEL_T).cast("int").alias("y"),
-    )
+_quality_weights_dir = _art._quality_weights_dir
+_QUALITY_LABEL_T = _art._QUALITY_LABEL_T
+_quality_labels = _art._quality_labels
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2838,44 +2385,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r8): the r7 window minus ten multi-round-green
-    stable rows (revenue_rollup, events_json_struct, asof_purchase_view,
-    repetition_stats, decontamination, pii_scrub,
-    curated_partition_scan, corpus_mixture, event_type_skew,
-    session_window_rollup — each driver-green r6+r7, unchanged this
-    round, rotated to the tail per the standing rule), plus the ten
-    rows owed a first driver round: heavy_hitters_gate (oracle-bearing,
-    born after the r7 window filled) and the nine r8-born oracle rows
-    (recipe_training_mix — the declarative twin of training_mix sharing
-    its oracle; orc_roundtrip; orders_snapshot_diff; hll_union_gate;
-    tfidf_cosine_topk — the sparse similarity join; incremental_dedup —
-    batch-vs-corpus dedup; csv_quarantine — malformed-record capture;
-    fuzzy_part_match — blocked edit-distance record linkage;
-    orders_cdc_apply — CDC changelog merge; streaming_sessions —
-    streaming session windows, with scd2_user_state rotated to the tail
-    as its counterpart). Every key whose
-    implementation changed this round stays in-window for a fresh
-    driver round: the dense-dedup family now reading the shared
-    token-sketch artifact (near_dup_jaccard, minhash_near_dups,
-    near_dup_clusters, corpus_prep, training_mix, training_batches) and
-    orders_expectations (foreign_key broadcast-hint discipline). All 50
-    verified this session under a vanilla driver-replica session at
-    sf0.01 (SPARK_GRAFT_VANILLA).
+    Current window (r9): the r8 window minus six multi-round-green
+    stable rows (popular_locations_weekly, curated_join,
+    ann_cosine_topk, doc_normalize, char_lm_scores — each driver-green
+    r7+r8, unchanged this round, rotated to the tail per the standing
+    rule), plus the six rows owed a driver round: the five r9-born
+    oracle rows (dup_span_report + substring_dedup — cross-document
+    substring-level dedup, span report + full post-removal corpus;
+    semantic_dedup — the SemDeDup embedding prune's invariant gate;
+    quality_classifier — the trainable quality scorer's accuracy gate)
+    and customer_stratified_sample (born in the r8 tail after the
+    window filled; its first driver round — this closes the one r8
+    rotation debt). Keys whose implementation changed this round stay
+    in-window for a fresh driver round: incremental_dedup (block_cap
+    sub-blocking, oracle updated to replicate the split) and the
+    sketch-consuming dedup family (artifact param validation + the
+    block_tok2 sketch column: near_dup_jaccard, minhash_near_dups,
+    near_dup_clusters, corpus_prep, training_mix, training_batches,
+    recipe_metric, recipe_training_mix). All 50 verified this session
+    under a vanilla driver-replica session at sf0.01
+    (SPARK_GRAFT_VANILLA).
 
     Current tail: rows that are multi-round driver-green (rotated out
-    r5-r7 after ≥2 green rounds each — including the original
-    metric/dedup/text block, driver-green r1-r6, rotated late r7),
-    approximate-by-design rows whose quality is pinned by an in-window
-    recall/invariant twin (ann_cosine_lsh/ivf/pq/ivfpq ← ann_*_recall;
-    corpus_prep_auto ← corpus_prep + dense-routing tests;
-    top_listings_weekly ← top_listings_topk; events_json ←
-    events_json_struct), multimodal_features (rows-only: testdata
-    ships no media table, so it synthesizes one deterministically —
-    pinned by the golden decode tests), and the late-r7-born
-    heavy_hitters_gate (frequent-items sketch gate, pytest parity).
+    r5-r9 after >= 2 green rounds each), approximate-by-design rows
+    whose quality is pinned by an in-window recall/invariant twin
+    (ann_cosine_lsh/ivf/pq/ivfpq <- ann_*_recall; corpus_prep_auto <-
+    corpus_prep + dense-routing tests; top_listings_weekly <-
+    top_listings_topk; events_json <- events_json_struct), and
+    multimodal_features (rows-only: testdata ships no media table, so
+    it synthesizes one deterministically — pinned by the golden decode
+    tests).
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
-    operators in; r7: r6-born operators in, stable IO/metric rows out).
+    operators in; r7: r6-born in, stable IO/metric rows out; r8: r7/r8-
+    born in, ten stable rows out; r9: r9-born + the r8 tail debt in,
+    six stable rows out).
     """
     return {
         "dup_span_report": q_dup_span_report,

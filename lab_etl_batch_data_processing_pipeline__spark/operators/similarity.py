@@ -1361,3 +1361,85 @@ def cosine_topk_ivfpq(
         .filter(F.col("sim_rank") <= k)
         .orderBy(query_id_col, "sim_rank")
     )
+
+
+def semantic_dedup_gate(
+    corpus: DataFrame,
+    report: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row invariant gate for a :func:`semantic_dedup` report — the
+    _ann_recall pattern: every boolean is RE-VERIFIED with exact
+    JVM-side cosine joins (never the corpus square; kept-pair join per
+    cell, culprit join over dropped rows only), an oracle recomputes
+    only the input cardinality and asserts the booleans TRUE.
+
+    The four booleans uniquely pin the greedy per-cell survivor set
+    given the cell assignment: (ids_valid) output ids partition the
+    input, (kept_nonempty) someone survives, (no_kept_near_pair) no two
+    kept vectors in one cell reach the threshold, (dropped_have_culprit)
+    every dropped row names an earlier-id kept culprit at/above it.
+    Boundary slack 1e-6 absorbs numpy-vs-codegen summation-order ulps;
+    a real survivor-structure regression flips a boolean.
+    """
+    rep = report.localCheckpoint()  # 3 verification consumers below
+    t = threshold
+    emb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    kept = rep.filter("kept").join(emb, "vec_id").select(
+        "vec_id", "cell", "embedding"
+    )
+    ka, kb = kept.alias("ka"), kept.alias("kb")
+    n_kept_near_pairs = (
+        ka.join(
+            kb,
+            (F.col("ka.cell") == F.col("kb.cell"))
+            & (F.col("ka.vec_id") < F.col("kb.vec_id")),
+        )
+        .filter(
+            cosine_similarity(F.col("ka.embedding"), F.col("kb.embedding"))
+            >= t + 1e-6
+        )
+        .count()
+    )
+    dropped = rep.filter(~F.col("kept"))
+    kept_ids = rep.filter("kept").select(F.col("vec_id").alias("matched_id"))
+    stats = rep.agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+    ).first()
+    n_dropped = stats.n_out - stats.n_kept
+    n_culprit_ok = (
+        dropped.join(kept_ids, "matched_id", "left_semi")
+        .filter(F.col("matched_id") < F.col("vec_id"))
+        .join(emb, "vec_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("matched_id"),
+                F.col("embedding").alias("m_emb"),
+            ),
+            "matched_id",
+        )
+        .filter(
+            cosine_similarity(F.col("embedding"), F.col("m_emb")) >= t - 1e-6
+        )
+        .count()
+    )
+    n_vecs = emb.count()
+    n_out_distinct_in_input = (
+        rep.select("vec_id").distinct().join(emb, "vec_id", "left_semi").count()
+    )
+    return corpus.sparkSession.createDataFrame(
+        [
+            (
+                n_vecs,
+                stats.n_out == n_vecs and n_out_distinct_in_input == n_vecs,
+                stats.n_kept >= 1,
+                n_kept_near_pairs == 0,
+                n_culprit_ok == n_dropped,
+            )
+        ],
+        "n_vecs long, ids_valid boolean, kept_nonempty boolean, "
+        "no_kept_near_pair boolean, dropped_have_culprit boolean",
+    )

@@ -236,3 +236,79 @@ def run_recipe(
             else:
                 raise ValueError(f"recipe output {name!r}: unknown format {fmt!r}")
     return frames
+
+
+def training_mix_recipe(
+    sf_dir: str, mixture_weights, sketch_path: str | None = None
+) -> dict:
+    """The engine's flagship end-to-end recipe: the five-stage
+    training-data intake (corpus_prep funnel -> decontamination ->
+    contamination filter -> token-budget mixture sample -> final mixture
+    aggregate) as a plain dict — the declarative twin of the imperative
+    q_training_mix composition, value-identical by the shared oracle and
+    tests/test_recipe.py. ``sketch_path`` slots a materialized
+    token-sketch artifact into the funnel as a frame_arg (the bench
+    path); None tokenizes inline with identical values."""
+    funnel_step = {
+        "name": "rtm_funnel",
+        "op": "corpus_prep",
+        "input": "rtm_documents",
+        "args": {"min_quality": 0.5, "jaccard_threshold": 0.5},
+        # same lineage cut q_training_mix does by hand
+        "checkpoint": True,
+    }
+    recipe = {
+        "tables": {
+            "rtm_documents": {
+                "format": "parquet",
+                "path": f"{sf_dir}/documents.parquet",
+            },
+        },
+        "steps": [
+            funnel_step,
+            {
+                "name": "rtm_corpus",
+                "sql": "SELECT doc_id, text, source FROM rtm_funnel",
+            },
+            {
+                "name": "rtm_benchmark",
+                "sql": "SELECT * FROM rtm_documents WHERE doc_id % 50 = 0",
+            },
+            {
+                "name": "rtm_contam",
+                "op": "decontaminate",
+                "inputs": ["rtm_corpus", "rtm_benchmark"],
+                "args": {"n": 8},
+            },
+            {
+                "name": "rtm_clean",
+                "sql": """
+                    SELECT c.* FROM rtm_corpus c
+                    LEFT SEMI JOIN (
+                        SELECT doc_id FROM rtm_contam WHERE NOT is_contaminated
+                    ) k ON c.doc_id = k.doc_id
+                """,
+            },
+            {
+                "name": "rtm_sampled",
+                "op": "mixture_sample",
+                "input": "rtm_clean",
+                "args": {"budget_tokens": 500, "weights": mixture_weights},
+            },
+            {
+                "name": "rtm_mix",
+                "sql": """
+                    SELECT source, keep_thresh,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                           SUM(n_tokens) AS tokens_kept
+                    FROM rtm_sampled
+                    GROUP BY source, keep_thresh
+                    ORDER BY source
+                """,
+            },
+        ],
+    }
+    if sketch_path is not None:
+        recipe["tables"]["rtm_sketch"] = {"format": "parquet", "path": sketch_path}
+        funnel_step["frame_args"] = {"sketch": "rtm_sketch"}
+    return recipe
