@@ -399,3 +399,29 @@ def test_tfidf_cosine_has_no_cartesian_and_partial_aggs(spark):
                 "cross join with a non-single-row side"
             )
     assert "HashAggregate" in plan
+
+
+def test_duplicate_spans_single_gram_shuffle_no_cartesian(spark):
+    """The substring-dedup pipeline must stay a LINEAR pipeline of
+    shuffles: no cartesian/nested-loop join anywhere, exactly one
+    gram-keyed window (the min-doc marking pass — NOT the measured-slower
+    groupBy + join-back shape, which scans and gram-generates the corpus
+    twice) plus the per-doc islands window."""
+    plan = formatted_plan(entrymod.queries()["dup_span_report"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # both windows present, no self-join of the gram table
+    assert plan.count("Window") >= 2
+    assert "Join type:" not in plan, (
+        "span marking must be the window-min form, not a gram self-join"
+    )
+    # one scan of documents only (the window form's whole point);
+    # formatted mode lists each node twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_remove_duplicate_spans_map_side_removal(spark):
+    """Cleaned-text removal joins each doc with its own span list once —
+    one equi-join on doc_id, no token-row explosion joins, no cartesian."""
+    plan = formatted_plan(entrymod.queries()["substring_dedup"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Scan parquet") <= 4  # spans pass + doc rejoin (x2 each)
