@@ -280,6 +280,17 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-shingle containment (|A∩B|/|A| >= 0.5), reported as
+    per-doc degree (n_containers, max_containment) — the subset/superset
+    dedup modality Jaccard misses. The oracle replicates the
+    inverted-index blocking (A's min-md5 shingle ∈ B's shingle set), so
+    both the candidate recall and the verify arithmetic are pinned."""
+    return dedup_fuzzy.containment_degree(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 60-bit SimHash sketches (md5-derived token bits —
     bit-for-bit reproducible in DuckDB)."""
@@ -2429,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "near_dup_jaccard": q_near_dup_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
+        "containment_near_dups": q_containment_near_dups,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "streaming_user_totals": q_streaming_user_totals,
@@ -2462,7 +2474,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
-        "pricing_summary": q_pricing_summary,
         "tfidf_top_terms": q_tfidf_top_terms,
         "quantile_gate": q_quantile_gate,
         "events_variant": q_events_variant,
@@ -2474,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         # --- past the driver's 50-key correctness window (see docstring)
         # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
+        "pricing_summary": q_pricing_summary,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -424,6 +424,121 @@ def jaccard_block_stats(
     )
 
 
+def containment_near_dups(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    sort: bool = True,
+) -> DataFrame:
+    """Asymmetric containment pairs: (doc_id, contained_in, containment)
+    where containment = |A ∩ B| / |A| >= threshold — "this fraction of
+    doc A's shingles also appear in doc B".
+
+    The one-sided overlap modality Jaccard structurally misses: a short
+    doc fully embedded in a much longer one (a quoted article inside a
+    page, a README pasted into a repo dump) has Jaccard ≈ |A|/|B| → 0
+    but containment 1.0. Corpus-intake pipelines dedup on containment
+    for exactly that subset/superset case (the reference has no dedup
+    at all — capability beyond `spark-job/apps/curated_tranformation.py`).
+
+    The comparison universe is the ``shingle_size``-word shingle set
+    (:func:`_shingles`), NOT unigram tokens: on template-generated or
+    domain-narrow corpora unigram vocabularies overlap almost totally
+    (measured on the dense fixture: every doc is >= 0.9
+    unigram-contained in hundreds of others, while only the 50 true
+    clone pairs reach 0.5 at 3-shingles), so word order has to be part
+    of the unit for containment to discriminate.
+
+    Blocking must be asymmetric too: the symmetric min-md5 block of
+    :func:`jaccard_near_dups` misses true containments outright,
+    because a superset B's min shingle can come from content A doesn't
+    have — the pair never shares a block. Instead this is an
+    INVERTED-INDEX equi-join: side A contributes ONE row keyed by its
+    min-md5 shingle (a 1-hash MinHash draw), side B explodes to one
+    row per distinct shingle. If A's containment in B is c, A's min
+    shingle falls in the intersection with probability exactly c —
+    candidate recall ≈ the containment itself, the same probabilistic
+    trade the Jaccard block makes, and exact (recall 1.0) for full
+    containment.
+
+    Scale shape: the B side is the corpus inverted index (one shuffle
+    row per distinct shingle occurrence — the same fanout
+    ``tfidf_cosine_topk`` pays), the A side is corpus-sized. Join
+    *output* per key is (#A docs whose min is s) x df(s): the A-side
+    key is a uniform md5 draw, so even a boilerplate shingle key
+    degrades to ONE A-doc scanning df(s) B-rows — linear per doc,
+    never quadratic in the corpus, and AQE's skew split applies
+    because join output ~ join input. A cheap size prune
+    (|B| >= t*|A| up to rounding slack) kills candidates before the
+    intersection is computed.
+    """
+    sh = _shingles(F.col(text_col), shingle_size)
+    base = ensure_parallelism(
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                F.transform(sh, lambda s: F.xxhash64(s))
+            ).alias("tok_set"),
+            F.transform(sh, lambda s: F.md5(s)).alias("md5s"),
+        )
+    )
+    a = base.select(
+        "doc_id", "tok_set", F.array_min("md5s").alias("block_tok")
+    ).alias("a")
+    b = base.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("tok_set").alias("b_set"),
+        F.explode("md5s").alias("tok"),
+    ).alias("b")
+    na, nb = F.size(F.col("a.tok_set")), F.size(F.col("b.b_set"))
+    pairs = a.join(
+        b,
+        on=(
+            (F.col("a.block_tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.b_doc"))
+        ),
+    ).filter(nb >= F.lit(threshold - 1e-6) * na)
+    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.b_set")))
+    out = pairs.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("b.b_doc").alias("contained_in"),
+        F.round(inter / na, 6).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+    return out.orderBy("doc_id", "contained_in") if sort else out
+
+
+def containment_degree(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-document containment report: (doc_id, n_containers,
+    max_containment) — how many other docs hold >= threshold of this
+    doc's shingles, and the strongest such overlap. Docs contained
+    nowhere are absent.
+
+    Same pair space as :func:`containment_near_dups` (any missing or
+    extra pair changes some doc's count, so a degree oracle pins the
+    pair set) collapsed by one hash aggregate on the contained side —
+    output is corpus-sized even when the duplicate-dense pair list is
+    not, the same argument as :func:`near_dup_degree`."""
+    pairs = containment_near_dups(
+        documents, id_col, text_col, threshold, shingle_size, sort=False
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_containers"),
+            F.round(F.max("containment"), 6).alias("max_containment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _shingles(text_col, n: int = 3):
     """Word n-gram shingle set over normalized text (distinct)."""
     toks = F.filter(F.split(normalized_text(text_col), " "), lambda x: x != F.lit(""))

@@ -455,6 +455,41 @@ _MINHASH_PARAMS_VALUES = ",\n              ".join(
     for i, (a, b) in enumerate(dedup_fuzzy.minhash_params(32))
 )
 
+# Shingle-containment twin (dedup_fuzzy.containment_degree, w=3, t=0.5):
+# the blocking is replicated exactly — pair (A, B) qualifies iff A's
+# min-md5 3-shingle appears in B's shingle set — so the oracle pins both
+# the verify arithmetic AND the inverted-index candidate recall.
+_CONTAINMENT_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), tk AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t
+  FROM norm
+), shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM tk
+), prep AS (
+  SELECT doc_id, sh,
+         list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS block_tok
+  FROM shing
+), pairs AS (
+  SELECT a.doc_id AS doc_id,
+         ROUND(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+               * 1.0 / len(a.sh), 6) AS containment
+  FROM prep a JOIN prep b
+    ON a.doc_id <> b.doc_id
+   AND list_contains(list_transform(b.sh, s -> md5(s)), a.block_tok)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers,
+       ROUND(MAX(containment), 6) AS max_containment
+FROM pairs WHERE containment >= 0.5
+GROUP BY 1 ORDER BY 1
+"""
+
 _MINHASH_SQL = f"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
@@ -1141,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_near_dups": _MINHASH_SQL,
+        "containment_near_dups": _CONTAINMENT_SQL,
         # Recall invariants: DuckDB recomputes the EXACT neighbor sets and
         # asserts the pinned floor holds (recall_ok TRUE per query); the
         # Spark side computes actual ANN recall, so any quality regression

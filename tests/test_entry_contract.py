@@ -123,6 +123,7 @@ TAIL_KEYS = {
     "session_window_rollup": "test_spot_oracle_parity",
     "scd2_user_state": "test_spot_oracle_parity",
     # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
+    "pricing_summary": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -206,6 +207,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "event_type_skew",
         "session_window_rollup",
         "scd2_user_state",
+        "pricing_summary",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",

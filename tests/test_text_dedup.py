@@ -704,3 +704,46 @@ def test_corpus_prep_substring_stage(spark):
         fused["text"] != base["text"]
     ).count()
     assert removed > 0
+
+
+def test_containment_finds_subset_jaccard_misses(spark):
+    """A short doc pasted verbatim into a much longer one: Jaccard
+    ~ |A|/|B| stays under any useful threshold, containment is 1.0 —
+    and the inverted-index blocking (A's min shingle in B's set) finds
+    the pair with probability 1 for full containment."""
+    quote = "the quick brown fox jumps over the lazy dog every single morning"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.upper().lower()),
+            (3, "совершенно другой текст без общих слов вообще ни одного"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup_fuzzy.containment_near_dups(docs, threshold=0.9).collect()
+    assert [(r.doc_id, r.contained_in, r.containment) for r in pairs] == [
+        (1, 2, 1.0)
+    ]
+    # symmetric Jaccard at the same bar sees nothing
+    jac = dedup_fuzzy.jaccard_near_dups(docs, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_containment_degree_collapses_pairs(spark):
+    """Degree form = groupBy over the identical pair space."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    deg = {
+        r.doc_id: (r.n_containers, r.max_containment)
+        for r in dedup_fuzzy.containment_degree(docs, threshold=0.5).collect()
+    }
+    # doc 1's shingles all appear in 2 and 3; doc 3 is contained in 2
+    assert deg[1] == (2, 1.0)
+    assert deg[3][0] >= 1
