@@ -280,6 +280,15 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by association lift (the PMI
+    ranking without the monotonic log), lift as floor-1e6 fixed point
+    computed in identically-parenthesized IEEE doubles on both engines."""
+    return text.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=50
+    )
+
+
 def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric 3-shingle containment (|A∩B|/|A| >= 0.5), reported as
     per-doc degree (n_containers, max_containment) — the subset/superset
@@ -2441,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_jaccard": q_near_dup_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "containment_near_dups": q_containment_near_dups,
+        "pmi_collocations": q_pmi_collocations,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "streaming_user_totals": q_streaming_user_totals,
@@ -2474,7 +2484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "quantile_gate": q_quantile_gate,
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
@@ -2486,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-key correctness window (see docstring)
         # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
         "pricing_summary": q_pricing_summary,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -200,6 +200,104 @@ def word_ngrams(
     )
 
 
+def pmi_collocations(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by association lift — the PMI
+    ranking (PMI = log2 lift; log is monotonic, so ranking by lift IS
+    ranking by PMI, and skipping the log keeps the score engine-exact):
+    (w1, w2, pair_count, lift_ppm, rank).
+
+    lift(x, y) = P(x, y) / (P(x) P(y)) = c_xy * N / (c_x * c_y), the
+    classic collocation-extraction statistic ("new york" scores high
+    because its parts rarely appear apart). ``min_count`` drops the
+    rare-pair noise that dominates raw PMI (a pair seen once between two
+    hapaxes has maximal lift but zero evidence).
+
+    ``lift_ppm`` = floor(1e6 * lift) with the ratio computed in IEEE
+    doubles under a FIXED parenthesization — (c_xy * N) / (c_x * c_y),
+    each operand an exactly-representable integer — so any engine
+    produces bit-identical doubles and floor (unlike round) has no
+    half-way semantics to disagree on. The repo's usual fixed-point
+    integer SUM trick doesn't apply here: c_xy*N*1e6 overflows BIGINT
+    at corpus scale, while the double path never accumulates error
+    across rows (one mul, one div per output row).
+
+    Scale shape: one explode+agg for unigram counts (vocab-sized), one
+    for adjacent pairs (bigram-vocab-sized, min_count pruned AFTER
+    partial aggregation so the filter is free), two equi-joins of the
+    pruned pair table against the unigram table (vocab-scaled shuffle,
+    no broadcast hint — vocabulary is unbounded), N as a broadcast
+    one-row aggregate, and a TakeOrdered top-k instead of a global
+    sort. No step is corpus-quadratic.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = ensure_parallelism(documents).select(toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n"))
+    idx = F.when(
+        F.size(F.col("t")) >= 2, F.sequence(F.lit(1), F.size(F.col("t")) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        base.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    lift = (
+        pairs.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").alias("pair_count"),
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    (F.col("c_xy").cast("double") * F.col("n").cast("double"))
+                    / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # TakeOrdered top-k FIRST (per-partition heads merged on the driver,
+    # no global shuffle), then rank the bounded k-row frame — the
+    # single-partition global window only ever sees top_k rows.
+    top = lift.orderBy(F.col("lift_ppm").desc(), "w1", "w2").limit(top_k)
+    w = Window.orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("rank")
+
+
 def tfidf(
     documents: DataFrame,
     id_col: str = "doc_id",

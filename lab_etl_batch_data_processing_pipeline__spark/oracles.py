@@ -1177,6 +1177,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _MINHASH_SQL,
         "containment_near_dups": _CONTAINMENT_SQL,
+        # PMI collocation twin (text.pmi_collocations, min_count=5,
+        # top_k=50): the lift ratio is computed in IEEE doubles under the
+        # identical parenthesization as the Spark side — (c_xy * N) /
+        # (c_x * c_y), every operand an exactly-representable integer —
+        # then floor'd, so the fixed-point value is bit-deterministic
+        # across engines (floor has no half-way case to disagree on).
+        "pmi_collocations": """
+            WITH tk AS (
+              SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), uni AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+            ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+            pairs AS (
+              SELECT t[i] AS w1, t[i+1] AS w2,
+                     CAST(COUNT(*) AS BIGINT) AS c_xy
+              FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            ), lift AS (
+              SELECT w1, w2, c_xy AS pair_count,
+                     CAST(floor(1000000.0 *
+                       ((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))))
+                       AS BIGINT) AS lift_ppm
+              FROM pairs JOIN uni a ON pairs.w1 = a.w
+                         JOIN uni b ON pairs.w2 = b.w
+              CROSS JOIN tot
+            )
+            SELECT w1, w2, pair_count, lift_ppm,
+                   CAST(ROW_NUMBER() OVER
+                     (ORDER BY lift_ppm DESC, w1, w2) AS INT) AS rank
+            FROM lift ORDER BY rank LIMIT 50
+        """,
         # Recall invariants: DuckDB recomputes the EXACT neighbor sets and
         # asserts the pinned floor holds (recall_ok TRUE per query); the
         # Spark side computes actual ANN recall, so any quality regression

@@ -120,3 +120,28 @@ def test_split_assign_deterministic_and_proportional(spark):
     # salt reshuffles membership but keeps proportions
     salted = {r.doc_id: r.split for r in t.split_assign(df, salt="v2").collect()}
     assert salted != a
+
+
+def test_pmi_collocations_planted_pair(spark):
+    """A pair whose parts never appear apart ranks first; lift for it is
+    N / c_xy (since c_x = c_y = c_xy); common-word pairs score ~1x."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.text import (
+        pmi_collocations,
+    )
+
+    # "san francisco" 6 times, parts never apart; filler of common words
+    filler = "the cat sat on the mat " * 30
+    docs = spark.createDataFrame(
+        [(i, filler + "san francisco " * 3) for i in range(2)],
+        ["doc_id", "text"],
+    )
+    out = pmi_collocations(docs, min_count=5, top_k=10).collect()
+    assert out[0].w1 == "san" and out[0].w2 == "francisco"
+    n_total = 2 * (6 * 30 + 6)  # 366 tokens per doc
+    assert out[0].pair_count == 6
+    # c_x = c_y = c_xy = 6 -> lift = c_xy*N/(c_x*c_y) = N / 6
+    assert out[0].lift_ppm == 1_000_000 * n_total // 6
+    # ranks are 1..k with non-increasing lift
+    lifts = [r.lift_ppm for r in out]
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert lifts == sorted(lifts, reverse=True)
