@@ -1344,6 +1344,63 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_SINK_SEQ = [0]
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming exact dedup, oracle-checked: file source ->
+    watermark -> ``dropDuplicates`` on (user_id, event_type) in exact
+    mode (state = one entry per distinct key; the bounded-state
+    ``within_watermark=True`` form is the unbounded-stream variant, see
+    streaming_dedup's docstring) -> memory sink, availableNow.
+    Projecting ONLY
+    the dedup-key columns before the sink removes the one
+    nondeterminism ``dropDuplicates`` has (which payload row survives
+    per key); the surviving key set equals batch DISTINCT no matter how
+    the bounded replay slices into micro-batches — state carries seen
+    keys across batches, and nothing arrives late relative to a
+    watermark learned inside the same run. Collapsed per event_type,
+    the row equals DuckDB's COUNT(DISTINCT user_id) GROUP BY
+    event_type. Micro-batch/state semantics of the same operator are
+    pinned in test_streaming_dedup (two-batch replay over one
+    checkpoint)."""
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        streaming_dedup,
+    )
+
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts_utc", ensure_timestamp(stream, "ts"))
+    deduped = streaming_dedup(
+        stream.select("user_id", "event_type", "ts_utc"),
+        ["user_id", "event_type"],
+        "ts_utc",
+    ).select("user_id", "event_type")
+
+    _DEDUP_SINK_SEQ[0] += 1
+    sink = f"stream_dedup_{os.getpid()}_{_DEDUP_SINK_SEQ[0]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    prev = f"stream_dedup_{os.getpid()}_{_DEDUP_SINK_SEQ[0] - 1}"
+    spark.catalog.dropTempView(prev)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
 _USER_TOTALS_SINK_SEQ = [0]
 
 
@@ -2475,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_match": q_fuzzy_part_match,
         "orders_cdc_apply": q_orders_cdc_apply,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_dedup": q_streaming_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2484,7 +2542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
-        "quantile_gate": q_quantile_gate,
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -2496,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
         "pricing_summary": q_pricing_summary,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "quantile_gate": q_quantile_gate,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -1177,6 +1177,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _MINHASH_SQL,
         "containment_near_dups": _CONTAINMENT_SQL,
+        # Streaming-dedup twin: the surviving key set of streaming
+        # dropDuplicates over a bounded replay equals batch DISTINCT
+        # (only key columns reach the sink, so payload nondeterminism
+        # is projected away before hashing).
+        "streaming_dedup": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         # PMI collocation twin (text.pmi_collocations, min_count=5,
         # top_k=50): the lift ratio is computed in IEEE doubles under the
         # identical parenthesization as the Spark side — (c_xy * N) /

@@ -102,15 +102,28 @@ def streaming_dedup(
     key_cols: list[str],
     ts_col: str,
     watermark_delay: str = "1 day",
+    within_watermark: bool = False,
 ) -> DataFrame:
-    """Streaming exact dedup: drop repeats of ``key_cols`` arriving within
-    the watermark horizon (the streaming twin of cleaning.dedup_exact).
+    """Streaming exact dedup on ``key_cols`` (the streaming twin of
+    cleaning.dedup_exact), in one of two state regimes:
 
-    State holds one entry per key seen inside the watermark window and is
-    purged as the watermark advances — bounded state, the requirement for
-    an unbounded stream at scale.
+    - ``within_watermark=False`` (default): plain ``dropDuplicates`` —
+      EXACT global semantics (first arrival per key survives, forever),
+      but since the event-time column is not part of the key subset the
+      state store holds every key ever seen and the watermark evicts
+      nothing. Right for bounded replays and keyspaces that fit in
+      state (e.g. daily partitions re-processed as streams).
+    - ``within_watermark=True``: ``dropDuplicatesWithinWatermark`` —
+      state per key is evicted once the watermark passes its event time
+      plus the delay, so an unbounded stream runs in bounded state; the
+      trade is that a key reappearing after the horizon is emitted
+      again. This is the 100 TB/continuous form; the exactness trade is
+      the standard one (dedup guarantee only within the horizon).
     """
-    return events.withWatermark(ts_col, watermark_delay).dropDuplicates(key_cols)
+    wm = events.withWatermark(ts_col, watermark_delay)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates(key_cols)
 
 
 def streaming_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:

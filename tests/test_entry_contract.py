@@ -125,6 +125,7 @@ TAIL_KEYS = {
     # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
     "pricing_summary": "test_spot_oracle_parity",
     "tfidf_top_terms": "test_spot_oracle_parity",
+    "quantile_gate": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -210,6 +211,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "scd2_user_state",
         "pricing_summary",
         "tfidf_top_terms",
+        "quantile_gate",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",

@@ -1114,3 +1114,34 @@ def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
         'truncated {"doc_id": 3',
         '{"doc_id": "notanint", "text": "bad id type"}',
     ]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state mode: dropDuplicatesWithinWatermark dedups repeats
+    inside the horizon; on a single bounded replay it equals distinct."""
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import streaming_dedup
+
+    src = tmp_path / "dedup_wm_src"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "id,ts\n1,2024-01-01T00:00:00\n1,2024-01-01T00:30:00\n"
+        "2,2024-01-01T01:00:00\n2,2024-01-01T01:00:00\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.format("csv").option("header", "true")
+        .schema(schema).load(str(src))
+    )
+    out = []
+    q = (
+        streaming_dedup(stream, ["id"], "ts", watermark_delay="2 hours",
+                        within_watermark=True)
+        .writeStream.foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(r.id for r in out) == [1, 2]
