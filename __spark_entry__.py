@@ -1464,6 +1464,27 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving value over the trailing 8
+    events (windows.ewma): power-of-two weights + fixed-point values
+    make num/den exact BIGINTs on any engine, ewma_ppm a floor of one
+    deterministic double divide. Events carry no NULL values in this
+    corpus; under NULLs the engine's collect_list would shrink the
+    frame where the oracle's list() keeps slots (documented operator
+    precondition)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    ev = _events_ts(spark, sf_dir)
+    return (
+        windows.ewma(ev, "user_id", ["ts_utc", "event_id"], "value")
+        .select(
+            "user_id", "event_id", "n_in_window",
+            "ewma_num", "ewma_den", "ewma_ppm",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer cumulative order count + exact running spend."""
     from lab_etl_batch_data_processing_pipeline__spark.operators import windows
@@ -2533,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": q_orders_cdc_apply,
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
+        "events_ewma": q_events_ewma,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2542,7 +2564,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
-        "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
@@ -2554,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "tfidf_top_terms": q_tfidf_top_terms,
         "quantile_gate": q_quantile_gate,
+        "events_variant": q_events_variant,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -37,6 +37,59 @@ def running_totals(
     )
 
 
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int = 8,
+    scale: int = 256,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the trailing
+    ``window_rows`` rows — the time-decayed feature a training pipeline
+    attaches to event streams (recent behavior outweighs old), without
+    the cross-engine float drift EWMAs usually carry.
+
+    Exactness: the usual recursive EWMA (a*x + (1-a)*prev) accumulates
+    float error that depends on partition replay order. Here weights
+    are powers of two over a bounded window: row i of the frame
+    (oldest = 0) weighs 2^i, so with values fixed-pointed to
+    ``scale`` (round(value * scale), scale a power of two — the
+    multiply is exact, and HALF_UP equals DuckDB's half-away for
+    non-negative values) numerator and denominator are exact BIGINTs:
+    num = sum(v_i * 2^i), den = 2^m - 1 for the m rows present. The
+    reported fixed-point ``ewma_ppm` = floor(1e6 * num / den) runs one
+    multiply and one divide in IEEE doubles under a fixed
+    parenthesization — bit-identical on any engine, no rounding
+    boundary (floor, not round).
+
+    One shuffle (hash-partition by key), one in-partition sort; the
+    trailing frame is O(window_rows) per row. ``order_cols`` must be a
+    total order within each key or collect_list's frame order is
+    nondeterministic.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    v_int = F.round(F.col(value_col) * scale).cast("long")
+    arr = F.collect_list(v_int).over(w)
+    weighted = F.transform(
+        arr, lambda x, i: x * F.pow(F.lit(2.0), i.cast("double")).cast("long")
+    )
+    num = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    den = F.pow(F.lit(2.0), F.size(arr).cast("double")).cast("long") - 1
+    return df.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        F.size(arr).cast("int").alias("n_in_window"),
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        F.floor((F.lit(1000000.0) * num) / den).cast("long").alias("ewma_ppm"),
+    )
+
+
 def zscore_normalize(
     df: DataFrame,
     key_col: str,

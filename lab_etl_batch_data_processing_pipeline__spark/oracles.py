@@ -1177,6 +1177,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _MINHASH_SQL,
         "containment_near_dups": _CONTAINMENT_SQL,
+        # EWMA twin (windows.ewma, 8-row frame, scale 256): weights are
+        # powers of two and values fixed-pointed, so num/den are exact
+        # integers; ewma_ppm = floor of one double divide, identically
+        # parenthesized on both engines.
+        "events_ewma": """
+            WITH l AS (
+              SELECT user_id, event_id,
+                     list(CAST(round(value * 256) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch(ts), event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id,
+                     CAST(len(arr) AS INT) AS n_in_window,
+                     CAST(list_sum(
+                       [arr[i] * (1::BIGINT << (i - 1))
+                        FOR i IN generate_series(1, len(arr))]
+                     ) AS BIGINT) AS ewma_num,
+                     (1::BIGINT << len(arr)) - 1 AS ewma_den
+              FROM l
+            )
+            SELECT user_id, event_id, n_in_window, ewma_num, ewma_den,
+                   CAST(floor((1000000.0 * ewma_num) / ewma_den) AS BIGINT)
+                     AS ewma_ppm
+            FROM s ORDER BY user_id, event_id
+        """,
         # Streaming-dedup twin: the surviving key set of streaming
         # dropDuplicates over a bounded replay equals batch DISTINCT
         # (only key columns reach the sink, so payload nondeterminism

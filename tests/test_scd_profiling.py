@@ -274,3 +274,36 @@ def test_stratified_sample_exact_and_correlations(spark):
     assert corr[("x", "y")] == 1.0 and corr[("x", "z")] == -1.0 and corr[("y", "z")] == -1.0
     with pytest.raises(ValueError, match="two columns"):
         numeric_correlations(df, ["x"])
+
+
+def test_ewma_hand_computed(spark):
+    """3 events for one user, scale 256, 8-row frame: weights 2^i oldest
+    first, den = 2^m - 1 — checked against hand arithmetic."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 4.0)], ["uid", "seq", "v"]
+    )
+    rows = {r.seq: r for r in ewma(df, "uid", ["seq"], "v").collect()}
+    # seq1: arr=[256], num=256*1, den=1
+    assert (rows[1].ewma_num, rows[1].ewma_den) == (256, 1)
+    # seq2: arr=[256,512], num=256+512*2=1280, den=3
+    assert (rows[2].ewma_num, rows[2].ewma_den) == (1280, 3)
+    # seq3: arr=[256,512,1024], num=256+1024+4096=5376, den=7
+    assert (rows[3].ewma_num, rows[3].ewma_den) == (5376, 7)
+    assert rows[3].ewma_ppm == int(1_000_000.0 * 5376 / 7)
+    assert rows[3].n_in_window == 3
+
+
+def test_ewma_frame_caps_at_window_rows(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, i, 1.0) for i in range(12)], ["uid", "seq", "v"]
+    )
+    out = ewma(df, "uid", ["seq"], "v", window_rows=4).collect()
+    assert max(r.n_in_window for r in out) == 4
+    for r in out:
+        # constant 1.0 input -> ewma == 256/256 == 1.0 at any frame size
+        assert r.ewma_num == 256 * r.ewma_den
+        assert r.ewma_ppm == 1_000_000 * 256
