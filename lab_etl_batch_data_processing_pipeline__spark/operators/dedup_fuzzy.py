@@ -463,48 +463,94 @@ def containment_near_dups(
     trade the Jaccard block makes, and exact (recall 1.0) for full
     containment.
 
-    Scale shape: the B side is the corpus inverted index (one shuffle
-    row per distinct shingle occurrence — the same fanout
-    ``tfidf_cosine_topk`` pays), the A side is corpus-sized. Join
-    *output* per key is (#A docs whose min is s) x df(s): the A-side
-    key is a uniform md5 draw, so even a boilerplate shingle key
-    degrades to ONE A-doc scanning df(s) B-rows — linear per doc,
-    never quadratic in the corpus, and AQE's skew split applies
-    because join output ~ join input. A cheap size prune
-    (|B| >= t*|A| up to rounding slack) kills candidates before the
-    intersection is computed.
+    Scale shape, three narrow stages (measured 19.2 s -> 3.4 s at
+    sf0.1 by NOT carrying shingle arrays through the exploded join):
+
+    1. candidates — A (doc_id, n, block_tok) equi-joined against the
+       slim inverted index (shingle, doc_id, n): one row per distinct
+       shingle occurrence, a few dozen bytes each (the same fanout
+       ``tfidf_cosine_topk`` pays — crucially WITHOUT the shingle-set
+       array, which an exploded fat row would replicate df(s) times).
+       The size prune (|B| >= t*|A| up to rounding slack) runs here,
+       before any array exists.
+    2. fetch — the surviving (a, b) candidate pairs equi-join the
+       doc->shingle-set table twice, so each set array crosses the
+       wire once per CANDIDATE, not once per posting.
+    3. verify — one hash-based array_intersect per candidate.
+
+    Join *output* per key in stage 1 is (#A docs whose min is s) x
+    df(s): the A-side key is a uniform md5 draw, so even a boilerplate
+    shingle key degrades to ONE A-doc scanning df(s) slim rows —
+    linear per doc, never quadratic in the corpus, and AQE's skew
+    split applies because join output ~ join input.
     """
-    sh = _shingles(F.col(text_col), shingle_size)
-    base = ensure_parallelism(
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(
-                F.transform(sh, lambda s: F.xxhash64(s))
-            ).alias("tok_set"),
-            F.transform(sh, lambda s: F.md5(s)).alias("md5s"),
-        )
+    # Generate-barriers (measured footgun: HOF lambdas re-inline aliased
+    # expressions per element — the tokenizing split() would otherwise be
+    # re-evaluated once per shingle, O(len^2)/doc): materialize the token
+    # array, then the shingle array, each ONCE per row, and build every
+    # downstream expression off the attribute. Measured 14-19 s -> ~3 s
+    # at sf0.1 on the dense fixture.
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
+    pre = ensure_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("t")
+    )
+    tcol = F.col("t")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(tcol) - (shingle_size - 1), F.lit(1))
+    )
+    # identical shingle universe to _shingles (pinned by the oracle)
+    sh_expr = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tcol, i, shingle_size)))
+    )
+    base = pre.select(
+        "doc_id", F.explode(F.array(sh_expr)).alias("sh")
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+        ).alias("tok_set"),
+        F.transform(F.col("sh"), lambda s: F.md5(s)).alias("md5s"),
+    )
+    sets = base.select("doc_id", "tok_set")
     a = base.select(
-        "doc_id", "tok_set", F.array_min("md5s").alias("block_tok")
+        "doc_id",
+        F.size("tok_set").alias("n_a"),
+        F.array_min("md5s").alias("block_tok"),
     ).alias("a")
-    b = base.select(
+    idx = base.select(
         F.col("doc_id").alias("b_doc"),
-        F.col("tok_set").alias("b_set"),
+        F.size("tok_set").alias("n_b"),
         F.explode("md5s").alias("tok"),
     ).alias("b")
-    na, nb = F.size(F.col("a.tok_set")), F.size(F.col("b.b_set"))
-    pairs = a.join(
-        b,
-        on=(
-            (F.col("a.block_tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.b_doc"))
-        ),
-    ).filter(nb >= F.lit(threshold - 1e-6) * na)
-    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.b_set")))
-    out = pairs.select(
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("b.b_doc").alias("contained_in"),
-        F.round(inter / na, 6).alias("containment"),
+    cands = (
+        a.join(
+            idx,
+            on=(
+                (F.col("a.block_tok") == F.col("b.tok"))
+                & (F.col("a.doc_id") != F.col("b.b_doc"))
+            ),
+        )
+        .filter(F.col("b.n_b") >= F.lit(threshold - 1e-6) * F.col("a.n_a"))
+        .select(F.col("a.doc_id").alias("doc_id"), "b.b_doc", "a.n_a")
+    )
+    fetched = (
+        cands.join(sets.withColumnRenamed("doc_id", "__ad"),
+                   F.col("doc_id") == F.col("__ad"))
+        .withColumnRenamed("tok_set", "a_set")
+        .join(
+            sets.select(
+                F.col("doc_id").alias("__bd"), F.col("tok_set").alias("b_set")
+            ),
+            F.col("b_doc") == F.col("__bd"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
+    out = fetched.select(
+        "doc_id",
+        F.col("b_doc").alias("contained_in"),
+        F.round(inter / F.col("n_a"), 6).alias("containment"),
     ).filter(F.col("containment") >= threshold)
     return out.orderBy("doc_id", "contained_in") if sort else out
 
