@@ -1485,6 +1485,55 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join pruning gate (joins.bloom_filter_build /
+    bloom_semi_filter): a 128 KiB bitmap over the filtered orders keys
+    pre-filters lineitem before any join exchange — the classic 100 TB
+    shuffle reduction. The gate pins the two properties that make the
+    prune safe: NO false negatives (every exact-semi-join row passes
+    the bloom), and the false-positive volume under the design bound
+    (1% of the non-matching rows; theoretical rate at this key count is
+    far lower). DuckDB recomputes the exact counts and emits TRUE for
+    both booleans — a bloom regression (wrong hash, wrong bit math,
+    dropped word) flips a boolean and the value hash."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.joins import (
+        bloom_filter_build,
+        bloom_semi_filter,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+    )
+    words = bloom_filter_build(dim, "l_orderkey")
+    bloomed = bloom_semi_filter(li, "l_orderkey", words)
+    exact = li.join(dim, "l_orderkey", "left_semi")
+    counts = (
+        li.agg(F.count(F.lit(1)).alias("n_fact"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(bloomed.agg(F.count(F.lit(1)).alias("n_bloom")))
+        .crossJoin(
+            bloom_semi_filter(exact, "l_orderkey", words).agg(
+                F.count(F.lit(1)).alias("n_exact_through_bloom")
+            )
+        )
+    )
+    return counts.select(
+        "n_fact",
+        "n_exact",
+        (F.col("n_exact_through_bloom") == F.col("n_exact")).alias(
+            "no_false_negatives"
+        ),
+        (
+            (F.col("n_bloom") - F.col("n_exact"))
+            <= F.lit(0.01) * (F.col("n_fact") - F.col("n_exact"))
+        ).alias("fpr_ok"),
+    )
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer cumulative order count + exact running spend."""
     from lab_etl_batch_data_processing_pipeline__spark.operators import windows
@@ -2500,9 +2549,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sketch-consuming dedup family (artifact param validation + the
     block_tok2 sketch column: near_dup_jaccard, minhash_near_dups,
     near_dup_clusters, corpus_prep, training_mix, training_batches,
-    recipe_metric, recipe_training_mix). All 50 verified this session
-    under a vanilla driver-replica session at sf0.01
-    (SPARK_GRAFT_VANILLA).
+    recipe_metric, recipe_training_mix), PLUS the four operators born
+    mid-r9 (containment_near_dups — asymmetric shingle containment;
+    pmi_collocations — association-lift collocations; streaming_dedup —
+    streaming dropDuplicates vs batch DISTINCT; events_ewma — exact
+    power-of-two EWMA), each displacing one multi-round-green row
+    (pricing_summary, tfidf_top_terms, quantile_gate, events_variant)
+    to the tail. All 50 verified this session under a vanilla
+    driver-replica session at sf0.01 (SPARK_GRAFT_VANILLA).
 
     Current tail: rows that are multi-round driver-green (rotated out
     r5-r9 after >= 2 green rounds each), approximate-by-design rows
@@ -2555,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
         "events_ewma": q_events_ewma,
+        "bloom_join_gate": q_bloom_join_gate,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2564,7 +2619,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
-        "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
         "training_batches": q_training_batches,
@@ -2576,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "quantile_gate": q_quantile_gate,
         "events_variant": q_events_variant,
+        "doc_chunks": q_doc_chunks,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

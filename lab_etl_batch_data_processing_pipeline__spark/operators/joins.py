@@ -84,3 +84,98 @@ def curated_apartment_bookings(
         F.col("b.booking_status").alias("booking_status"),
         (F.col("b.total_price").cast("double") * F.col("usd_rate")).alias("total_price_usd"),
     )
+
+
+def bloom_filter_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> list[int]:
+    """Build a Bloom filter over ``keys[key_col]`` as a dense list of
+    m_bits/64 little-endian words — the build side of
+    :func:`bloom_semi_filter`.
+
+    Hash family: position_j = pmod(xxhash64(key, j), m_bits) for
+    j in 0..k-1 — deterministic, engine-native, no Python in the scan.
+    The distributed part is one explode + bit-OR aggregate keyed by word
+    index; only the AGGREGATED words are collected, so the driver
+    traffic is bounded by the filter SIZE (m_bits/64 rows, 16 K longs =
+    128 KiB at the default m), never by the key count — the same
+    bounded-collect contract as the ANN codebooks
+    (similarity.py), with the word map the "model" being learned.
+
+    Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k; the default
+    (m=2^20, k=5) gives < 1% up to ~100 K keys. At 100 TB the build
+    side is usually a filtered dimension (still << m); for billions of
+    keys raise m_bits — the collect stays m-bounded.
+    """
+    n_words = m_bits // 64
+    positions = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.pmod(F.xxhash64(F.col(key_col), j), F.lit(m_bits)),
+        )
+    ).alias("pos")
+    words = (
+        keys.select(positions)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("b"),
+        )
+        # shiftleft by a COLUMN needs the SQL form (the PySpark function
+        # only takes a literal shift amount)
+        .selectExpr("w", "shiftleft(1L, b) AS bit")
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in words:
+        dense[r.w] = r.bits
+    return dense
+
+
+def bloom_semi_filter(
+    fact: DataFrame,
+    key_col: str,
+    bloom_words: list[int],
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Pre-join semi-filter: keep fact rows whose key *may* be in the
+    Bloom filter built by :func:`bloom_filter_build` (no false
+    negatives; false positives at the filter's design rate).
+
+    The classic 100 TB join reduction: ship a 128 KiB bitmap instead of
+    shuffling the fact table against the dimension — rows that cannot
+    match never enter the join exchange. Membership is pure JVM
+    expression work: the bitmap rides into the plan as one literal
+    array column on a broadcast one-row frame (never per-row Python),
+    and the k probes are bit tests off that attribute.
+
+    Compose with the exact join afterwards: bloom prune -> equi-join
+    gives identical results to the plain join, minus the shuffled
+    volume. (Spark's AQE runtime bloom under
+    spark.sql.optimizer.runtime.bloomFilter.enabled makes the same
+    move automatically for selective joins; this operator is the
+    explicit, cross-stage, reusable-artifact form.)
+    """
+    spark = fact.sparkSession
+    bitmap = spark.createDataFrame([(bloom_words,)], "___bloom: array<long>")
+    probed = fact.crossJoin(F.broadcast(bitmap))
+    pos_cols = []
+    for j in range(k):
+        pos_cols.append(f"__bloom_pos{j}")
+        probed = probed.withColumn(
+            pos_cols[-1],
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits)),
+        )
+    # shiftright by a COLUMN needs the SQL form (the PySpark function
+    # only takes a literal shift amount)
+    cond = " AND ".join(
+        f"((shiftright(element_at(___bloom, cast({p} / 64 AS int) + 1),"
+        f" cast({p} % 64 AS int)) & 1) = 1)"
+        for p in pos_cols
+    )
+    return probed.filter(F.expr(cond)).drop("___bloom", *pos_cols)

@@ -1177,6 +1177,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _MINHASH_SQL,
         "containment_near_dups": _CONTAINMENT_SQL,
+        # Bloom-prune gate twin: DuckDB recomputes the exact fact and
+        # semi-join counts and asserts the invariants hold (TRUE
+        # booleans) — xxhash64 is not portable, so the bloom SIDE is
+        # pinned by the no-false-negative/FPR contract, not bit-by-bit.
+        "bloom_join_gate": """
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_fact,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey IN (
+                  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
+                AS n_exact,
+              TRUE AS no_false_negatives,
+              TRUE AS fpr_ok
+        """,
         # EWMA twin (windows.ewma, 8-row frame, scale 256): weights are
         # powers of two and values fixed-pointed, so num/den are exact
         # integers; ewma_ppm = floor of one double divide, identically

@@ -128,3 +128,32 @@ def test_zscore_applyinpandas_matches_window_form(spark):
             assert pdf[k] == pytest.approx(win[k], abs=1e-9)
     assert win[1] == -1.0 and win[3] == 1.0   # hand-checked group 'a'
     assert win[4] is None and win[6] is None  # zero variance, singleton
+
+
+def test_bloom_semi_filter_no_false_negatives(spark):
+    """Every key in the build set passes the probe; keys far outside
+    mostly don't (with m=2^20 over 100 keys, a false positive in a
+    200-key probe is ~impossible)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.joins import (
+        bloom_filter_build,
+        bloom_semi_filter,
+    )
+
+    keys = spark.range(100).withColumnRenamed("id", "k")
+    words = bloom_filter_build(keys, "k")
+    probe = spark.range(300).withColumnRenamed("id", "k")  # 100 in, 200 out
+    kept = sorted(r.k for r in bloom_semi_filter(probe, "k", words).collect())
+    assert kept[:100] == list(range(100))  # no false negatives
+    assert len(kept) == 100  # no false positives at this density
+
+
+def test_bloom_filter_build_is_m_bounded(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.joins import (
+        bloom_filter_build,
+    )
+
+    words = bloom_filter_build(
+        spark.range(50).withColumnRenamed("id", "k"), "k", m_bits=1 << 10, k=3
+    )
+    assert len(words) == (1 << 10) // 64
+    assert sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words) <= 150

@@ -127,6 +127,7 @@ TAIL_KEYS = {
     "tfidf_top_terms": "test_spot_oracle_parity",
     "quantile_gate": "test_spot_oracle_parity",
     "events_variant": "test_spot_oracle_parity",
+    "doc_chunks": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -214,6 +215,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "tfidf_top_terms",
         "quantile_gate",
         "events_variant",
+        "doc_chunks",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",
