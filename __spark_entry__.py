@@ -1485,6 +1485,34 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transaction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank (graph.pagerank, 5 rounds,
+    2^20 fixed point) over the bidirectional customer<->supplier
+    co-transaction graph (distinct pairs via orders x lineitem; node id
+    = 2*custkey / 2*suppkey+1 keeps the key spaces disjoint). Every
+    step is truncating-BIGINT arithmetic, so an ITERATIVE algorithm
+    gets a full value-hash oracle: DuckDB unrolls the same five rounds
+    as chained CTEs and must match bit-for-bit."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.graph import (
+        pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pagerank(edges, iterations=5).orderBy("node_id")
+
+
 def q_bloom_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join pruning gate (joins.bloom_filter_build /
     bloom_semi_filter): a 128 KiB bitmap over the filtered orders keys
@@ -2610,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "events_ewma": q_events_ewma,
         "bloom_join_gate": q_bloom_join_gate,
+        "transaction_pagerank": q_transaction_pagerank,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2619,7 +2648,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
-        "rolling_revenue_7d": q_rolling_revenue_7d,
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
         "training_batches": q_training_batches,
         "corpus_mixture_weighted": q_corpus_mixture_weighted,
@@ -2631,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_gate": q_quantile_gate,
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

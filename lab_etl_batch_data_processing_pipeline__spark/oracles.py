@@ -455,6 +455,47 @@ _MINHASH_PARAMS_VALUES = ",\n              ".join(
     for i, (a, b) in enumerate(dedup_fuzzy.minhash_params(32))
 )
 
+def _pagerank_sql(iterations: int = 5, scale_bits: int = 20) -> str:
+    """Unrolled-CTE twin of graph.pagerank over the customer<->supplier
+    co-transaction graph: the same truncating-integer update per round
+    ((85 * r // 100) // outdeg summed per dst, plus the integer base),
+    chained r1..rN — an iterative distributed algorithm pinned by a
+    declarative oracle because no float ever enters either side."""
+    base = 15 * (1 << scale_bits) // 100
+    r0 = 1 << scale_bits
+    rounds = "".join(
+        f""", r{i} AS (
+  SELECT n.node_id,
+         CAST({base} + COALESCE(
+           SUM((85 * r.rank_fp // 100) // d.outdeg), 0) AS BIGINT) AS rank_fp
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node_id
+  LEFT JOIN r{i - 1} r ON r.node_id = e.src
+  LEFT JOIN outdeg d ON d.src = e.src
+  GROUP BY 1)"""
+        for i in range(1, iterations + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION
+  SELECT s AS src, c AS dst FROM pairs
+), outdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS node_id FROM edges
+  UNION
+  SELECT DISTINCT dst AS node_id FROM edges
+), r0 AS (
+  SELECT node_id, CAST({r0} AS BIGINT) AS rank_fp FROM nodes
+){rounds}
+SELECT node_id, rank_fp FROM r{iterations} ORDER BY node_id
+"""
+
+
 # Shingle-containment twin (dedup_fuzzy.containment_degree, w=3, t=0.5):
 # the blocking is replicated exactly — pair (A, B) qualifies iff A's
 # min-md5 3-shingle appears in B's shingle set — so the oracle pins both
@@ -1177,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _MINHASH_SQL,
         "containment_near_dups": _CONTAINMENT_SQL,
+        "transaction_pagerank": _pagerank_sql(5),
         # Bloom-prune gate twin: DuckDB recomputes the exact fact and
         # semi-join counts and asserts the invariants hold (TRUE
         # booleans) — xxhash64 is not portable, so the bloom SIDE is

@@ -128,6 +128,7 @@ TAIL_KEYS = {
     "quantile_gate": "test_spot_oracle_parity",
     "events_variant": "test_spot_oracle_parity",
     "doc_chunks": "test_spot_oracle_parity",
+    "rolling_revenue_7d": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -216,6 +217,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "quantile_gate",
         "events_variant",
         "doc_chunks",
+        "rolling_revenue_7d",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",

@@ -79,3 +79,38 @@ def test_first_level_tolerates_unbroadcastable_labels(spark, monkeypatch):
     got = {r.node_id: r.component_id for r in cc.collect()}
     assert got == {i: 1 for i in range(1, 9)}
     assert len(calls) >= 2, "recursive quotient levels should keep the hint"
+
+
+def test_pagerank_star_graph_hand_computed(spark):
+    """Hub <-> 3 spokes, 1 iteration: every step is integer arithmetic
+    checked by hand; determinism across partitionings is implied by the
+    arithmetic never leaving BIGINT."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)],
+        ["src", "dst"],
+    )
+    r = {x.node_id: x.rank_fp for x in pagerank(edges, iterations=1).collect()}
+    base = 15 * (1 << 20) // 100       # 157286
+    r0 = 1 << 20                       # 1048576
+    damped = 85 * r0 // 100            # 891289
+    # hub: three spokes each outdeg 1 -> 3 * (damped // 1)
+    assert r[0] == base + 3 * damped
+    # spoke: hub outdeg 3 -> damped // 3
+    assert r[1] == r[2] == r[3] == base + damped // 3
+
+
+def test_pagerank_checkpointed_matches_unrolled(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(20)]
+        + [((i * 7 + 3) % 20, i) for i in range(20)],
+        ["src", "dst"],
+    ).filter("src <> dst")
+    a = sorted(map(tuple, pagerank(edges, iterations=4).collect()))
+    b = sorted(
+        map(tuple, pagerank(edges, iterations=4, checkpoint_ranks=True).collect())
+    )
+    assert a == b
