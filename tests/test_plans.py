@@ -425,3 +425,50 @@ def test_remove_duplicate_spans_map_side_removal(spark):
     plan = formatted_plan(entrymod.queries()["substring_dedup"](spark, SF))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Scan parquet") <= 4  # spans pass + doc rejoin (x2 each)
+
+
+def test_containment_no_cartesian_slim_postings(spark):
+    """The containment pipeline must stay equi-joins: posting join +
+    two set-fetch joins, never a cartesian/nested-loop; the shingle-set
+    arrays must NOT ride the exploded posting side (the measured 19 s ->
+    1.2 s fix) — pinned by the posting join carrying no array-typed key
+    columns."""
+    plan = formatted_plan(entrymod.queries()["containment_near_dups"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Generate" in plan  # the barrier + posting explode
+
+
+def test_pagerank_reuses_checkpointed_statics(spark):
+    """The unrolled 5-round plan must read the checkpointed edge/node
+    RDDs (ExistingRDD scans), not re-execute the orders x lineitem
+    edge-building join per round."""
+    plan = formatted_plan(entrymod.queries()["transaction_pagerank"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # the edge-building parquet join happens before the checkpoint, so
+    # the terminal plan contains NO parquet scan at all
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_bloom_probe_is_filter_not_join(spark):
+    """The bloom membership test must be expression work on a broadcast
+    one-row bitmap (a single bounded nested-loop), never a shuffle of
+    the fact side against the key set."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators.joins import (
+        bloom_filter_build,
+        bloom_semi_filter,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    dim = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    words = bloom_filter_build(dim, "l_orderkey", m_bits=1 << 14)
+    plan = formatted_plan(bloom_semi_filter(li, "l_orderkey", words))
+    # exactly one nested-loop: the bounded 1-row bitmap broadcast
+    # (formatted mode lists each node twice — tree + detail section)
+    assert plan.count("BroadcastNestedLoop") <= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "shiftright" in plan  # the bit test reached the filter
