@@ -300,6 +300,17 @@ def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment dedup ACTION: surviving doc ids after dropping
+    every doc >= 0.8 shingle-contained in an absorbing doc (more
+    shingles, or smaller id at equal size). One-pass absorb rule judged
+    against the original corpus — a single declarative plan; the oracle
+    replicates blocking, rule, and tiebreak exactly."""
+    return dedup_fuzzy.containment_prune(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 60-bit SimHash sketches (md5-derived token bits —
     bit-for-bit reproducible in DuckDB)."""
@@ -2639,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "bloom_join_gate": q_bloom_join_gate,
         "transaction_pagerank": q_transaction_pagerank,
+        "containment_prune": q_containment_prune,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2648,7 +2660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
-        "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
         "training_batches": q_training_batches,
         "corpus_mixture_weighted": q_corpus_mixture_weighted,
         "training_mix": q_training_mix,
@@ -2660,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant": q_events_variant,
         "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
+        "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

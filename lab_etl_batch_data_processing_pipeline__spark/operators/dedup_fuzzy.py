@@ -1297,3 +1297,72 @@ def incremental_dedup(
     return incoming.join(
         keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
     ).orderBy(id_col)
+
+
+def containment_prune(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """The dedup ACTION on top of :func:`containment_near_dups`: the
+    surviving doc ids after dropping every doc that is >= threshold
+    shingle-contained in an ABSORBING doc — one with more distinct
+    shingles, or the smaller id at equal size (so exact clones keep
+    exactly their min-id member, and a quote keeps only its longest
+    host).
+
+    One-pass semantics, deliberately: absorbers are judged against the
+    ORIGINAL corpus, not the surviving set — A ⊂ B ⊂ C drops both A and
+    B even though B itself is dropped (the content lives on in C). The
+    alternative (recompute after each wave) is iterative with no
+    accuracy payoff for dedup; one pass is what keeps the operator a
+    single declarative plan, the same choice semantic_dedup makes.
+
+    Cost = the containment pair space + one shingle-size scan + an
+    anti-join; nothing new shuffles at corpus scale.
+    """
+    pairs = containment_near_dups(
+        documents, id_col, text_col, threshold, shingle_size, sort=False
+    )
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    pre = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("t")
+    )
+    tcol = F.col("t")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(tcol) - (shingle_size - 1), F.lit(1))
+    )
+    sizes = pre.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(tcol, i, shingle_size))
+                )
+            )
+        ).alias("n_sh"),
+    )
+    a = sizes.select(F.col("doc_id"), F.col("n_sh").alias("n_a"))
+    b = sizes.select(
+        F.col("doc_id").alias("contained_in"), F.col("n_sh").alias("n_b")
+    )
+    absorbed = (
+        pairs.join(a, "doc_id")
+        .join(b, "contained_in")
+        .filter(
+            (F.col("n_b") > F.col("n_a"))
+            | ((F.col("n_b") == F.col("n_a"))
+               & (F.col("contained_in") < F.col("doc_id")))
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(absorbed, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )

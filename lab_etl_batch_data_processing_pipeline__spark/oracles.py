@@ -496,12 +496,12 @@ SELECT node_id, rank_fp FROM r{iterations} ORDER BY node_id
 """
 
 
-# Shingle-containment twin (dedup_fuzzy.containment_degree, w=3, t=0.5):
-# the blocking is replicated exactly — pair (A, B) qualifies iff A's
-# min-md5 3-shingle appears in B's shingle set — so the oracle pins both
-# the verify arithmetic AND the inverted-index candidate recall.
-_CONTAINMENT_SQL = """
-WITH norm AS (
+# Shingle-containment twins (dedup_fuzzy.containment_degree /
+# containment_prune, w=3): the blocking is replicated exactly — pair
+# (A, B) qualifies iff A's min-md5 3-shingle appears in B's shingle set
+# — so the oracle pins both the verify arithmetic AND the
+# inverted-index candidate recall.
+_CONTAINMENT_PREP = """norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
   FROM documents
 ), tk AS (
@@ -518,17 +518,35 @@ WITH norm AS (
          list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS block_tok
   FROM shing
 ), pairs AS (
-  SELECT a.doc_id AS doc_id,
+  SELECT a.doc_id AS doc_id, b.doc_id AS contained_in,
+         len(a.sh) AS n_a, len(b.sh) AS n_b,
          ROUND(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
                * 1.0 / len(a.sh), 6) AS containment
   FROM prep a JOIN prep b
     ON a.doc_id <> b.doc_id
    AND list_contains(list_transform(b.sh, s -> md5(s)), a.block_tok)
-)
+)"""
+
+_CONTAINMENT_SQL = f"""
+WITH {_CONTAINMENT_PREP}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers,
        ROUND(MAX(containment), 6) AS max_containment
 FROM pairs WHERE containment >= 0.5
 GROUP BY 1 ORDER BY 1
+"""
+
+# Prune twin: one-pass absorb rule (absorber = more shingles, or
+# smaller id at equal size), judged against the original corpus.
+_CONTAINMENT_PRUNE_SQL = f"""
+WITH {_CONTAINMENT_PREP},
+absorbed AS (
+  SELECT DISTINCT doc_id FROM pairs
+  WHERE containment >= 0.8
+    AND (n_b > n_a OR (n_b = n_a AND contained_in < doc_id))
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN absorbed x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL ORDER BY 1
 """
 
 _MINHASH_SQL = f"""
@@ -1218,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _MINHASH_SQL,
         "containment_near_dups": _CONTAINMENT_SQL,
+        "containment_prune": _CONTAINMENT_PRUNE_SQL,
         "transaction_pagerank": _pagerank_sql(5),
         # Bloom-prune gate twin: DuckDB recomputes the exact fact and
         # semi-join counts and asserts the invariants hold (TRUE

@@ -129,6 +129,7 @@ TAIL_KEYS = {
     "events_variant": "test_spot_oracle_parity",
     "doc_chunks": "test_spot_oracle_parity",
     "rolling_revenue_7d": "test_spot_oracle_parity",
+    "parquet_upsert_roundtrip": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -218,6 +219,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "events_variant",
         "doc_chunks",
         "rolling_revenue_7d",
+        "parquet_upsert_roundtrip",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",

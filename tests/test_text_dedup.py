@@ -747,3 +747,24 @@ def test_containment_degree_collapses_pairs(spark):
     # doc 1's shingles all appear in 2 and 3; doc 3 is contained in 2
     assert deg[1] == (2, 1.0)
     assert deg[3][0] >= 1
+
+
+def test_containment_prune_keeps_longest_host(spark):
+    """quote ⊂ host: the quote drops, the host survives; exact clones
+    keep the min id; chains drop every absorbed doc in ONE pass."""
+    quote = "the quick brown fox jumps over the lazy dog every single morning"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote),
+            (3, filler + " " + quote),       # clone of 2 -> id 3 drops
+            (4, "совершенно другой текст без общих слов вообще ни одного"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = [
+        r.doc_id
+        for r in dedup_fuzzy.containment_prune(docs, threshold=0.9).collect()
+    ]
+    assert kept == [2, 4]
