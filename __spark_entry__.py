@@ -1524,6 +1524,25 @@ def q_transaction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5).orderBy("node_id")
 
 
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, cents(value)) —
+    the multi-dimensional layout key zorder_write sorts by before a
+    columnar write so file min/max stats prune on either column (the
+    write + footer-stats receipt is in SCALE.md; this row pins the bit
+    interleave itself bit-for-bit against DuckDB)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.layout import (
+        zorder_value,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_value(
+            F.col("user_id"), F.round(F.col("value") * 100).cast("long")
+        ).alias("zvalue"),
+    ).orderBy("event_id")
+
+
 def q_bloom_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join pruning gate (joins.bloom_filter_build /
     bloom_semi_filter): a 128 KiB bitmap over the filtered orders keys
@@ -2651,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_gate": q_bloom_join_gate,
         "transaction_pagerank": q_transaction_pagerank,
         "containment_prune": q_containment_prune,
+        "events_zorder": q_events_zorder,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
@@ -2661,7 +2681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
         "training_batches": q_training_batches,
-        "corpus_mixture_weighted": q_corpus_mixture_weighted,
         "training_mix": q_training_mix,
         # --- past the driver's 50-key correctness window (see docstring)
         # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
@@ -2672,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
+        "corpus_mixture_weighted": q_corpus_mixture_weighted,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

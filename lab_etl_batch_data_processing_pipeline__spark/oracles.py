@@ -1238,6 +1238,20 @@ def oracle_sql() -> dict[str, str]:
         "containment_near_dups": _CONTAINMENT_SQL,
         "containment_prune": _CONTAINMENT_PRUNE_SQL,
         "transaction_pagerank": _pagerank_sql(5),
+        # Z-order key twin: the same 16-bit Morton interleave in plain
+        # >>/&/<< integer arithmetic.
+        "events_zorder": """
+            SELECT event_id,
+                   CAST((
+                     """ + " + ".join(
+                         f"(((user_id >> {i}) & 1) << {2 * i}) + "
+                         f"(((CAST(round(value * 100) AS BIGINT) >> {i}) & 1)"
+                         f" << {2 * i + 1})"
+                         for i in range(16)
+                     ) + """
+                   ) AS BIGINT) AS zvalue
+            FROM events ORDER BY event_id
+        """,
         # Bloom-prune gate twin: DuckDB recomputes the exact fact and
         # semi-join counts and asserts the invariants hold (TRUE
         # booleans) — xxhash64 is not portable, so the bloom SIDE is

@@ -130,6 +130,7 @@ TAIL_KEYS = {
     "doc_chunks": "test_spot_oracle_parity",
     "rolling_revenue_7d": "test_spot_oracle_parity",
     "parquet_upsert_roundtrip": "test_spot_oracle_parity",
+    "corpus_mixture_weighted": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -220,6 +221,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "doc_chunks",
         "rolling_revenue_7d",
         "parquet_upsert_roundtrip",
+        "corpus_mixture_weighted",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",
