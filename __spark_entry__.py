@@ -1253,7 +1253,20 @@ def q_metric_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Monotonic suffix for memory-sink table names: one streaming query per
 # (process, invocation) — repeat calls (bench warmup + timed run) must not
 # collide on the sink name or a still-registered temp view.
-_STREAM_SINK_SEQ = [0]
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with the normalized
+    event-time column. Streaming readers cannot infer schemas; borrow
+    the batch reader's. The file-stream source requires a directory
+    path (it derives basePath from the path itself, so a bare file is
+    rejected): stream the containing dir, select the table via
+    pathGlobFilter."""
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts_utc", ensure_timestamp(stream, "ts"))
 
 
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,41 +1283,17 @@ def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state) is identical.
     """
     from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        replay_to_memory,
         streaming_event_type_counts,
     )
 
-    # Streaming readers cannot infer schemas; borrow the batch reader's.
-    # The file-stream source requires a directory path (it derives its
-    # basePath from the path itself, so a bare file is rejected); stream
-    # the containing dir and select the one table via pathGlobFilter.
-    batch = _t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    agg = streaming_event_type_counts(_events_stream(spark, sf_dir), ts_col="ts_utc")
+    # replay_to_memory keeps only the newest sink registered: a long bench
+    # session invokes this repeatedly (warmup + timed), and complete-mode
+    # memory sinks hold their full contents on the driver until dropped.
+    return replay_to_memory(agg, "stream_event_counts", "complete").orderBy(
+        "window_start_sec", "event_type"
     )
-    stream = stream.withColumn("ts_utc", ensure_timestamp(stream, "ts"))
-    agg = streaming_event_type_counts(stream, ts_col="ts_utc")
-
-    _STREAM_SINK_SEQ[0] += 1
-    sink = f"stream_event_counts_{os.getpid()}_{_STREAM_SINK_SEQ[0]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # Only the newest sink stays registered: a long bench session invokes
-    # this repeatedly (warmup + timed), and complete-mode memory sinks
-    # hold their full contents on the driver until dropped.
-    prev = f"stream_event_counts_{os.getpid()}_{_STREAM_SINK_SEQ[0] - 1}"
-    spark.catalog.dropTempView(prev)
-    return spark.table(sink).orderBy("window_start_sec", "event_type")
-
-
-_SESSIONS_SINK_SEQ = [0]
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,32 +1308,15 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete is the verification vehicle (see
     streaming_session_windows docstring for the mode contract)."""
     from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        replay_to_memory,
         streaming_session_windows,
     )
 
-    batch = _t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    sess = streaming_session_windows(
+        _events_stream(spark, sf_dir), "ts_utc", gap="12 hours"
     )
-    stream = stream.withColumn("ts_utc", ensure_timestamp(stream, "ts"))
-    sess = streaming_session_windows(stream, "ts_utc", gap="12 hours")
-
-    _SESSIONS_SINK_SEQ[0] += 1
-    sink = f"stream_sessions_{os.getpid()}_{_SESSIONS_SINK_SEQ[0]}"
-    query = (
-        sess.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    prev = f"stream_sessions_{os.getpid()}_{_SESSIONS_SINK_SEQ[0] - 1}"
-    spark.catalog.dropTempView(prev)
     return (
-        spark.table(sink)
+        replay_to_memory(sess, "stream_sessions", "complete")
         .select(
             "user_id",
             F.unix_micros("session_start").alias("session_start_us"),
@@ -1353,9 +1325,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
-
-
-_DEDUP_SINK_SEQ = [0]
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,43 +1345,21 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in test_streaming_dedup (two-batch replay over one
     checkpoint)."""
     from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        replay_to_memory,
         streaming_dedup,
     )
 
-    batch = _t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = stream.withColumn("ts_utc", ensure_timestamp(stream, "ts"))
     deduped = streaming_dedup(
-        stream.select("user_id", "event_type", "ts_utc"),
+        _events_stream(spark, sf_dir).select("user_id", "event_type", "ts_utc"),
         ["user_id", "event_type"],
         "ts_utc",
     ).select("user_id", "event_type")
-
-    _DEDUP_SINK_SEQ[0] += 1
-    sink = f"stream_dedup_{os.getpid()}_{_DEDUP_SINK_SEQ[0]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    prev = f"stream_dedup_{os.getpid()}_{_DEDUP_SINK_SEQ[0] - 1}"
-    spark.catalog.dropTempView(prev)
     return (
-        spark.table(sink)
+        replay_to_memory(deduped, "stream_dedup", "append")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
         .orderBy("event_type")
     )
-
-
-_USER_TOTALS_SINK_SEQ = [0]
 
 
 def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,31 +1376,15 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: state is hash-partitioned by user across executors and one
     long per key, so the state store stays tiny at billions of users."""
     from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        replay_to_memory,
         streaming_user_totals,
     )
 
-    batch = _t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    totals = streaming_user_totals(
+        _events_stream(spark, sf_dir).drop("ts_utc"), user_col="user_id"
     )
-    totals = streaming_user_totals(stream, user_col="user_id")
-
-    _USER_TOTALS_SINK_SEQ[0] += 1
-    sink = f"stream_user_totals_{os.getpid()}_{_USER_TOTALS_SINK_SEQ[0]}"
-    query = (
-        totals.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    prev = f"stream_user_totals_{os.getpid()}_{_USER_TOTALS_SINK_SEQ[0] - 1}"
-    spark.catalog.dropTempView(prev)
     return (
-        spark.table(sink)
+        replay_to_memory(totals, "stream_user_totals", "update")
         .groupBy("user_id")
         .agg(F.max("total_events").alias("n_events"))
         .orderBy("user_id")
@@ -1555,8 +1486,7 @@ def q_bloom_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     both booleans — a bloom regression (wrong hash, wrong bit math,
     dropped word) flips a boolean and the value hash."""
     from lab_etl_batch_data_processing_pipeline__spark.operators.joins import (
-        bloom_filter_build,
-        bloom_semi_filter,
+        bloom_prune_gate,
     )
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1566,30 +1496,7 @@ def q_bloom_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("l_orderkey"))
         .distinct()
     )
-    words = bloom_filter_build(dim, "l_orderkey")
-    bloomed = bloom_semi_filter(li, "l_orderkey", words)
-    exact = li.join(dim, "l_orderkey", "left_semi")
-    counts = (
-        li.agg(F.count(F.lit(1)).alias("n_fact"))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
-        .crossJoin(bloomed.agg(F.count(F.lit(1)).alias("n_bloom")))
-        .crossJoin(
-            bloom_semi_filter(exact, "l_orderkey", words).agg(
-                F.count(F.lit(1)).alias("n_exact_through_bloom")
-            )
-        )
-    )
-    return counts.select(
-        "n_fact",
-        "n_exact",
-        (F.col("n_exact_through_bloom") == F.col("n_exact")).alias(
-            "no_false_negatives"
-        ),
-        (
-            (F.col("n_bloom") - F.col("n_exact"))
-            <= F.lit(0.01) * (F.col("n_fact") - F.col("n_exact"))
-        ).alias("fpr_ok"),
-    )
+    return bloom_prune_gate(li, dim, "l_orderkey")
 
 
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -179,3 +179,42 @@ def bloom_semi_filter(
         for p in pos_cols
     )
     return probed.filter(F.expr(cond)).drop("___bloom", *pos_cols)
+
+
+def bloom_prune_gate(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    fpr_bound: float = 0.01,
+) -> DataFrame:
+    """One-row invariant gate for the bloom prune: (n_fact, n_exact,
+    no_false_negatives, fpr_ok). ``dim_keys`` must be a one-column frame
+    named ``key_col``. The exact side is computed with a plain semi-join;
+    the bloom side must be a superset of it (no false negatives) with
+    false-positive volume <= fpr_bound * non-matching rows."""
+    words = bloom_filter_build(dim_keys, key_col, m_bits, k)
+    bloomed = bloom_semi_filter(fact, key_col, words, m_bits, k)
+    exact = fact.join(dim_keys.distinct(), key_col, "left_semi")
+    counts = (
+        fact.agg(F.count(F.lit(1)).alias("n_fact"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(bloomed.agg(F.count(F.lit(1)).alias("n_bloom")))
+        .crossJoin(
+            bloom_semi_filter(exact, key_col, words, m_bits, k).agg(
+                F.count(F.lit(1)).alias("n_exact_through_bloom")
+            )
+        )
+    )
+    return counts.select(
+        "n_fact",
+        "n_exact",
+        (F.col("n_exact_through_bloom") == F.col("n_exact")).alias(
+            "no_false_negatives"
+        ),
+        (
+            (F.col("n_bloom") - F.col("n_exact"))
+            <= F.lit(fpr_bound) * (F.col("n_fact") - F.col("n_exact"))
+        ).alias("fpr_ok"),
+    )

@@ -7,6 +7,7 @@ Bronze layer continuously; see ``jobs.py``.
 """
 
 from .jobs import (  # noqa: F401
+    replay_to_memory,
     stream_bookings_ingest,
     streaming_bookings_per_window,
     streaming_click_attribution,

@@ -237,3 +237,35 @@ def streaming_session_windows(
             "n_events",
         )
     )
+
+
+_REPLAY_SEQ: dict[str, int] = {}
+
+
+def replay_to_memory(result: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame through a memory sink with one
+    availableNow (bounded) replay and return the sink table — the
+    verification vehicle every oracle-checked streaming row uses (the
+    production forms write to real sinks; memory is for value-hash
+    comparison against a batch oracle).
+
+    Sink names are sequenced per prefix/pid so repeated calls in one
+    session never collide; the previous sink's temp view is dropped to
+    keep the catalog bounded."""
+    import os
+
+    spark = result.sparkSession
+    seq = _REPLAY_SEQ.get(prefix, 0) + 1
+    _REPLAY_SEQ[prefix] = seq
+    sink = f"{prefix}_{os.getpid()}_{seq}"
+    query = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if seq > 1:
+        spark.catalog.dropTempView(f"{prefix}_{os.getpid()}_{seq - 1}")
+    return spark.table(sink)
