@@ -300,6 +300,31 @@ def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity RESOLUTION (not just matching): connected components over
+    the blocked edit-distance pair space — the cluster ids a linkage
+    pipeline actually outputs (one canonical entity per component).
+    Same pair generator as fuzzy_part_match, same label contraction as
+    near_dup_clusters; the oracle transitively closes the identical
+    pair space with a recursive CTE."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import (
+        graph,
+        linkage,
+    )
+
+    pairs = linkage.fuzzy_pairs(
+        _t(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        ["p_brand", F.element_at(F.split(F.col("p_name"), " "), 2)],
+        max_distance=2,
+        sort=False,
+    )
+    return graph.connected_components(
+        pairs, "id_a", "id_b", assume_unique_pairs=True
+    ).orderBy("node_id")
+
+
 def q_containment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment dedup ACTION: surviving doc ids after dropping
     every doc >= 0.8 shingle-contained in an absorbing doc (more
@@ -2578,13 +2603,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transaction_pagerank": q_transaction_pagerank,
         "containment_prune": q_containment_prune,
         "events_zorder": q_events_zorder,
+        "part_entity_clusters": q_part_entity_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
         "winnowing": q_winnowing,
         "orders_profile": q_orders_profile,
         "near_dup_clusters": q_near_dup_clusters,
-        "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
         "training_batches": q_training_batches,
@@ -2599,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
         "corpus_mixture_weighted": q_corpus_mixture_weighted,
+        "cardinality_gate": q_cardinality_gate,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

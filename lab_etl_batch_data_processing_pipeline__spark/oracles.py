@@ -618,6 +618,24 @@ _SESSION_WINDOW_SQL = """
 """
 
 
+# Shared fuzzy-linkage pair space (blocking + length prune + early
+# Levenshtein threshold), used by both the degree and cluster twins.
+_FUZZY_KEPT = """p AS (
+              SELECT p_partkey, p_name, p_brand,
+                     list_extract(string_split(p_name, ' '), 2) AS noun,
+                     length(p_name) AS ln
+              FROM part
+            ), kept AS (
+              SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                     levenshtein(a.p_name, b.p_name) AS distance
+              FROM p a JOIN p b
+                ON a.p_brand = b.p_brand AND a.noun = b.noun
+               AND a.p_partkey < b.p_partkey
+               AND abs(a.ln - b.ln) <= 2
+              WHERE levenshtein(a.p_name, b.p_name) <= 2
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "avg_price_weekly": """
@@ -1921,27 +1939,35 @@ def oracle_sql() -> dict[str, str]:
         # Record-linkage twin: same blocking keys, same length prune
         # (output-invariant), classic Levenshtein DP in both engines,
         # collapsed to per-entity degrees.
-        "fuzzy_part_match": """
-            WITH p AS (
-              SELECT p_partkey, p_name, p_brand,
-                     list_extract(string_split(p_name, ' '), 2) AS noun,
-                     length(p_name) AS ln
-              FROM part
-            ), kept AS (
-              SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-                     levenshtein(a.p_name, b.p_name) AS distance
-              FROM p a JOIN p b
-                ON a.p_brand = b.p_brand AND a.noun = b.noun
-               AND a.p_partkey < b.p_partkey
-               AND abs(a.ln - b.ln) <= 2
-              WHERE levenshtein(a.p_name, b.p_name) <= 2
-            ), sides AS (
+        "fuzzy_part_match": f"""
+            WITH {_FUZZY_KEPT}, sides AS (
               SELECT unnest([id_a, id_b]) AS p_partkey, distance FROM kept
             )
             SELECT p_partkey,
                    CAST(COUNT(*) AS BIGINT) AS n_matches,
                    CAST(MIN(distance) AS INT) AS min_distance
             FROM sides GROUP BY 1 ORDER BY 1
+        """,
+        # Entity-cluster twin: transitive closure of the SAME fuzzy pair
+        # space via a recursive CTE — the iterative label contraction is
+        # value-hash-checked end to end (the near_dup_clusters pattern,
+        # over record-linkage edges instead of Jaccard edges).
+        "part_entity_clusters": f"""
+            WITH RECURSIVE {_FUZZY_KEPT},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM kept
+              UNION
+              SELECT id_b AS a, id_a AS b FROM kept
+            ),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+              WHERE e.b <> r.a
+            )
+            SELECT CAST(a AS BIGINT) AS node_id,
+                   CAST(LEAST(a, MIN(b)) AS BIGINT) AS component_id
+            FROM reach GROUP BY a ORDER BY 1
         """,
         # Quarantine twin: good rows are exactly the supplier truth with
         # a NULL raw_record; the three injected bad lines appear with

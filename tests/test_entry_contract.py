@@ -131,6 +131,7 @@ TAIL_KEYS = {
     "rolling_revenue_7d": "test_spot_oracle_parity",
     "parquet_upsert_roundtrip": "test_spot_oracle_parity",
     "corpus_mixture_weighted": "test_spot_oracle_parity",
+    "cardinality_gate": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -222,6 +223,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "rolling_revenue_7d",
         "parquet_upsert_roundtrip",
         "corpus_mixture_weighted",
+        "cardinality_gate",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",

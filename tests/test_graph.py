@@ -114,3 +114,30 @@ def test_pagerank_checkpointed_matches_unrolled(spark):
         map(tuple, pagerank(edges, iterations=4, checkpoint_ranks=True).collect())
     )
     assert a == b
+
+
+def test_entity_clusters_transitive_chain(spark):
+    """a~b and b~c at distance <= 1 without a~c: one component, labeled
+    by the minimum id — the resolution step linkage pairs feed."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import (
+        graph,
+        linkage,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (10, "acme corp", "X"),
+            (11, "acme corpo", "X"),    # dist 1 to 10
+            (12, "acme corpor", "X"),   # dist 1 to 11, dist 2 to 10
+            (20, "zzz totally other", "X"),
+        ],
+        ["rid", "name", "blk"],
+    )
+    pairs = linkage.fuzzy_pairs(recs, "rid", "name", ["blk"], max_distance=1, sort=False)
+    out = {
+        r.node_id: r.component_id
+        for r in graph.connected_components(
+            pairs, "id_a", "id_b", assume_unique_pairs=True
+        ).collect()
+    }
+    assert out == {10: 10, 11: 10, 12: 10}
