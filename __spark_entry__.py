@@ -1387,6 +1387,44 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 STREAM-STREAM interval join, oracle-checked: clicks and
+    purchases stream separately (two file sources over the same events
+    table), both watermarked, joined on user within a 1-hour
+    attribution range — the time bound is what lets Spark expire
+    buffered rows and run unbounded streams in bounded state. A bounded
+    availableNow replay processes each side in one batch, so no row is
+    ever late relative to a watermark learned in the same run and the
+    pair set equals the batch interval join exactly — DuckDB's plain
+    range-predicate join is the value-hash twin. The fourth streaming
+    modality with an oracle row (windowed agg, session windows, dedup,
+    now stream-stream join)."""
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import (
+        replay_to_memory,
+        streaming_click_attribution,
+    )
+
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    attributed = streaming_click_attribution(
+        clicks, purchases, ts_col="ts_utc",
+        attribution_window="1 hour", watermark_delay="1 hour",
+    )
+    return (
+        replay_to_memory(attributed, "stream_attribution", "append")
+        .select(
+            "user_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+        .orderBy("user_id", "click_us", "purchase_us")
+    )
+
+
 def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 CUSTOM stateful streaming operator, oracle-checked: file
     source -> ``applyInPandasWithState`` running per-user event totals
@@ -2604,13 +2642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_prune": q_containment_prune,
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
+        "streaming_attribution": q_streaming_attribution,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
         "winnowing": q_winnowing,
         "orders_profile": q_orders_profile,
         "near_dup_clusters": q_near_dup_clusters,
-        "pack_offsets": q_pack_offsets,
         "ann_quantized_recall": q_ann_quantized_recall,
         "training_batches": q_training_batches,
         "training_mix": q_training_mix,
@@ -2625,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_upsert_roundtrip": q_parquet_upsert_roundtrip,
         "corpus_mixture_weighted": q_corpus_mixture_weighted,
         "cardinality_gate": q_cardinality_gate,
+        "pack_offsets": q_pack_offsets,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -1310,6 +1310,19 @@ def oracle_sql() -> dict[str, str]:
                      AS ewma_ppm
             FROM s ORDER BY user_id, event_id
         """,
+        # Stream-stream interval-join twin: a bounded replay of the
+        # watermarked click-attribution join equals the batch
+        # range-predicate join (nothing is late within one batch).
+        "streaming_attribution": """
+            SELECT c.user_id,
+                   epoch_us(c.ts) AS click_us,
+                   epoch_us(p.ts) AS purchase_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            ORDER BY 1, 2, 3
+        """,
         # Streaming-dedup twin: the surviving key set of streaming
         # dropDuplicates over a bounded replay equals batch DISTINCT
         # (only key columns reach the sink, so payload nondeterminism

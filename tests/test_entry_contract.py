@@ -132,6 +132,7 @@ TAIL_KEYS = {
     "parquet_upsert_roundtrip": "test_spot_oracle_parity",
     "corpus_mixture_weighted": "test_spot_oracle_parity",
     "cardinality_gate": "test_spot_oracle_parity",
+    "pack_offsets": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -224,6 +225,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "parquet_upsert_roundtrip",
         "corpus_mixture_weighted",
         "cardinality_gate",
+        "pack_offsets",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",
