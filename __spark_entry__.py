@@ -1490,6 +1490,29 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (operators/geo.py): grid-cell blocking
+    (recall exactly 1.0 — geometry, not hashing) + exact integer
+    microdegree verify, collapsed to the per-point neighbor degree
+    (848 K pairs at sf0.1 would be the quadratic-in-density list).
+    Coordinates are derived deterministically from c_custkey (the
+    testdata ships no geo columns; the reference stores lat/lon
+    DecimalType(9,6) it never queries — this is the operator that
+    would). The oracle is the BRUTE-FORCE O(n²) join: blocking must
+    lose nothing, so brute force is the strictest possible twin."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import geo
+
+    ck = F.col("c_custkey").cast("long")  # int32 * 104729 would overflow
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        (ck * 7919 % 5000000).alias("lat_udeg"),
+        (ck * 104729 % 5000000).alias("lon_udeg"),
+    )
+    return geo.radius_degree(
+        pts, "c_custkey", "lat_udeg", "lon_udeg", radius_udeg=250000
+    )
+
+
 def q_transaction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration integer PageRank (graph.pagerank, 5 rounds,
     2^20 fixed point) over the bidirectional customer<->supplier
@@ -2643,10 +2666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
         "streaming_attribution": q_streaming_attribution,
+        "customer_radius_join": q_customer_radius_join,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
-        "winnowing": q_winnowing,
         "orders_profile": q_orders_profile,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -2664,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_weighted": q_corpus_mixture_weighted,
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
+        "winnowing": q_winnowing,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

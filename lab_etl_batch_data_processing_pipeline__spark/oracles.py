@@ -1256,6 +1256,31 @@ def oracle_sql() -> dict[str, str]:
         "containment_near_dups": _CONTAINMENT_SQL,
         "containment_prune": _CONTAINMENT_PRUNE_SQL,
         "transaction_pagerank": _pagerank_sql(5),
+        # Spatial radius twin: brute-force O(n²) — the grid blocking has
+        # recall exactly 1.0, so brute force is the strictest twin
+        # (any pair the blocking loses breaks the degree hash).
+        "customer_radius_join": """
+            WITH p AS (
+              SELECT c_custkey,
+                     CAST((c_custkey * 7919) % 5000000 AS BIGINT) AS lat,
+                     CAST((c_custkey * 104729) % 5000000 AS BIGINT) AS lon
+              FROM customer
+            ), pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     (a.lat - b.lat) * (a.lat - b.lat)
+                     + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+              FROM p a JOIN p b ON a.c_custkey < b.c_custkey
+              WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon)
+                    <= CAST(250000 AS BIGINT) * 250000
+            ), sides AS (
+              SELECT unnest([id_a, id_b]) AS c_custkey, dist2 FROM pairs
+            )
+            SELECT c_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                   CAST(MIN(dist2) AS BIGINT) AS min_dist2
+            FROM sides GROUP BY 1 ORDER BY 1
+        """,
         # Z-order key twin: the same 16-bit Morton interleave in plain
         # >>/&/<< integer arithmetic.
         "events_zorder": """

@@ -133,6 +133,7 @@ TAIL_KEYS = {
     "corpus_mixture_weighted": "test_spot_oracle_parity",
     "cardinality_gate": "test_spot_oracle_parity",
     "pack_offsets": "test_spot_oracle_parity",
+    "winnowing": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -226,6 +227,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "corpus_mixture_weighted",
         "cardinality_gate",
         "pack_offsets",
+        "winnowing",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",

@@ -42,3 +42,31 @@ def test_date_range_join_inclusive_bounds_and_left_rows(spark):
     assert sums[3] is None  # left join keeps empty intervals
     # no helper column leaks into the output
     assert ranges.BUCKET_COL not in out.columns
+
+
+def test_radius_pairs_exact_recall_vs_brute_force(spark):
+    """Grid blocking must lose nothing: pairs == the brute-force cross
+    join at any radius (recall is geometric, exactly 1.0)."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import geo
+
+    pts = spark.range(1, 200).select(
+        F.col("id"),
+        (F.col("id") * 7919 % 100000).alias("lat"),
+        (F.col("id") * 104729 % 100000).alias("lon"),
+    )
+    r = 20000
+    blocked = {
+        (x.id_a, x.id_b, x.dist2)
+        for x in geo.radius_pairs(pts, "id", "lat", "lon", r).collect()
+    }
+    rows = pts.collect()
+    brute = {
+        (a.id, b.id, (a.lat - b.lat) ** 2 + (a.lon - b.lon) ** 2)
+        for a in rows
+        for b in rows
+        if a.id < b.id
+        and (a.lat - b.lat) ** 2 + (a.lon - b.lon) ** 2 <= r * r
+    }
+    assert blocked == brute and len(brute) > 0
