@@ -2600,14 +2600,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sketch-consuming dedup family (artifact param validation + the
     block_tok2 sketch column: near_dup_jaccard, minhash_near_dups,
     near_dup_clusters, corpus_prep, training_mix, training_batches,
-    recipe_metric, recipe_training_mix), PLUS the four operators born
-    mid-r9 (containment_near_dups — asymmetric shingle containment;
-    pmi_collocations — association-lift collocations; streaming_dedup —
-    streaming dropDuplicates vs batch DISTINCT; events_ewma — exact
-    power-of-two EWMA), each displacing one multi-round-green row
-    (pricing_summary, tfidf_top_terms, quantile_gate, events_variant)
-    to the tail. All 50 verified this session under a vanilla
-    driver-replica session at sf0.01 (SPARK_GRAFT_VANILLA).
+    recipe_metric, recipe_training_mix), PLUS the eleven operators born
+    mid-r9 (containment_near_dups + containment_prune — asymmetric
+    shingle containment and its dedup action; pmi_collocations —
+    association-lift collocations; streaming_dedup +
+    streaming_attribution — streaming dropDuplicates vs batch DISTINCT
+    and the stream-stream interval join; events_ewma — exact
+    power-of-two EWMA; bloom_join_gate — Bloom semi-join pruning
+    invariants; transaction_pagerank — fixed-iteration integer
+    PageRank vs an unrolled-CTE twin; events_zorder — the Morton
+    clustering key; part_entity_clusters — linkage pairs -> connected
+    components; customer_radius_join — grid-blocked spatial radius
+    degree vs a brute-force twin), each displacing one
+    multi-round-green row (pricing_summary, tfidf_top_terms,
+    quantile_gate, events_variant, doc_chunks, rolling_revenue_7d,
+    parquet_upsert_roundtrip, corpus_mixture_weighted,
+    cardinality_gate, pack_offsets, winnowing) to the tail. All 50
+    verified this session under a vanilla driver-replica session at
+    sf0.01 (SPARK_GRAFT_VANILLA).
 
     Current tail: rows that are multi-round driver-green (rotated out
     r5-r9 after >= 2 green rounds each), approximate-by-design rows
