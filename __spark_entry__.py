@@ -1084,6 +1084,31 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, csv_dir, pq.schema, header=True).orderBy("s_suppkey")
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink parity, end-to-end (Spark 4 NATIVE xml data
+    source — no external spark-xml): write an XML copy of supplier
+    (cached per generation, _SUCCESS-gated like csv_roundtrip), read
+    it back through the engine's schema'd XML reader, and hash-match
+    the parquet truth — covers the interchange format regulated
+    estates still mandate, including exact double round-trips of
+    s_acctbal through XML text."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        read_xml,
+        write_xml,
+    )
+
+    pq = _t(spark, sf_dir, "supplier")
+    tag = _gen_tag(sf_dir, "supplier.parquet")
+    xml_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "xml", tag
+    )
+    if not os.path.isfile(os.path.join(xml_dir, "_SUCCESS")):
+        write_xml(pq, xml_dir, row_tag="supplier", root_tag="suppliers")
+    return read_xml(
+        spark, xml_dir, row_tag="supplier", schema=pq.schema
+    ).orderBy("s_suppkey")
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-interchange round-trip: export documents as JSON-Lines (the
     format every public LLM corpus ships in), read it back through the
@@ -2677,10 +2702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_entity_clusters": q_part_entity_clusters,
         "streaming_attribution": q_streaming_attribution,
         "customer_radius_join": q_customer_radius_join,
+        "xml_roundtrip": q_xml_roundtrip,
         "embedding_near_dups": q_embedding_near_dups,
         "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
-        "orders_profile": q_orders_profile,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_quantized_recall": q_ann_quantized_recall,
         "training_batches": q_training_batches,
@@ -2698,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_gate": q_cardinality_gate,
         "pack_offsets": q_pack_offsets,
         "winnowing": q_winnowing,
+        "orders_profile": q_orders_profile,
         "popular_locations_weekly": q_popular_locations_weekly,
         "curated_join": q_curated_join,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -1670,6 +1670,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, s_nationkey, s_acctbal
             FROM supplier ORDER BY s_suppkey
         """,
+        "xml_roundtrip": """
+            SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+            FROM supplier ORDER BY s_suppkey
+        """,
         # Round-trip oracles read the source of truth directly; the Spark
         # side is what actually exercises the sink+scan (Derby / CSV).
         "jdbc_roundtrip": """

@@ -271,3 +271,24 @@ def read_jsonl_quarantine(
     good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = parsed.filter(F.col(corrupt_col).isNotNull())
     return good, quarantine
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: "T.StructType | None" = None,
+) -> DataFrame:
+    """XML scan (Spark 4 native data source — no external spark-xml
+    package). Pass the schema explicitly for production reads: XML
+    inference is a full extra pass AND types drift (integers that look
+    like dates, empty elements as strings) — the same declared-schema
+    discipline every reader in this module follows
+    (helper_func.py:20-28 passes explicit schemas for the same
+    reason). Row elements stream via an event parser, so files larger
+    than memory scan fine, but a single XML file is ONE input split —
+    at scale land many files, not one giant document."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -269,3 +269,23 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     — the corpus-export twin of read_jsonl. No coalesce: JSONL exports
     are sharded at scale like any other sink; downstream consumers glob."""
     df.write.mode(mode).json(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 native) — the interchange format regulated
+    estates still mandate (feeds, filings, legacy B2B). NULL fields are
+    omitted as elements (standard XML optionality), so a roundtrip
+    needs an explicit read schema to resurrect them as NULLs."""
+    (
+        df.write.mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .format("xml")
+        .save(path)
+    )

@@ -134,6 +134,7 @@ TAIL_KEYS = {
     "cardinality_gate": "test_spot_oracle_parity",
     "pack_offsets": "test_spot_oracle_parity",
     "winnowing": "test_spot_oracle_parity",
+    "orders_profile": "test_spot_oracle_parity",
     "popular_locations_weekly": "test_spot_oracle_parity",
     "curated_join": "test_spot_oracle_parity",
     "ann_cosine_topk": "test_spot_oracle_parity",
@@ -228,6 +229,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "cardinality_gate",
         "pack_offsets",
         "winnowing",
+        "orders_profile",
         "popular_locations_weekly",
         "curated_join",
         "ann_cosine_topk",

@@ -1145,3 +1145,21 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert sorted(r.id for r in out) == [1, 2]
+
+
+def test_xml_roundtrip_nulls_need_schema(spark, tmp_path):
+    """XML omits NULL fields as elements; an explicit read schema
+    resurrects them as NULLs — the declared-schema discipline the
+    reader documents."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None)], "id long, name string, v double"
+    )
+    dest = str(tmp_path / "xml")
+    write_xml(df, dest, row_tag="r", root_tag="rs")
+    back = read_xml(spark, dest, row_tag="r", schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
