@@ -41,7 +41,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     skew,
     text,
 )
-from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs, vector_funcs
+from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs
 from lab_etl_batch_data_processing_pipeline__spark import artifacts as _art
 from lab_etl_batch_data_processing_pipeline__spark import oracles as _oracles
 from lab_etl_batch_data_processing_pipeline__spark.oracles import MIXTURE_WEIGHTS
@@ -2465,13 +2465,24 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             weights = json.load(fh)
     else:
         weights = quality.train_quality_classifier(feats, labels)
-    scored = quality.score_quality(feats, weights).join(labels, "doc_id")
+    # LEFT join from labels so the denominator is ALL labeled docs, not
+    # just featurizable ones: a doc whose normalized text is shorter
+    # than the n-gram width yields no feature rows (score_quality
+    # cannot score it) and counts as a miss here — the DuckDB twin's
+    # n_docs is computed over all documents, so an inner join would
+    # hash-mismatch the moment the regenerated corpus contains one
+    # sub-3-char doc.
+    scored = labels.join(
+        quality.score_quality(feats, weights), "doc_id", "left"
+    )
     per = (
         scored.groupBy(F.col("y").alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
-                (F.col("pred").cast("int") == F.col("y")).cast("int")
+                F.when(
+                    F.col("pred").cast("int") == F.col("y"), F.lit(1)
+                ).otherwise(F.lit(0))
             ).alias("n_ok"),
         )
         .select(

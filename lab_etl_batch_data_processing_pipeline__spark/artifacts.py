@@ -245,6 +245,7 @@ def sweep_stale_caches(sf_dir: str) -> None:
         ("jsonl", "documents.parquet"),
         ("orc", "part.parquet"),
         ("csvq", "supplier.parquet"),
+        ("xml", "supplier.parquet"),
     ):
         try:
             tag = _gen_tag(sf_dir, src)

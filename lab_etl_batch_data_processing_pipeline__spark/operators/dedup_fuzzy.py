@@ -484,44 +484,69 @@ def containment_near_dups(
     linear per doc, never quadratic in the corpus, and AQE's skew
     split applies because join output ~ join input.
     """
-    # Generate-barriers (measured footgun: HOF lambdas re-inline aliased
-    # expressions per element — the tokenizing split() would otherwise be
-    # re-evaluated once per shingle, O(len^2)/doc): materialize the token
-    # array, then the shingle array, each ONCE per row, and build every
-    # downstream expression off the attribute. Measured 14-19 s -> ~3 s
-    # at sf0.1 on the dense fixture.
+    out = _containment_pairs(
+        documents, id_col, text_col, threshold, shingle_size
+    ).select("doc_id", "contained_in", "containment")
+    return out.orderBy("doc_id", "contained_in") if sort else out
+
+
+def _containment_base(
+    documents: DataFrame, id_col: str, text_col: str, shingle_size: int
+) -> DataFrame:
+    """ONE corpus scan shared by the containment family: (doc_id, n,
+    tok_set, md5s) where ``n`` = distinct shingle count (the oracle's
+    ``len(a.sh)`` — counted over shingle STRINGS, before hashing),
+    ``tok_set`` = xxhash64 ids for the set-intersection verify, and
+    ``md5s`` = per-shingle md5 for blocking.
+
+    Generate-barriers (measured footgun: HOF lambdas re-inline aliased
+    expressions per element — the tokenizing split() would otherwise be
+    re-evaluated once per shingle, O(len^2)/doc): materialize the token
+    array, then the shingle array, each ONCE per row, and build every
+    downstream expression off the attribute. Measured 14-19 s -> ~3 s
+    at sf0.1 on the dense fixture."""
     toks = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
     pre = ensure_parallelism(documents).select(
         F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("t")
     )
-    tcol = F.col("t")
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size(tcol) - (shingle_size - 1), F.lit(1))
-    )
     # identical shingle universe to _shingles (pinned by the oracle)
-    sh_expr = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tcol, i, shingle_size)))
-    )
-    base = pre.select(
+    sh_expr = _shingle_expr(F.col("t"), shingle_size)
+    return pre.select(
         "doc_id", F.explode(F.array(sh_expr)).alias("sh")
     ).select(
         "doc_id",
+        F.size("sh").alias("n"),
         F.array_distinct(
             F.transform(F.col("sh"), lambda s: F.xxhash64(s))
         ).alias("tok_set"),
         F.transform(F.col("sh"), lambda s: F.md5(s)).alias("md5s"),
     )
+
+
+def _containment_pairs(
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_size: int,
+) -> DataFrame:
+    """Containment pair space WITH both set sizes: (doc_id,
+    contained_in, n_a, n_b, containment), containment >= threshold.
+    :func:`containment_near_dups` projects the public triple;
+    :func:`containment_prune` consumes n_a/n_b directly so the absorb
+    rule costs no second corpus scan or size re-join."""
+    base = _containment_base(documents, id_col, text_col, shingle_size)
     sets = base.select("doc_id", "tok_set")
     a = base.select(
         "doc_id",
-        F.size("tok_set").alias("n_a"),
+        F.col("n").alias("n_a"),
         F.array_min("md5s").alias("block_tok"),
     ).alias("a")
     idx = base.select(
         F.col("doc_id").alias("b_doc"),
-        F.size("tok_set").alias("n_b"),
+        F.col("n").alias("n_b"),
         F.explode("md5s").alias("tok"),
     ).alias("b")
     cands = (
@@ -533,7 +558,7 @@ def containment_near_dups(
             ),
         )
         .filter(F.col("b.n_b") >= F.lit(threshold - 1e-6) * F.col("a.n_a"))
-        .select(F.col("a.doc_id").alias("doc_id"), "b.b_doc", "a.n_a")
+        .select(F.col("a.doc_id").alias("doc_id"), "b.b_doc", "a.n_a", "b.n_b")
     )
     fetched = (
         cands.join(sets.withColumnRenamed("doc_id", "__ad"),
@@ -547,12 +572,13 @@ def containment_near_dups(
         )
     )
     inter = F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
-    out = fetched.select(
+    return fetched.select(
         "doc_id",
         F.col("b_doc").alias("contained_in"),
+        "n_a",
+        "n_b",
         F.round(inter / F.col("n_a"), 6).alias("containment"),
     ).filter(F.col("containment") >= threshold)
-    return out.orderBy("doc_id", "contained_in") if sort else out
 
 
 def containment_degree(
@@ -585,13 +611,23 @@ def containment_degree(
     )
 
 
+def _shingle_expr(toks_col, n: int = 3):
+    """Distinct word n-gram shingle array over an ALREADY-TOKENIZED
+    array column. The single definition of the shingle universe — every
+    consumer (:func:`_shingles`, the containment family's barrier'd
+    builder) MUST route through here: the expression is byte-pinned by
+    the DuckDB ``_CONTAINMENT_PREP`` twin, and a drift in any one copy
+    would silently break the containment oracles."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks_col) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)))
+    )
+
+
 def _shingles(text_col, n: int = 3):
     """Word n-gram shingle set over normalized text (distinct)."""
     toks = F.filter(F.split(normalized_text(text_col), " "), lambda x: x != F.lit(""))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    return _shingle_expr(toks, n)
 
 
 def minhash_signatures(
@@ -1320,40 +1356,16 @@ def containment_prune(
     accuracy payoff for dedup; one pass is what keeps the operator a
     single declarative plan, the same choice semantic_dedup makes.
 
-    Cost = the containment pair space + one shingle-size scan + an
+    Cost = the containment pair space alone: the absorb rule reads the
+    n_a/n_b sizes :func:`_containment_pairs` already carries, so no
+    second corpus scan, shingle rebuild, or size re-join — then one
     anti-join; nothing new shuffles at corpus scale.
     """
-    pairs = containment_near_dups(
-        documents, id_col, text_col, threshold, shingle_size, sort=False
-    )
-    toks = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "), lambda x: x != F.lit("")
-    )
-    pre = documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("t")
-    )
-    tcol = F.col("t")
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size(tcol) - (shingle_size - 1), F.lit(1))
-    )
-    sizes = pre.select(
-        "doc_id",
-        F.size(
-            F.array_distinct(
-                F.transform(
-                    idx, lambda i: F.concat_ws(" ", F.slice(tcol, i, shingle_size))
-                )
-            )
-        ).alias("n_sh"),
-    )
-    a = sizes.select(F.col("doc_id"), F.col("n_sh").alias("n_a"))
-    b = sizes.select(
-        F.col("doc_id").alias("contained_in"), F.col("n_sh").alias("n_b")
+    pairs = _containment_pairs(
+        documents, id_col, text_col, threshold, shingle_size
     )
     absorbed = (
-        pairs.join(a, "doc_id")
-        .join(b, "contained_in")
-        .filter(
+        pairs.filter(
             (F.col("n_b") > F.col("n_a"))
             | ((F.col("n_b") == F.col("n_a"))
                & (F.col("contained_in") < F.col("doc_id")))
