@@ -274,3 +274,4 @@ def repeat_customer_rate_monthly(
         )
         .orderBy("month")
     )
+

@@ -146,3 +146,78 @@ def numeric_correlations(df, cols):
         .select("col_a", "col_b", "pearson_r")
         .orderBy("col_a", "col_b")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    scale: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Median-absolute-deviation outlier gate per key, in EXACT integer
+    arithmetic: robust anomaly counts that hash-match any engine — the
+    data-quality screen a corpus intake runs per source/type (mean±stddev
+    gates break on the very outliers they hunt; median/MAD do not).
+
+    Median here is the LOWER median (the ((n+1) div 2)-th smallest) —
+    selection by position on the sorted multiset, no interpolation, so
+    the statistic is a value that actually occurs and is identical on
+    any engine regardless of tie order. Values fix-point to
+    ``round(value * scale)`` BIGINTs first (scale a power of two: exact
+    multiply; HALF_UP == half-away for the non-negative inputs this
+    expects); deviations are |v_s - med_s|; a row is an outlier when
+    dev_s > k * mad_s (integer compare — no float anywhere).
+
+    Shape: two ranking windows partitioned by key (value pass, then
+    deviation pass) + one final hash aggregate — the per-key serial
+    bound is the largest single key's row count, the usual window skew
+    story. At scale, replace the exact selection with approx_percentile
+    partials and keep THIS form as the correctness oracle.
+
+    Returns (key, n_rows, med_s, mad_s, n_outliers) — one row per key.
+    """
+    v = df.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * scale).cast("long").alias("v_s"),
+    ).filter(F.col("v_s").isNotNull())
+    w_rank = Window.partitionBy("key").orderBy("v_s")
+    w_all = Window.partitionBy("key")
+    med = (
+        v.select(
+            "key",
+            "v_s",
+            F.row_number().over(w_rank).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("key", F.col("v_s").alias("med_s"))
+    )
+    dev = v.join(med, "key").select(
+        "key", "v_s", F.abs(F.col("v_s") - F.col("med_s")).alias("dev_s"),
+        "med_s",
+    )
+    w_drank = Window.partitionBy("key").orderBy("dev_s")
+    mad = (
+        dev.select(
+            "key",
+            "dev_s",
+            F.row_number().over(w_drank).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("key", F.col("dev_s").alias("mad_s"))
+    )
+    return (
+        dev.join(mad, "key")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("med_s").alias("med_s"),
+            F.max("mad_s").alias("mad_s"),
+            F.sum(
+                (F.col("dev_s") > F.lit(k) * F.col("mad_s")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("key")
+    )

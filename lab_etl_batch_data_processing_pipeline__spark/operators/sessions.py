@@ -85,3 +85,71 @@ def user_engagement(
     if type_col:
         aggs.append(F.countDistinct(type_col).alias("n_event_types"))
     return events.groupBy(F.col(user_col).alias("user_id")).agg(*aggs).orderBy("user_id")
+
+
+def conversion_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str | Column,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-stage conversion funnel: for stage i, count the users
+    whose first qualifying stage-i event falls STRICTLY AFTER their
+    first qualifying stage-(i-1) event — the product-analytics query
+    behind every "view -> click -> purchase" dashboard (engine
+    extension; the reference computes flat per-metric aggregates only,
+    `spark-job/apps/presentation_tranformation.py`).
+
+    "Qualifying" is recursive: a stage-2 click only counts if it
+    happens after the user's first stage-1 view, and the user's
+    stage-2 anchor is their FIRST such click — so an early click
+    before any view neither advances nor poisons the funnel. Equal
+    timestamps do not chain (strict >): simultaneous events can't
+    prove ordering, so the funnel stays conservative.
+
+    Shape: one filtered min-aggregate per stage, each joined on the
+    user key to the previous stage's anchors — hash aggregates with
+    map-side combine and key-partitioned joins, no windows, no
+    event-list materialization per user. Each stage's scan pushes its
+    type filter into parquet (plan-verified), each anchor frame is
+    |users-reaching-stage| rows (monotonically shrinking), and AQE
+    broadcast-joins the later, smaller anchors. The per-stage count
+    branches in the union share the earlier stages' anchor subplans;
+    Spark's ReuseExchange dedupes those identical exchanges at
+    runtime, so stage i's aggregate is not recomputed per branch.
+
+    Returns (stage_idx, stage, n_users) — one row per stage.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    base = events.select(
+        F.col(user_col).alias("__u"), ts.alias("__ts"), F.col(type_col).alias("__k")
+    )
+    reached = (
+        base.filter(F.col("__k") == stages[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__anchor"))
+    )
+    rows = [reached.select(
+        F.lit(1).alias("stage_idx"),
+        F.lit(stages[0]).alias("stage"),
+        F.count(F.lit(1)).alias("n_users"),
+    )]
+    for i, stage in enumerate(stages[1:], start=2):
+        reached = (
+            base.filter(F.col("__k") == stage)
+            .join(reached.select("__u", "__anchor").withColumnRenamed(
+                "__anchor", "__prev"), "__u")
+            .filter(F.col("__ts") > F.col("__prev"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__anchor"))
+        )
+        rows.append(reached.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_idx")

@@ -306,3 +306,140 @@ def resample_ffill(
         )
         .orderBy("key", "tick_ts")
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    scale: int = 1024,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a fixed grid with
+    LINEAR interpolation between observed anchors — the companion to
+    :func:`resample_ffill` for quantities that trend between readings
+    (a forward-fill holds a stale value flat; sensors, prices, and
+    rates want the line between anchors).
+
+    Exactness (what makes this row hash-checkable across engines):
+    observations fix-point to ``round(value * scale)`` BIGINTs (scale a
+    power of two — the multiply is exact, and HALF_UP equals DuckDB's
+    half-away for the non-negative values this operator requires), and
+    each gap tick evaluates
+
+        (prev_s*(next_t - t) + next_s*(t - prev_t)) div (next_t - prev_t)
+
+    — both weights non-negative, so integer division truncates
+    identically (== floor) on any engine, with NO float in the path.
+    The common interval factor cancels inside the div, so gap length
+    never divides first.
+
+    Grid spans each key's [floor(min_ts), floor(max_ts)] ticks, so
+    every interior tick has both anchors: no extrapolation ever
+    happens. Per-tick last observation wins (``tiebreak_col`` makes
+    ties deterministic, same rule as resample_ffill).
+
+    Emits (key, tick_ts, value_s, is_observed). Shape: one (key, tick)
+    ranking window + two per-key ordered windows (prev/next anchor) —
+    same single-key skew bound as resample_ffill; the chunk_ticks
+    carry trick composes identically if a single series outgrows a
+    task.
+    """
+    tick = (F.floor(F.col(ts_col).cast("double") / interval_seconds)
+            * interval_seconds).cast("long")
+    order = [F.col("__ts").desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w_last = Window.partitionBy("key", "tick_ts").orderBy(*order)
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            tick.alias("tick_ts"),
+            F.col(ts_col).cast("double").alias("__ts"),
+            F.round(F.col(value_col) * scale).cast("long").alias("__vs"),
+            *([tiebreak_col] if tiebreak_col else []),
+        )
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select("key", "tick_ts", F.col("__vs").alias("obs_s"))
+    )
+    spans = obs.groupBy("key").agg(
+        F.min("tick_ts").alias("__lo"), F.max("tick_ts").alias("__hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(interval_seconds))
+        ).alias("tick_ts"),
+    )
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy("tick_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy("tick_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchored = (
+        grid.join(obs, ["key", "tick_ts"], "left")
+        .select(
+            "key",
+            "tick_ts",
+            "obs_s",
+            F.last("obs_s", ignorenulls=True).over(w_prev).alias("prev_s"),
+            F.last(
+                F.when(F.col("obs_s").isNotNull(), F.col("tick_ts")),
+                ignorenulls=True,
+            ).over(w_prev).alias("prev_t"),
+            F.first("obs_s", ignorenulls=True).over(w_next).alias("next_s"),
+            F.first(
+                F.when(F.col("obs_s").isNotNull(), F.col("tick_ts")),
+                ignorenulls=True,
+            ).over(w_next).alias("next_t"),
+        )
+    )
+    interp = F.expr(
+        "(prev_s * (next_t - tick_ts) + next_s * (tick_ts - prev_t))"
+        " div (next_t - prev_t)"
+    )
+    return anchored.select(
+        "key",
+        "tick_ts",
+        F.when(F.col("obs_s").isNotNull(), F.col("obs_s"))
+        .otherwise(interp)
+        .alias("value_s"),
+        F.col("obs_s").isNotNull().alias("is_observed"),
+    )
+
+
+def rank_stats(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Per-partition rank family in one window pass: ntile bucket,
+    percent_rank, cume_dist, dense_rank — the distribution columns an
+    analytics layer attaches for quantile bucketing and percentile
+    reporting (engine extension; the reference's only window is M7's
+    LAG).
+
+    ``order_cols`` should end in a unique tiebreaker (e.g. the primary
+    key): ntile SPLITS ties across buckets by physical row order, so a
+    non-total order would be engine-nondeterministic. With a total
+    order every emitted column is a pure function of the sorted input.
+    One shuffle on ``part_col``; all four functions share the single
+    sorted window.
+    """
+    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.select(
+        "*",
+        F.ntile(n_tiles).over(w).alias("bucket"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.dense_rank().over(w).alias("dense_rank"),
+    )

@@ -1544,6 +1544,146 @@ def oracle_sql() -> dict[str, str]:
                      AS value_sum
             FROM filled GROUP BY 1 ORDER BY 1
         """,
+        # Linear-interpolation twin: identical tick floor / last-wins
+        # observation / grid as events_resampled, then pure-integer
+        # interpolation — (prev_s*(next_t-t) + next_s*(t-prev_t)) over
+        # the gap, non-negative operands so // truncation == floor ==
+        # Spark's div; no float anywhere.
+        "events_interpolated": """
+            WITH obs0 AS (
+              SELECT user_id,
+                     CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS tick_ts,
+                     CAST(ROUND(value * 1024) AS BIGINT) AS v_s,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id,
+                                    CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT)
+                       ORDER BY epoch(ts) DESC, event_id DESC) AS rn
+              FROM events
+            ), obs AS (
+              SELECT user_id, tick_ts, v_s FROM obs0 WHERE rn = 1
+            ), spans AS (
+              SELECT user_id, MIN(tick_ts) AS lo, MAX(tick_ts) AS hi
+              FROM obs GROUP BY 1
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS tick_ts
+              FROM spans
+            ), f AS (
+              SELECT g.user_id, g.tick_ts, o.v_s,
+                     last_value(o.v_s IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.tick_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS prev_s,
+                     last_value(CASE WHEN o.v_s IS NOT NULL THEN g.tick_ts END
+                                IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.tick_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS prev_t,
+                     first_value(o.v_s IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.tick_ts
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     ) AS next_s,
+                     first_value(CASE WHEN o.v_s IS NOT NULL THEN g.tick_ts END
+                                 IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.tick_ts
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     ) AS next_t
+              FROM grid g LEFT JOIN obs o
+                ON g.user_id = o.user_id AND g.tick_ts = o.tick_ts
+            ), v AS (
+              SELECT user_id,
+                     v_s IS NOT NULL AS is_obs,
+                     CASE WHEN v_s IS NOT NULL THEN v_s
+                          ELSE (prev_s * (next_t - tick_ts)
+                                + next_s * (tick_ts - prev_t))
+                               // (next_t - prev_t) END AS out_s
+              FROM f
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ticks,
+                   CAST(SUM(CASE WHEN is_obs THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_observed,
+                   CAST(SUM(CASE WHEN is_obs THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_interp,
+                   CAST(SUM(CASE WHEN is_obs THEN 0 ELSE out_s END) AS BIGINT)
+                     AS interp_sum,
+                   CAST(SUM(CASE WHEN is_obs THEN out_s ELSE 0 END) AS BIGINT)
+                     AS obs_sum
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
+        # Funnel twin: recursive first-anchor rule, strict > chaining.
+        "conversion_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT * FROM (
+              SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+              UNION ALL
+              SELECT CAST(2 AS INT), 'click',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+              UNION ALL
+              SELECT CAST(3 AS INT), 'purchase',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+            ) ORDER BY stage_idx
+        """,
+        # Rank-family twin: identical total order (price, orderkey), so
+        # ntile tie-splitting is deterministic; percent_rank/cume_dist
+        # are ratios of the same exact ints -> bit-equal doubles.
+        "orders_rank_stats": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(NTILE(4) OVER w AS INT) AS bucket,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume_dist,
+                   CAST(DENSE_RANK() OVER w AS INT) AS dense_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey
+        """,
+        # MAD twin: lower-median selection by position on the sorted
+        # multiset (tie order can't change the selected VALUE), fixed
+        # point at 1024, integer deviation compare.
+        "events_mad_outliers": """
+            WITH v AS (
+              SELECT event_type AS key,
+                     CAST(ROUND(value * 1024) AS BIGINT) AS v_s
+              FROM events WHERE value IS NOT NULL
+            ), r AS (
+              SELECT key, v_s,
+                     ROW_NUMBER() OVER (PARTITION BY key ORDER BY v_s) AS rn,
+                     COUNT(*) OVER (PARTITION BY key) AS n
+              FROM v
+            ), med AS (
+              SELECT key, v_s AS med_s FROM r WHERE rn = (n + 1) // 2
+            ), d AS (
+              SELECT v.key, ABS(v.v_s - m.med_s) AS dev_s, m.med_s
+              FROM v JOIN med m ON v.key = m.key
+            ), r2 AS (
+              SELECT key, dev_s,
+                     ROW_NUMBER() OVER (PARTITION BY key ORDER BY dev_s) AS rn,
+                     COUNT(*) OVER (PARTITION BY key) AS n
+              FROM d
+            ), mad AS (
+              SELECT key, dev_s AS mad_s FROM r2 WHERE rn = (n + 1) // 2
+            )
+            SELECT d.key AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MAX(d.med_s) AS med_s,
+                   MAX(mad.mad_s) AS mad_s,
+                   CAST(SUM(CASE WHEN d.dev_s > 3 * mad.mad_s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d JOIN mad ON d.key = mad.key
+            GROUP BY 1 ORDER BY 1
+        """,
         # Histogram twin: same two-pass binning (min/max then floor bins,
         # top edge closed into the last bin, empty bins emitted).
         "price_histogram": """

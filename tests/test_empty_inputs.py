@@ -108,3 +108,25 @@ def test_r8_operators_empty_behavior(spark, empty):
     # linkage over empty records -> empty
     assert linkage.fuzzy_pairs(docs, "doc_id", "text", ["lang"]).count() == 0
     assert linkage.fuzzy_match_degree(docs, "doc_id", "text", ["lang"]).count() == 0
+
+
+def test_r9_fourth_wave_empty_behavior(spark, empty):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import (
+        profiling,
+        sessions,
+        windows,
+    )
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts double, value double, event_id long, event_type string"
+    )
+    assert windows.resample_interpolate(
+        ev, "user_id", "ts", "value", interval_seconds=10, tiebreak_col="event_id"
+    ).count() == 0
+    assert windows.rank_stats(ev, "event_type", ["value", "event_id"]).count() == 0
+    assert profiling.mad_outliers(ev, "event_type", "value").count() == 0
+    # funnel: stage rows still emit, all zero
+    out = sessions.conversion_funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()
+    assert [(r.stage_idx, r.n_users) for r in out] == [(1, 0), (2, 0), (3, 0)]

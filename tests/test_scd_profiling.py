@@ -307,3 +307,104 @@ def test_ewma_frame_caps_at_window_rows(spark):
         # constant 1.0 input -> ewma == 256/256 == 1.0 at any frame size
         assert r.ewma_num == 256 * r.ewma_den
         assert r.ewma_ppm == 1_000_000 * 256
+
+
+def test_resample_interpolate_exact_and_truncating(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        resample_interpolate,
+    )
+
+    rows = [
+        # user 1: anchors v=1.0 @ tick 0 and v=5.0 @ tick 40 -> the three
+        # gap ticks divide exactly (step 1.0/tick at scale 1024)
+        (1, 5.0, 1.0, 100),
+        (1, 45.0, 5.0, 101),
+        # user 2: 1.0 -> 2.0 over 3 ticks -> non-exact thirds, truncated
+        (2, 5.0, 1.0, 102),
+        (2, 35.0, 2.0, 103),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, value double, event_id long"
+    )
+    out = resample_interpolate(
+        df, "user_id", "ts", "value", interval_seconds=10,
+        scale=1024, tiebreak_col="event_id",
+    ).collect()
+    got = {(r.key, r.tick_ts): (r.value_s, r.is_observed) for r in out}
+    assert got == {
+        (1, 0): (1024, True),
+        (1, 10): (2048, False),   # (1024*30 + 5120*10) div 40
+        (1, 20): (3072, False),
+        (1, 30): (4096, False),
+        (1, 40): (5120, True),
+        (2, 0): (1024, True),
+        (2, 10): (1365, False),   # 40960 div 30 truncates
+        (2, 20): (1706, False),   # 51200 div 30 truncates
+        (2, 30): (2048, True),
+    }
+
+
+def test_conversion_funnel_anchor_rules(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.sessions import (
+        conversion_funnel,
+    )
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, 10.0, "view"), (1, 20.0, "click"), (1, 30.0, "purchase"),
+        # u2: click BEFORE the first view never anchors stage 2; the
+        # later purchase cannot count without a stage-2 anchor
+        (2, 5.0, "click"), (2, 10.0, "view"), (2, 50.0, "purchase"),
+        # u3: click at the SAME ts as the view -> strict > doesn't chain
+        (3, 10.0, "view"), (3, 10.0, "click"), (3, 20.0, "purchase"),
+        # u4: purchase before the first qualifying click -> stops at click
+        (4, 10.0, "view"), (4, 15.0, "click"), (4, 12.0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    out = conversion_funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()
+    assert [(r.stage_idx, r.stage, r.n_users) for r in out] == [
+        (1, "view", 4),
+        (2, "click", 2),
+        (3, "purchase", 1),
+    ]
+
+
+def test_rank_stats_family(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        rank_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "A", 20.0), (4, "A", 30.0)],
+        "id long, part string, v double",
+    )
+    out = {
+        r.id: (r.bucket, r.pct_rank, r.cume_dist, r.dense_rank)
+        for r in rank_stats(df, "part", ["v", "id"], n_tiles=4).collect()
+    }
+    # total order (v, id): 10/1, 20/2, 20/3, 30/4
+    assert out == {
+        1: (1, 0.0, 0.25, 1),
+        2: (2, 1 / 3, 0.5, 2),
+        3: (3, 2 / 3, 0.75, 3),
+        4: (4, 1.0, 1.0, 4),
+    }
+
+
+def test_mad_outliers_lower_median(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+         ("b", 5.0), ("b", 5.0)],
+        "k string, v double",
+    )
+    out = {r.key: (r.n_rows, r.med_s, r.mad_s, r.n_outliers)
+           for r in mad_outliers(df, "k", "v", scale=1, k=3).collect()}
+    # a: med = 3 (3rd of 5); devs sorted 0,1,1,2,97 -> mad = 1; 97 > 3
+    # b: med = 5, devs 0,0 -> mad 0; nothing exceeds 0*3? 0 > 0 false
+    assert out == {"a": (5, 3, 1, 1), "b": (2, 5, 0, 0)}
