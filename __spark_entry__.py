@@ -2610,6 +2610,44 @@ def q_hll_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_rows.unionByName(all_row).orderBy("scope")
 
 
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs (joins.basket_pairs): parts
+    appearing together in >= 2 orders, the frequent-2-itemset layer of
+    association mining. Self-join strictly WITHIN baskets (order key
+    equi-join + item <), so the pair space is sum C(order_size, 2) —
+    bounded by the per-order line cap, never corpus x corpus; support
+    counts map-side combine. Full deterministic pair set (support
+    desc, then the pair), value-hash-checked."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import joins
+
+    return joins.basket_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2,
+    ).orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
+
+
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average event value
+    (windows.time_weighted_avg): each observation weighs its holding
+    time until the next — the TWAP statistic bursty sampling breaks
+    plain AVG on. Exact across engines: unix-microsecond BIGINT
+    timestamps (no float epoch), millisecond holding times via
+    truncating div on non-negative deltas, fixed-point values —
+    num/den are exact BIGINTs, twap_ppm one deterministic double
+    divide under the ewma_ppm rule (NULL for single-observation
+    users)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    ev = _events_ts(spark, sf_dir)
+    return (
+        windows.time_weighted_avg(
+            ev, "user_id", "ts_utc", "value", scale=1024,
+            tiebreak_col="event_id",
+        )
+        .withColumnRenamed("key", "user_id")
+    )
+
+
 def q_events_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event values resampled onto the 6-hour grid with LINEAR
     interpolation between anchors (windows.resample_interpolate) — the
@@ -2756,11 +2794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     interpolation on the resample grid; conversion_funnel —
     ordered-stage funnel counts; orders_rank_stats — the
     ntile/percent_rank/cume_dist/dense_rank family in one pass;
-    events_mad_outliers — integer median/MAD outlier gate), displacing
-    part_unpivot, tables_manifest, jsonl_roundtrip, price_histogram
-    (r7+r8 driver-green, unchanged this round). All 50 verified this
-    session under a vanilla driver-replica session at sf0.01
-    (SPARK_GRAFT_VANILLA).
+    events_mad_outliers — integer median/MAD outlier gate;
+    copurchase_pairs — within-basket frequent-pair mining;
+    user_value_twap — exact time-weighted average), displacing
+    part_unpivot, tables_manifest, jsonl_roundtrip, price_histogram,
+    orders_expectations, pack_bins (each r7+r8 driver-green, unchanged
+    this round). All 50 verified this session under a vanilla
+    driver-replica session at sf0.01 (SPARK_GRAFT_VANILLA).
 
     Current tail: rows that are multi-round driver-green (rotated out
     r5-r9 after >= 2 green rounds each), approximate-by-design rows
@@ -2796,8 +2836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_funnel": q_conversion_funnel,
         "orders_rank_stats": q_orders_rank_stats,
         "events_mad_outliers": q_events_mad_outliers,
-        "orders_expectations": q_orders_expectations,
-        "pack_bins": q_pack_bins,
+        "copurchase_pairs": q_copurchase_pairs,
+        "user_value_twap": q_user_value_twap,
         "events_resampled": q_events_resampled,
         "recipe_metric": q_recipe_metric,
         "heavy_hitters_gate": q_heavy_hitters_gate,
@@ -2831,6 +2871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-key correctness window (see docstring)
         # rotated out late-r9 (r7+r8 driver-green, unchanged this round)
         # as the fourth-wave rows landed:
+        "orders_expectations": q_orders_expectations,
+        "pack_bins": q_pack_bins,
         "part_unpivot": q_part_unpivot,
         "tables_manifest": q_tables_manifest,
         "jsonl_roundtrip": q_jsonl_roundtrip,

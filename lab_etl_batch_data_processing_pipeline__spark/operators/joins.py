@@ -218,3 +218,48 @@ def bloom_prune_gate(
             <= F.lit(fpr_bound) * (F.col("n_fact") - F.col("n_exact"))
         ).alias("fpr_ok"),
     )
+
+
+def basket_pairs(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence pairs: (item_a, item_b, n_baskets)
+    for every unordered item pair appearing together in >= min_support
+    baskets — the first stage of association-rule mining
+    (FP-growth's frequent-2-itemset layer), the recommender query the
+    reference's flat metrics can't ask
+    (spark-job/apps/presentation_tranformation.py has no self-join).
+
+    Scale shape: the self-join runs WITHIN baskets only (equi-join on
+    the basket key + ``a.item < b.item``), so the blow-up is
+    sum-over-baskets C(n_b, 2) — bounded by the basket-size cap real
+    transactional data has (TPC-H orders: <= 7 lines), NEVER corpus
+    x corpus. One distinct-projection shuffle on the basket key, the
+    per-basket pair explode, then a map-side-combinable count on the
+    pair key; min_support prunes before any sort. Hot items do not
+    skew the JOIN (it keys on baskets, not items); the pair-count
+    aggregate is AQE's problem only if one PAIR dominates, which
+    min_support-level counts handle.
+
+    Items are deduplicated per basket first (quantity/relisting rows
+    count once), matching the set semantics of support counts.
+    """
+    d = items.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )

@@ -443,3 +443,80 @@ def rank_stats(
         F.cume_dist().over(w).alias("cume_dist"),
         F.dense_rank().over(w).alias("dense_rank"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: int = 1024,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average over an irregular series — each
+    observation weighs its HOLDING TIME (until the next observation),
+    the TWAP/telemetry statistic a plain AVG gets wrong whenever
+    sampling is bursty (a value held for an hour must outweigh fifty
+    ticks from one busy second).
+
+    Exactness: timestamps become unix MICROsecond BIGINTs (no float
+    epoch), holding times truncate to milliseconds identically on any
+    engine (``div 1000`` on non-negative deltas), values fix-point to
+    ``round(value * scale)`` (scale a power of two; non-negative
+    values), so ``twap_num = sum(v_s * dt_ms)`` and ``twap_den =
+    sum(dt_ms)`` are exact BIGINTs. ``twap_ppm`` = floor(1e6 * num /
+    den) is one multiply + one divide in IEEE doubles under a fixed
+    parenthesization — deterministic cross-engine (the ewma_ppm rule);
+    NULL for single-observation keys (den = 0: no held time at all).
+    The last observation of each key holds for 0 ms by definition —
+    an honest open interval, not an invented horizon.
+
+    Overflow bound: |num| <= max(v_s) * span_ms per key — at v_s ~ 2^29
+    that allows ~2^33 ms (~100 days) of per-key span before BIGINT
+    pressure; longer horizons should pre-bucket by window (the usual
+    rollup composition) rather than grow one unbounded integral.
+
+    One shuffle (hash-partition by key) + one in-partition sort for
+    the LEAD; the aggregate is map-side combinable.
+    """
+    order = [F.col("__us").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy("key").orderBy(*order)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        # cast covers TIMESTAMP_NTZ inputs (unix_micros requires
+        # TIMESTAMP); NTZ is interpreted in the session zone — feed
+        # normalized instants (sources.ensure_timestamp) when the zone
+        # matters; the statistic itself uses only per-key DELTAS
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.round(F.col(value_col) * scale).cast("long").alias("__vs"),
+        *([tiebreak_col] if tiebreak_col else []),
+    ).withColumn(
+        "__dt_us", F.lead("__us").over(w) - F.col("__us")
+    ).withColumn(
+        "__dt_ms", F.expr("coalesce(__dt_us, 0) div 1000")
+    )
+    num = F.sum(F.col("__vs") * F.col("__dt_ms"))
+    den = F.sum("__dt_ms")
+    return (
+        base.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            num.alias("twap_num"),
+            den.alias("twap_den"),
+        )
+        .select(
+            "key",
+            "n_obs",
+            "twap_num",
+            "twap_den",
+            F.when(
+                F.col("twap_den") > 0,
+                F.floor(
+                    (F.lit(1000000.0) * F.col("twap_num")) / F.col("twap_den")
+                ).cast("long"),
+            ).alias("twap_ppm"),
+        )
+        .orderBy("key")
+    )

@@ -1544,6 +1544,45 @@ def oracle_sql() -> dict[str, str]:
                      AS value_sum
             FROM filled GROUP BY 1 ORDER BY 1
         """,
+        # Co-purchase twin: same within-basket self-join (distinct
+        # items per basket, a < b), support threshold, total order.
+        "copurchase_pairs": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ), p AS (
+              SELECT a.i AS item_a, b.i AS item_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_baskets
+              FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2
+            )
+            SELECT * FROM p WHERE n_baskets >= 2
+            ORDER BY n_baskets DESC, item_a, item_b
+        """,
+        # TWAP twin: unix-microsecond BIGINT timestamps, ms holding
+        # times via truncating div on non-negative deltas, fixed-point
+        # values; ppm under the ewma_ppm fixed-parenthesization rule.
+        "user_value_twap": """
+            WITH v AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     CAST(ROUND(value * 1024) AS BIGINT) AS v_s
+              FROM events
+            ), d AS (
+              SELECT user_id, v_s,
+                     COALESCE(LEAD(us) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                     ) - us, 0) // 1000 AS dt_ms
+              FROM v
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(v_s * dt_ms) AS BIGINT) AS twap_num,
+                   CAST(SUM(dt_ms) AS BIGINT) AS twap_den,
+                   CASE WHEN SUM(dt_ms) > 0
+                        THEN CAST(FLOOR((1000000.0 * SUM(v_s * dt_ms))
+                                        / SUM(dt_ms)) AS BIGINT)
+                        ELSE NULL END AS twap_ppm
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
         # Linear-interpolation twin: identical tick floor / last-wins
         # observation / grid as events_resampled, then pure-integer
         # interpolation — (prev_s*(next_t-t) + next_s*(t-prev_t)) over

@@ -147,6 +147,8 @@ TAIL_KEYS = {
     "tables_manifest": "test_spot_oracle_parity",
     "jsonl_roundtrip": "test_spot_oracle_parity",
     "price_histogram": "test_spot_oracle_parity",
+    "orders_expectations": "test_spot_oracle_parity",
+    "pack_bins": "test_spot_oracle_parity",
 }
 
 
@@ -246,6 +248,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "tables_manifest",
         "jsonl_roundtrip",
         "price_histogram",
+        "orders_expectations",
+        "pack_bins",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

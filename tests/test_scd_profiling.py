@@ -408,3 +408,47 @@ def test_mad_outliers_lower_median(spark):
     # a: med = 3 (3rd of 5); devs sorted 0,1,1,2,97 -> mad = 1; 97 > 3
     # b: med = 5, devs 0,0 -> mad 0; nothing exceeds 0*3? 0 > 0 false
     assert out == {"a": (5, 3, 1, 1), "b": (2, 5, 0, 0)}
+
+
+def test_basket_pairs_support_and_dedup(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.joins import (
+        basket_pairs,
+    )
+
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 10),   # dup item counts once
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = {(r.item_a, r.item_b): r.n_baskets
+           for r in basket_pairs(df, "basket", "item", min_support=2).collect()}
+    # (10,20) in baskets 1+2; (10,30) in 1+3; (20,30) only basket 1 -> pruned
+    assert out == {(10, 20): 2, (10, 30): 2}
+
+
+def test_time_weighted_avg_exact(spark):
+    import datetime as dt
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0, 100),
+        (1, t0 + dt.timedelta(seconds=10), 3.0, 101),
+        (1, t0 + dt.timedelta(seconds=30), 2.0, 102),
+        (2, t0, 7.0, 103),                    # single obs -> den 0, ppm NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double, event_id long"
+    )
+    out = {r.key: (r.n_obs, r.twap_num, r.twap_den, r.twap_ppm)
+           for r in time_weighted_avg(
+               df, "user_id", "ts", "value", scale=4, tiebreak_col="event_id"
+           ).collect()}
+    # v_s = 4, 12, 8; dt_ms = 10000, 20000, 0
+    # num = 4*10000 + 12*20000 = 280000; den = 30000
+    assert out[1] == (3, 280000, 30000, 9333333)
+    assert out[2] == (1, 0, 0, None)
