@@ -432,3 +432,173 @@ def test_incremental_dedup_invariants(spark, texts, split):
     merged = existing.unionByName(surv)
     again = dedup_fuzzy.incremental_dedup(merged, incoming, threshold=0.9)
     assert again.count() == 0
+
+
+ts_value_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),                      # key
+        st.integers(min_value=0, max_value=500),                    # ts seconds
+        st.floats(min_value=0.0, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),           # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(obs=ts_value_rows)
+@settings(**SETTINGS)
+def test_resample_interpolate_invariants(spark, obs):
+    """Interpolated ticks lie BETWEEN their anchors (inequality holds
+    even under the truncating div), observed ticks echo their own
+    fixed-point value, and the grid has no holes."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        resample_interpolate,
+    )
+
+    rows = [(k, float(t), v, i) for i, (k, t, v) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "k long, ts double, value double, event_id long"
+    )
+    out = resample_interpolate(
+        df, "k", "ts", "value", interval_seconds=10, scale=64,
+        tiebreak_col="event_id",
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    for key, ticks in by_key.items():
+        ticks.sort(key=lambda r: r.tick_ts)
+        # dense grid, no holes
+        assert [r.tick_ts for r in ticks] == list(
+            range(ticks[0].tick_ts, ticks[-1].tick_ts + 1, 10)
+        )
+        # first and last tick are observed (grid spans observations)
+        assert ticks[0].is_observed and ticks[-1].is_observed
+        obs_vals = [r.value_s for r in ticks if r.is_observed]
+        lo, hi = min(obs_vals), max(obs_vals)
+        for r in ticks:
+            assert lo <= r.value_s <= hi
+        # every gap value between its nearest enclosing anchors
+        anchors = [(r.tick_ts, r.value_s) for r in ticks if r.is_observed]
+        for r in ticks:
+            if r.is_observed:
+                continue
+            prev = max(a for a in anchors if a[0] < r.tick_ts)
+            nxt = min(a for a in anchors if a[0] > r.tick_ts)
+            assert min(prev[1], nxt[1]) <= r.value_s <= max(prev[1], nxt[1])
+
+
+@given(obs=ts_value_rows)
+@settings(**SETTINGS)
+def test_time_weighted_avg_bounds(spark, obs):
+    """num/den imply min(v_s) <= TWAP <= max(v_s) among held
+    observations; single-obs keys report NULL ppm and zero den."""
+    import datetime as dt2
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    t0 = dt2.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt2.timedelta(seconds=t), v, i)
+        for i, (k, t, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp_ntz, value double, event_id long"
+    )
+    got = time_weighted_avg(
+        df, "k", "ts", "value", scale=64, tiebreak_col="event_id"
+    ).collect()
+    per_key_vals: dict[int, list[int]] = {}
+    for k, t, v in obs:
+        per_key_vals.setdefault(k, []).append(round(v * 64))
+    for r in got:
+        vals = per_key_vals[r.key]
+        assert r.n_obs == len(vals)
+        if r.twap_den == 0:
+            assert r.twap_ppm is None
+        else:
+            twap = r.twap_num / r.twap_den
+            assert min(vals) - 1e-9 <= twap <= max(vals) + 1e-9
+
+
+@given(rows=st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=0, max_value=100),
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=0, max_size=40,
+))
+@settings(**SETTINGS)
+def test_conversion_funnel_monotone_and_reference(spark, rows):
+    """Stage counts are non-increasing, and match a brute-force python
+    replay of the recursive first-anchor rule."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.sessions import (
+        conversion_funnel,
+    )
+
+    df = spark.createDataFrame(
+        [(u, float(t), k) for u, t, k in rows],
+        "user_id long, ts double, event_type string",
+    )
+    stages = ["view", "click", "purchase"]
+    got = {r.stage_idx: r.n_users
+           for r in conversion_funnel(df, "user_id", "ts", "event_type", stages).collect()}
+    # python reference
+    expected = []
+    per_user: dict[int, list] = {}
+    for u, t, k in rows:
+        per_user.setdefault(u, []).append((t, k))
+    counts = []
+    anchors = {}
+    for si, stage in enumerate(stages):
+        nxt = {}
+        for u, evs in per_user.items():
+            if si > 0 and u not in anchors:
+                continue
+            floor_t = anchors[u] if si > 0 else None
+            cand = [t for t, k in evs
+                    if k == stage and (floor_t is None or t > floor_t)]
+            if cand:
+                nxt[u] = min(cand)
+        anchors = nxt
+        counts.append(len(nxt))
+    assert [got[i + 1] for i in range(3)] == counts
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+@given(vals=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.floats(min_value=0.0, max_value=1000.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30,
+))
+@settings(**SETTINGS)
+def test_mad_outliers_matches_python_reference(spark, vals):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame(vals, "k string, v double")
+    got = {r.key: (r.n_rows, r.med_s, r.mad_s, r.n_outliers)
+           for r in mad_outliers(df, "k", "v", scale=1, k=3).collect()}
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    per: dict[str, list[int]] = {}
+    for k, v in vals:
+        # python round() is half-even; replicate engine HALF_UP for
+        # non-negative doubles
+        import math
+        per.setdefault(k, []).append(math.floor(v + 0.5))
+    for k, xs in per.items():
+        med = lower_median(xs)
+        devs = [abs(x - med) for x in xs]
+        mad = lower_median(devs)
+        n_out = sum(1 for d in devs if d > 3 * mad)
+        assert got[k] == (len(xs), med, mad, n_out)
