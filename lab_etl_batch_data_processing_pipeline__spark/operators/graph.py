@@ -275,3 +275,86 @@ def pagerank(
         if checkpoint_ranks:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the clustering-structure primitive (community density, link spam,
+    recommendation strength) GraphX ships as triangleCount, here as a
+    pure DataFrame plan: (node, n_triangles) for every node in >= 1
+    triangle.
+
+    DEGREE-ORDERED ORIENTATION, the standard distributed-join trick
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): orient each undirected edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges
+    only FROM each source's out-edges, and close them against the
+    oriented edge set. Every triangle is found exactly once (its
+    unique orientation-minimal apex), and the wedge fan-out per node
+    is out-degree² where out-degree is bounded by ~sqrt(edges) under
+    this orientation — the hub that would explode a naive wedge join
+    (celebrity node, boilerplate item) becomes the DESTINATION of its
+    edges, never the apex. Total wedge volume is O(m^{3/2}) worst
+    case, the provable optimum for exact counting.
+
+    Three shuffles: degree aggregate, apex-keyed wedge self-join,
+    closing-edge hash join (map-side combinable count at the end).
+    The (degree, id) pair is a TOTAL order, so the orientation — and
+    therefore the plan's intermediate row sets — is deterministic on
+    any engine; ties in degree break by id.
+
+    Self-loops are dropped; parallel edges collapse via distinct.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u"))
+        & (
+            F.struct(F.col("e1.dw"), F.col("e1.w"))
+            < F.struct(F.col("e2.dw"), F.col("e2.w"))
+        ),
+    ).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.w").alias("y"),
+        F.col("e2.w").alias("z"),
+    )
+    closing = oriented.select(
+        F.col("u").alias("y"), F.col("w").alias("z")
+    )
+    tris = wedges.join(closing, ["y", "z"])
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )

@@ -149,6 +149,7 @@ TAIL_KEYS = {
     "price_histogram": "test_spot_oracle_parity",
     "orders_expectations": "test_spot_oracle_parity",
     "pack_bins": "test_spot_oracle_parity",
+    "events_resampled": "test_spot_oracle_parity",
 }
 
 
@@ -250,6 +251,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "price_histogram",
         "orders_expectations",
         "pack_bins",
+        "events_resampled",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):
