@@ -1558,6 +1558,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM p WHERE n_baskets >= 2
             ORDER BY n_baskets DESC, item_a, item_b
         """,
+        # Triangle twin: enumerate the id-ordered triangle set over the
+        # same support>=2 co-purchase edges (a<b, so each triangle
+        # appears exactly once as x<y<z) and count per-node
+        # participation. Per-node counts are orientation-independent,
+        # so this pins the Spark degree-ordered plan's RESULT without
+        # replicating its orientation.
+        "copurchase_triangles": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ), p AS (
+              SELECT a.i AS item_a, b.i AS item_b
+              FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), t AS (
+              SELECT e1.item_a AS x, e1.item_b AS y, e2.item_b AS z
+              FROM p e1
+              JOIN p e2 ON e2.item_a = e1.item_b
+              JOIN p e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b
+            ), n AS (
+              SELECT x AS node FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t
+            )
+            SELECT node AS item, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM n GROUP BY 1 ORDER BY 1
+        """,
         # TWAP twin: unix-microsecond BIGINT timestamps, ms holding
         # times via truncating div on non-negative deltas, fixed-point
         # values; ppm under the ewma_ppm fixed-parenthesization rule.
