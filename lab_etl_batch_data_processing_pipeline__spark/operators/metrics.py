@@ -275,3 +275,148 @@ def repeat_customer_rate_monthly(
         .orderBy("month")
     )
 
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str | Column,
+) -> DataFrame:
+    """Monthly cohort-retention matrix: users grouped by their FIRST
+    active month (the cohort), then counted in every later month they
+    come back — the standard growth-analytics view of repeat behavior
+    (repeat_customer_rate_monthly answers "how many returned this
+    month"; this answers "of January's new users, how many were still
+    here in April").
+
+    Exact across engines: months are calendar-truncated dates,
+    ``months_since`` is pure INTEGER month arithmetic
+    ((year*12+month) difference — no months_between float), and
+    ``retention_ppm`` is one truncating BIGINT division
+    (floor(1e6 * n_active / n_cohort); operands non-negative so
+    div == floor on any engine).
+
+    Shape: one groupBy(user) for the cohort anchor, one distinct on
+    (user, month) for activity, an equi-join on user (both sides
+    already hash-partitioned by user — AQE reuses the exchange), and a
+    final small aggregate. Nothing global; the cohort frame is
+    user-sized, the output month²-sized.
+
+    Returns (cohort_month, months_since, n_active, n_cohort,
+    retention_ppm) sorted by (cohort_month, months_since);
+    months_since=0 rows carry n_active == n_cohort by construction.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    base = df.select(F.col(user_col).alias("user"), _month(ts).alias("month"))
+    cohorts = base.groupBy("user").agg(F.min("month").alias("cohort_month"))
+    active = base.distinct()
+    midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    joined = active.join(cohorts, "user").select(
+        "cohort_month",
+        (midx(F.col("month")) - midx(F.col("cohort_month"))).alias("months_since"),
+        "user",
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        joined.groupBy("cohort_month", "months_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "months_since",
+            "n_active",
+            "n_cohort",
+            F.expr("(1000000 * n_active) div n_cohort").alias("retention_ppm"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    user_col: str,
+    ts_col: str | Column,
+    amount_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM scoring: quartile each customer on how recently,
+    how often, and how much they bought, then read the three digits as
+    a segment code (444 = best, 111 = churned).
+
+    Exact across engines: recency is whole days from the customer's
+    last order date to the corpus-wide max order date (DATE
+    arithmetic), monetary sums DECIMAL(18,2)-cast amounts times 100
+    into exact BIGINT cents (the pricing_summary money rule — float
+    sums are order-dependent), and every NTILE rides a globally
+    deterministic total order (metric direction, then ``user`` as the
+    unique tiebreak), so tile boundaries are engine-independent.
+
+    Shape: one groupBy(user) builds the per-customer triple; the max
+    order date is a scalar broadcast (one-row cross join). The three
+    NTILE windows are single-partition total orders over a
+    customer-sized frame — same bounded-global-sort story as
+    rank_stats; at 100 TB the customer dimension is the small table
+    (billions of orders, millions of customers), and if even that
+    outgrows one task, each NTILE becomes the two-pass
+    range-partitioned rank (count + partition boundaries) with
+    identical output.
+
+    Returns one row per customer: (user, recency_days, frequency,
+    monetary_cents, r_score, f_score, m_score, rfm) sorted by user.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    base = orders.select(
+        F.col(user_col).alias("user"),
+        F.to_date(ts).alias("odate"),
+        (F.col(amount_col).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    anchor = base.agg(F.max("odate").alias("anchor_date"))
+    per_user = base.groupBy("user").agg(
+        F.max("odate").alias("last_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    triple = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user",
+        F.datediff(F.col("anchor_date"), F.col("last_date")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user").asc())
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("user").asc())
+    return (
+        triple.select(
+            "user",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            F.ntile(n_tiles).over(w_r).alias("__r_raw"),
+            F.ntile(n_tiles).over(w_f).alias("f_score"),
+            F.ntile(n_tiles).over(w_m).alias("m_score"),
+        )
+        # high score = good on every axis: recency tile 1 (most recent)
+        # becomes n_tiles; frequency/monetary tiles already rank best
+        # first, so they invert the same way.
+        .select(
+            "user",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            (F.lit(n_tiles + 1) - F.col("__r_raw")).alias("r_score"),
+            (F.lit(n_tiles + 1) - F.col("f_score")).alias("f_score"),
+            (F.lit(n_tiles + 1) - F.col("m_score")).alias("m_score"),
+        )
+        .withColumn(
+            "rfm",
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+        )
+        .orderBy("user")
+    )

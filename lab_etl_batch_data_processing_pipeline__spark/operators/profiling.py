@@ -221,3 +221,49 @@ def mad_outliers(
         )
         .orderBy("key")
     )
+
+
+def categorical_diversity(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-key Gini–Simpson diversity of a categorical column: the
+    probability two random events of the key differ in category —
+    1 - Σ(cᵢ/n)², the log-free diversity index (Shannon entropy needs
+    ln(), whose libm bits differ across engines; this is exact
+    rational arithmetic: (n² - Σcᵢ²) / n²).
+
+    ``gini_ppm`` = floor(1e6 · (n² - Σcᵢ²) / n²) — all BIGINT, operands
+    non-negative, one truncating division; 0 for single-category keys,
+    → 1e6·(k-1)/k for k uniform categories.
+
+    Shape: two chained hash aggregates ((key, cat) counts, then per-key
+    roll-up — the second reuses the first's partitioning prefix), both
+    with map-side partials; output is key-sized.
+
+    Returns (key, n_rows, n_categories, gini_ppm) sorted by key.
+    """
+    counts = (
+        df.select(F.col(key_col).alias("key"), F.col(cat_col).alias("cat"))
+        .groupBy("key", "cat")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("key")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_categories"),
+            F.sum(F.col("c") * F.col("c")).alias("__sumsq"),
+        )
+        .select(
+            "key",
+            "n_rows",
+            "n_categories",
+            F.expr(
+                "(1000000 * (n_rows * n_rows - __sumsq))"
+                " div (n_rows * n_rows)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("key")
+    )

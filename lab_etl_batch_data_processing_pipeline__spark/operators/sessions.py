@@ -153,3 +153,116 @@ def conversion_funnel(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("stage_idx")
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str | Column,
+    type_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: how often event type A is immediately followed by B —
+    the behavioral-flow matrix funnels and next-action models start
+    from (conversion_funnel asks "did the fixed path happen";
+    this asks "what paths happen").
+
+    Exact across engines: consecutive pairs come from one LEAD window
+    over (ts, tiebreak) — a deterministic total order per user — and
+    ``p_ppm`` is floor(1e6 * n / row-total of the from-type), a
+    truncating BIGINT division on non-negative operands. Sequence ends
+    (LEAD NULL) are dropped, so each from-row total equals the sum of
+    its transitions.
+
+    Shape: one shuffle on user for the window, then a type²-sized hash
+    aggregate with map-side partials; the output is alphabet², never
+    data-sized. Per-user window skew is bounded by the busiest user.
+
+    Returns (from_type, to_type, n_transitions, p_ppm) sorted by
+    (from_type, to_type).
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    order = [ts.asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("__from_total", F.sum("n_transitions").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("(1000000 * n_transitions) div __from_total").alias(
+                "p_ppm"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str | Column,
+    type_col: str,
+    gap_minutes: int = 30,
+    max_len: int = 5,
+    k: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k session paths: the most common opening sequences of event
+    types (first ``max_len`` events of each gap-based session, joined
+    with '>'), ranked by how many sessions follow them — the
+    path-mining view ("view>click>purchase happens 1,200×") on top of
+    the same sessionization the per-session stats use.
+
+    Deterministic across engines: session assignment is the exact
+    sessionize() rule, within-session order is (ts, tiebreak), the
+    path string concatenates the rn<=max_len prefix in that order, and
+    the final top-k rides (n_sessions DESC, path ASC) — a total order,
+    so the cut line is unambiguous.
+
+    Shape: one shuffle on user (sessionize + the prefix window share
+    the partitioning), one path-sized hash aggregate, then a bounded
+    TakeOrdered top-k — no global sort of the data.
+
+    Returns (path, n_sessions) — k rows, (n_sessions DESC, path) order.
+    """
+    ts_name = ts_col if isinstance(ts_col, str) else None
+    sess = sessionize(events, user_col, ts_col, gap_minutes, tiebreak_col)
+    ts = F.col(ts_name) if ts_name else ts_col
+    order = [ts.asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col, "session_seq").orderBy(*order)
+    prefix = sess.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_len
+    )
+    paths = (
+        prefix.groupBy(user_col, "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", F.col(type_col)))
+                    ),
+                    lambda s: s[type_col],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    return paths.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(k)

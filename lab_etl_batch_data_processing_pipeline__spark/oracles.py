@@ -2404,6 +2404,153 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # Cohort-retention twin: month-truncated dates, pure INTEGER
+        # month arithmetic (no months_between float), truncating ppm.
+        "customer_cohort_retention": """
+            WITH base AS (
+              SELECT o_custkey AS u,
+                     CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+              FROM orders
+            ), coh AS (
+              SELECT u, MIN(m) AS cm FROM base GROUP BY 1
+            ), act AS (
+              SELECT DISTINCT u, m FROM base
+            ), j AS (
+              SELECT c.cm,
+                     CAST((year(a.m) * 12 + month(a.m))
+                          - (year(c.cm) * 12 + month(c.cm)) AS INT) AS ms
+              FROM act a JOIN coh c ON a.u = c.u
+            ), sz AS (
+              SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_cohort
+              FROM coh GROUP BY 1
+            )
+            SELECT j.cm AS cohort_month, j.ms AS months_since,
+                   CAST(COUNT(*) AS BIGINT) AS n_active, sz.n_cohort,
+                   CAST((1000000 * COUNT(*)) // sz.n_cohort AS BIGINT)
+                     AS retention_ppm
+            FROM j JOIN sz ON j.cm = sz.cm
+            GROUP BY 1, 2, sz.n_cohort ORDER BY 1, 2
+        """,
+        # RFM twin: DATE recency, DECIMAL(18,2)-cents monetary (the
+        # pricing_summary money rule), NTILE over the same
+        # deterministic total orders (metric direction + custkey).
+        "customer_rfm": """
+            WITH base AS (
+              SELECT o_custkey AS u, CAST(o_orderdate AS DATE) AS d,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders
+            ), per AS (
+              SELECT u, MAX(d) AS last_date,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(cents) AS BIGINT) AS monetary_cents
+              FROM base GROUP BY 1
+            ), t AS (
+              SELECT u, datediff('day', last_date,
+                                 (SELECT MAX(d) FROM base)) AS recency_days,
+                     frequency, monetary_cents
+              FROM per
+            ), s AS (
+              SELECT u, CAST(recency_days AS INT) AS recency_days,
+                     frequency, monetary_cents,
+                     CAST(5 - NTILE(4) OVER (ORDER BY recency_days, u)
+                          AS INT) AS r_score,
+                     CAST(5 - NTILE(4) OVER (ORDER BY frequency DESC, u)
+                          AS INT) AS f_score,
+                     CAST(5 - NTILE(4) OVER (ORDER BY monetary_cents DESC, u)
+                          AS INT) AS m_score
+              FROM t
+            )
+            SELECT u AS custkey, recency_days, frequency, monetary_cents,
+                   r_score, f_score, m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+            FROM s ORDER BY custkey
+        """,
+        # Markov-transition twin: LEAD over (ts_us, event_id), truncating
+        # ppm against the from-type row total.
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                     ) AS to_type
+              FROM events
+            ), pairs AS (
+              SELECT from_type, to_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n_transitions,
+                   CAST((1000000 * n_transitions)
+                        // SUM(n_transitions) OVER (PARTITION BY from_type)
+                        AS BIGINT) AS p_ppm
+            FROM pairs ORDER BY 1, 2
+        """,
+        # Top-paths twin: the _SESSION_SQL session rule at a 30-min gap
+        # (whole-second resolution + event_id tiebreak), first-5 prefix
+        # by ROW_NUMBER, ORDER BY-qualified string_agg, deterministic
+        # top-20 cut on (n_sessions DESC, path).
+        "session_top_paths": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, event_type, sec,
+                     CASE WHEN LAG(sec) OVER w IS NULL
+                               OR sec - LAG(sec) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), sess AS (
+              SELECT user_id, event_id, event_type, sec,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            ), pref AS (
+              SELECT user_id, session_seq, event_type,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY sec, event_id) AS rn
+              FROM sess
+            ), paths AS (
+              SELECT user_id, session_seq,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM pref WHERE rn <= 5 GROUP BY 1, 2
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY 1
+            ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        # Gini–Simpson twin: exact rational (n² − Σc²)/n² in BIGINTs.
+        "user_type_diversity": """
+            WITH c AS (
+              SELECT user_id AS key, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT key AS user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_categories,
+                   CAST((1000000 * (SUM(c) * SUM(c) - SUM(c * c)))
+                        // (SUM(c) * SUM(c)) AS BIGINT) AS gini_ppm
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # 3-itemset twin: same within-basket a<b<c enumeration, support
+        # threshold, total order.
+        "copurchase_triples": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            )
+            SELECT a.i AS item_a, bb.i AS item_b, cc.i AS item_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_baskets
+            FROM d a
+            JOIN d bb ON a.b = bb.b AND a.i < bb.i
+            JOIN d cc ON a.b = cc.b AND bb.i < cc.i
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+            ORDER BY n_baskets DESC, item_a, item_b, item_c
+        """,
         # ann_cosine_lsh / ann_cosine_ivf remain rows-only here: their
         # bucketing is approximate by design, so their quality gate is the
         # recall-vs-bruteforce invariant queries (ann_lsh_recall /

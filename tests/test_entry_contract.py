@@ -150,6 +150,15 @@ TAIL_KEYS = {
     "orders_expectations": "test_spot_oracle_parity",
     "pack_bins": "test_spot_oracle_parity",
     "events_resampled": "test_spot_oracle_parity",
+    # rotated out late-r9 (multi-round driver-green, unchanged) as the
+    # fifth-wave rows (cohort retention, RFM, Markov transitions, top
+    # paths, Gini diversity, 3-itemsets) took their window slots:
+    "streaming_user_totals": "tests/test_sources_multimodal_streaming.py replay tests",
+    "recipe_metric": "test_spot_oracle_parity",
+    "embedding_near_dups": "test_spot_oracle_parity",
+    "streaming_event_counts": "tests/test_sources_multimodal_streaming.py replay tests",
+    "training_batches": "test_spot_oracle_parity",
+    "training_mix": "recipe_training_mix shared-oracle window row + test_spot_oracle_parity",
 }
 
 
@@ -252,6 +261,12 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_expectations",
         "pack_bins",
         "events_resampled",
+        "streaming_user_totals",
+        "recipe_metric",
+        "embedding_near_dups",
+        "streaming_event_counts",
+        "training_batches",
+        "training_mix",
     ],
 )
 def test_spot_oracle_parity(spark, duck, name):

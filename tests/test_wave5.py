@@ -1,0 +1,222 @@
+"""Unit tests for the fifth-wave behavioral-analytics operators:
+cohort retention, RFM segmentation, Markov event transitions, session
+top paths, Gini–Simpson diversity, and frequent 3-itemsets.
+
+Each test pins the semantics on a small constructed frame (the oracle
+rows pin full-scale value parity; these pin the RULES on inputs where
+the expected output is hand-checkable)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    joins,
+    metrics,
+    profiling,
+    sessions,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- cohort
+
+
+def test_cohort_retention_basic(spark):
+    # u1 first active Jan, returns Mar; u2 first active Jan only;
+    # u3 first active Feb, returns Mar twice (dedup to one active month).
+    rows = [
+        (1, _ts("2024-01-05")),
+        (1, _ts("2024-03-09")),
+        (2, _ts("2024-01-20")),
+        (3, _ts("2024-02-02")),
+        (3, _ts("2024-03-15")),
+        (3, _ts("2024-03-28")),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = metrics.cohort_retention(df, "u", "ts").collect()
+    got = {
+        (str(r.cohort_month), r.months_since): (
+            r.n_active,
+            r.n_cohort,
+            r.retention_ppm,
+        )
+        for r in out
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1_000_000),
+        ("2024-01-01", 2): (1, 2, 500_000),
+        ("2024-02-01", 0): (1, 1, 1_000_000),
+        ("2024-02-01", 1): (1, 1, 1_000_000),
+    }
+
+
+def test_cohort_retention_month_zero_is_full(spark):
+    rows = [
+        (u, _ts(f"2024-0{1 + (u % 3)}-05") + dt.timedelta(days=u))
+        for u in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = metrics.cohort_retention(df, "u", "ts").collect()
+    zero = [r for r in out if r.months_since == 0]
+    assert all(r.n_active == r.n_cohort for r in zero)
+    assert all(r.retention_ppm == 1_000_000 for r in zero)
+
+
+# ------------------------------------------------------------------- rfm
+
+
+def test_rfm_segments_scores(spark):
+    # 8 customers, engineered so quartiles are unambiguous: customer i
+    # ordered (9-i) times of 100.00 each, most recent order i days
+    # before the anchor (customer 1 = most recent, most orders, most
+    # spend -> 444; customer 8 -> 111).
+    rows = []
+    for i in range(1, 9):
+        for j in range(9 - i):
+            rows.append(
+                (i, _ts("2024-06-30") - dt.timedelta(days=i + j * 30), 100.0)
+            )
+    df = spark.createDataFrame(rows, ["u", "ts", "amt"])
+    out = {r.user: r for r in metrics.rfm_segments(df, "u", "ts", "amt").collect()}
+    assert out[1].r_score == 4 and out[1].f_score == 4 and out[1].m_score == 4
+    assert out[1].rfm == 444
+    assert out[8].rfm == 111
+    # anchor = corpus max order date = customer 1's own last order
+    assert out[1].recency_days == 0 and out[8].recency_days == 7
+    assert out[1].frequency == 8 and out[1].monetary_cents == 8 * 100_00
+    # 8 rows into 4 tiles -> exactly 2 per tile on every axis
+    for axis in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in out.values():
+            counts[getattr(r, axis)] = counts.get(getattr(r, axis), 0) + 1
+        assert counts == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_rfm_deterministic_under_repartition(spark):
+    rows = [
+        (i, _ts("2024-01-01") + dt.timedelta(days=i % 17), float(i * 7 % 31))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "amt"])
+    a = metrics.rfm_segments(df, "u", "ts", "amt").collect()
+    b = metrics.rfm_segments(df.repartition(7), "u", "ts", "amt").collect()
+    assert a == b
+
+
+# ----------------------------------------------------------- transitions
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 5, "a"), (2, 6, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "sec", "t"]).withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    out = sessions.event_transitions(df, "u", "ts", "t", tiebreak_col="sec")
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.p_ppm) for r in out.collect()}
+    # a->b twice, a->c once (a total 3); b->a once (b total 1)
+    assert got == {
+        ("a", "b"): (2, 666_666),
+        ("a", "c"): (1, 333_333),
+        ("b", "a"): (1, 1_000_000),
+    }
+
+
+def test_event_transitions_row_totals(spark):
+    rows = [
+        (i % 5, i, "xyzvw"[i % 5] + str(i % 3)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["u", "sec", "t"]).withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    out = sessions.event_transitions(df, "u", "ts", "t", tiebreak_col="sec").collect()
+    # per from_type, sum of ppm is within (1e6 - n_rows, 1e6]
+    from collections import defaultdict
+
+    ppm = defaultdict(int)
+    n = defaultdict(int)
+    for r in out:
+        ppm[r.from_type] += r.p_ppm
+        n[r.from_type] += 1
+    for k in ppm:
+        assert 1_000_000 - n[k] < ppm[k] <= 1_000_000
+
+
+# ------------------------------------------------------------- top paths
+
+
+def test_top_paths_splits_on_gap_and_truncates(spark):
+    # user 1: six events 10s apart (one session, path truncated to 5);
+    # user 2: two events 2h apart (two single-event sessions).
+    rows = (
+        [(1, 100 + 10 * i, "e" + str(i)) for i in range(6)]
+        + [(2, 0, "x"), (2, 7200, "y")]
+    )
+    df = spark.createDataFrame(rows, ["u", "sec", "t"])
+    out = sessions.top_paths(
+        df, "u", "sec", "t", gap_minutes=30, max_len=5, k=10,
+        tiebreak_col="sec",
+    ).collect()
+    got = {r.path: r.n_sessions for r in out}
+    assert got == {"e0>e1>e2>e3>e4": 1, "x": 1, "y": 1}
+
+
+def test_top_paths_k_cut_is_deterministic(spark):
+    rows = [(u, s * 10_000, "t" + str(u % 4)) for u in range(30) for s in range(2)]
+    df = spark.createDataFrame(rows, ["u", "sec", "t"])
+    a = sessions.top_paths(df, "u", "sec", "t", k=3, tiebreak_col="sec").collect()
+    b = sessions.top_paths(
+        df.repartition(11), "u", "sec", "t", k=3, tiebreak_col="sec"
+    ).collect()
+    assert a == b and len(a) == 3
+
+
+# ------------------------------------------------------------- diversity
+
+
+def test_categorical_diversity_bounds(spark):
+    rows = (
+        [(1, "only")] * 5
+        + [(2, c) for c in "abcd"]          # uniform over 4
+        + [(3, "a"), (3, "a"), (3, "b")]    # 2/3, 1/3
+    )
+    df = spark.createDataFrame(rows, ["k", "c"])
+    out = {r.key: r for r in profiling.categorical_diversity(df, "k", "c").collect()}
+    assert out[1].gini_ppm == 0 and out[1].n_categories == 1
+    # uniform over 4: 1 - 4*(1/16) = 3/4
+    assert out[2].gini_ppm == 750_000
+    # 1 - (4+1)/9 = 4/9
+    assert out[3].gini_ppm == 444_444
+    assert out[3].n_rows == 3
+
+
+# --------------------------------------------------------------- triples
+
+
+def test_basket_triples_support(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20), (2, 30), (2, 40),
+        (3, 10), (3, 20),
+        (3, 10),            # duplicate line: must dedup per basket
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = joins.basket_triples(df, "b", "i", min_support=2).collect()
+    assert [(r.item_a, r.item_b, r.item_c, r.n_baskets) for r in out] == [
+        (10, 20, 30, 2)
+    ]
+
+
+def test_basket_triples_within_basket_only(spark):
+    # items co-occur pairwise across baskets but never as a triple
+    rows = [(1, 10), (1, 20), (2, 20), (2, 30), (3, 10), (3, 30)]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    assert joins.basket_triples(df, "b", "i", min_support=1).count() == 0
