@@ -1,0 +1,148 @@
+"""Fixed-iteration Lloyd k-means over an embedding column, in EXACT
+integer arithmetic — the clustering stage of a corpus pipeline (topic
+bucketing, IVF coarse quantizers, SemDeDup cells) with a value-hash
+oracle: every engine that follows the same rule produces the same
+assignment, bit for bit.
+
+Why exact: float Lloyd's is non-deterministic across engines (parallel
+sum order, FMA, libm) and across partitionings. Here vectors fix-point
+to BIGINTs first (``round((x + shift) * scale)``, scale a power of two
+so the multiply is an exponent shift; shift makes every coordinate
+non-negative so truncating division == floor on any engine), distances
+are integer sums of squared diffs, and centroid updates are
+``dim_sum div n_members`` — all BIGINT, no float anywhere. Overflow
+headroom: coordinates < 2·scale, so per-dim squared diffs < 4·scale²
+and a 64-dim distance < 2⁵⁶ at the default scale 2²⁰.
+
+Scale shape (the standard distributed Lloyd's):
+
+- assignment is MAP-ONLY — centroids ride as k literal arrays inside
+  one whole-stage-codegen'd expression (array_min over k struct(dist,
+  cid) terms), no shuffle, no UDF;
+- the update step is one (cluster, dim)-keyed hash aggregate with
+  map-side partials — k·dim output rows regardless of data size;
+- the only driver materialization per iteration is that k·dim-int
+  frame (dimension-sized, same contract as the IVF index builders);
+- iterations are a fixed, small count (the caller pins it), so the
+  whole run is ``iters + 1`` shuffle-light jobs over one cached scan.
+
+Reference scope: the reference engine has no clustering operator
+(SURVEY.md §2 ends at windowed aggregates); this extends the engine's
+training-data surface the same way the ANN/dedup family does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["kmeans_assign"]
+
+
+def _scaled_vec(vec_col, scale: int, shift: float):
+    return F.transform(
+        vec_col,
+        lambda x: F.round((x + F.lit(shift)) * F.lit(scale)).cast("long"),
+    )
+
+
+def _dist_sq(vec_col, centroid: list[int]):
+    """Integer squared L2 distance between a BIGINT array column and a
+    centroid literal — a left-to-right fold, exact in any order (integer
+    addition is associative)."""
+    arr = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1 << 20,
+    shift: float = 1.0,
+) -> DataFrame:
+    """Run ``iters`` exact-integer Lloyd iterations and return the final
+    assignment: (id, cluster, dist_sq), one row per input vector,
+    sorted by id.
+
+    Deterministic rule set (the oracle replicates each):
+    - init: centroids 0..k-1 are the scaled vectors of the k smallest
+      ids (no RNG — seeded sampling would need a cross-engine PRNG);
+    - assign: nearest centroid by integer squared L2; ties break to the
+      smaller centroid id (array_min over struct(dist, cid) — the same
+      (dist, cid) lexicographic order as a ROW_NUMBER twin);
+    - update: per-dim ``sum div count`` (operands non-negative, so
+      truncation == floor everywhere); a cluster that captured no
+      members keeps its previous centroid;
+    - after the last update, one final assignment pass produces the
+      output (so the result reflects the iters-th centroids).
+
+    ``shift`` must make every coordinate non-negative (caller asserts
+    domain knowledge; the default +1.0 covers unit-normalized
+    embeddings).
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        _scaled_vec(F.col(vec_col), scale, shift).alias("v"),
+    )
+    # materialize the scaled vectors once: the loop scans them iters+1
+    # times and the lineage must not re-run the parquet scan per pass
+    # (same discipline as pagerank's static frames)
+    vecs = vecs.localCheckpoint(eager=True)
+    # init: k smallest ids, dimension-sized collect (k rows)
+    seed_rows = vecs.orderBy("id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(seed_rows)}")
+    centroids = [list(r.v) for r in seed_rows]
+
+    def assign(cents) -> DataFrame:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist_sq(F.col("v"), c).alias("dist_sq"),
+                        F.lit(cid).alias("cluster"),
+                    )
+                    for cid, c in enumerate(cents)
+                ]
+            )
+        )
+        return vecs.select("id", "v", best.alias("b")).select(
+            "id",
+            "v",
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.dist_sq").alias("dist_sq"),
+        )
+
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign(centroids)
+        # (cluster, dim) sums — k*dim rows, the per-iteration driver cost
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("v")).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]  # empty cluster keeps old
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster, []).append((r.pos, r.s, r.n))
+        for cid, entries in by_cluster.items():
+            vec = [0] * dim
+            for pos, s, n in entries:
+                vec[pos] = s // n  # non-negative: floor == trunc
+            new_cents[cid] = vec
+        centroids = new_cents
+
+    out = assign(centroids).select("id", "cluster", "dist_sq").orderBy("id")
+    return out

@@ -496,6 +496,58 @@ SELECT node_id, rank_fp FROM r{iterations} ORDER BY node_id
 """
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
+    """Unrolled-CTE twin of clustering.kmeans_assign over embeddings:
+    identical fix-pointing (round((x+1)*scale) BIGINTs), init (k
+    smallest vec_ids, cluster ids in id order), assignment (min integer
+    squared L2, ties to the smaller cluster id via ROW_NUMBER), and
+    update (per-dim sum // count, empty clusters keep the previous
+    centroid) — chained a1/c1..aN/cN, then one final assignment. No
+    float enters either side after the fix-point, so the 3-iteration
+    Lloyd's run hashes identically."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.v) + 1),"
+        " i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])))"
+    )
+    rounds = "".join(
+        f""", a{i} AS (
+  SELECT id, v, cid FROM (
+    SELECT v.id, v.v AS v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM v, c{i - 1} c) WHERE rn = 1
+), s{i} AS (
+  SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
+  FROM a{i}, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c{i} AS (
+  SELECT p.cid, COALESCE(u.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
+    FROM s{i} GROUP BY 1
+  ) u ON p.cid = u.cid)"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(ROUND((CAST(x AS DOUBLE) + 1.0) * {scale}.0)
+                     AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT id, v FROM v ORDER BY id LIMIT {k})
+){rounds}
+SELECT id AS vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_sq FROM (
+  SELECT v.id, c.cid, {dist} AS d,
+         ROW_NUMBER() OVER (PARTITION BY v.id
+                            ORDER BY {dist}, c.cid) AS rn
+  FROM v, c{iters} c) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 # Shingle-containment twins (dedup_fuzzy.containment_degree /
 # containment_prune, w=3): the blocking is replicated exactly — pair
 # (A, B) qualifies iff A's min-md5 3-shingle appears in B's shingle set
@@ -2404,6 +2456,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # Exact k-means twin: unrolled Lloyd iterations (see _kmeans_sql).
+        "embedding_kmeans": _kmeans_sql(8, 3),
         # Cohort-retention twin: month-truncated dates, pure INTEGER
         # month arithmetic (no months_between float), truncating ppm.
         "customer_cohort_retention": """

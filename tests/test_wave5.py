@@ -220,3 +220,46 @@ def test_basket_triples_within_basket_only(spark):
     rows = [(1, 10), (1, 20), (2, 20), (2, 30), (3, 10), (3, 30)]
     df = spark.createDataFrame(rows, ["b", "i"])
     assert joins.basket_triples(df, "b", "i", min_support=1).count() == 0
+
+
+# --------------------------------------------------------------- k-means
+
+
+def test_kmeans_deterministic_and_partition_invariant(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import clustering
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 - 0.4 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = clustering.kmeans_assign(df, "vec_id", "embedding", k=3, iters=2).collect()
+    b = clustering.kmeans_assign(
+        df.repartition(7), "vec_id", "embedding", k=3, iters=2
+    ).collect()
+    assert a == b
+    assert {r.cluster for r in a} <= {0, 1, 2}
+    assert len(a) == 40
+
+
+def test_kmeans_zero_iters_is_nearest_seed(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import clustering
+
+    # two tight groups around the first two ids; iters=0 assigns to the
+    # nearest SEED vector (ids 0 and 1)
+    rows = [(0, [0.0, 0.0]), (1, [0.5, 0.5]),
+            (2, [0.01, 0.0]), (3, [0.49, 0.5])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.id: r.cluster for r in clustering.kmeans_assign(
+        df, "vec_id", "embedding", k=2, iters=0
+    ).withColumnRenamed("vec_id", "id").collect()}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_kmeans_seed_rows_have_zero_distance_at_init(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import clustering
+
+    rows = [(i, [float(i), float(-i) / 3.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = clustering.kmeans_assign(df, "vec_id", "embedding", k=6, iters=0)
+    assert all(r.dist_sq == 0 for r in out.collect())
