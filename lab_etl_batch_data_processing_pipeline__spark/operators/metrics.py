@@ -420,3 +420,79 @@ def rfm_segments(
         )
         .orderBy("user")
     )
+
+
+def revenue_pareto(
+    lines: DataFrame,
+    entity_col: str,
+    price_col: str,
+    discount_col: str | None = None,
+    top_frac_ppm: int = 800_000,
+) -> DataFrame:
+    """Pareto / contribution analysis: rank entities by revenue and mark
+    the head that carries ``top_frac_ppm`` of the total — the 80/20 view
+    ("which parts produce 80 % of revenue") every assortment or
+    cost-allocation review starts with.
+
+    Exact across engines: revenue goes through the pricing_summary
+    money rule (DECIMAL(18,2) price × exact decimal discount factor),
+    then ×100 into BIGINT cents; the cumulative sum rides ONE global
+    ranking window over a deterministic total order (cents DESC, entity
+    ASC); the head test is pure integer cross-multiplication
+    (10⁶·cum ≤ frac·total, both sides DECIMAL(38,0) — no division, no
+    float, no overflow at corpus scale).
+
+    Shape: one hash aggregate to entity grain, then the single global
+    window over the ENTITY dimension (bounded: parts/SKUs, not line
+    items — the rank_stats bounded-global-sort story; two-pass
+    range-partitioned ranking replaces it if the dimension ever
+    outgrows one task).
+
+    Returns (entity, revenue_cents, rank, cum_cents, in_head) sorted by
+    rank; in_head marks rows whose RUNNING total is still within the
+    fraction (the first row is always in the head if any is).
+    """
+    price = F.col(price_col).cast("decimal(18,2)")
+    if discount_col is not None:
+        rev = price * (F.lit(1.00).cast("decimal(4,2)") - F.col(discount_col).cast("decimal(4,2)"))
+    else:
+        rev = price
+    per = (
+        lines.select(F.col(entity_col).alias("entity"), rev.alias("__rev"))
+        .groupBy("entity")
+        # round to 2dp BEFORE the cents scaling: the discount product has
+        # scale 4, and a scale-4 decimal × 100 still carries fraction —
+        # Spark's decimal→long cast truncates where DuckDB's rounds, so
+        # the cast must see an integer-valued decimal (pricing_summary
+        # rounds for the same reason)
+        .agg(
+            (F.round(F.sum("__rev"), 2) * 100)
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("entity").asc())
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d38 = "decimal(38,0)"
+    return (
+        per.select(
+            "entity",
+            "revenue_cents",
+            F.row_number().over(w).alias("rank"),
+            F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
+            F.sum("revenue_cents").over(
+                Window.partitionBy()
+            ).alias("__total"),
+        )
+        .select(
+            "entity",
+            "revenue_cents",
+            "rank",
+            "cum_cents",
+            (
+                F.col("cum_cents").cast(d38) * F.lit(1_000_000)
+                <= F.col("__total").cast(d38) * F.lit(top_frac_ppm)
+            ).alias("in_head"),
+        )
+        .orderBy("rank")
+    )

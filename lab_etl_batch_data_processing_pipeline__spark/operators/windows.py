@@ -520,3 +520,86 @@ def time_weighted_avg(
         )
         .orderBy("key")
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str | Column,
+    value_col: str,
+    scale: int = 1024,
+    x_unit_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key OLS trend (least-squares slope of value over time) in
+    EXACT arithmetic — the "is this metric drifting" screen over
+    irregular series, engine-stable where float regression is not
+    (parallel-sum order flips low bits; here every sum is integral).
+
+    Rule set:
+    - x = (sec - per-key MIN(sec)) div x_unit_seconds — truncating,
+      non-negative; anchoring at the key's own start keeps x small so
+      the moment sums stay far from overflow (vs raw epoch seconds,
+      whose squares alone near 2⁶³);
+    - y = round(value * scale) BIGINTs (scale a power of two);
+    - slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), carried as exact
+      DECIMAL(38,0) numerator/denominator (the cross terms overflow
+      BIGINT at corpus scale; Spark decimal == DuckDB HUGEINT
+      arithmetic);
+    - slope_ppm = (10⁶·num) div (den·scale) — the slope in VALUE units
+      per x_unit, parts-per-million; BOTH engines truncate integral
+      division toward zero (verified on negatives), so the sign needs
+      no special casing; NULL when den = 0 (fewer than two distinct x
+      ticks). num/den stay in scaled-value units for exact reuse.
+
+    Shape: one shuffle on key (the MIN window shares the groupBy's
+    partitioning), one hash aggregate of five integral moments, one
+    projection. Output is key-sized.
+
+    Returns (key, n_obs, slope_num, slope_den, slope_ppm) sorted by
+    key; slope units = value per x_unit_seconds.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    base = df.select(
+        F.col(key_col).alias("key"),
+        ts.cast("long").alias("sec"),
+        F.round(F.col(value_col) * scale).cast("long").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    xy = base.select(
+        "key",
+        F.expr(f"(sec - min(sec) OVER (PARTITION BY key)) div {x_unit_seconds}")
+        .alias("x"),
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    mom = xy.groupBy("key").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        mom.select(
+            "key",
+            F.col("n").cast("long").alias("n_obs"),
+            num.alias("__num"),
+            den.alias("__den"),
+        )
+        .select(
+            "key",
+            "n_obs",
+            F.col("__num").cast("long").alias("slope_num"),
+            F.col("__den").cast("long").alias("slope_den"),
+            F.when(
+                F.col("__den") != 0,
+                F.expr(
+                    "CAST((__num * 1000000)"
+                    f" div (__den * CAST({scale} AS DECIMAL(38,0)))"
+                    " AS BIGINT)"
+                ),
+            ).alias("slope_ppm"),
+        )
+        .orderBy("key")
+    )

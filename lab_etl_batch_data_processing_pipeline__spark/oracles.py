@@ -2456,6 +2456,64 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # OLS-trend twin: x anchored at the key's min second in
+        # truncating hours, HUGEINT moment sums (Spark carries
+        # DECIMAL(38,0)), truncating ppm division — both engines
+        # truncate integral division toward zero, so negative slopes
+        # need no special casing.
+        "user_value_trend": """
+            WITH b AS (
+              SELECT user_id AS key,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+                     CAST(ROUND(value * 1024) AS BIGINT) AS y
+              FROM events WHERE value IS NOT NULL
+            ), x AS (
+              SELECT key,
+                     (sec - MIN(sec) OVER (PARTITION BY key)) // 3600 AS x,
+                     y
+              FROM b
+            ), m AS (
+              SELECT key, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                     CAST(SUM(x * y) AS HUGEINT) AS sxy
+              FROM x GROUP BY 1
+            )
+            SELECT key AS user_id, CAST(n AS BIGINT) AS n_obs,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN CAST(((n * sxy - sx * sy) * 1000000)
+                                  // ((n * sxx - sx * sx) * 1024) AS BIGINT)
+                        ELSE NULL END AS slope_ppm
+            FROM m ORDER BY 1
+        """,
+        # Pareto twin: pricing_summary money rule to entity cents, one
+        # ranking window, integer cross-multiplied head test.
+        "part_revenue_pareto": """
+            WITH per AS (
+              SELECT l_partkey AS entity,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1.00 - CAST(l_discount AS DECIMAL(4,2)))),
+                                2) * 100 AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY 1
+            ), r AS (
+              SELECT entity, revenue_cents,
+                     CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+                     SUM(revenue_cents) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     SUM(revenue_cents) OVER () AS total
+              FROM per
+              WINDOW w AS (ORDER BY revenue_cents DESC, entity)
+            )
+            SELECT entity AS l_partkey, revenue_cents, rank,
+                   CAST(cum AS BIGINT) AS cum_cents,
+                   (CAST(cum AS HUGEINT) * 1000000
+                    <= CAST(total AS HUGEINT) * 800000) AS in_head
+            FROM r ORDER BY rank
+        """,
         # Exact k-means twin: unrolled Lloyd iterations (see _kmeans_sql).
         "embedding_kmeans": _kmeans_sql(8, 3),
         # Cohort-retention twin: month-truncated dates, pure INTEGER

@@ -153,6 +153,8 @@ TAIL_KEYS = {
     # rotated out late-r9 (multi-round driver-green, unchanged) as the
     # fifth-wave rows (cohort retention, RFM, Markov transitions, top
     # paths, Gini diversity, 3-itemsets) took their window slots:
+    "near_dup_jaccard": "test_spot_oracle_parity",
+    "minhash_near_dups": "test_spot_oracle_parity",
     "near_dup_clusters": "test_spot_oracle_parity",
     "streaming_user_totals": "tests/test_sources_multimodal_streaming.py replay tests",
     "recipe_metric": "test_spot_oracle_parity",
@@ -262,6 +264,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_expectations",
         "pack_bins",
         "events_resampled",
+        "near_dup_jaccard",
+        "minhash_near_dups",
         "near_dup_clusters",
         "streaming_user_totals",
         "recipe_metric",

@@ -263,3 +263,68 @@ def test_kmeans_seed_rows_have_zero_distance_at_init(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = clustering.kmeans_assign(df, "vec_id", "embedding", k=6, iters=0)
     assert all(r.dist_sq == 0 for r in out.collect())
+
+
+# ------------------------------------------------------------ linear trend
+
+
+def test_linear_trend_exact_slope(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    # y = 2*hours + 5 -> slope 2.0/hour -> 2_000_000 ppm (value units)
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), float(2 * h + 5))
+            for h in range(10)]
+    # negative slope key: y = -3*hours
+    rows += [(2, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), float(-3 * h))
+             for h in range(5)]
+    # single point -> den 0 -> NULL
+    rows += [(3, dt.datetime(2024, 1, 1), 7.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r.key: r for r in windows.linear_trend(df, "k", "ts", "v").collect()}
+    assert out[1].slope_ppm == 2_000_000
+    assert out[2].slope_ppm == -3_000_000
+    assert out[3].slope_ppm is None and out[3].slope_den == 0
+    assert out[1].n_obs == 10
+
+
+def test_linear_trend_partition_invariant(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    rows = [(i % 4, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=17 * i),
+             float((i * 13) % 29) - 7.0) for i in range(120)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    a = windows.linear_trend(df, "k", "ts", "v").collect()
+    b = windows.linear_trend(df.repartition(9), "k", "ts", "v").collect()
+    assert a == b
+
+
+# ----------------------------------------------------------------- pareto
+
+
+def test_revenue_pareto_head_rule(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    # revenues 50, 30, 15, 5 (no discount): cum shares 50%, 80%, 95%, 100%
+    rows = [(1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)]
+    df = spark.createDataFrame(rows, ["e", "p"])
+    out = metrics.revenue_pareto(df, "e", "p", None, top_frac_ppm=800_000)
+    got = [(r.entity, r.rank, r.cum_cents, r.in_head) for r in out.collect()]
+    # 80% boundary is inclusive: rank 2 cum = exactly 80% -> in head
+    assert got == [
+        (1, 1, 5000, True),
+        (2, 2, 8000, True),
+        (3, 3, 9500, False),
+        (4, 4, 10000, False),
+    ]
+
+
+def test_revenue_pareto_discount_and_ties(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    # equal revenues tie-break by entity asc; 10% discount applies
+    rows = [(2, 100.0, 0.10), (1, 100.0, 0.10), (3, 10.0, 0.0)]
+    df = spark.createDataFrame(rows, ["e", "p", "d"])
+    out = metrics.revenue_pareto(df, "e", "p", "d").collect()
+    assert [(r.entity, r.rank, r.revenue_cents) for r in out] == [
+        (1, 1, 9000), (2, 2, 9000), (3, 3, 1000)
+    ]
