@@ -2456,6 +2456,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # DAU/WAU/MAU twin: tz-free epoch-day, trailing-range distinct
+        # counts via a days x activity range join.
+        "active_users_rolling": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     DATE '1970-01-01'
+                     + CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                            // 1000000 // 86400 AS INT) AS day
+              FROM events
+            ), days AS (
+              SELECT DISTINCT day FROM act
+            ), w1 AS (
+              SELECT d.day, CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_active_1d
+              FROM days d JOIN act a ON a.day = d.day GROUP BY 1
+            ), w7 AS (
+              SELECT d.day, CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_active_7d
+              FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1
+            ), w28 AS (
+              SELECT d.day, CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_active_28d
+              FROM days d JOIN act a ON a.day BETWEEN d.day - 27 AND d.day
+              GROUP BY 1
+            )
+            SELECT d.day, w1.n_active_1d, w7.n_active_7d, w28.n_active_28d
+            FROM days d
+            JOIN w1 ON d.day = w1.day
+            JOIN w7 ON d.day = w7.day
+            JOIN w28 ON d.day = w28.day
+            ORDER BY 1
+        """,
         # OLS-trend twin: x anchored at the key's min second in
         # truncating hours, HUGEINT moment sums (Spark carries
         # DECIMAL(38,0)), truncating ppm division — both engines

@@ -328,3 +328,37 @@ def test_revenue_pareto_discount_and_ties(spark):
     assert [(r.entity, r.rank, r.revenue_cents) for r in out] == [
         (1, 1, 9000), (2, 2, 9000), (3, 3, 1000)
     ]
+
+
+# ----------------------------------------------------------- active users
+
+
+def test_rolling_active_users_windows(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions as S
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (1, d0), (2, d0),                      # day 0: users 1,2
+        (1, d0 + dt.timedelta(days=1)),        # day 1: user 1
+        (3, d0 + dt.timedelta(days=8)),        # day 8: user 3 (day0/1 outside 7d)
+    ]
+    df = spark.createDataFrame(rows, ["u", "day"])
+    out = {str(r.day): (r.n_active_1d, r.n_active_7d, r.n_active_28d)
+           for r in S.rolling_active_users(df, "u", "day").collect()}
+    assert out == {
+        "2024-01-01": (2, 2, 2),
+        "2024-01-02": (1, 2, 2),
+        # day 8: 7d window covers days 2..8 -> only user 3; 28d covers all
+        "2024-01-09": (1, 1, 3),
+    }
+
+
+def test_rolling_active_users_dedups_multiday_users(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions as S
+
+    d0 = dt.date(2024, 3, 1)
+    # one user active 5 consecutive days: every WAU count must be 1
+    rows = [(1, d0 + dt.timedelta(days=i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["u", "day"])
+    out = S.rolling_active_users(df, "u", "day", windows_days=(7,)).collect()
+    assert all(r.n_active_7d == 1 for r in out) and len(out) == 5
