@@ -358,3 +358,60 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("node")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over an undirected edge
+    list: 2·triangles / (deg·(deg−1)) — how close each node's
+    neighborhood is to a clique, the community-tightness signal on top
+    of raw triangle counts.
+
+    Exact: triangle counts come from the degree-ordered plan above,
+    degrees from the same dedup'd edge set, and the coefficient is one
+    truncating BIGINT division in ppm ((2·10⁶·tri) div (d·(d−1))) —
+    operands non-negative. Degree-1 nodes (denominator 0) report 0, as
+    their neighborhood trivially has no closable wedge.
+
+    Adds one degree aggregate + one node-keyed join to the
+    triangle_counts plan; output is node-sized.
+
+    Returns (node, degree, n_triangles, coeff_ppm) sorted by node —
+    every node of the dedup'd graph, including triangle-free ones.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") > 1,
+                F.expr(
+                    "(2000000 * coalesce(n_triangles, 0))"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("coeff_ppm"),
+        )
+        .orderBy("node")
+    )

@@ -267,3 +267,73 @@ def categorical_diversity(
         )
         .orderBy("key")
     )
+
+
+# floor-free Benford expectations, ppm of log10(1 + 1/d) rounded to the
+# nearest ppm — CONSTANTS by definition (they sum to exactly 1e6), so no
+# engine ever computes a log
+_BENFORD_PPM = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+
+
+def benford_gate(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law screen over a positive numeric column: observed
+    first-significant-digit frequencies vs the log-distribution —
+    the classic fabricated-data / unit-mixup smell test for financial
+    and measurement columns.
+
+    Exact: values cast to DECIMAL(18,2) and the first digit read off
+    the string form (no log10 float, whose boundary behavior at exact
+    powers of ten differs per libm); observed shares are truncating
+    BIGINT ppm; expected shares are hard ppm constants (they ARE the
+    definition here — no engine computes a log). Values < 1 or NULL are
+    excluded (their first significant digit needs the fractional
+    expansion; the operator targets money/measure columns where < 1
+    means a different regime anyway) — n_excluded reports how many.
+
+    One map-side projection + one 9-row hash aggregate; a second
+    broadcast-sized pass attaches totals. Output is always 9 rows
+    (digits with no observations report 0).
+
+    Returns (digit, n_obs, obs_ppm, exp_ppm, dev_ppm) sorted by digit.
+    """
+    vals = df.select(
+        F.substring(
+            F.col(value_col).cast("decimal(18,2)").cast("string"), 1, 1
+        ).alias("digit_s")
+    ).filter(F.col("digit_s").isin(*[str(d) for d in range(1, 10)]))
+    counts = (
+        vals.groupBy(F.col("digit_s").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    digits = vals.sparkSession.createDataFrame(
+        [(d, e) for d, e in _BENFORD_PPM.items()], ["digit", "exp_ppm"]
+    )
+    full = digits.join(counts, "digit", "left").select(
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+        "exp_ppm",
+    )
+    return (
+        full.withColumn(
+            "__total", F.sum("n_obs").over(Window.partitionBy())
+        )
+        .select(
+            "digit",
+            "n_obs",
+            F.when(
+                F.col("__total") > 0,
+                F.expr("(1000000 * n_obs) div __total"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
+        .orderBy("digit")
+    )

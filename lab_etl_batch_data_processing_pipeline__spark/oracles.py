@@ -2456,6 +2456,72 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # Clustering-coefficient twin: triangle enumeration + degrees on
+        # the same support>=2 pair graph, truncating ppm.
+        "copurchase_clustering": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ), p AS (
+              SELECT a.i AS item_a, b.i AS item_b
+              FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), t AS (
+              SELECT e1.item_a AS x, e1.item_b AS y, e2.item_b AS z
+              FROM p e1
+              JOIN p e2 ON e2.item_a = e1.item_b
+              JOIN p e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b
+            ), tc AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                SELECT x AS node FROM t
+                UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t
+              ) GROUP BY 1
+            ), deg AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT item_a AS node FROM p
+                UNION ALL SELECT item_b FROM p
+              ) GROUP BY 1
+            )
+            SELECT deg.node AS item, deg.degree,
+                   COALESCE(tc.n_tri, 0) AS n_triangles,
+                   CASE WHEN deg.degree > 1
+                        THEN CAST((2000000 * COALESCE(tc.n_tri, 0))
+                                  // (deg.degree * (deg.degree - 1))
+                                  AS BIGINT)
+                        ELSE 0 END AS coeff_ppm
+            FROM deg LEFT JOIN tc ON deg.node = tc.node
+            ORDER BY item
+        """,
+        # Benford twin: first digit off the DECIMAL(18,2) string form,
+        # hard ppm constants for the expected shares.
+        "price_benford": """
+            WITH v AS (
+              SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 AS VARCHAR), 1, 1) AS ds
+              FROM lineitem
+            ), f AS (
+              SELECT CAST(ds AS INT) AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM v
+              WHERE ds IN ('1','2','3','4','5','6','7','8','9')
+              GROUP BY 1
+            ), e(digit, exp_ppm) AS (
+              VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                     (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                     (9, 45757)
+            ), tot AS (SELECT SUM(n_obs) AS t FROM f)
+            SELECT digit, n_obs, obs_ppm, exp_ppm,
+                   ABS(obs_ppm - exp_ppm) AS dev_ppm
+            FROM (
+              SELECT e.digit, COALESCE(f.n_obs, 0) AS n_obs,
+                     CASE WHEN tot.t > 0
+                          THEN CAST((1000000 * COALESCE(f.n_obs, 0)) // tot.t
+                                    AS BIGINT)
+                          ELSE 0 END AS obs_ppm,
+                     CAST(e.exp_ppm AS BIGINT) AS exp_ppm
+              FROM e LEFT JOIN f ON e.digit = f.digit, tot
+            ) ORDER BY digit
+        """,
         # DAU/WAU/MAU twin: tz-free epoch-day, trailing-range distinct
         # counts via a days x activity range join.
         "active_users_rolling": """

@@ -153,6 +153,8 @@ TAIL_KEYS = {
     # rotated out late-r9 (multi-round driver-green, unchanged) as the
     # fifth-wave rows (cohort retention, RFM, Markov transitions, top
     # paths, Gini diversity, 3-itemsets) took their window slots:
+    "csv_quarantine": "test_spot_oracle_parity",
+    "orders_snapshot_diff": "test_spot_oracle_parity",
     "orc_roundtrip": "test_spot_oracle_parity",
     "near_dup_jaccard": "test_spot_oracle_parity",
     "minhash_near_dups": "test_spot_oracle_parity",
@@ -265,6 +267,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_expectations",
         "pack_bins",
         "events_resampled",
+        "csv_quarantine",
+        "orders_snapshot_diff",
         "orc_roundtrip",
         "near_dup_jaccard",
         "minhash_near_dups",

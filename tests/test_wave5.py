@@ -362,3 +362,49 @@ def test_rolling_active_users_dedups_multiday_users(spark):
     df = spark.createDataFrame(rows, ["u", "day"])
     out = S.rolling_active_users(df, "u", "day", windows_days=(7,)).collect()
     assert all(r.n_active_7d == 1 for r in out) and len(out) == 5
+
+
+# --------------------------------------------------- clustering coefficient
+
+
+def test_clustering_coefficients_triangle_plus_tail(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    # triangle 1-2-3 plus pendant 3-4: node 3 has deg 3, 1 triangle ->
+    # 2*1e6/(3*2) = 333_333; nodes 1,2 deg 2 -> 1e6; node 4 deg 1 -> 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["s", "d"]
+    )
+    out = {r.node: r for r in
+           graph.clustering_coefficients(edges, "s", "d").collect()}
+    assert out[1].coeff_ppm == 1_000_000 and out[2].coeff_ppm == 1_000_000
+    assert out[3].coeff_ppm == 333_333 and out[3].degree == 3
+    assert out[4].coeff_ppm == 0 and out[4].n_triangles == 0
+    assert len(out) == 4
+
+
+# ----------------------------------------------------------------- benford
+
+
+def test_benford_gate_counts_and_exclusions(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    rows = [(100.0,), (19.5,), (1.2,), (0.5,), (-3.0,), (None,), (900.0,)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = {r.digit: r for r in profiling.benford_gate(df, "v").collect()}
+    assert len(out) == 9
+    assert out[1].n_obs == 3          # 100.0, 19.5, 1.2
+    assert out[9].n_obs == 1          # 900.0
+    assert out[2].n_obs == 0
+    # 0.5, -3.0, None excluded -> total 4
+    assert out[1].obs_ppm == 750_000 and out[9].obs_ppm == 250_000
+    assert out[1].exp_ppm == 301_030
+    assert out[1].dev_ppm == abs(750_000 - 301_030)
+
+
+def test_benford_exp_constants_sum_to_one(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
+        _BENFORD_PPM,
+    )
+
+    assert sum(_BENFORD_PPM.values()) == 1_000_000
