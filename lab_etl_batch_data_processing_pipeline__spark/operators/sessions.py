@@ -327,3 +327,96 @@ def rolling_active_users(
         ).drop("rday")
     cols = ["day"] + [f"n_active_{w}d" for w in windows_days]
     return out.select(*[F.col(c) for c in cols]).orderBy("day")
+
+
+def funnel_timing(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str | Column,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Conversion-funnel TIMING: conversion_funnel's recursive
+    first-anchor rule, plus how long each hop takes — per stage, the
+    converting-user count, the exact total seconds from the previous
+    anchor, and the truncating-ms average ("users take a median/mean N
+    minutes from click to purchase"), the second question every funnel
+    dashboard asks.
+
+    Timestamps collapse to whole epoch seconds up front (the
+    sessionization-oracle rule: sub-second instant encodings are
+    engine-representation noise), so anchors, deltas and sums are all
+    exact BIGINTs; ``avg_delta_ms`` = (1000·Σdelta) div n is one
+    truncating division on non-negative operands. Stage 1 has no
+    previous anchor — its timing columns are NULL, not 0.
+
+    Same plan shape as conversion_funnel (shrinking per-stage
+    min-aggregates over user-keyed joins; no windows), with MIN(prev)
+    carried through the stage aggregate (constant per user, so MIN is
+    just a pick).
+
+    Returns (stage_idx, stage, n_users, sum_delta_sec, avg_delta_ms)
+    sorted by stage_idx.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        ts.cast("long").alias("__s"),
+        F.col(type_col).alias("__k"),
+    )
+    reached = (
+        base.filter(F.col("__k") == stages[0])
+        .groupBy("__u")
+        .agg(F.min("__s").alias("__anchor"))
+    )
+    rows = [
+        reached.select(
+            F.lit(1).alias("stage_idx"),
+            F.lit(stages[0]).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(None).cast("long").alias("sum_delta_sec"),
+            F.lit(None).cast("long").alias("avg_delta_ms"),
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=2):
+        reached = (
+            base.filter(F.col("__k") == stage)
+            .join(
+                reached.select("__u", "__anchor").withColumnRenamed(
+                    "__anchor", "__prev"
+                ),
+                "__u",
+            )
+            .filter(F.col("__s") > F.col("__prev"))
+            .groupBy("__u")
+            .agg(
+                F.min("__s").alias("__anchor"),
+                F.min("__prev").alias("__from"),
+            )
+        )
+        stats = (
+            reached.select(
+                (F.col("__anchor") - F.col("__from")).alias("__d")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("__d").alias("sum_delta_sec"),
+            )
+        )
+        rows.append(
+            stats.select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+                "sum_delta_sec",
+                F.when(
+                    F.col("n_users") > 0,
+                    F.expr("(1000 * sum_delta_sec) div n_users"),
+                ).alias("avg_delta_ms"),
+            )
+        )
+        reached = reached.select("__u", "__anchor")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_idx")

@@ -2456,6 +2456,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # Funnel-timing twin: the conversion_funnel chained-anchor CTEs
+        # with MIN(prev) carried, whole-second anchors, truncating-ms
+        # averages.
+        "funnel_timing": """
+            WITH b AS (
+              SELECT user_id AS u,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+                     event_type AS k
+              FROM events
+            ), a1 AS (
+              SELECT u, MIN(s) AS a FROM b WHERE k = 'view' GROUP BY 1
+            ), a2 AS (
+              SELECT b.u, MIN(b.s) AS a, MIN(a1.a) AS p
+              FROM b JOIN a1 ON b.u = a1.u
+              WHERE b.k = 'click' AND b.s > a1.a GROUP BY 1
+            ), a3 AS (
+              SELECT b.u, MIN(b.s) AS a, MIN(a2.a) AS p
+              FROM b JOIN a2 ON b.u = a2.u
+              WHERE b.k = 'purchase' AND b.s > a2.a GROUP BY 1
+            )
+            SELECT 1 AS stage_idx, 'view' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(NULL AS BIGINT) AS sum_delta_sec,
+                   CAST(NULL AS BIGINT) AS avg_delta_ms
+            FROM a1
+            UNION ALL
+            SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(a - p) AS BIGINT),
+                   CASE WHEN COUNT(*) > 0
+                        THEN CAST((1000 * SUM(a - p)) // COUNT(*) AS BIGINT)
+                        END
+            FROM a2
+            UNION ALL
+            SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(a - p) AS BIGINT),
+                   CASE WHEN COUNT(*) > 0
+                        THEN CAST((1000 * SUM(a - p)) // COUNT(*) AS BIGINT)
+                        END
+            FROM a3
+            ORDER BY stage_idx
+        """,
         # Clustering-coefficient twin: triangle enumeration + degrees on
         # the same support>=2 pair graph, truncating ppm.
         "copurchase_clustering": """

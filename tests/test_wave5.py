@@ -408,3 +408,41 @@ def test_benford_exp_constants_sum_to_one(spark):
     )
 
     assert sum(_BENFORD_PPM.values()) == 1_000_000
+
+
+# ------------------------------------------------------------ funnel timing
+
+
+def test_funnel_timing_deltas(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions as S
+
+    def e(u, sec, k):
+        return (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec), k)
+
+    rows = [
+        e(1, 0, "view"), e(1, 10, "click"), e(1, 40, "buy"),
+        e(2, 0, "view"), e(2, 30, "click"),          # never buys
+        e(3, 5, "click"), e(3, 6, "view"),           # click before view: no hop
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "k"])
+    out = {r.stage_idx: r for r in S.funnel_timing(
+        df, "u", "ts", "k", ["view", "click", "buy"]
+    ).collect()}
+    assert out[1].n_users == 3 and out[1].sum_delta_sec is None
+    # converting hops: u1 (10s), u2 (30s) -> sum 40, avg 20_000 ms
+    assert out[2].n_users == 2 and out[2].sum_delta_sec == 40
+    assert out[2].avg_delta_ms == 20_000
+    assert out[3].n_users == 1 and out[3].sum_delta_sec == 30
+    assert out[3].avg_delta_ms == 30_000
+
+
+def test_funnel_timing_empty_stage_reports_zero(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions as S
+
+    rows = [(1, dt.datetime(2024, 1, 1), "view")]
+    df = spark.createDataFrame(rows, ["u", "ts", "k"])
+    out = {r.stage_idx: r for r in S.funnel_timing(
+        df, "u", "ts", "k", ["view", "click"]
+    ).collect()}
+    assert out[2].n_users == 0
+    assert out[2].sum_delta_sec is None and out[2].avg_delta_ms is None
