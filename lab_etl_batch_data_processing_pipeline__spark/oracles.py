@@ -2533,18 +2533,18 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tc ON deg.node = tc.node
             ORDER BY item
         """,
-        # Benford twin: first digit off the DECIMAL(18,2) string form,
+        # Benford twin: integer digit peel over DECIMAL(18,2) cents,
         # hard ppm constants for the expected shares.
         "price_benford": """
             WITH v AS (
-              SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                                 AS VARCHAR), 1, 1) AS ds
+              SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
               FROM lineitem
             ), f AS (
-              SELECT CAST(ds AS INT) AS digit,
+              SELECT CASE WHEN cents >= 100000000000000000 THEN CAST(cents // 100000000000000000 AS INT) WHEN cents >= 10000000000000000 THEN CAST(cents // 10000000000000000 AS INT) WHEN cents >= 1000000000000000 THEN CAST(cents // 1000000000000000 AS INT) WHEN cents >= 100000000000000 THEN CAST(cents // 100000000000000 AS INT) WHEN cents >= 10000000000000 THEN CAST(cents // 10000000000000 AS INT) WHEN cents >= 1000000000000 THEN CAST(cents // 1000000000000 AS INT) WHEN cents >= 100000000000 THEN CAST(cents // 100000000000 AS INT) WHEN cents >= 10000000000 THEN CAST(cents // 10000000000 AS INT) WHEN cents >= 1000000000 THEN CAST(cents // 1000000000 AS INT) WHEN cents >= 100000000 THEN CAST(cents // 100000000 AS INT) WHEN cents >= 10000000 THEN CAST(cents // 10000000 AS INT) WHEN cents >= 1000000 THEN CAST(cents // 1000000 AS INT) WHEN cents >= 100000 THEN CAST(cents // 100000 AS INT) WHEN cents >= 10000 THEN CAST(cents // 10000 AS INT) WHEN cents >= 1000 THEN CAST(cents // 1000 AS INT) WHEN cents >= 100 THEN CAST(cents // 100 AS INT) END AS digit,
                      CAST(COUNT(*) AS BIGINT) AS n_obs
               FROM v
-              WHERE ds IN ('1','2','3','4','5','6','7','8','9')
+              WHERE cents >= 100
               GROUP BY 1
             ), e(digit, exp_ppm) AS (
               VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
