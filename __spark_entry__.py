@@ -989,6 +989,14 @@ def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marker = os.path.join(ds_dir, "_UPSERT_DONE")
     if not os.path.isfile(marker):
+        # Build into a process-private sibling, then publish with ONE
+        # atomic rename: the two upsert passes are multi-step writes,
+        # so a second builder racing on ds_dir directly can interleave
+        # its dynamic-partition overwrite with ours and leave a
+        # marker-complete dataset holding only the updated partition
+        # (observed once under two concurrent local sessions).
+        tmp_dir = f"{ds_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         base = _t(spark, sf_dir, "orders").select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
@@ -996,7 +1004,7 @@ def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("version"),
         )
         upsert_parquet(
-            spark, ds_dir, base, ["o_orderkey"], "version",
+            spark, tmp_dir, base, ["o_orderkey"], "version",
             partition_by=["order_month"],
         )
         updates = base.filter(F.col("order_month") == "1995-03").select(
@@ -1008,10 +1016,15 @@ def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("version"),
         )
         upsert_parquet(
-            spark, ds_dir, updates, ["o_orderkey"], "version",
+            spark, tmp_dir, updates, ["o_orderkey"], "version",
             partition_by=["order_month"],
         )
-        open(marker, "w").close()
+        open(os.path.join(tmp_dir, "_UPSERT_DONE"), "w").close()
+        try:
+            os.rename(tmp_dir, ds_dir)
+        except OSError:
+            # a concurrent builder published first — use its dataset
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return (
         spark.read.parquet(ds_dir)
         .groupBy("order_month")

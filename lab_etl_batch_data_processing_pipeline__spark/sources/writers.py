@@ -176,9 +176,18 @@ def upsert_parquet(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__upd")
     )
-    # dynamic partition overwrite (session.py conf): only partitions
-    # present in `merged` are replaced; everything else is untouched
-    write_parquet(merged, path, mode="overwrite", partition_by=partition_by)
+    # Dynamic partition overwrite pinned PER WRITE: only partitions
+    # present in `merged` are replaced. This must NOT rely on the
+    # session-level conf (session.py sets it, but the driver's vanilla
+    # session does not — under the STATIC default this overwrite would
+    # silently wipe every untouched partition; caught by a cold-cache
+    # vanilla oracle run in r9).
+    writer = merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
 
 
 def compact_parquet(

@@ -1163,3 +1163,34 @@ def test_xml_roundtrip_nulls_need_schema(spark, tmp_path):
     write_xml(df, dest, row_tag="r", root_tag="rs")
     back = read_xml(spark, dest, row_tag="r", schema=df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_upsert_parquet_dynamic_overwrite_without_session_conf(spark, tmp_path):
+    """The partition-scoped overwrite must be pinned PER WRITE: under a
+    session whose partitionOverwriteMode is the STATIC default (the
+    driver's vanilla session), an upsert touching one partition must
+    still leave every other partition intact. Regression for the r9
+    cold-cache vanilla failure (the second upsert pass wiped all
+    untouched months)."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources.writers import upsert_parquet
+
+    path = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0, 0), (2, "2024-02", 20.0, 0), (3, "2024-03", 30.0, 0)],
+        ["id", "month", "amount", "version"],
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        upsert_parquet(spark, path, base, ["id"], "version", partition_by=["month"])
+        updates = spark.createDataFrame(
+            [(2, "2024-02", 25.0, 1)], ["id", "month", "amount", "version"]
+        )
+        upsert_parquet(spark, path, updates, ["id"], "version", partition_by=["month"])
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    got = {(r.id, r.month): r.amount for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-01"): 10.0, (2, "2024-02"): 25.0, (3, "2024-03"): 30.0}
