@@ -125,3 +125,56 @@ def apply_changelog(
         .filter((F.col("__rn") == 1) & (F.coalesce(F.col("__op"), F.lit("")) != delete_op))
         .select(*data_cols)
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) join: attach to every fact row the dimension
+    version that was valid AT the fact's timestamp — the query SCD2
+    history exists to answer ("what plan/state/price applied when this
+    happened"), and the one join where using ``is_current`` instead is
+    a silent correctness bug (it rewrites history).
+
+    Validity rule: ``valid_from <= ts AND (valid_to IS NULL OR
+    ts < valid_to)`` — half-open ranges exactly as scd2_history emits
+    them, so each fact matches AT MOST one version per key (ranges are
+    disjoint by construction); facts before the key's first version
+    keep NULL dimension columns (LEFT join — honest "no state yet").
+
+    Shape: one equi-join on the key + the range filter. The fact×
+    version blowup before filtering is bounded per key by that key's
+    VERSION count (state changes, not observations) — the standard PIT
+    cost; keys and versions co-partition, and AQE broadcasts the
+    dimension when it is small. A sort-merge as-of form only wins when
+    versions-per-key is pathological; this form keeps the plan to one
+    exchange pair.
+
+    Returns all fact columns plus the dimension's non-key,
+    non-validity columns, unchanged names — callers project/alias.
+    """
+    ts = F.col(fact_ts_col)
+    dcols = [
+        c
+        for c in dim.columns
+        if c not in (key_col, valid_from_col, valid_to_col)
+    ]
+    d = dim.select(
+        F.col(key_col).alias("__k"),
+        F.col(valid_from_col).alias("__vf"),
+        F.col(valid_to_col).alias("__vt"),
+        *[F.col(c) for c in dcols],
+    )
+    joined = facts.join(
+        d,
+        (facts[key_col] == d["__k"])
+        & (d["__vf"] <= ts)
+        & (d["__vt"].isNull() | (ts < d["__vt"])),
+        "left",
+    )
+    return joined.select(*facts.columns, *dcols)

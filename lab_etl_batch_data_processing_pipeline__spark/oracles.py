@@ -2456,6 +2456,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # PIT-join twin: the scd2_user_state CTEs over non-purchase
+        # events, then the half-open-range LEFT join at purchase time.
+        "purchase_pit_state": """
+            WITH obs AS (
+              SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+                     event_id
+              FROM events WHERE event_type <> 'purchase'
+            ), marked AS (
+              SELECT user_id, state, ts_us, event_id,
+                     LAG(state) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+              FROM obs
+            ), changes AS (
+              SELECT user_id, state, ts_us, event_id FROM marked
+              WHERE rn = 1 OR state IS DISTINCT FROM prev
+            ), dim AS (
+              SELECT user_id, state, ts_us AS valid_from,
+                     LEAD(ts_us) OVER w AS valid_to,
+                     CAST(ROW_NUMBER() OVER w AS INT) AS version
+              FROM changes
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), facts AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT f.user_id, f.ts_us, f.event_id,
+                   d.state AS browse_state, d.version
+            FROM facts f LEFT JOIN dim d
+              ON f.user_id = d.user_id AND d.valid_from <= f.ts_us
+             AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
+            ORDER BY 1, 2, 3
+        """,
         # Funnel-timing twin: the conversion_funnel chained-anchor CTEs
         # with MIN(prev) carried, whole-second anchors, truncating-ms
         # averages.

@@ -446,3 +446,36 @@ def test_funnel_timing_empty_stage_reports_zero(spark):
     ).collect()}
     assert out[2].n_users == 0
     assert out[2].sum_delta_sec is None and out[2].avg_delta_ms is None
+
+
+# -------------------------------------------------------------- PIT join
+
+
+def test_point_in_time_join_picks_valid_version(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 100, 200, 1),
+            (1, "silver", 200, 500, 2),
+            (1, "gold", 500, None, 3),
+            (2, "bronze", 300, None, 1),
+        ],
+        ["k", "state", "valid_from", "valid_to", "version"],
+    )
+    facts = spark.createDataFrame(
+        [(1, 150, "a"), (1, 200, "b"), (1, 9999, "c"),
+         (2, 250, "d"), (3, 400, "e")],
+        ["k", "ts", "fid"],
+    )
+    out = {r.fid: (r.state, r.version) for r in
+           scd.point_in_time_join(facts, dim, "k", "ts").collect()}
+    assert out["a"] == ("bronze", 1)
+    # boundary: ts == valid_to of v1 == valid_from of v2 -> v2 (half-open)
+    assert out["b"] == ("silver", 2)
+    assert out["c"] == ("gold", 3)
+    # fact before key 2's first version -> NULLs
+    assert out["d"] == (None, None)
+    # unknown key -> NULLs, row preserved
+    assert out["e"] == (None, None)
+    assert len(out) == 5
