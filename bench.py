@@ -96,6 +96,24 @@ def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
             materialize(registry[name](spark, warm_sf))
         except Exception as exc:
             print(f"WARNING: warmup {name} failed: {exc}", file=sys.stderr)
+    # Stateful-streaming warm at sf0.01, NOT sf0.001: the micro-batch
+    # planner + state store + applyInPandasWithState Arrow-state paths
+    # only cross C2 JIT compile thresholds under real volume — an
+    # sf0.001 replay leaves the first sf0.1 streaming row paying ~9 s
+    # of interpreted execution (measured 11.6 s with an sf0.001 warm
+    # vs ~3 s re-run). Shared infrastructure for all streaming rows;
+    # still inside the warmup budget and counted in startup_sec.
+    warm01 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if (
+        warm_mode == "subset"
+        and os.path.isdir(warm01)
+        and "streaming_user_totals" in registry
+        and time.perf_counter() - warm_start <= budget
+    ):
+        try:
+            materialize(registry["streaming_user_totals"](spark, warm01))
+        except Exception as exc:
+            print(f"WARNING: streaming warmup failed: {exc}", file=sys.stderr)
 
 
 def main() -> None:
