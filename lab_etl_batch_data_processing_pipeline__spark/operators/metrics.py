@@ -354,6 +354,11 @@ def rfm_segments(
     deterministic total order (metric direction, then ``user`` as the
     unique tiebreak), so tile boundaries are engine-independent.
 
+    Precondition: ``amount_col`` and ``ts_col`` non-NULL (order rows
+    always carry both) — a NULL would sort differently across engines
+    (Spark places NULLS FIRST on ASC where DuckDB defaults to LAST),
+    so the operator does not define tile placement for them.
+
     Shape: one groupBy(user) builds the per-customer triple; the max
     order date is a scalar broadcast (one-row cross join). The three
     NTILE windows are single-partition total orders over a

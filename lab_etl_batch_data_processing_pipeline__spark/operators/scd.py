@@ -164,6 +164,13 @@ def point_in_time_join(
         for c in dim.columns
         if c not in (key_col, valid_from_col, valid_to_col)
     ]
+    overlap = set(dcols) & set(facts.columns)
+    if overlap:
+        raise ValueError(
+            "dimension columns collide with fact columns "
+            f"{sorted(overlap)}: alias them before the PIT join "
+            "(the output keeps both sides' names unchanged)"
+        )
     d = dim.select(
         F.col(key_col).alias("__k"),
         F.col(valid_from_col).alias("__vf"),
