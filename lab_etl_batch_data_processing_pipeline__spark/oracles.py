@@ -2456,6 +2456,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # Incremental-agg twin: FULL recompute over the applied CDC
+        # state (the orders_cdc_apply closed form) — hash equality
+        # proves the Spark side's delta maintenance == recompute.
+        "orders_cdc_incremental_agg": """
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM (
+              SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 6 <> 0
+            )
+            GROUP BY 1 ORDER BY 1
+        """,
         # PIT-join twin: the scd2_user_state CTEs over non-purchase
         # events, then the half-open-range LEFT join at purchase time.
         "purchase_pit_state": """

@@ -153,6 +153,7 @@ TAIL_KEYS = {
     # rotated out late-r9 (multi-round driver-green, unchanged) as the
     # fifth-wave rows (cohort retention, RFM, Markov transitions, top
     # paths, Gini diversity, 3-itemsets) took their window slots:
+    "incremental_dedup": "test_spot_oracle_parity",
     "tfidf_cosine_topk": "test_spot_oracle_parity",
     "hll_union_gate": "test_spot_oracle_parity",
     "csv_quarantine": "test_spot_oracle_parity",
@@ -269,6 +270,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_expectations",
         "pack_bins",
         "events_resampled",
+        "incremental_dedup",
         "tfidf_cosine_topk",
         "hll_union_gate",
         "csv_quarantine",

@@ -479,3 +479,37 @@ def test_point_in_time_join_picks_valid_version(spark):
     # unknown key -> NULLs, row preserved
     assert out["e"] == (None, None)
     assert len(out) == 5
+
+
+# ------------------------------------------------- incremental aggregate
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    snap = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 200), (3, "B", 300), (4, "B", 400)],
+        ["k", "g", "cents"],
+    )
+    # update k=2 moving it A->B with a new value; delete k=3
+    changes = spark.createDataFrame(
+        [(2, "B", 250, 1, "U"), (3, "B", 300, 2, "D")],
+        ["k", "g", "cents", "seq", "op"],
+    )
+    out = {r.g: (r.n_rows, r.sum_cents) for r in
+           scd.incremental_agg_maintenance(
+               snap, changes, ["k"], "seq", "g", F.col("cents").cast("long")
+           ).collect()}
+    # applied state: k1 (A,100), k2 (B,250), k4 (B,400)
+    assert out == {"A": (1, 100), "B": (2, 650)}
+
+
+def test_incremental_agg_drops_emptied_group(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    snap = spark.createDataFrame([(1, "A", 10), (2, "B", 20)], ["k", "g", "cents"])
+    changes = spark.createDataFrame([(1, "A", 10, 1, "D")], ["k", "g", "cents", "seq", "op"])
+    out = scd.incremental_agg_maintenance(
+        snap, changes, ["k"], "seq", "g", F.col("cents").cast("long")
+    ).collect()
+    assert [(r.g, r.n_rows, r.sum_cents) for r in out] == [("B", 1, 20)]
