@@ -3044,6 +3044,25 @@ def q_orders_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel over the co-purchase graph (graph.kcore,
+    k=2, 4 rounds): iteratively drop items whose surviving co-buy
+    degree falls below k — the dense-bundle nucleus the raw pair list
+    hides. Third iterative algorithm with a full value-hash oracle
+    (unrolled peel rounds in DuckDB, the pagerank pattern); survivors
+    report their degree within the final survivor-induced subgraph."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph, joins
+
+    edges = joins.basket_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2,
+    )
+    return (
+        graph.kcore(edges, "item_a", "item_b", k=2, rounds=4)
+        .withColumnRenamed("node", "item")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 keys (observed every round since r1), so keys
@@ -3159,9 +3178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_timing": q_funnel_timing,
         "purchase_pit_state": q_purchase_pit_state,
         "orders_cdc_incremental_agg": q_orders_cdc_incremental_agg,
+        "copurchase_kcore": q_copurchase_kcore,
         "heavy_hitters_gate": q_heavy_hitters_gate,
         "recipe_training_mix": q_recipe_training_mix,
-        "fuzzy_part_match": q_fuzzy_part_match,
         "orders_cdc_apply": q_orders_cdc_apply,
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
@@ -3182,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transitions, top paths, Gini diversity, 3-itemsets) landed;
         # training_mix stays driver-pinned via recipe_training_mix's
         # shared oracle:
+        "fuzzy_part_match": q_fuzzy_part_match,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
         "hll_union_gate": q_hll_union_gate,

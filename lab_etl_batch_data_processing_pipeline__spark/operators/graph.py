@@ -415,3 +415,73 @@ def clustering_coefficients(
         )
         .orderBy("node")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peel over an undirected edge list: repeatedly
+    drop nodes with degree < k (each drop can push a neighbor below k,
+    hence the iteration) — the standard dense-subgraph screen (spam
+    rings, community nuclei, "always bought together" cliques) and the
+    engine's third ITERATIVE algorithm with a value-hash oracle.
+
+    Fixed ``rounds`` peels, not convergence detection: a deterministic
+    unrollable computation (the oracle chains one CTE pair per round,
+    the pagerank pattern). After R peels the survivor set is a
+    SUPERSET of the true k-core that equals it once no round removes
+    anything; callers needing certainty raise ``rounds`` (peeling is
+    monotone, so extra rounds are free no-ops post-convergence) or
+    check min(core_degree) >= k on the output. Survivors report their
+    degree within the final survivor-induced subgraph — below-k
+    degrees in the output are the honest "not yet converged" signal.
+
+    Shape per round: two semi-joins restrict the dedup'd edge set to
+    live×live, one endpoint-count aggregate, one >= k filter — all
+    node/edge-sized with map-side combine; the live set is
+    localCheckpointed per round so lineage stays flat (the pagerank
+    discipline).
+
+    Returns (node, core_degree) for round-R survivors, sorted by node.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(edge_df: DataFrame) -> DataFrame:
+        return (
+            edge_df.select(F.col("a").alias("node"))
+            .unionAll(edge_df.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    alive = degrees(e).select("node")
+    live_edges = e
+    for _ in range(rounds):
+        alive = (
+            degrees(live_edges)
+            .filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        live_edges = (
+            e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+    return (
+        degrees(live_edges)
+        .join(alive, "node", "left_semi")
+        .select("node", F.col("d").alias("core_degree"))
+        .orderBy("node")
+    )

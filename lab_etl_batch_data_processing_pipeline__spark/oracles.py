@@ -496,6 +496,42 @@ SELECT node_id, rank_fp FROM r{iterations} ORDER BY node_id
 """
 
 
+def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled-CTE twin of graph.kcore over the support>=2 co-purchase
+    pair graph: per round, degrees over the live-restricted edge set,
+    keep nodes with degree >= k, restrict edges to survivors; output =
+    degrees within the final survivor-induced subgraph. Chained
+    deg_i/a_i/e_i CTEs — the pagerank pattern."""
+    rounds_sql = "".join(
+        f""", deg{i} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT item_a AS node FROM e{i - 1}
+    UNION ALL SELECT item_b FROM e{i - 1}
+  ) GROUP BY 1
+), a{i} AS (
+  SELECT node FROM deg{i} WHERE d >= {k}
+), e{i} AS (
+  SELECT p.item_a, p.item_b FROM p
+  JOIN a{i} x ON p.item_a = x.node
+  JOIN a{i} y ON p.item_b = y.node
+)"""
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), p AS (
+  SELECT a.i AS item_a, b.i AS item_b
+  FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), e0 AS (SELECT item_a, item_b FROM p){rounds_sql}
+SELECT node AS item, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT item_a AS node FROM e{rounds}
+  UNION ALL SELECT item_b FROM e{rounds}
+) GROUP BY 1 ORDER BY 1
+"""
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
     """Unrolled-CTE twin of clustering.kmeans_assign over embeddings:
     identical fix-pointing (round((x+1)*scale) BIGINTs), init (k
@@ -2703,6 +2739,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Exact k-means twin: unrolled Lloyd iterations (see _kmeans_sql).
         "embedding_kmeans": _kmeans_sql(8, 3),
+        # k-core twin: unrolled peel rounds (see _kcore_sql).
+        "copurchase_kcore": _kcore_sql(2, 4),
         # Cohort-retention twin: month-truncated dates, pure INTEGER
         # month arithmetic (no months_between float), truncating ppm.
         "customer_cohort_retention": """

@@ -513,3 +513,30 @@ def test_incremental_agg_drops_emptied_group(spark):
         snap, changes, ["k"], "seq", "g", F.col("cents").cast("long")
     ).collect()
     assert [(r.g, r.n_rows, r.sum_cents) for r in out] == [("B", 1, 20)]
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def test_kcore_peels_cascade(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    # triangle 1-2-3 with a chain 3-4-5: k=2 peels 5 (deg 1), then 4
+    # (deg drops to 1), leaving the triangle; all core degrees = 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["s", "d"]
+    )
+    out = {r.node: r.core_degree for r in
+           graph.kcore(edges, "s", "d", k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_converged_output_is_stable(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)], ["s", "d"]
+    )  # K5: every node deg 4, nothing peels
+    a = graph.kcore(edges, "s", "d", k=3, rounds=2).collect()
+    b = graph.kcore(edges, "s", "d", k=3, rounds=5).collect()
+    assert a == b and all(r.core_degree == 4 for r in a)
