@@ -344,3 +344,72 @@ def benford_gate(
         .withColumn("dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
         .orderBy("digit")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    scale: int = 1,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key WEIGHTED lower median: the smallest value whose running
+    weight reaches half the key's total — "the price at which half the
+    QUANTITY sold sits at or below", the volume-aware center plain
+    median misreports whenever weights vary.
+
+    Exact: values fix-point to ``round(value * scale)`` BIGINTs (scale
+    a power of two, or 1 for already-integral values), weights must be
+    non-negative integers (integral weights are what make the running
+    sum and the half-point comparison exact — fractional weights would
+    reintroduce float drift); the median is selection by position on
+    the weight-cumulated order (2·cum_w >= total_w — no interpolation,
+    no division), ties in value broken by ``tiebreak_col`` then value
+    order, which cannot change the RESULT (equal values are
+    interchangeable at the cut) but keeps the plan deterministic.
+
+    Shape: one shuffle on key; a cumulative-sum window and the per-key
+    total share that partitioning; one filter + row_number picks the
+    cut row. Zero-total keys (all weights 0) emit NULL.
+
+    Returns (key, total_weight, wmedian_s) sorted by key.
+    """
+    order = [F.col("__v").asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * scale).cast("long").alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    ).filter(F.col("__v").isNotNull() & (F.col("__w") >= 0))
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("key")
+    marked = base.select(
+        "key",
+        "__v",
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_all).alias("__total"),
+    )
+    cut = (
+        marked.filter(
+            (F.col("__total") > 0) & (F.col("__cum") * 2 >= F.col("__total"))
+        )
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("key").orderBy(F.col("__cum").asc(), F.col("__v").asc())
+        ))
+        .filter(F.col("__rn") == 1)
+        .select("key", F.col("__total").alias("total_weight"),
+                F.col("__v").alias("wmedian_s"))
+    )
+    totals = base.groupBy("key").agg(F.sum("__w").alias("total_weight"))
+    return (
+        totals.join(cut.select("key", "wmedian_s"), "key", "left")
+        .select("key", "total_weight", "wmedian_s")
+        .orderBy("key")
+    )

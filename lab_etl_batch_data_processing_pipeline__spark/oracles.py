@@ -2492,6 +2492,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # Weighted-median twin: cumulative-weight selection — MIN(v)
+        # over rows whose running weight reaches half the total (tie
+        # order inside an equal-v run cannot change that minimum).
+        "price_weighted_median": """
+            WITH b AS (
+              SELECT l_returnflag AS key,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v,
+                     CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem
+            ), c AS (
+              SELECT key, v,
+                     SUM(w) OVER (PARTITION BY key ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(w) OVER (PARTITION BY key) AS total
+              FROM b
+            ), cut AS (
+              SELECT key, MIN(v) AS wmedian_s
+              FROM c WHERE total > 0 AND cum * 2 >= total GROUP BY 1
+            ), t AS (
+              SELECT key, CAST(SUM(w) AS BIGINT) AS total_weight
+              FROM b GROUP BY 1
+            )
+            SELECT t.key AS l_returnflag, t.total_weight, cut.wmedian_s
+            FROM t LEFT JOIN cut ON t.key = cut.key
+            ORDER BY 1
+        """,
         # Incremental-agg twin: FULL recompute over the applied CDC
         # state (the orders_cdc_apply closed form) — hash equality
         # proves the Spark side's delta maintenance == recompute.

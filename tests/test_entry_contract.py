@@ -153,6 +153,7 @@ TAIL_KEYS = {
     # rotated out late-r9 (multi-round driver-green, unchanged) as the
     # fifth-wave rows (cohort retention, RFM, Markov transitions, top
     # paths, Gini diversity, 3-itemsets) took their window slots:
+    "orders_cdc_apply": "test_spot_oracle_parity",
     "fuzzy_part_match": "test_spot_oracle_parity",
     "incremental_dedup": "test_spot_oracle_parity",
     "tfidf_cosine_topk": "test_spot_oracle_parity",
@@ -271,6 +272,7 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_expectations",
         "pack_bins",
         "events_resampled",
+        "orders_cdc_apply",
         "fuzzy_part_match",
         "incremental_dedup",
         "tfidf_cosine_topk",

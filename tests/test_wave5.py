@@ -540,3 +540,35 @@ def test_kcore_converged_output_is_stable(spark):
     a = graph.kcore(edges, "s", "d", k=3, rounds=2).collect()
     b = graph.kcore(edges, "s", "d", k=3, rounds=5).collect()
     assert a == b and all(r.core_degree == 4 for r in a)
+
+
+# --------------------------------------------------------- weighted median
+
+
+def test_weighted_median_position_rule(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    rows = [
+        # key 1: values 10(w1), 20(w1), 30(w10) -> half=6 -> median 30
+        (1, 10, 1), (1, 20, 1), (1, 30, 10),
+        # key 2: uniform weights -> lower median of {1,2,3,4} = 2
+        (2, 1, 1), (2, 2, 1), (2, 3, 1), (2, 4, 1),
+        # key 3: all-zero weights -> NULL median, total 0
+        (3, 5, 0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    out = {r.key: (r.total_weight, r.wmedian_s) for r in
+           profiling.weighted_median(df, "k", "v", "w").collect()}
+    assert out[1] == (12, 30)
+    assert out[2] == (4, 2)
+    assert out[3] == (0, None)
+
+
+def test_weighted_median_partition_invariant(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    rows = [(i % 3, (i * 7) % 50, (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    a = profiling.weighted_median(df, "k", "v", "w").collect()
+    b = profiling.weighted_median(df.repartition(13), "k", "v", "w").collect()
+    assert a == b
