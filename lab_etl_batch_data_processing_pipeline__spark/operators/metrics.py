@@ -501,3 +501,112 @@ def revenue_pareto(
         )
         .orderBy("rank")
     )
+
+
+def period_growth(
+    df: DataFrame,
+    ts_col: str | Column,
+    amount_col: str,
+) -> DataFrame:
+    """Month-over-month growth of a money measure — the trend line
+    every revenue dashboard opens with, exact across engines: monthly
+    totals are DECIMAL(18,2)-rounded cents (the pricing_summary rule),
+    the previous month comes from one LAG over the month-ordered
+    totals (month-sized frame — the global window is bounded by the
+    calendar), and ``growth_ppm`` = (10⁶·(cur − prev)) div prev is one
+    truncating BIGINT division (both engines truncate toward zero, so
+    shrinking months need no special casing). Missing-month gaps are
+    honest: LAG sees the previous month WITH DATA (document or densify
+    upstream if calendar adjacency matters). First month reports NULL.
+
+    Returns (month, revenue_cents, prev_cents, growth_ppm) sorted.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    monthly = (
+        df.select(
+            _month(ts).alias("month"),
+            F.col(amount_col).cast("decimal(18,2)").alias("__amt"),
+        )
+        .groupBy("month")
+        .agg(
+            (F.round(F.sum("__amt"), 2) * 100)
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn(
+            "prev_cents", F.lag("revenue_cents").over(w)
+        )
+        .withColumn(
+            "growth_ppm",
+            F.when(
+                F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+                F.expr(
+                    "(1000000 * (revenue_cents - prev_cents))"
+                    " div prev_cents"
+                ),
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+def concentration_hhi(
+    df: DataFrame,
+    group_col: str | Column,
+    entity_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: Σ shareᵢ²
+    over entities — "is this month's revenue spread across the catalog
+    or carried by three SKUs", the antitrust-grade concentration
+    number. Log-free exact rationals, the categorical_diversity trick
+    at money precision: hhi_ppm = (10⁶·Σcᵢ²) div (Σcᵢ)² with the
+    squares carried in DECIMAL(38,0) (cents² exceeds BIGINT at corpus
+    scale; Spark decimal == DuckDB HUGEINT arithmetic). 10⁶/n for n
+    equal entities; → 10⁶ for a monopoly.
+
+    Shape: entity-grain cents aggregate, then a group-sized roll-up —
+    two chained hash aggregates, output group-sized.
+
+    Returns (group, n_entities, total_cents, hhi_ppm) sorted by group.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    per = (
+        df.select(
+            g.alias("grp"),
+            F.col(entity_col).alias("ent"),
+            F.col(amount_col).cast("decimal(18,2)").alias("__amt"),
+        )
+        .groupBy("grp", "ent")
+        .agg(
+            (F.round(F.sum("__amt"), 2) * 100).cast("long").alias("__c")
+        )
+    )
+    d38 = "decimal(38,0)"
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("__c").alias("total_cents"),
+            F.sum(F.col("__c").cast(d38) * F.col("__c").cast(d38)).alias(
+                "__sumsq"
+            ),
+        )
+        .select(
+            F.col("grp").alias("group"),
+            "n_entities",
+            "total_cents",
+            F.when(
+                F.col("total_cents") != 0,
+                F.expr(
+                    "CAST((1000000 * __sumsq)"
+                    " div (CAST(total_cents AS DECIMAL(38,0))"
+                    "      * CAST(total_cents AS DECIMAL(38,0))) AS BIGINT)"
+                ),
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("group")
+    )

@@ -2492,6 +2492,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sk USING (doc_id)
             ORDER BY doc_id
         """,
+        # MoM-growth twin: cents monthly totals, LAG, truncating ppm.
+        "revenue_growth_monthly": """
+            WITH m AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                          * 100 AS BIGINT) AS revenue_cents
+              FROM orders GROUP BY 1
+            ), l AS (
+              SELECT month, revenue_cents,
+                     LAG(revenue_cents) OVER (ORDER BY month) AS prev_cents
+              FROM m
+            )
+            SELECT month, revenue_cents, prev_cents,
+                   CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+                        THEN CAST((1000000 * (revenue_cents - prev_cents))
+                                  // prev_cents AS BIGINT)
+                        END AS growth_ppm
+            FROM l ORDER BY month
+        """,
+        # HHI twin: entity cents, HUGEINT squares, truncating ppm.
+        "monthly_revenue_hhi": """
+            WITH per AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS grp,
+                     o_custkey AS ent,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                          * 100 AS BIGINT) AS c
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT grp AS month, CAST(COUNT(*) AS BIGINT) AS n_entities,
+                   CAST(SUM(c) AS BIGINT) AS total_cents,
+                   CASE WHEN SUM(c) <> 0
+                        THEN CAST((1000000 * SUM(CAST(c AS HUGEINT) * c))
+                                  // (CAST(SUM(c) AS HUGEINT) * SUM(c))
+                                  AS BIGINT)
+                        END AS hhi_ppm
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
         # Weighted-median twin: cumulative-weight selection — MIN(v)
         # over rows whose running weight reaches half the total (tie
         # order inside an equal-v run cannot change that minimum).

@@ -153,6 +153,8 @@ TAIL_KEYS = {
     # rotated out late-r9 (multi-round driver-green, unchanged) as the
     # fifth-wave rows (cohort retention, RFM, Markov transitions, top
     # paths, Gini diversity, 3-itemsets) took their window slots:
+    "streaming_sessions": "tests/test_sources_multimodal_streaming.py replay tests + session_window_rollup tail parity",
+    "events_ewma": "test_spot_oracle_parity",
     "orders_cdc_apply": "test_spot_oracle_parity",
     "fuzzy_part_match": "test_spot_oracle_parity",
     "incremental_dedup": "test_spot_oracle_parity",
@@ -272,6 +274,8 @@ def test_oracle_sql_parses_in_duckdb(duck):
         "orders_expectations",
         "pack_bins",
         "events_resampled",
+        "streaming_sessions",
+        "events_ewma",
         "orders_cdc_apply",
         "fuzzy_part_match",
         "incremental_dedup",

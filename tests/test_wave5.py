@@ -572,3 +572,36 @@ def test_weighted_median_partition_invariant(spark):
     a = profiling.weighted_median(df, "k", "v", "w").collect()
     b = profiling.weighted_median(df.repartition(13), "k", "v", "w").collect()
     assert a == b
+
+
+# ------------------------------------------------------------ growth / hhi
+
+
+def test_period_growth_ppm(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    rows = [
+        (dt.datetime(2024, 1, 10), 100.0),
+        (dt.datetime(2024, 2, 10), 150.0),
+        (dt.datetime(2024, 3, 10), 75.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "amt"])
+    out = {str(r.month): (r.revenue_cents, r.growth_ppm) for r in
+           metrics.period_growth(df, "ts", "amt").collect()}
+    assert out["2024-01-01"] == (10000, None)
+    assert out["2024-02-01"] == (15000, 500_000)     # +50%
+    assert out["2024-03-01"] == (7500, -500_000)     # -50%
+
+
+def test_concentration_hhi_bounds(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    rows = (
+        [("g1", i, 25.0) for i in range(4)]     # 4 equal -> 1e6/4
+        + [("g2", 1, 99.0)]                      # monopoly -> 1e6
+    )
+    df = spark.createDataFrame(rows, ["g", "e", "amt"])
+    out = {r.group: r for r in
+           metrics.concentration_hhi(df, "g", "e", "amt").collect()}
+    assert out["g1"].hhi_ppm == 250_000 and out["g1"].n_entities == 4
+    assert out["g2"].hhi_ppm == 1_000_000
