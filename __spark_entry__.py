@@ -3179,15 +3179,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     born in, ten stable rows out; r9: r9-born + the r8 tail debt in,
     six stable rows out).
 
-    Late-r9 fifth wave: customer_cohort_retention, customer_rfm,
-    event_transitions, session_top_paths, user_type_diversity and
-    copurchase_triples rotated in (all oracle-backed), displacing
-    streaming_user_totals, recipe_metric, embedding_near_dups,
-    streaming_event_counts, training_batches and training_mix (each
-    multi-round driver-green; training_mix stays driver-pinned through
-    recipe_training_mix's shared oracle). copurchase_triangles also
-    gained a full value-hash oracle (id-ordered triangle enumeration),
-    leaving no in-window key without one.
+    Late-r9 fifth wave (second continuation session; registry 125 →
+    151, every addition oracle-backed): rotated IN — cohort retention,
+    RFM, Markov transitions, session top paths, Gini diversity,
+    3-itemsets, exact k-means, OLS trend, Pareto head, DAU/WAU/MAU,
+    clustering coefficients, Benford gate, funnel timing, SCD2
+    point-in-time join, CDC incremental-agg maintenance, k-core,
+    weighted median, MoM growth, HHI. copurchase_triangles also gained
+    a full value-hash oracle (id-ordered triangle enumeration),
+    leaving no in-window key without one. Rotated OUT to the
+    spot-parity tail (each ≥1 driver-green round, most multi-round,
+    all with standing pytest coverage and/or an in-window relative
+    that embeds their semantics): streaming_user_totals, recipe_metric,
+    embedding_near_dups, streaming_event_counts, training_batches,
+    training_mix (shared oracle stays in-window via
+    recipe_training_mix), near_dup_clusters, near_dup_jaccard,
+    minhash_near_dups, orc_roundtrip, csv_quarantine,
+    orders_snapshot_diff, hll_union_gate, tfidf_cosine_topk,
+    incremental_dedup, fuzzy_part_match (part_entity_clusters embeds
+    the linkage pair space), orders_cdc_apply (merge rule embedded in
+    orders_cdc_incremental_agg), streaming_sessions, events_ewma.
     """
     return {
         "dup_span_report": q_dup_span_report,
