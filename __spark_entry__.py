@@ -1023,8 +1023,15 @@ def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp_dir, ds_dir)
         except OSError:
-            # a concurrent builder published first — use its dataset
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if os.path.isfile(marker):
+                # a concurrent builder published first — use its dataset
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            else:
+                # ds_dir is a stale partial (a crashed pre-publish run):
+                # marker absent, so nothing can be reading it as
+                # complete — replace it with the fresh build
+                shutil.rmtree(ds_dir, ignore_errors=True)
+                os.rename(tmp_dir, ds_dir)
     return (
         spark.read.parquet(ds_dir)
         .groupBy("order_month")
@@ -2957,9 +2964,10 @@ def q_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen over lineitem extended prices
     (profiling.benford_gate): observed vs expected first-significant-
     digit shares — the fabricated-data / unit-mixup smell test. First
-    digits read off the DECIMAL(18,2) string form (no log10 float);
-    expected shares are ppm CONSTANTS; all divisions truncating
-    BIGINT. Always 9 rows."""
+    digits come from an integer peel over DECIMAL(18,2) cents (a
+    chained CASE on descending powers of ten — no log10 float, no
+    per-row string formatting); expected shares are ppm CONSTANTS;
+    all divisions truncating BIGINT. Always 9 rows."""
     from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
 
     return profiling.benford_gate(
@@ -3014,13 +3022,16 @@ def q_orders_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (scd.incremental_agg_maintenance): the orders_cdc_apply
     fixture (every 4th order's status -> 'X' at seq 1, every 6th
     deleted at seq 2) maintains revenue-by-status by subtracting the
-    affected keys' old contributions and adding their new ones — NO
-    full re-aggregation; the snapshot is touched only through one
-    semi-join against the changed keys. Integer cents make the delta
-    merge bit-identical to a full recompute, which is exactly what the
-    DuckDB oracle does (apply the changelog, re-aggregate from
-    scratch) — so the hash check IS the incremental-vs-full
-    equivalence proof."""
+    affected keys' old contributions and adding their new ones. This
+    self-contained registry form BOOTSTRAPS the base view from the
+    snapshot (base_agg=None — one aggregate, unavoidable in a single
+    query); the steady-state refresh passes the previously
+    materialized view as base_agg, and then the snapshot is touched
+    only through the changed-keys semi-join (pinned equivalent in
+    tests). Integer cents make the delta merge bit-identical to a full
+    recompute, which is exactly what the DuckDB oracle does (apply the
+    changelog, re-aggregate from scratch) — so the hash check IS the
+    incremental-vs-full equivalence proof."""
     from lab_etl_batch_data_processing_pipeline__spark.operators import scd
 
     orders = _t(spark, sf_dir, "orders")

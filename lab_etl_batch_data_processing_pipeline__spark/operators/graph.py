@@ -436,9 +436,11 @@ def kcore(
     SUPERSET of the true k-core that equals it once no round removes
     anything; callers needing certainty raise ``rounds`` (peeling is
     monotone, so extra rounds are free no-ops post-convergence) or
-    check min(core_degree) >= k on the output. Survivors report their
-    degree within the final survivor-induced subgraph — below-k
-    degrees in the output are the honest "not yet converged" signal.
+    check min(core_degree) >= k on the output. EVERY round-R survivor
+    appears — including isolated ones whose neighbors all died this
+    round (core_degree 0) — and reports its degree within the final
+    survivor-induced subgraph; below-k degrees are the honest "not yet
+    converged" signal.
 
     Shape per round: two semi-joins restrict the dedup'd edge set to
     live×live, one endpoint-count aggregate, one >= k filter — all
@@ -480,8 +482,12 @@ def kcore(
             .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
         )
     return (
-        degrees(live_edges)
-        .join(alive, "node", "left_semi")
-        .select("node", F.col("d").alias("core_degree"))
+        alive.join(degrees(live_edges), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("d"), F.lit(0).cast("long")).alias(
+                "core_degree"
+            ),
+        )
         .orderBy("node")
     )

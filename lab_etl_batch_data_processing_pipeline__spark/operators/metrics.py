@@ -372,6 +372,12 @@ def rfm_segments(
     Returns one row per customer: (user, recency_days, frequency,
     monetary_cents, r_score, f_score, m_score, rfm) sorted by user.
     """
+    if not 2 <= n_tiles <= 9:
+        raise ValueError(
+            "n_tiles must be in 2..9: the rfm code packs one decimal "
+            "digit per axis, so double-digit tiles would collide "
+            "(r=1,f=11 reads as r=2,f=1)"
+        )
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     base = orders.select(
         F.col(user_col).alias("user"),

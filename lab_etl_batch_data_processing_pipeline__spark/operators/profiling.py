@@ -234,7 +234,10 @@ def categorical_diversity(
     ln(), whose libm bits differ across engines; this is exact
     rational arithmetic: (n² - Σcᵢ²) / n²).
 
-    ``gini_ppm`` = floor(1e6 · (n² - Σcᵢ²) / n²) — all BIGINT, operands
+    ``gini_ppm`` = floor(1e6 · (n² - Σcᵢ²) / n²) — counts are BIGINT,
+    the squares and the 10⁶ product are carried in DECIMAL(38,0)
+    (n² · 10⁶ exceeds BIGINT past ~4.3M rows per key; Spark decimal ==
+    DuckDB HUGEINT arithmetic, the concentration_hhi rule), operands
     non-negative, one truncating division; 0 for single-category keys,
     → 1e6·(k-1)/k for k uniform categories.
 
@@ -254,15 +257,18 @@ def categorical_diversity(
         .agg(
             F.sum("c").alias("n_rows"),
             F.count(F.lit(1)).alias("n_categories"),
-            F.sum(F.col("c") * F.col("c")).alias("__sumsq"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c")
+            ).alias("__sumsq"),
         )
         .select(
             "key",
             "n_rows",
             "n_categories",
             F.expr(
-                "(1000000 * (n_rows * n_rows - __sumsq))"
-                " div (n_rows * n_rows)"
+                "CAST((1000000 * (CAST(n_rows AS DECIMAL(38,0)) * n_rows"
+                " - __sumsq))"
+                " div (CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)"
             ).alias("gini_ppm"),
         )
         .orderBy("key")

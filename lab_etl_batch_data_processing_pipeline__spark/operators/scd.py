@@ -196,13 +196,21 @@ def incremental_agg_maintenance(
     measure_cents: Column,
     op_col: str = "op",
     delete_op: str = "D",
+    base_agg: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintain a grouped aggregate under a CDC batch —
     the materialized-view refresh a lakehouse runs on ingest: instead
     of re-aggregating the whole table after apply_changelog, subtract
-    the AFFECTED KEYS' old contributions and add their new ones. At
-    100 TB this is the difference between a full scan and touching
-    |changed keys| rows (plus the group-sized aggregate itself).
+    the AFFECTED KEYS' old contributions and add their new ones.
+
+    ``base_agg`` is the PREVIOUSLY MATERIALIZED view ((group_col,
+    n_rows, sum_cents) — exactly this function's own output shape);
+    passing it is what makes the refresh incremental: the snapshot is
+    then touched ONLY through the changed-keys semi-join, and at
+    100 TB that is the difference between a full scan and
+    |changed keys| rows. ``base_agg=None`` bootstraps the view with
+    one full aggregate — the first-build form, NOT the steady-state
+    refresh.
 
     Exactness is why the measure must be integral (``measure_cents`` —
     e.g. DECIMAL-cents cast to BIGINT): integer sums are associative,
@@ -238,7 +246,14 @@ def incremental_agg_maintenance(
             )
         )
 
-    base_agg = agg_of(snapshot)
+    if base_agg is None:
+        base_agg = agg_of(snapshot)
+    else:
+        base_agg = base_agg.select(
+            F.col(group_col).alias("grp"),
+            F.col("n_rows"),
+            F.col("sum_cents"),
+        )
     old_contrib = agg_of(touched).select(
         "grp",
         F.col("n_rows").alias("__n_old"),

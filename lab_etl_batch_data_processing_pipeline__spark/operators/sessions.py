@@ -281,10 +281,12 @@ def rolling_active_users(
     across engines).
 
     Shape: activity first collapses to distinct (user, day) — the only
-    data-sized aggregate; each activity day then EXPLODES into the w
-    future report days it supports (map-side, factor = max window, no
-    shuffle growth beyond w×|user-days|), and one hash aggregate per
-    window size counts distinct users per report day. Report days are
+    data-sized aggregate; each activity day then EXPLODES ONCE into
+    the max(window) future report days it supports, carrying its day
+    offset, and ONE aggregate computes every window's distinct count
+    via conditional COUNT(DISTINCT CASE WHEN offset < w ...) — one
+    shuffle for all windows (Catalyst's Expand handles the multiple
+    distincts), not one explode+join per window. Report days are
     restricted to days that exist in the data (no empty-day grid), so
     output is day-sized.
 
@@ -307,24 +309,25 @@ def rolling_active_users(
         F.col(user_col).alias("user"), day.alias("day")
     ).distinct()
     days = act.select("day").distinct()
-    out = days
-    for w in windows_days:
-        support = (
-            act.select(
-                "user",
-                F.explode(
-                    F.sequence(
-                        F.col("day"),
-                        F.date_add(F.col("day"), w - 1),
-                    )
-                ).alias("rday"),
-            )
-            .groupBy("rday")
-            .agg(F.countDistinct("user").alias(f"n_active_{w}d"))
-        )
-        out = out.join(
-            support, out["day"] == support["rday"], "left"
-        ).drop("rday")
+    maxw = max(windows_days)
+    support = act.select(
+        "user",
+        F.explode(F.sequence(F.lit(0), F.lit(maxw - 1))).alias("off"),
+        "day",
+    ).select(
+        "user", "off", F.date_add(F.col("day"), F.col("off")).alias("rday")
+    )
+    counts = support.groupBy("rday").agg(
+        *[
+            F.countDistinct(
+                F.when(F.col("off") < w, F.col("user"))
+            ).alias(f"n_active_{w}d")
+            for w in windows_days
+        ]
+    )
+    out = days.join(counts, days["day"] == counts["rday"], "left").drop(
+        "rday"
+    )
     cols = ["day"] + [f"n_active_{w}d" for w in windows_days]
     return out.select(*[F.col(c) for c in cols]).orderBy("day")
 

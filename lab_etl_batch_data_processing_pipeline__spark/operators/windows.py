@@ -549,7 +549,12 @@ def linear_trend(
       per x_unit, parts-per-million; BOTH engines truncate integral
       division toward zero (verified on negatives), so the sign needs
       no special casing; NULL when den = 0 (fewer than two distinct x
-      ticks). num/den stay in scaled-value units for exact reuse.
+      ticks). num/den stay in scaled-value units for exact reuse and
+      are REPORTED as BIGINT — a silent-NULL bound past 2⁶³ (raise
+      x_unit_seconds before that point); slope_ppm and every internal
+      moment stay exact in DECIMAL(38,0) with the cast INSIDE the
+      sums (summing the cross terms in BIGINT first would wrap before
+      the decimal saw them).
 
     Shape: one shuffle on key (the MIN window shares the groupBy's
     partitioning), one hash aggregate of five integral moments, one
@@ -573,10 +578,12 @@ def linear_trend(
     d38 = "decimal(38,0)"
     mom = xy.groupBy("key").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum("x").cast(d38).alias("sx"),
-        F.sum("y").cast(d38).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        # casts INSIDE the sums: summing x*y in BIGINT and casting the
+        # result would wrap silently before the decimal ever saw it
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

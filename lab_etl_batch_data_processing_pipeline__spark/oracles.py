@@ -525,10 +525,15 @@ WITH d AS (
   FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ), e0 AS (SELECT item_a, item_b FROM p){rounds_sql}
-SELECT node AS item, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
-  SELECT item_a AS node FROM e{rounds}
-  UNION ALL SELECT item_b FROM e{rounds}
-) GROUP BY 1 ORDER BY 1
+SELECT a.node AS item,
+       CAST(COALESCE(dg.d, 0) AS BIGINT) AS core_degree
+FROM a{rounds} a LEFT JOIN (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT item_a AS node FROM e{rounds}
+    UNION ALL SELECT item_b FROM e{rounds}
+  ) GROUP BY 1
+) dg ON a.node = dg.node
+ORDER BY 1
 """
 
 
@@ -2934,8 +2939,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT key AS user_id,
                    CAST(SUM(c) AS BIGINT) AS n_rows,
                    CAST(COUNT(*) AS BIGINT) AS n_categories,
-                   CAST((1000000 * (SUM(c) * SUM(c) - SUM(c * c)))
-                        // (SUM(c) * SUM(c)) AS BIGINT) AS gini_ppm
+                   CAST((1000000 * (CAST(SUM(c) AS HUGEINT) * SUM(c)
+                                    - SUM(CAST(c AS HUGEINT) * c)))
+                        // (CAST(SUM(c) AS HUGEINT) * SUM(c))
+                        AS BIGINT) AS gini_ppm
             FROM c GROUP BY 1 ORDER BY 1
         """,
         # 3-itemset twin: same within-basket a<b<c enumeration, support

@@ -605,3 +605,28 @@ def test_concentration_hhi_bounds(spark):
            metrics.concentration_hhi(df, "g", "e", "amt").collect()}
     assert out["g1"].hhi_ppm == 250_000 and out["g1"].n_entities == 4
     assert out["g2"].hhi_ppm == 1_000_000
+
+
+def test_incremental_agg_with_materialized_base(spark):
+    """Steady-state form: passing the previously materialized view as
+    base_agg must give the same result as the bootstrap form (and is
+    what makes the refresh incremental)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    snap = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 200), (3, "B", 300)], ["k", "g", "cents"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 250, 1, "U")], ["k", "g", "cents", "seq", "op"]
+    )
+    m = F.col("cents").cast("long")
+    boot = scd.incremental_agg_maintenance(snap, changes, ["k"], "seq", "g", m)
+    view = (
+        snap.select(F.col("g"), m.alias("__m"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__m").alias("sum_cents"))
+    )
+    steady = scd.incremental_agg_maintenance(
+        snap, changes, ["k"], "seq", "g", m, base_agg=view
+    )
+    assert boot.collect() == steady.collect()
