@@ -419,3 +419,222 @@ def weighted_median(
         .select("key", "total_weight", "wmedian_s")
         .orderBy("key")
     )
+
+
+def fd_report(
+    df: DataFrame,
+    candidates: list[tuple[list[str], str]],
+) -> DataFrame:
+    """Functional-dependency profiler: for each candidate FD
+    ``lhs -> rhs``, count how badly the data violates it — the schema-
+    discovery primitive behind key detection, normalization checks, and
+    "is this column derivable?" questions a 100 TB intake asks before
+    trusting a join key.
+
+    Per candidate: ``n_groups`` distinct LHS combinations,
+    ``n_violating_groups`` whose rows carry >1 distinct RHS value, and
+    ``n_violating_rows`` (total rows inside violating groups) — the
+    g3-style error mass. Exact counts, no sampling. NULL LHS values
+    group as values (both engines' GROUP BY); NULL RHS values are
+    ignored by the distinct count (both engines' COUNT DISTINCT), so an
+    all-NULL RHS group counts 0 distinct and never violates — document
+    per-candidate if NULL-as-value semantics are needed (wrap the RHS
+    in coalesce upstream).
+
+    Shape: one hash aggregate per candidate on its LHS key (partial
+    map-side combine applies), then a metrics-sized union — candidates
+    are independent, so Spark schedules the aggregates concurrently.
+    Nothing here is pair-wise: cost is |candidates| scans, each one
+    shuffle.
+
+    Returns (fd, n_groups, n_violating_groups, n_violating_rows,
+    holds) sorted by fd.
+    """
+    out = None
+    for lhs, rhs in candidates:
+        label = ",".join(lhs) + "->" + rhs
+        g = (
+            df.groupBy(*[F.col(c) for c in lhs])
+            .agg(
+                F.countDistinct(F.col(rhs)).alias("__d"),
+                F.count(F.lit(1)).alias("__rows"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("__d") > 1, 1).otherwise(0)).alias(
+                    "n_violating_groups"
+                ),
+                F.sum(
+                    F.when(F.col("__d") > 1, F.col("__rows")).otherwise(0)
+                ).alias("n_violating_rows"),
+            )
+            .select(
+                F.lit(label).alias("fd"),
+                "n_groups",
+                "n_violating_groups",
+                "n_violating_rows",
+                (F.col("n_violating_groups") == 0).alias("holds"),
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.orderBy("fd")
+
+
+def chi_square_gate(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square independence contributions between two categorical
+    columns — the distribution-drift / feature-association gate: a
+    large statistic means ``col_a`` and ``col_b`` are NOT independent
+    (e.g. event mix shifting by weekday signals a data problem before
+    a metrics dashboard does).
+
+    Exact fixed-point: with per-cell observed O, row totals r, column
+    totals c and grand total N (all BIGINT counts), each cell
+    contributes ``((O*N - r*c)^2 * 1e6) div (r*c*N)`` — the classic
+    (O-E)^2/E with E = r*c/N cleared of division until one final
+    truncating div per cell. Squares and products ride DECIMAL(38,0)
+    (HUGEINT in the oracle): safe while N ≤ ~1e16 scaled rows; beyond
+    that, pre-aggregate the contingency table (it is |a|×|b|-sized, so
+    the gate itself never sees raw-row scale). Per-cell truncation IS
+    the metric both engines compute — no float chi2 anywhere.
+
+    Shape: ONE hash aggregate builds the contingency table (the only
+    data-sized pass); row/column/grand totals are window sums over the
+    cells frame (|a|×|b| rows, metrics-sized); output groups cells back
+    to one row per ``col_a`` value.
+
+    Returns (a, n_rows, chi2_ppm) sorted by a — chi2_ppm is the sum of
+    that value's cell contributions; SUM(chi2_ppm) over the frame is
+    the full statistic (compare against the chi-square critical value
+    for (|a|-1)(|b|-1) degrees of freedom downstream).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    w_all = Window.partitionBy()
+    dec = "decimal(38,0)"
+    marked = cells.select(
+        "a",
+        "o",
+        F.sum("o").over(w_a).alias("r"),
+        F.sum("o").over(w_b).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+    ).select(
+        "a",
+        "o",
+        (
+            F.col("o").cast(dec) * F.col("n").cast(dec)
+            - F.col("r").cast(dec) * F.col("c").cast(dec)
+        ).alias("__diff"),
+        (
+            F.col("r").cast(dec) * F.col("c").cast(dec) * F.col("n").cast(dec)
+        ).alias("__den"),
+    )
+    contrib = marked.select(
+        "a",
+        "o",
+        F.expr(
+            "cast((__diff * __diff * 1000000) div __den as bigint)"
+        ).alias("__ppm"),
+    )
+    return (
+        contrib.groupBy("a")
+        .agg(
+            F.sum("o").alias("n_rows"),
+            F.sum("__ppm").alias("chi2_ppm"),
+        )
+        .orderBy("a")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p_lo: int = 5,
+    p_hi: int = 95,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key winsorized summary: clamp values below the p_lo-th and
+    above the p_hi-th percentile to those cut values, then report the
+    clamped sum — the outlier-robust total/mean a pricing or latency
+    rollup wants when a handful of rows are garbage but dropping rows
+    (trimming) would change N.
+
+    Exact: values must already be integers (cents / micros — the
+    caller owns the fixed-point, same contract as weighted_median);
+    cuts are LOWER empirical quantiles by position, ``x_ceil(n*p/100)``
+    with position ``max(1, (n*p + 99) div 100)`` — pure selection, no
+    interpolation, no float. The clamped sum is a BIGINT. Tie order
+    (``tiebreak_col``) cannot move a cut VALUE (equal values are
+    interchangeable at the cut position).
+
+    Shape: one shuffle on key; one ranking window + per-key count
+    share it; the two cut rows per key join back metrics-sized; one
+    conditional aggregate emits the clamped sum. Same physical shape
+    as weighted_median — at 100 TB this is exactly as expensive as any
+    per-key exact quantile, and the approx path (approx_percentile)
+    uses THIS as its oracle.
+
+    Returns (key, n, lo_cut, hi_cut, wins_sum) sorted by key.
+    """
+    if not (0 <= p_lo < p_hi <= 100):
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 100, got {p_lo},{p_hi}")
+    order = [F.col("__v").asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("__v"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    ).filter(F.col("__v").isNotNull())
+    w_rank = Window.partitionBy("key").orderBy(*order)
+    w_all = Window.partitionBy("key")
+    ranked = base.select(
+        "key",
+        "__v",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    pos_lo = F.greatest(F.lit(1), F.expr(f"(__n * {p_lo} + 99) div 100"))
+    pos_hi = F.greatest(F.lit(1), F.expr(f"(__n * {p_hi} + 99) div 100"))
+    cuts = (
+        ranked.filter(
+            (F.col("__rn") == pos_lo) | (F.col("__rn") == pos_hi)
+        )
+        .groupBy("key")
+        .agg(
+            F.min(F.when(F.col("__rn") == pos_lo, F.col("__v"))).alias(
+                "lo_cut"
+            ),
+            F.min(F.when(F.col("__rn") == pos_hi, F.col("__v"))).alias(
+                "hi_cut"
+            ),
+        )
+        # a key where pos_lo == pos_hi (tiny n) fills hi from lo:
+        .select(
+            "key",
+            "lo_cut",
+            F.coalesce("hi_cut", "lo_cut").alias("hi_cut"),
+        )
+    )
+    return (
+        base.join(cuts, "key")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo_cut").alias("lo_cut"),
+            F.min("hi_cut").alias("hi_cut"),
+            F.sum(
+                F.greatest(
+                    F.col("lo_cut"), F.least(F.col("hi_cut"), F.col("__v"))
+                )
+            ).alias("wins_sum"),
+        )
+        .orderBy("key")
+    )

@@ -423,3 +423,124 @@ def funnel_timing(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("stage_idx")
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    lookback_hours: int = 168,
+) -> DataFrame:
+    """Batch multi-touch attribution: every conversion splits exactly
+    1,000,000 ppm of credit EQUALLY across the user's touch events in
+    the strict lookback window ``[conv_ts - lookback, conv_ts)`` —
+    linear attribution, the position-free baseline marketing teams
+    reconcile against (last-touch is its rank==n special case).
+
+    Exact-integer split by largest remainder: each of the n touches
+    gets ``1e6 div n`` ppm and the ``1e6 mod n`` EARLIEST touches
+    (order: ts, then id — a total order) get +1 ppm, so per-conversion
+    credit sums to exactly 1,000,000 with no float shares and no
+    engine-varying rounding. Conversions with zero in-window touches
+    distribute nothing (reported nowhere — they have no touch rows);
+    timestamps compare in microseconds, a touch sharing the exact
+    microsecond of the conversion is OUTSIDE the window (strict <).
+
+    Shape: one shuffle joins touches to conversions on ``user_col``
+    with the range predicate applied inside the join (per-user pair
+    space is bounded by the lookback width, the same bound any
+    attribution system carries); one window over conversion id ranks
+    and counts touches; one final groupBy on touch type. At 100 TB the
+    user-keyed shuffle dominates and skewed users stay bounded by
+    events-per-lookback, not history length.
+
+    Returns (touch_type, n_touches, n_conversions, credit_ppm) sorted
+    by touch_type. ``credit_ppm`` sums to 1e6 × (conversions with ≥1
+    in-window touch) across the whole frame — the conservation law the
+    oracle hash pins.
+    """
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__ts"),
+        F.col(type_col).alias("__type"),
+        F.col(id_col).alias("__id"),
+    )
+    conv = base.filter(F.col("__type") == conversion_type).select(
+        F.col("__u").alias("c_u"),
+        F.col("__ts").alias("c_ts"),
+        F.col("__id").alias("c_id"),
+    )
+    touch = base.filter(F.col("__type") != conversion_type)
+    lookback_us = lookback_hours * 3600 * 1_000_000
+    pairs = touch.join(
+        conv,
+        (F.col("__u") == F.col("c_u"))
+        & (F.col("__ts") < F.col("c_ts"))
+        & (F.col("__ts") >= F.col("c_ts") - F.lit(lookback_us)),
+    )
+    w = Window.partitionBy("c_id")
+    w_rank = w.orderBy(F.col("__ts").asc(), F.col("__id").asc())
+    shared = pairs.select(
+        "__type",
+        "c_id",
+        F.row_number().over(w_rank).alias("__rk"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    ).withColumn(
+        "__ppm",
+        F.expr("1000000 div __n")
+        + F.when(F.col("__rk") <= F.expr("1000000 % __n"), 1).otherwise(0),
+    )
+    return (
+        shared.groupBy(F.col("__type").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("c_id").alias("n_conversions"),
+            F.sum("__ppm").alias("credit_ppm"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def first_seen_rate(
+    events: DataFrame,
+    user_col: str,
+    day_col: str | Column,
+) -> DataFrame:
+    """Daily new-vs-returning actives: for every calendar day with
+    activity, how many distinct users were active and how many of them
+    were seen for the FIRST time that day, plus the new share in
+    truncating ppm — the acquisition-vs-retention split every growth
+    dashboard opens with.
+
+    Exact: activity collapses to distinct (user, day) once; a per-user
+    MIN(day) marks the first-seen day; counts are exact distincts and
+    the ppm share is integer ``(1e6 * new) div actives`` (actives ≥ 1
+    on every emitted row, so no zero-division branch). Like
+    :func:`rolling_active_users`, ``day_col`` must already be a DATE —
+    the caller owns the timezone policy.
+
+    Shape: two shuffles (user-keyed MIN, then day-keyed counts), both
+    on corpus-bounded frames (distinct user-days); nothing explodes.
+
+    Returns (day, n_active, n_new, new_ppm) sorted by day.
+    """
+    day = F.col(day_col) if isinstance(day_col, str) else day_col
+    act = events.select(
+        F.col(user_col).alias("user"), day.alias("day")
+    ).distinct()
+    first = act.groupBy("user").agg(F.min("day").alias("first_day"))
+    return (
+        act.join(first, "user")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user").alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user"))
+            ).alias("n_new"),
+        )
+        .withColumn("new_ppm", F.expr("(1000000 * n_new) div n_active"))
+        .orderBy("day")
+    )

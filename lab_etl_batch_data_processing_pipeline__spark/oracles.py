@@ -2959,6 +2959,185 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
             ORDER BY n_baskets DESC, item_a, item_b, item_c
         """,
+        # Multi-touch attribution twin: strict 72h lookback pairs, the
+        # same largest-remainder split (1e6 div n, +1 to the 1e6 mod n
+        # earliest touches) — the hash pins the exact-conservation law.
+        "purchase_attribution": """
+            WITH e AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                     event_type, event_id
+              FROM events
+            ), conv AS (
+              SELECT user_id, ts_us AS c_ts, event_id AS c_id
+              FROM e WHERE event_type = 'purchase'
+            ), pairs AS (
+              SELECT t.event_type AS touch_type, conv.c_id, t.ts_us,
+                     t.event_id
+              FROM e t JOIN conv ON t.user_id = conv.user_id
+               AND t.ts_us < conv.c_ts
+               AND t.ts_us >= conv.c_ts - 259200000000
+              WHERE t.event_type <> 'purchase'
+            ), ranked AS (
+              SELECT touch_type, c_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c_id ORDER BY ts_us, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY c_id) AS n
+              FROM pairs
+            )
+            SELECT touch_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_touches,
+                   CAST(COUNT(DISTINCT c_id) AS BIGINT) AS n_conversions,
+                   CAST(SUM(1000000 // n
+                            + CASE WHEN rk <= 1000000 % n
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     AS credit_ppm
+            FROM ranked GROUP BY 1 ORDER BY 1
+        """,
+        # First-seen twin: distinct (user, epoch-day) collapse, per-user
+        # MIN day, exact distinct counts, truncating ppm share.
+        "user_first_seen": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     DATE '1970-01-01'
+                     + CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                            // 1000000 // 86400 AS INT) AS day
+              FROM events
+            ), f AS (
+              SELECT u, MIN(day) AS first_day FROM act GROUP BY 1
+            )
+            SELECT act.day,
+                   CAST(COUNT(DISTINCT act.u) AS BIGINT) AS n_active,
+                   CAST(COUNT(DISTINCT CASE WHEN act.day = f.first_day
+                                            THEN act.u END) AS BIGINT)
+                     AS n_new,
+                   CAST((1000000 * COUNT(DISTINCT
+                           CASE WHEN act.day = f.first_day THEN act.u END))
+                        // COUNT(DISTINCT act.u) AS BIGINT) AS new_ppm
+            FROM act JOIN f ON act.u = f.u
+            GROUP BY 1 ORDER BY 1
+        """,
+        # FD-profiler twin: one grouped distinct per candidate, the same
+        # g3-style violation mass, labels matching lhs->rhs.
+        "events_fd_check": """
+            WITH g1 AS (
+              SELECT event_id, COUNT(DISTINCT event_type) AS d,
+                     COUNT(*) AS nr
+              FROM events GROUP BY 1
+            ), g2 AS (
+              SELECT user_id, COUNT(DISTINCT event_type) AS d,
+                     COUNT(*) AS nr
+              FROM events GROUP BY 1
+            ), g3 AS (
+              SELECT event_type, COUNT(DISTINCT user_id) AS d,
+                     COUNT(*) AS nr
+              FROM events GROUP BY 1
+            ), u AS (
+              SELECT 'event_id->event_type' AS fd,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_groups,
+                     CAST(SUM(CASE WHEN d > 1 THEN nr ELSE 0 END) AS BIGINT)
+                       AS n_violating_rows
+              FROM g1
+              UNION ALL
+              SELECT 'user_id->event_type',
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(SUM(CASE WHEN d > 1 THEN nr ELSE 0 END) AS BIGINT)
+              FROM g2
+              UNION ALL
+              SELECT 'event_type->user_id',
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(SUM(CASE WHEN d > 1 THEN nr ELSE 0 END) AS BIGINT)
+              FROM g3
+            )
+            SELECT fd, n_groups, n_violating_groups, n_violating_rows,
+                   n_violating_groups = 0 AS holds
+            FROM u ORDER BY fd
+        """,
+        # Chi-square twin: contingency cells once, HUGEINT cleared-of-
+        # division per-cell contributions, per-cell truncating div (the
+        # metric both engines compute), grouped back per event_type.
+        "events_chi2": """
+            WITH cells AS (
+              SELECT event_type AS a,
+                     (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7
+                       AS b,
+                     COUNT(*) AS o
+              FROM events GROUP BY 1, 2
+            ), tot AS (
+              SELECT a, o,
+                     SUM(o) OVER (PARTITION BY a) AS r,
+                     SUM(o) OVER (PARTITION BY b) AS c,
+                     SUM(o) OVER () AS n
+              FROM cells
+            )
+            SELECT a AS event_type,
+                   CAST(SUM(o) AS BIGINT) AS n_rows,
+                   CAST(SUM(
+                     ((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                      * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                      * 1000000)
+                     // (CAST(r AS HUGEINT) * c * n)
+                   ) AS BIGINT) AS chi2_ppm
+            FROM tot GROUP BY 1 ORDER BY 1
+        """,
+        # Winsorized twin: positional lower-quantile cuts
+        # (ceil(n*p/100), min position 1), clamp, BIGINT sum.
+        "price_winsorized": """
+            WITH b AS (
+              SELECT l_returnflag AS key,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v
+              FROM lineitem
+            ), r AS (
+              SELECT key, v,
+                     ROW_NUMBER() OVER (PARTITION BY key ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY key) AS n
+              FROM b
+            ), cuts AS (
+              SELECT key,
+                     MIN(CASE WHEN rn = GREATEST(1, (n * 5 + 99) // 100)
+                              THEN v END) AS lo_cut,
+                     MIN(CASE WHEN rn = GREATEST(1, (n * 95 + 99) // 100)
+                              THEN v END) AS hi_cut
+              FROM r GROUP BY 1
+            ), c2 AS (
+              SELECT key, lo_cut, COALESCE(hi_cut, lo_cut) AS hi_cut
+              FROM cuts
+            )
+            SELECT b.key AS l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(c2.lo_cut) AS lo_cut,
+                   MIN(c2.hi_cut) AS hi_cut,
+                   CAST(SUM(GREATEST(c2.lo_cut, LEAST(c2.hi_cut, b.v)))
+                        AS BIGINT) AS wins_sum
+            FROM b JOIN c2 ON b.key = c2.key
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Skyline twin: INDEPENDENT form — raw NOT-EXISTS dominance
+        # (>= / <= with at least one strict), no frontier reduction, so
+        # the hash also proves the reduction loses nothing.
+        "part_skyline": """
+            WITH p AS (
+              SELECT p_partkey, p_brand, p_size,
+                     CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS price_cents
+              FROM part
+              WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+            )
+            SELECT a.p_partkey, a.p_brand, a.p_size, a.price_cents
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.p_size >= a.p_size
+                AND b.price_cents <= a.price_cents
+                AND (b.p_size > a.p_size
+                     OR b.price_cents < a.price_cents)
+            )
+            ORDER BY a.p_partkey
+        """,
         # ann_cosine_lsh / ann_cosine_ivf remain rows-only here: their
         # bucketing is approximate by design, so their quality gate is the
         # recall-vs-bruteforce invariant queries (ann_lsh_recall /

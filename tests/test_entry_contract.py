@@ -44,10 +44,19 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # rotated out for the sixth wave (r7+r8 driver-green recall gates
+    # + heavy_hitters_gate r8-green; all oracle-bearing, so
+    # test_spot_oracle_parity keeps running real value parity):
+    "ann_lsh_recall": "test_spot_oracle_parity (driver-green r7+r8)",
+    "ann_ivf_recall": "test_spot_oracle_parity (driver-green r7+r8)",
+    "ann_pq_recall": "test_spot_oracle_parity (driver-green r7+r8)",
+    "ann_ivfpq_recall": "test_spot_oracle_parity (driver-green r7+r8)",
+    "ann_quantized_recall": "test_spot_oracle_parity (driver-green r7+r8)",
+    "heavy_hitters_gate": "test_spot_oracle_parity (driver-green r8)",
     "top_listings_weekly": "test_spot_oracle_parity",
     "events_json": "test_spot_oracle_parity",
-    "ann_cosine_lsh": "ann_lsh_recall driver row + tests/test_similarity.py",
-    "ann_cosine_ivf": "ann_ivf_recall driver row + tests/test_similarity.py",
+    "ann_cosine_lsh": "ann_lsh_recall gate parity + tests/test_similarity.py",
+    "ann_cosine_ivf": "ann_ivf_recall gate parity + tests/test_similarity.py",
     "token_frequencies": "test_spot_oracle_parity",
     "word_bigrams": "test_spot_oracle_parity",
     "brand_setops": "test_spot_oracle_parity",

@@ -1,0 +1,205 @@
+"""Unit tests for the sixth-wave operators: multi-touch attribution,
+first-seen rate, FD profiler, chi-square gate, winsorized stats, and the
+2-D skyline.
+
+Each test pins the semantics on a small constructed frame (the oracle
+rows pin full-scale value parity; these pin the RULES on inputs where
+the expected output is hand-checkable)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    joins,
+    profiling,
+    sessions,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ------------------------------------------------- multi-touch attribution
+
+
+def test_attribution_largest_remainder_conserves_ppm(spark):
+    # one purchase, three touches -> 333334 + 333333 + 333333 = 1e6,
+    # the +1 going to the EARLIEST touch.
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), "view", 1),
+        (1, _ts("2024-01-01 11:00:00"), "click", 2),
+        (1, _ts("2024-01-01 12:00:00"), "view", 3),
+        (1, _ts("2024-01-01 13:00:00"), "purchase", 4),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "et", "id"])
+    out = {
+        r.touch_type: (r.n_touches, r.n_conversions, r.credit_ppm)
+        for r in sessions.multi_touch_attribution(
+            df, "u", "ts", "et", "id", "purchase", lookback_hours=24
+        ).collect()
+    }
+    # view has ranks 1 and 3: 333_334 + 333_333; click rank 2: 333_333
+    assert out == {
+        "view": (2, 1, 666_667),
+        "click": (1, 1, 333_333),
+    }
+    assert sum(v[2] for v in out.values()) == 1_000_000
+
+
+def test_attribution_window_is_strict_and_bounded(spark):
+    rows = [
+        # exactly AT the conversion instant -> excluded (strict <)
+        (1, _ts("2024-01-01 13:00:00"), "click", 1),
+        # one second inside the 1h lookback -> included
+        (1, _ts("2024-01-01 12:00:01"), "view", 2),
+        # exactly at conv - 1h -> included (>= lower bound)
+        (1, _ts("2024-01-01 12:00:00"), "signup", 3),
+        # one microsecond before the lower bound -> excluded
+        (1, _ts("2024-01-01 11:59:59.999999"), "view", 4),
+        (1, _ts("2024-01-01 13:00:00"), "purchase", 5),
+        # a conversion with no touches distributes nothing
+        (2, _ts("2024-01-01 13:00:00"), "purchase", 6),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "et", "id"])
+    out = {
+        r.touch_type: r.credit_ppm
+        for r in sessions.multi_touch_attribution(
+            df, "u", "ts", "et", "id", "purchase", lookback_hours=1
+        ).collect()
+    }
+    assert out == {"view": 500_000, "signup": 500_000}
+
+
+# ------------------------------------------------------- first-seen rate
+
+
+def test_first_seen_rate_new_vs_returning(spark):
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    rows = [
+        (1, d1), (2, d1),          # day 1: both new
+        (1, d2), (3, d2), (3, d2), # day 2: u1 returning, u3 new (dup row)
+    ]
+    df = spark.createDataFrame(rows, ["u", "day"])
+    out = {
+        str(r.day): (r.n_active, r.n_new, r.new_ppm)
+        for r in sessions.first_seen_rate(df, "u", "day").collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 2, 1_000_000),
+        "2024-01-02": (2, 1, 500_000),
+    }
+
+
+# --------------------------------------------------------- FD profiler
+
+
+def test_fd_report_holds_and_violations(spark):
+    rows = [
+        (1, "a", 10),
+        (2, "a", 10),
+        (2, "b", 11),  # lhs=2 has two rhs values -> violating group
+        (3, "c", 12),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "x"])
+    out = {
+        r.fd: (r.n_groups, r.n_violating_groups, r.n_violating_rows, r.holds)
+        for r in profiling.fd_report(df, [(["k"], "v"), (["x"], "v")]).collect()
+    }
+    assert out["k->v"] == (3, 1, 2, False)
+    assert out["x->v"] == (3, 0, 0, True)
+
+
+def test_fd_report_null_rhs_never_violates(spark):
+    rows = [(1, None), (1, None), (2, "a"), (2, None)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {
+        r.fd: (r.n_violating_groups, r.holds)
+        for r in profiling.fd_report(df, [(["k"], "v")]).collect()
+    }
+    # NULLs are ignored by the distinct count on both engines
+    assert out["k->v"] == (0, True)
+
+
+# ------------------------------------------------------ chi-square gate
+
+
+def test_chi_square_independent_is_zero(spark):
+    # perfectly independent 2x2: every cell O == E -> every ppm term 0
+    rows = (
+        [("a", 0)] * 4 + [("a", 1)] * 4 + [("b", 0)] * 4 + [("b", 1)] * 4
+    )
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = profiling.chi_square_gate(df, "x", "y").collect()
+    assert all(r.chi2_ppm == 0 for r in out)
+    assert {r.a: r.n_rows for r in out} == {"a": 8, "b": 8}
+
+
+def test_chi_square_exact_2x2(spark):
+    # O = [[3,1],[1,3]], N=8, all margins 4:
+    # per cell |O*N - r*c| = |24-16| = 8 -> 8^2*1e6 // (4*4*8) = 500000
+    rows = (
+        [("a", 0)] * 3 + [("a", 1)] * 1 + [("b", 0)] * 1 + [("b", 1)] * 3
+    )
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = {r.a: r.chi2_ppm for r in profiling.chi_square_gate(df, "x", "y").collect()}
+    assert out == {"a": 1_000_000, "b": 1_000_000}  # two cells each
+
+
+# ----------------------------------------------------- winsorized stats
+
+
+def test_winsorized_cuts_and_clamp(spark):
+    # n=20 values 1..19 plus an outlier 1000:
+    # pos_lo = ceil(20*5/100) = 1 -> lo_cut = 1
+    # pos_hi = ceil(20*95/100) = 19 -> hi_cut = 19
+    vals = list(range(1, 20)) + [1000]
+    df = spark.createDataFrame([("k", v) for v in vals], ["g", "v"])
+    out = profiling.winsorized_stats(df, "g", "v", p_lo=5, p_hi=95).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.lo_cut, r.hi_cut) == (20, 1, 19)
+    assert r.wins_sum == sum(range(1, 20)) + 19  # outlier clamped to 19
+
+
+def test_winsorized_single_row_key(spark):
+    df = spark.createDataFrame([("k", 7)], ["g", "v"])
+    r = profiling.winsorized_stats(df, "g", "v").collect()[0]
+    assert (r.n, r.lo_cut, r.hi_cut, r.wins_sum) == (1, 7, 7, 7)
+
+
+# -------------------------------------------------------------- skyline
+
+
+def test_skyline_dominance_and_ties(spark):
+    rows = [
+        (1, 10, 100),  # skyline (biggest size)
+        (2, 10, 120),  # dominated by 1 (same size, higher price)
+        (3, 8, 80),    # skyline (cheaper than anything bigger)
+        (4, 8, 80),    # tie with 3 on the frontier point -> also skyline
+        (5, 6, 90),    # dominated by 3 (smaller size, higher price)
+        (6, 6, 80),    # dominated by 3 (smaller size, same price, strict)
+        (7, 4, 50),    # skyline
+        (8, None, 10), # NULL dimension -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["id", "size", "price"])
+    got = sorted(
+        r.id for r in joins.skyline2d(df, "size", "price").collect()
+    )
+    assert got == [1, 3, 4, 7]
+
+
+def test_skyline_no_row_dominates_another(spark):
+    import itertools
+
+    rows = [(i, (i * 7) % 13, (i * 5) % 11) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "size", "price"])
+    sky = [(r.size, r.price) for r in joins.skyline2d(df, "size", "price").collect()]
+    for a, b in itertools.permutations(sky, 2):
+        dominated = (
+            a[0] >= b[0] and a[1] <= b[1] and (a[0] > b[0] or a[1] < b[1])
+        )
+        assert not dominated, (a, b)
