@@ -638,3 +638,57 @@ def winsorized_stats(
         )
         .orderBy("key")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-key equi-DEPTH histogram: k buckets holding (near-)equal row
+    counts, each reporting its exact min/max/sum — the selectivity
+    profile an optimizer or drift monitor wants when equi-WIDTH buckets
+    (``histogram``) collapse under skew.
+
+    Exact and tie-stable: values must already be fixed-point integers;
+    bucket assignment is pure rank arithmetic ``((rn-1) * k) div n`` (a
+    deterministic near-equal split — NOT NTILE, whose remainder rule
+    differs; the oracle mirrors this formula). Rows tied on value are
+    interchangeable, so although the rank order within a tie run is
+    arbitrary, every per-bucket aggregate (count, min, max, sum) is
+    invariant under it — no tiebreak column needed.
+
+    Shape: one shuffle on key; the ranking window and per-key count
+    share it; one hash aggregate emits the k rows per key.
+
+    Returns (key, bucket, n_rows, min_v, max_v, sum_v) sorted by
+    (key, bucket).
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    w_rank = Window.partitionBy("key").orderBy(F.col("__v").asc())
+    w_all = Window.partitionBy("key")
+    ranked = base.select(
+        "key",
+        "__v",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    return (
+        ranked.withColumn(
+            "bucket", F.expr(f"((__rn - 1) * {k}) div __n").cast("int")
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+            F.sum("__v").alias("sum_v"),
+        )
+        .orderBy("key", "bucket")
+    )

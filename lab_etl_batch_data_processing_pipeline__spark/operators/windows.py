@@ -610,3 +610,190 @@ def linear_trend(
         )
         .orderBy("key")
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    season_days: int = 7,
+) -> DataFrame:
+    """Backtest the seasonal-naive forecast (predict day d with day
+    d - season) and report per-key exact error mass — the baseline every
+    real forecaster must beat, and the drift gate that catches a series
+    whose weekly shape broke.
+
+    Exact: per-(key, day) integer totals first (values must already be
+    fixed-point — cents, the house rule); the forecast join is an
+    equi-join on (key, day - season), so calendar gaps score only when
+    BOTH endpoints exist (documented: a missing base day contributes no
+    score, unlike LAG-over-present-rows which would silently compare
+    across gaps). Absolute errors and actuals sum as BIGINTs; WAPE
+    lands as one truncating ``(1e6 * sum_ae) div sum_actual`` per key,
+    NULL when the scored actual mass is zero.
+
+    Shape: one hash aggregate to daily totals (map-side combine), one
+    key+day equi-join of the totals frame to itself (day-sized, not
+    row-sized), one final per-key aggregate.
+
+    Returns (key, n_scored, sum_abs_err, sum_actual, wape_ppm) sorted
+    by key.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.col(day_col).alias("day")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("v"))
+    base = daily.select(
+        "key",
+        F.date_add(F.col("day"), season_days).alias("day"),
+        F.col("v").alias("v_base"),
+    )
+    scored = daily.join(base, ["key", "day"])
+    return (
+        scored.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.abs(F.col("v") - F.col("v_base"))).alias("sum_abs_err"),
+            F.sum("v").alias("sum_actual"),
+        )
+        .withColumn(
+            "wape_ppm",
+            F.when(
+                F.col("sum_actual") != 0,
+                F.expr("(1000000 * sum_abs_err) div sum_actual"),
+            ),
+        )
+        .orderBy("key")
+    )
+
+
+def level_shift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 8,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Largest level shift per key: the position where the sum of the
+    next ``window`` values differs most from the sum of the previous
+    ``window`` values — the exact two-window changepoint score
+    (CUSUM-style detectors are its streaming approximation).
+
+    Exact: values must already be fixed-point integers; both rolling
+    sums are BIGINT ROWS-frame windows over ONE key partitioning, the
+    score is ``|sum_next - sum_prev|`` (equal window lengths, so no
+    mean division is needed — the comparison is scale-identical), and
+    only positions with BOTH windows full score at all (edges are
+    excluded, not padded). The reported shift is the earliest maximal
+    position (order: ts, then ``tiebreak_col`` — a total order makes
+    the argmax engine-stable).
+
+    Shape: one shuffle on key; two rolling windows and the argmax
+    ranking share that partitioning. Per-key serial cost is the key's
+    row count — the standing window-skew story.
+
+    Returns (key, shift_ts, score, sum_prev, sum_next) sorted by key;
+    keys with fewer than ``2*window`` rows emit nothing.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("long").alias("__v"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    )
+    order_b = [F.col("ts").asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w_prev = (
+        Window.partitionBy("key").orderBy(*order_b)
+        .rowsBetween(-window, -1)
+    )
+    w_next = (
+        Window.partitionBy("key").orderBy(*order_b)
+        .rowsBetween(0, window - 1)
+    )
+    scored = base.select(
+        "key",
+        "ts",
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+        F.sum("__v").over(w_prev).alias("sum_prev"),
+        F.sum("__v").over(w_next).alias("sum_next"),
+        F.count(F.lit(1)).over(w_prev).alias("__n_prev"),
+        F.count(F.lit(1)).over(w_next).alias("__n_next"),
+    ).filter(
+        (F.col("__n_prev") == window) & (F.col("__n_next") == window)
+    )
+    ranked = scored.withColumn(
+        "score", F.abs(F.col("sum_next") - F.col("sum_prev"))
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(
+                F.col("score").desc(), *order_b
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select(
+            "key",
+            F.col("ts").alias("shift_ts"),
+            "score",
+            "sum_prev",
+            "sum_next",
+        )
+        .orderBy("key")
+    )
+
+
+def floored_running_balance(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    delta_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Running balance that FLOORS AT ZERO — inventory/credit semantics
+    where a withdrawal against an empty balance is lost, not borrowed.
+    The naive form is a stateful per-row loop; this is its closed form:
+
+        balance_i = prefix_i - min(0, min_{j<=i} prefix_j)
+
+    (the floor absorbs exactly the deepest sub-zero excursion so far —
+    each time the raw prefix makes a new low below zero, that low is
+    re-based to zero, which is precisely the "drop what you don't have"
+    rule). TWO window passes over one key partitioning, no iteration,
+    no applyInPandas state.
+
+    Exact: deltas must already be fixed-point integers; prefix and
+    running-min are BIGINT sums over a total order (ts, then
+    ``tiebreak_col``).
+
+    Returns the input key/ts/tiebreak plus (delta, balance), sorted by
+    key, ts.
+    """
+    order = [F.col("ts").asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(delta_col).cast("long").alias("delta"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    )
+    w_run = (
+        Window.partitionBy("key").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("__prefix", F.sum("delta").over(w_run))
+        .withColumn("__low", F.min("__prefix").over(w_run))
+        .withColumn(
+            "balance",
+            F.col("__prefix")
+            - F.least(F.lit(0).cast("long"), F.col("__low")),
+        )
+        .drop("__prefix", "__low")
+        .orderBy("key", "ts", *([tiebreak_col] if tiebreak_col else []))
+    )

@@ -3138,6 +3138,118 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY a.p_partkey
         """,
+        # Seasonal-backtest twin: daily cents totals, equi-join to the
+        # totals 7 days back, BIGINT error mass, truncating ppm WAPE.
+        "revenue_seasonal_backtest": """
+            WITH daily AS (
+              SELECT o_orderpriority AS key,
+                     CAST(o_orderdate AS DATE) AS day,
+                     SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS v
+              FROM orders GROUP BY 1, 2
+            ), scored AS (
+              SELECT d.key, d.v, b.v AS v_base
+              FROM daily d
+              JOIN daily b ON d.key = b.key AND b.day + 7 = d.day
+            )
+            SELECT key AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(SUM(ABS(v - v_base)) AS BIGINT) AS sum_abs_err,
+                   CAST(SUM(v) AS BIGINT) AS sum_actual,
+                   CASE WHEN SUM(v) <> 0
+                        THEN CAST((1000000 * SUM(ABS(v - v_base)))
+                                  // SUM(v) AS BIGINT)
+                        END AS wape_ppm
+            FROM scored GROUP BY 1 ORDER BY 1
+        """,
+        # Level-shift twin: the same two ROWS-frame sums, full-window
+        # filter, and earliest-maximum argmax on (ts, event_id).
+        "events_level_shift": """
+            WITH b AS (
+              SELECT event_type AS key,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS v
+              FROM events
+            ), w AS (
+              SELECT key, ts_us, event_id,
+                     SUM(v) OVER (PARTITION BY key ORDER BY ts_us, event_id
+                                  ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+                       AS sum_prev,
+                     SUM(v) OVER (PARTITION BY key ORDER BY ts_us, event_id
+                                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                       AS sum_next,
+                     COUNT(*) OVER (PARTITION BY key
+                                    ORDER BY ts_us, event_id
+                                    ROWS BETWEEN 8 PRECEDING
+                                             AND 1 PRECEDING) AS np,
+                     COUNT(*) OVER (PARTITION BY key
+                                    ORDER BY ts_us, event_id
+                                    ROWS BETWEEN CURRENT ROW
+                                             AND 7 FOLLOWING) AS nn
+              FROM b
+            ), s AS (
+              SELECT key, ts_us, sum_prev, sum_next, event_id,
+                     ABS(sum_next - sum_prev) AS score
+              FROM w WHERE np = 8 AND nn = 8
+            ), r AS (
+              SELECT key, ts_us, sum_prev, sum_next, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY key
+                       ORDER BY score DESC, ts_us, event_id) AS rn
+              FROM s
+            )
+            SELECT key AS event_type, ts_us AS shift_ts_us, score,
+                   sum_prev, sum_next
+            FROM r WHERE rn = 1 ORDER BY 1
+        """,
+        # Floored-balance twin: prefix sum, running-min prefix, the same
+        # closed form prefix - min(0, low).
+        "user_balance_floored": """
+            WITH b AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                     event_id,
+                     CASE WHEN event_type = 'purchase'
+                          THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT)
+                          ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) END AS delta
+              FROM events
+            ), p AS (
+              SELECT user_id, ts_us, event_id, delta,
+                     SUM(delta) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+              FROM b
+            )
+            SELECT user_id, ts_us, event_id, delta,
+                   CAST(prefix - LEAST(0, MIN(prefix) OVER (
+                     PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS balance
+            FROM p ORDER BY 1, 2, 3
+        """,
+        # Equi-depth twin: the same ((rn-1)*k) div n bucket rule (NOT
+        # NTILE — remainder placement differs), tie-order-invariant
+        # bucket aggregates.
+        "price_equidepth": """
+            WITH b AS (
+              SELECT l_returnflag AS key,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v
+              FROM lineitem
+            ), r AS (
+              SELECT key, v,
+                     ROW_NUMBER() OVER (PARTITION BY key ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY key) AS n
+              FROM b
+            )
+            SELECT key AS l_returnflag,
+                   CAST(((rn - 1) * 8) // n AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(v) AS min_v, MAX(v) AS max_v,
+                   CAST(SUM(v) AS BIGINT) AS sum_v
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         # ann_cosine_lsh / ann_cosine_ivf remain rows-only here: their
         # bucketing is approximate by design, so their quality gate is the
         # recall-vs-bruteforce invariant queries (ann_lsh_recall /

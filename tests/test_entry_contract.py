@@ -44,6 +44,12 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # born late-r9 after the sixth-wave rotation filled the window with
+    # keys owed their FIRST driver round — first in line for r10:
+    "revenue_seasonal_backtest": "test_spot_oracle_parity (r9-born, r10 window next)",
+    "events_level_shift": "test_spot_oracle_parity (r9-born, r10 window next)",
+    "user_balance_floored": "test_spot_oracle_parity (r9-born, r10 window next)",
+    "price_equidepth": "test_spot_oracle_parity (r9-born, r10 window next)",
     # rotated out for the sixth wave (r7+r8 driver-green recall gates
     # + heavy_hitters_gate r8-green; all oracle-bearing, so
     # test_spot_oracle_parity keeps running real value parity):

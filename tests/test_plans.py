@@ -536,3 +536,42 @@ def test_zorder_write_narrows_file_ranges(spark, tmp_path):
     for spans in (spans_a, spans_b):
         narrow = sum(1 for s in spans if s <= 40)
         assert narrow >= len(spans) - 2, spans
+
+
+def test_attribution_is_one_keyed_join_no_cartesian(spark):
+    """Multi-touch attribution must join touches to conversions as ONE
+    user-keyed equi-join with the lookback range as a join filter —
+    never a cartesian/BNLJ pair enumeration."""
+    plan = formatted_plan(
+        entrymod.queries()["purchase_attribution"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Join type:") == 1, (
+        "attribution must be exactly one keyed touch-conversion join"
+    )
+    assert "HashAggregate" in plan
+
+
+def test_skyline_is_frontier_semi_join_not_dominance_self_join(spark):
+    """The skyline must run as frontier reduction: a hash aggregate on
+    the max dimension, then a broadcast LEFT SEMI join back — the O(n²)
+    NOT-EXISTS dominance form (what the oracle runs) must never appear
+    as a cartesian/BNLJ in the Spark plan."""
+    plan = formatted_plan(entrymod.queries()["part_skyline"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+
+
+def test_chi_square_single_data_sized_aggregate(spark):
+    """The chi-square gate's only data-sized pass is the contingency
+    cell build (partial + final hash aggregate); the margin windows run
+    over the cells frame. No joins at all in the plan."""
+    plan = formatted_plan(entrymod.queries()["events_chi2"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Join type:" not in plan, "chi2 must be window sums, not joins"
+    assert "HashAggregate" in plan
+    assert "Window" in plan

@@ -203,3 +203,89 @@ def test_skyline_no_row_dominates_another(spark):
             a[0] >= b[0] and a[1] <= b[1] and (a[0] > b[0] or a[1] < b[1])
         )
         assert not dominated, (a, b)
+
+
+# ----------------------------------------------- seasonal-naive backtest
+
+
+def test_seasonal_backtest_scores_only_joined_days(spark):
+    d = dt.date
+    rows = [
+        ("k", d(2024, 1, 1), 100),
+        ("k", d(2024, 1, 8), 130),   # scored vs Jan 1: AE 30
+        ("k", d(2024, 1, 15), 70),   # scored vs Jan 8: AE 60
+        ("k", d(2024, 1, 22), 70),   # scored vs Jan 15: AE 0
+        ("k", d(2024, 2, 10), 50),   # no base 7 days back -> unscored
+    ]
+    df = spark.createDataFrame(rows, ["g", "day", "cents"])
+    out = __import__(
+        "lab_etl_batch_data_processing_pipeline__spark.operators.windows",
+        fromlist=["windows"],
+    ).seasonal_naive_backtest(df, "g", "day", "cents", season_days=7).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_scored, r.sum_abs_err, r.sum_actual) == (3, 90, 270)
+    assert r.wape_ppm == (1_000_000 * 90) // 270
+
+
+# ------------------------------------------------------- level shift
+
+
+def test_level_shift_finds_the_step(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    # 8 values of 0 then 8 values of 100: the maximal |next8 - prev8|
+    # is at the first high position (800 - 0).
+    rows = [("k", i, i, 0 if i < 8 else 100) for i in range(16)]
+    df = spark.createDataFrame(rows, ["g", "t", "id", "v"])
+    out = windows.level_shift(df, "g", "t", "v", window=8, tiebreak_col="id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.shift_ts, r.score, r.sum_prev, r.sum_next) == (8, 800, 0, 800)
+
+
+def test_level_shift_short_keys_emit_nothing(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    rows = [("k", i, i, 5) for i in range(15)]  # needs 16 for both windows
+    df = spark.createDataFrame(rows, ["g", "t", "id", "v"])
+    assert windows.level_shift(df, "g", "t", "v", window=8).count() == 0
+
+
+# ------------------------------------------------- floored running balance
+
+
+def test_floored_balance_closed_form_matches_loop(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    deltas = [5, -10, 8, -6, -3, 12, -1, -20, 4]
+    rows = [("u", i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, ["g", "t", "d"])
+    got = [
+        r.balance
+        for r in windows.floored_running_balance(df, "g", "t", "d").collect()
+    ]
+    bal, want = 0, []
+    for d in deltas:
+        bal = max(0, bal + d)
+        want.append(bal)
+    assert got == want
+
+
+# ------------------------------------------------- equi-depth histogram
+
+
+def test_equidepth_buckets_are_near_equal_and_exact(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    vals = list(range(1, 11))  # 10 rows, k=4 -> sizes 3,2,3,2 by rank rule
+    df = spark.createDataFrame([("k", v) for v in vals], ["g", "v"])
+    out = profiling.equidepth_histogram(df, "g", "v", k=4).collect()
+    got = [(r.bucket, r.n_rows, r.min_v, r.max_v, r.sum_v) for r in out]
+    # bucket = ((rn-1)*4) div 10: rn 1-3 -> 0, rn 4-5 -> 1, 6-8 -> 2, 9-10 -> 3
+    assert got == [
+        (0, 3, 1, 3, 6),
+        (1, 2, 4, 5, 9),
+        (2, 3, 6, 8, 21),
+        (3, 2, 9, 10, 19),
+    ]
