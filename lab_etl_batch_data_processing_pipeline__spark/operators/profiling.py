@@ -450,6 +450,8 @@ def fd_report(
     Returns (fd, n_groups, n_violating_groups, n_violating_rows,
     holds) sorted by fd.
     """
+    if not candidates:
+        raise ValueError("fd_report needs at least one (lhs, rhs) candidate")
     out = None
     for lhs, rhs in candidates:
         label = ",".join(lhs) + "->" + rhs
@@ -495,25 +497,46 @@ def chi_square_gate(
     totals c and grand total N (all BIGINT counts), each cell
     contributes ``((O*N - r*c)^2 * 1e6) div (r*c*N)`` — the classic
     (O-E)^2/E with E = r*c/N cleared of division until one final
-    truncating div per cell. Squares and products ride DECIMAL(38,0)
-    (HUGEINT in the oracle): safe while N ≤ ~1e16 scaled rows; beyond
-    that, pre-aggregate the contingency table (it is |a|×|b|-sized, so
-    the gate itself never sees raw-row scale). Per-cell truncation IS
-    the metric both engines compute — no float chi2 anywhere.
+    truncating div per cell. The table is DENSIFIED first (distinct-a ×
+    distinct-b, observed counts left-joined in): a cell with O=0 but
+    E>0 — an event type that NEVER occurs on some weekday, the
+    strongest dependence signal — contributes its full E·1e6 ppm
+    instead of silently vanishing from the grouped frame. Per-cell
+    truncation IS the metric both engines compute — no float chi2.
+
+    Overflow honesty: |O·N − r·c| can reach ~N²/4 under strong
+    association, so ``__diff² · 1e6`` needs ~(4·lg N + 20) bits —
+    DECIMAL(38,0)/HUGEINT is safe to N ≈ 2e8 rows, NOT unbounded; past
+    that Spark's non-ANSI decimal multiply NULLs (understating the
+    statistic) while DuckDB errors. Beyond ~2e8 rows, pre-aggregate to
+    a coarser unit (the contingency table is |a|×|b|-sized, so the
+    gate itself never needs raw-row scale) or downscale counts by a
+    common factor first.
 
     Shape: ONE hash aggregate builds the contingency table (the only
-    data-sized pass); row/column/grand totals are window sums over the
-    cells frame (|a|×|b| rows, metrics-sized); output groups cells back
-    to one row per ``col_a`` value.
+    data-sized pass); densify + margins are joins/window sums over the
+    dimension frames (|a|, |b|, |a|×|b| rows, metrics-sized); output
+    groups cells back to one row per ``col_a`` value.
 
     Returns (a, n_rows, chi2_ppm) sorted by a — chi2_ppm is the sum of
-    that value's cell contributions; SUM(chi2_ppm) over the frame is
-    the full statistic (compare against the chi-square critical value
-    for (|a|-1)(|b|-1) degrees of freedom downstream).
+    that value's cell contributions (n_rows counts OBSERVED rows);
+    SUM(chi2_ppm) over the frame is the full statistic (compare
+    against the chi-square critical value for (|a|-1)(|b|-1) degrees
+    of freedom downstream).
     """
-    cells = df.groupBy(
+    obs = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).alias("o"))
+    # localCheckpoint: obs feeds THREE consumers (grid-a, grid-b, the
+    # left join) and Catalyst re-plans each as its own column-pruned
+    # scan of the fact table — three data-sized passes at 100 TB.
+    # Materializing the |a|x|b|-sized cells frame once makes the fact
+    # scan single-pass; the checkpoint itself is alphabet-sized.
+    obs = obs.localCheckpoint(eager=True)
+    grid = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
+    cells = grid.join(obs, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
     w_a = Window.partitionBy("a")
     w_b = Window.partitionBy("b")
     w_all = Window.partitionBy()
@@ -616,13 +639,10 @@ def winsorized_stats(
                 "hi_cut"
             ),
         )
-        # a key where pos_lo == pos_hi (tiny n) fills hi from lo:
-        .select(
-            "key",
-            "lo_cut",
-            F.coalesce("hi_cut", "lo_cut").alias("hi_cut"),
-        )
     )
+    # no coalesce fallback: pos_hi is always in [1, n], so the hi_cut
+    # WHEN-branch matches a real row for every key (when pos_lo ==
+    # pos_hi the single cut row fills BOTH columns)
     return (
         base.join(cuts, "key")
         .groupBy("key")

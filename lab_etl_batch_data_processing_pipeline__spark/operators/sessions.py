@@ -481,10 +481,14 @@ def multi_touch_attribution(
         & (F.col("__ts") < F.col("c_ts"))
         & (F.col("__ts") >= F.col("c_ts") - F.lit(lookback_us)),
     )
-    w = Window.partitionBy("c_id")
+    # partition by (user, conversion id): id_col need only be unique
+    # WITHIN a user (a per-user sequence id is fine) — two users
+    # sharing a conversion id must not merge into one credit pool
+    w = Window.partitionBy("c_u", "c_id")
     w_rank = w.orderBy(F.col("__ts").asc(), F.col("__id").asc())
     shared = pairs.select(
         "__type",
+        "c_u",
         "c_id",
         F.row_number().over(w_rank).alias("__rk"),
         F.count(F.lit(1)).over(w).alias("__n"),
@@ -497,7 +501,7 @@ def multi_touch_attribution(
         shared.groupBy(F.col("__type").alias("touch_type"))
         .agg(
             F.count(F.lit(1)).alias("n_touches"),
-            F.countDistinct("c_id").alias("n_conversions"),
+            F.countDistinct("c_u", "c_id").alias("n_conversions"),
             F.sum("__ppm").alias("credit_ppm"),
         )
         .orderBy("touch_type")

@@ -631,7 +631,10 @@ def seasonal_naive_backtest(
     score, unlike LAG-over-present-rows which would silently compare
     across gaps). Absolute errors and actuals sum as BIGINTs; WAPE
     lands as one truncating ``(1e6 * sum_ae) div sum_actual`` per key,
-    NULL when the scored actual mass is zero.
+    NULL unless the scored actual mass is POSITIVE — WAPE is undefined
+    on zero mass and engine-divergent on negative mass (Spark's div
+    truncates toward zero, DuckDB's // floors), so both cases gate to
+    NULL rather than pinning an arbitrary semantics.
 
     Shape: one hash aggregate to daily totals (map-side combine), one
     key+day equi-join of the totals frame to itself (day-sized, not
@@ -659,7 +662,7 @@ def seasonal_naive_backtest(
         .withColumn(
             "wape_ppm",
             F.when(
-                F.col("sum_actual") != 0,
+                F.col("sum_actual") > 0,
                 F.expr("(1000000 * sum_abs_err) div sum_actual"),
             ),
         )

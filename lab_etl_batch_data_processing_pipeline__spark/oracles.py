@@ -3056,16 +3056,25 @@ def oracle_sql() -> dict[str, str]:
                    n_violating_groups = 0 AS holds
             FROM u ORDER BY fd
         """,
-        # Chi-square twin: contingency cells once, HUGEINT cleared-of-
-        # division per-cell contributions, per-cell truncating div (the
-        # metric both engines compute), grouped back per event_type.
+        # Chi-square twin: contingency cells once, DENSIFIED to the
+        # distinct-a x distinct-b grid (O=0 cells contribute E), HUGEINT
+        # cleared-of-division per-cell contributions, per-cell
+        # truncating div (the metric both engines compute), grouped
+        # back per event_type.
         "events_chi2": """
-            WITH cells AS (
+            WITH obs AS (
               SELECT event_type AS a,
                      (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7
                        AS b,
                      COUNT(*) AS o
               FROM events GROUP BY 1, 2
+            ), grid AS (
+              SELECT da.a, db.b
+              FROM (SELECT DISTINCT a FROM obs) da
+              CROSS JOIN (SELECT DISTINCT b FROM obs) db
+            ), cells AS (
+              SELECT g.a, g.b, COALESCE(o.o, 0) AS o
+              FROM grid g LEFT JOIN obs o ON g.a = o.a AND g.b = o.b
             ), tot AS (
               SELECT a, o,
                      SUM(o) OVER (PARTITION BY a) AS r,
@@ -3103,17 +3112,14 @@ def oracle_sql() -> dict[str, str]:
                      MIN(CASE WHEN rn = GREATEST(1, (n * 95 + 99) // 100)
                               THEN v END) AS hi_cut
               FROM r GROUP BY 1
-            ), c2 AS (
-              SELECT key, lo_cut, COALESCE(hi_cut, lo_cut) AS hi_cut
-              FROM cuts
             )
             SELECT b.key AS l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   MIN(c2.lo_cut) AS lo_cut,
-                   MIN(c2.hi_cut) AS hi_cut,
-                   CAST(SUM(GREATEST(c2.lo_cut, LEAST(c2.hi_cut, b.v)))
+                   MIN(cuts.lo_cut) AS lo_cut,
+                   MIN(cuts.hi_cut) AS hi_cut,
+                   CAST(SUM(GREATEST(cuts.lo_cut, LEAST(cuts.hi_cut, b.v)))
                         AS BIGINT) AS wins_sum
-            FROM b JOIN c2 ON b.key = c2.key
+            FROM b JOIN cuts ON b.key = cuts.key
             GROUP BY 1 ORDER BY 1
         """,
         # Skyline twin: INDEPENDENT form — raw NOT-EXISTS dominance
@@ -3156,7 +3162,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_scored,
                    CAST(SUM(ABS(v - v_base)) AS BIGINT) AS sum_abs_err,
                    CAST(SUM(v) AS BIGINT) AS sum_actual,
-                   CASE WHEN SUM(v) <> 0
+                   CASE WHEN SUM(v) > 0
                         THEN CAST((1000000 * SUM(ABS(v - v_base)))
                                   // SUM(v) AS BIGINT)
                         END AS wape_ppm

@@ -264,7 +264,11 @@ def replay_to_memory(
     sf0.1: 32 partitions 9.6 s → 8 partitions 3.0 s, identical output
     (hash partitioning never changes results). On a real cluster the
     same knob scales the other way — millions of keys want MORE state
-    partitions than the batch default, not fewer.
+    partitions than the batch default, not fewer. The override
+    mutates the SHARED session conf for the duration of the (blocking)
+    replay — safe in this engine's single-threaded bench/test drivers,
+    NOT safe with concurrent queries on the same session; concurrent
+    callers must clone the session or leave state_partitions unset.
 
     Sink names are sequenced per prefix/pid so repeated calls in one
     session never collide; the previous sink's temp view is dropped to

@@ -208,108 +208,16 @@ def test_oracle_sql_parses_in_duckdb(duck):
         duck.execute(f"SELECT * FROM ({sql}) LIMIT 1")
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "bookings_per_user",
-        "doc_fingerprint",
-        "avg_price_weekly",
-        "occupancy_monthly",
-        "top_listings_topk",
-        "avg_duration_monthly",
-        "repeat_rate_monthly",
-        "dedup_exact",
-        "dedup_keys",
-        "doc_stats",
-        "language_id",
-        "simhash",
-        "sessionization",
-        # every oracle-bearing key past the driver's 50-key window
-        # (TAIL_KEYS) gets its driver hash-check replaced by this test:
-        "top_listings_weekly",
-        "events_json",
-        "token_frequencies",
-        "word_bigrams",
-        "brand_setops",
-        "events_pivot",
-        "docs_per_source_quota",
-        "doc_tokens_regex",
-        "status_percentiles",
-        "zscore_events",
-        "customers_semi_anti",
-        "nation_top_customer",
-        "acctbal_ntile",
-        "nation_custkey_list",
-        "orders_by_weekday",
-        "revenue_cube",
-        "orders_shipped_7d",
-        "csv_roundtrip",
-        "jdbc_roundtrip",
-        "date_normalize",
-        "currency_convert",
-        "csv_single_file",
-        "metric_sql_view",
-        "corpus_splits",
-        "user_engagement",
-        "label_centroids",
-        "running_totals",
-        "salted_status_agg",
-        "revenue_rollup",
-        "events_json_struct",
-        "asof_purchase_view",
-        "repetition_stats",
-        "decontamination",
-        "pii_scrub",
-        "curated_partition_scan",
-        "corpus_mixture",
-        "event_type_skew",
-        "session_window_rollup",
-        "scd2_user_state",
-        "pricing_summary",
-        "tfidf_top_terms",
-        "quantile_gate",
-        "events_variant",
-        "doc_chunks",
-        "rolling_revenue_7d",
-        "parquet_upsert_roundtrip",
-        "corpus_mixture_weighted",
-        "cardinality_gate",
-        "pack_offsets",
-        "winnowing",
-        "orders_profile",
-        "popular_locations_weekly",
-        "curated_join",
-        "ann_cosine_topk",
-        "doc_normalize",
-        "char_lm_scores",
-        "part_unpivot",
-        "tables_manifest",
-        "jsonl_roundtrip",
-        "price_histogram",
-        "orders_expectations",
-        "pack_bins",
-        "events_resampled",
-        "streaming_sessions",
-        "events_ewma",
-        "orders_cdc_apply",
-        "fuzzy_part_match",
-        "incremental_dedup",
-        "tfidf_cosine_topk",
-        "hll_union_gate",
-        "csv_quarantine",
-        "orders_snapshot_diff",
-        "orc_roundtrip",
-        "near_dup_jaccard",
-        "minhash_near_dups",
-        "near_dup_clusters",
-        "streaming_user_totals",
-        "recipe_metric",
-        "embedding_near_dups",
-        "streaming_event_counts",
-        "training_batches",
-        "training_mix",
-    ],
-)
+# Every oracle-bearing key past the driver's 50-key window gets its
+# driver hash-check replaced by this test. COMPUTED, not hand-listed:
+# the r9 sixth-wave rotation proved a hand-maintained list drifts (ten
+# keys claimed this coverage in TAIL_KEYS without appearing here), so
+# the source of truth is the registry itself — every tail key that
+# ships an oracle runs real Spark-vs-DuckDB value parity.
+SPOT_KEYS = sorted(set(TAIL_KEYS) & set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", SPOT_KEYS)
 def test_spot_oracle_parity(spark, duck, name):
     # None-safe total order (NULLable columns, e.g. date_normalize's
     # malformed->NULL dates, break bare tuple comparison)

@@ -568,10 +568,18 @@ def test_skyline_is_frontier_semi_join_not_dominance_self_join(spark):
 
 def test_chi_square_single_data_sized_aggregate(spark):
     """The chi-square gate's only data-sized pass is the contingency
-    cell build (partial + final hash aggregate); the margin windows run
-    over the cells frame. No joins at all in the plan."""
+    cell build; the densify joins (distinct-a x distinct-b grid, left
+    join of observed cells) and margin windows all run over
+    dimension-sized frames. The identical observed-cells subtrees must
+    collapse to exchange reuse, not three scans of the fact table."""
     plan = formatted_plan(entrymod.queries()["events_chi2"](spark, SF))
     assert "CartesianProduct" not in plan
-    assert "Join type:" not in plan, "chi2 must be window sums, not joins"
     assert "HashAggregate" in plan
     assert "Window" in plan
+    # the obs aggregate feeds grid-a, grid-b, and the left join — the
+    # checkpointed cells frame must keep the FACT scan single-pass
+    # (without it Catalyst re-plans each consumer as its own scan)
+    assert "Scan parquet" not in plan, (
+        "densify must read the checkpointed obs frame, not rescan facts"
+    )
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
