@@ -712,3 +712,89 @@ def equidepth_histogram(
         )
         .orderBy("key", "bucket")
     )
+
+
+def ks_gate(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance per key: the
+    largest ECDF gap between ``group_a``'s and ``group_b``'s value
+    distributions — THE nonparametric drift gate (did this source's
+    price/latency/score distribution change between cohorts?), with no
+    binning choices to argue about.
+
+    Exact integer form: values must already be fixed-point; the sup of
+    |F_a − F_b| over step ECDFs is attained at a sample point, so the
+    gate scans distinct values once and maximizes
+    ``d = |cum_a·n_b − cum_b·n_a|`` (the ECDF difference cleared of
+    both denominators). ``ks_ppm = (1e6·d) div (n_a·n_b)`` rides
+    DECIMAL(38,0)/HUGEINT; d itself is BIGINT-safe while
+    ``n_a·n_b < 2^63`` (~3e9 rows per side per key — beyond that,
+    pre-aggregate or sample, and document the sample). ``at_value`` is
+    the SMALLEST value attaining the max (deterministic argmax). Keys
+    missing either group emit nothing (KS is undefined).
+
+    Shape: one hash aggregate to per-(key, value) conditional counts,
+    then cumulative/total windows and the argmax ranking over ONE key
+    partitioning — per-key serial cost is the key's distinct-value
+    count, the standing window-skew story (same bound as
+    weighted_median / equidepth_histogram).
+
+    Returns (key, n_a, n_b, d_scaled, ks_ppm, at_value) sorted by key.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(group_col).alias("__g"),
+    ).filter(F.col("__v").isNotNull())
+    counts = base.groupBy("key", "__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("__cb"),
+    )
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("key")
+    marked = counts.select(
+        "key",
+        "__v",
+        F.sum("__ca").over(w_cum).alias("__cuma"),
+        F.sum("__cb").over(w_cum).alias("__cumb"),
+        F.sum("__ca").over(w_all).alias("n_a"),
+        F.sum("__cb").over(w_all).alias("n_b"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    scored = marked.withColumn(
+        "d_scaled",
+        F.abs(
+            F.col("__cuma") * F.col("n_b") - F.col("__cumb") * F.col("n_a")
+        ),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(
+                F.col("d_scaled").desc(), F.col("__v").asc()
+            )
+        ),
+    )
+    return (
+        scored.filter(F.col("__rn") == 1)
+        .select(
+            "key",
+            "n_a",
+            "n_b",
+            "d_scaled",
+            F.expr(
+                "cast((cast(d_scaled as decimal(38,0)) * 1000000)"
+                " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("ks_ppm"),
+            F.col("__v").alias("at_value"),
+        )
+        .orderBy("key")
+    )

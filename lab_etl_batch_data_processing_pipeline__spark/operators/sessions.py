@@ -548,3 +548,51 @@ def first_seen_rate(
         .withColumn("new_ppm", F.expr("(1000000 * n_new) div n_active"))
         .orderBy("day")
     )
+
+
+def session_depth_hist(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str | Column,
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Session-depth distribution: how many sessions contain exactly 1,
+    2, ..., ``max_depth``+ events, with each depth's share in
+    truncating ppm — depth-1 share IS the bounce rate, the first number
+    any engagement review asks for.
+
+    Exact: sessions come from :func:`sessionize`'s gap rule (a total
+    order via ``tiebreak_col`` keeps the assignment engine-stable,
+    though depth COUNTS are tie-order-invariant anyway — moving an
+    event between two orders of equal timestamps never changes per-
+    session counts, only which session id holds them); depths clamp to
+    ``max_depth`` ("10+"), shares are ``(1e6 · n) div total``.
+
+    Shape: one user-keyed shuffle (the session windows), one per-
+    session aggregate on (user, session) sharing that partitioning,
+    one depth-sized hash aggregate; the share window runs over the
+    ≤ ``max_depth``-row result frame.
+
+    Returns (depth, n_sessions, share_ppm) sorted by depth.
+    """
+    stats = session_stats(
+        events, user_col, ts_col, gap_minutes, tiebreak_col
+    )
+    depths = (
+        stats.select(
+            F.least(F.col("n_events"), F.lit(max_depth)).alias("depth")
+        )
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        depths.withColumn("__total", F.sum("n_sessions").over(w_all))
+        .withColumn(
+            "share_ppm", F.expr("(1000000 * n_sessions) div __total")
+        )
+        .drop("__total")
+        .orderBy("depth")
+    )

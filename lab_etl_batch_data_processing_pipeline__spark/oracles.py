@@ -3256,6 +3256,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS sum_v
             FROM r GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        # KS twin: same per-(key, value) conditional counts, cumulative
+        # windows, |cum_a*n_b - cum_b*n_a| maximized with the
+        # smallest-value argmax; keys missing either cohort drop out.
+        "price_ks_drift": """
+            WITH b AS (
+              SELECT l_returnflag AS key, l_linestatus AS g,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS v
+              FROM lineitem
+            ), c AS (
+              SELECT key, v,
+                     SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS ca,
+                     SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS cb
+              FROM b GROUP BY 1, 2
+            ), m AS (
+              SELECT key, v,
+                     SUM(ca) OVER (PARTITION BY key ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cuma,
+                     SUM(cb) OVER (PARTITION BY key ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cumb,
+                     SUM(ca) OVER (PARTITION BY key) AS n_a,
+                     SUM(cb) OVER (PARTITION BY key) AS n_b
+              FROM c
+            ), s AS (
+              SELECT key, v, n_a, n_b,
+                     ABS(cuma * n_b - cumb * n_a) AS d_scaled
+              FROM m WHERE n_a > 0 AND n_b > 0
+            ), r AS (
+              SELECT key, n_a, n_b, d_scaled, v,
+                     ROW_NUMBER() OVER (PARTITION BY key
+                                        ORDER BY d_scaled DESC, v) AS rn
+              FROM s
+            )
+            SELECT key AS l_returnflag,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(d_scaled AS BIGINT) AS d_scaled,
+                   CAST((CAST(d_scaled AS HUGEINT) * 1000000)
+                        // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS ks_ppm,
+                   v AS at_value
+            FROM r WHERE rn = 1 ORDER BY 1
+        """,
+        # Session-depth twin: the sessionization CTEs (whole-second +
+        # event_id order, 12h gap), depths clamped at 10, ppm shares.
+        "session_depth": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, sec,
+                     CASE WHEN LAG(sec) OVER w IS NULL
+                               OR sec - LAG(sec) OVER w > 43200
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            ), per AS (
+              SELECT user_id, session_seq, COUNT(*) AS n_events
+              FROM sess GROUP BY 1, 2
+            ), d AS (
+              SELECT LEAST(n_events, 10) AS depth,
+                     CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM per GROUP BY 1
+            )
+            SELECT CAST(depth AS BIGINT) AS depth, n_sessions,
+                   CAST((1000000 * n_sessions)
+                        // SUM(n_sessions) OVER () AS BIGINT) AS share_ppm
+            FROM d ORDER BY 1
+        """,
+        # Incremental-ingest twin: the parity split IS the batch
+        # assignment — a re-read or skip in ingest 2 mismatches.
+        "supplier_incremental_ingest": """
+            SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+                   CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END
+                     AS ingest_batch
+            FROM supplier ORDER BY s_suppkey
+        """,
         # ann_cosine_lsh / ann_cosine_ivf remain rows-only here: their
         # bucketing is approximate by design, so their quality gate is the
         # recall-vs-bruteforce invariant queries (ann_lsh_recall /

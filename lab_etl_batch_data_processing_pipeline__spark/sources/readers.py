@@ -292,3 +292,84 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_incremental(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_path: str,
+    schema: "T.StructType | None" = None,
+    fmt: str = "parquet",
+    glob_pattern: str = "*.parquet",
+) -> "tuple[DataFrame, list[str]]":
+    """Manifest-based incremental batch ingest: read only the files in
+    ``data_dir`` not yet recorded in the manifest — the batch twin of
+    the file-source stream (readStream tracks seen files in its
+    checkpoint; THIS makes the same exactly-once-per-file contract
+    available to plain batch jobs: scheduled loads, backfills,
+    re-runnable crons).
+
+    Returns ``(df, new_files)`` — the DataFrame over the NEW files only
+    (empty-but-schema'd when nothing is new, which is why ``schema`` is
+    required for the empty case) and their sorted relative names. The
+    caller processes df, then calls :func:`commit_manifest` with
+    ``new_files`` AFTER its sink write succeeds — commit-after-write is
+    what makes a crashed run re-ingest rather than silently skip
+    (at-least-once across the crash, exactly-once per completed run).
+
+    Scale notes: the manifest is file-NAME-sized (metadata scale — a
+    100 TB lake is millions of names, fine as a text file or a table);
+    listing is one driver-side glob, the same metadata pass any file
+    source performs. Files must be immutable once landed (the universal
+    lake contract — appends go in NEW files).
+    """
+    import glob as _glob
+    import os
+
+    seen: set[str] = set()
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as fh:
+            seen = {line.strip() for line in fh if line.strip()}
+    all_files = sorted(
+        os.path.relpath(p, data_dir)
+        for p in _glob.glob(os.path.join(data_dir, "**", glob_pattern),
+                            recursive=True)
+        if os.path.isfile(p)
+    )
+    new_files = [f for f in all_files if f not in seen]
+    if not new_files:
+        if schema is None:
+            raise ValueError(
+                "read_incremental: no new files and no schema to build "
+                "an empty frame from"
+            )
+        return spark.createDataFrame([], schema), []
+    paths = [os.path.join(data_dir, f) for f in new_files]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(paths)
+    return df, new_files
+
+
+def commit_manifest(manifest_path: str, new_files: "Sequence[str]") -> None:
+    """Append ``new_files`` to the ingest manifest ATOMICALLY (write a
+    merged temp file, fsync, rename) — a crash mid-commit leaves the old
+    manifest intact, so the files re-ingest next run (at-least-once)
+    rather than vanish (never silently-skipped)."""
+    import os
+    import tempfile
+
+    seen: list[str] = []
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as fh:
+            seen = [line.strip() for line in fh if line.strip()]
+    merged = sorted(set(seen) | set(new_files))
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(manifest_path) or ".", suffix=".manifest.tmp"
+    )
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(merged) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, manifest_path)

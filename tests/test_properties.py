@@ -602,3 +602,133 @@ def test_mad_outliers_matches_python_reference(spark, vals):
         mad = lower_median(devs)
         n_out = sum(1 for d in devs if d > 3 * mad)
         assert got[k] == (len(xs), med, mad, n_out)
+
+
+# ---------------------------------------------------------------- wave 6-8
+
+
+balance_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=25
+)
+
+
+@given(deltas=balance_strategy)
+@settings(**SETTINGS)
+def test_floored_balance_matches_python_loop(spark, deltas):
+    """The closed form prefix - min(0, running-min prefix) must equal
+    the stateful loop max(0, bal + d) on ANY delta sequence."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    df = spark.createDataFrame(
+        [("u", i, d) for i, d in enumerate(deltas)], ["g", "t", "d"]
+    )
+    got = [
+        r.balance
+        for r in windows.floored_running_balance(df, "g", "t", "d").collect()
+    ]
+    bal, want = 0, []
+    for d in deltas:
+        bal = max(0, bal + d)
+        want.append(bal)
+    assert got == want
+
+
+attribution_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user
+        st.integers(min_value=0, max_value=120),        # minutes offset
+        st.sampled_from(["view", "click", "purchase"]), # type
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=attribution_strategy)
+@settings(**SETTINGS)
+def test_attribution_conserves_ppm_per_conversion(spark, rows):
+    """Total credit must equal exactly 1e6 x (conversions with >= 1
+    in-window touch), for ANY event shape (the largest-remainder
+    conservation law)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(minutes=m), t, i)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["u", "ts", "et", "id"])
+    out = sessions.multi_touch_attribution(
+        df, "u", "ts", "et", "id", "purchase", lookback_hours=1
+    ).collect()
+    total_credit = sum(r.credit_ppm for r in out)
+    # python reference: count conversions with >= 1 strict-window touch
+    convs = [(u, ts, i) for (u, ts, t, i) in data if t == "purchase"]
+    touches = [(u, ts) for (u, ts, t, i) in data if t != "purchase"]
+    lo = dt.timedelta(hours=1)
+    n_credited = sum(
+        1
+        for (u, cts, _) in convs
+        if any(tu == u and cts - lo <= tts < cts for (tu, tts) in touches)
+    )
+    assert total_credit == 1_000_000 * n_credited
+
+
+ks_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@given(rows=ks_strategy)
+@settings(**SETTINGS)
+def test_ks_gate_matches_bruteforce_ecdf(spark, rows):
+    """d_scaled must equal the brute-force max over sample points of
+    |cum_a * n_b - cum_b * n_a| for ANY two samples."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [("k", g, v) for g, v in rows], ["g", "grp", "v"]
+    )
+    out = profiling.ks_gate(df, "g", "grp", "v", "A", "B").collect()
+    a = sorted(v for g, v in rows if g == "A")
+    b = sorted(v for g, v in rows if g == "B")
+    if not a or not b:
+        assert out == []
+        return
+    pts = sorted(set(a) | set(b))
+    want = max(
+        abs(
+            sum(1 for x in a if x <= p) * len(b)
+            - sum(1 for x in b if x <= p) * len(a)
+        )
+        for p in pts
+    )
+    assert len(out) == 1 and out[0].d_scaled == want
+
+
+equidepth_strategy = st.lists(
+    st.integers(min_value=-100, max_value=100), min_size=1, max_size=40
+)
+
+
+@given(vals=equidepth_strategy)
+@settings(**SETTINGS)
+def test_equidepth_partitions_everything_exactly_once(spark, vals):
+    """Bucket counts must sum to n, bucket sums to the total, bucket
+    ranges must not overlap (min of bucket i+1 >= max of bucket i)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    df = spark.createDataFrame([("k", v) for v in vals], ["g", "v"])
+    out = sorted(
+        profiling.equidepth_histogram(df, "g", "v", k=4).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_rows for r in out) == len(vals)
+    assert sum(r.sum_v for r in out) == sum(vals)
+    for lo_r, hi_r in zip(out, out[1:]):
+        assert hi_r.min_v >= lo_r.max_v

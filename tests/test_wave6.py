@@ -289,3 +289,109 @@ def test_equidepth_buckets_are_near_equal_and_exact(spark):
         (2, 3, 6, 8, 21),
         (3, 2, 9, 10, 19),
     ]
+
+
+# ---------------------------------------------------------------- KS gate
+
+
+def test_ks_gate_exact_distance(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 (F_a=1/2, F_b=0)
+    # d_scaled = |2*4 - 0*4| = 8, ks = 0.5
+    rows = [("k", "A", v) for v in [1, 2, 3, 4]] + [
+        ("k", "B", v) for v in [3, 4, 5, 6]
+    ]
+    df = spark.createDataFrame(rows, ["g", "grp", "v"])
+    out = profiling.ks_gate(df, "g", "grp", "v", "A", "B").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b, r.d_scaled, r.ks_ppm, r.at_value) == (
+        4, 4, 8, 500_000, 2,
+    )
+
+
+def test_ks_gate_identical_distributions_zero(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    rows = [("k", g, v) for g in ["A", "B"] for v in [1, 2, 3]]
+    df = spark.createDataFrame(rows, ["g", "grp", "v"])
+    r = profiling.ks_gate(df, "g", "grp", "v", "A", "B").collect()[0]
+    assert (r.d_scaled, r.ks_ppm) == (0, 0)
+    assert r.at_value == 1  # smallest value wins the all-zero argmax
+
+
+def test_ks_gate_missing_cohort_emits_nothing(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    rows = [("k", "A", v) for v in [1, 2, 3]]
+    df = spark.createDataFrame(rows, ["g", "grp", "v"])
+    assert profiling.ks_gate(df, "g", "grp", "v", "A", "B").count() == 0
+
+
+# ------------------------------------------------------- session depth
+
+
+def test_session_depth_hist_counts_and_bounce(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions
+
+    base = 1_700_000_000
+    rows = [
+        # u1: one 3-event session
+        (1, base, 1), (1, base + 60, 2), (1, base + 120, 3),
+        # u2: two 1-event sessions (gap > 30 min)
+        (2, base, 4), (2, base + 7200, 5),
+        # u3: one 1-event session
+        (3, base, 6),
+    ]
+    df = spark.createDataFrame(rows, ["u", "sec", "id"]).select(
+        "u", F.col("sec").cast("timestamp").alias("ts"), "id"
+    )
+    out = {
+        r.depth: (r.n_sessions, r.share_ppm)
+        for r in sessions.session_depth_hist(
+            df, "u", "ts", gap_minutes=30, tiebreak_col="id", max_depth=10
+        ).collect()
+    }
+    assert out == {1: (3, 750_000), 3: (1, 250_000)}
+
+
+# ------------------------------------------------- incremental ingest
+
+
+def test_read_incremental_and_manifest(spark, tmp_path):
+    from lab_etl_batch_data_processing_pipeline__spark.sources.readers import (
+        commit_manifest,
+        read_incremental,
+    )
+
+    data = tmp_path / "landing"
+    data.mkdir()
+    manifest = str(tmp_path / "m.txt")
+    df_a = spark.range(5).selectExpr("id", "id * 2 AS v")
+    df_a.write.parquet(str(data / "b1"))
+    got1, new1 = read_incremental(
+        spark, str(data), manifest, schema=df_a.schema
+    )
+    assert got1.count() == 5 and len(new1) >= 1
+    commit_manifest(manifest, new1)
+    # nothing new -> empty frame, same schema
+    got_none, new_none = read_incremental(
+        spark, str(data), manifest, schema=df_a.schema
+    )
+    assert got_none.count() == 0 and new_none == []
+    # second batch lands -> only its rows return
+    spark.range(5, 8).selectExpr("id", "id * 2 AS v").write.parquet(
+        str(data / "b2")
+    )
+    got2, new2 = read_incremental(
+        spark, str(data), manifest, schema=df_a.schema
+    )
+    assert sorted(r.id for r in got2.collect()) == [5, 6, 7]
+    commit_manifest(manifest, new2)
+    # commit is idempotent / crash-safe: recommitting changes nothing
+    commit_manifest(manifest, new2)
+    got3, new3 = read_incremental(
+        spark, str(data), manifest, schema=df_a.schema
+    )
+    assert new3 == []
