@@ -482,3 +482,74 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def reconcile_totals(
+    fact: DataFrame,
+    lines: DataFrame,
+    key_col: str,
+    fact_total_col: str,
+    line_amount_col: str,
+    group_col: str | None = None,
+    line_key_col: str | None = None,
+) -> DataFrame:
+    """Cross-table reconciliation gate: does each fact row's stored
+    total equal the sum of its detail lines? — the finance-closing /
+    double-entry audit every warehouse runs between a header table and
+    its line table, reported as exact mismatch mass instead of a
+    row-by-row dump.
+
+    Exact: both sides must already be DECIMAL (the pricing_summary
+    money rule — cast factors BEFORE multiplying, stay decimal
+    end-to-end); the difference is computed in decimal and scaled to an
+    integer micro-unit BIGINT (the decimal's own scale makes the
+    product integer-valued, so the cast truncates nothing and both
+    engines agree bit-for-bit). Facts with NO detail lines reconcile
+    against 0 (their full total reports as difference — a missing-lines
+    fact is the worst mismatch, not an exclusion).
+
+    Shape: one key-partitioned aggregate over lines (map-side combine),
+    one key equi-join to facts, one grouped rollup — three exchanges on
+    the natural keys, nothing pair-wise.
+
+    Returns per ``group_col`` value (or one '__all__' row):
+    (group, n_facts, n_exact, n_mismatched, sum_abs_diff_micro).
+    """
+    per_line = lines.groupBy(
+        F.col(line_key_col or key_col).alias("__k")
+    ).agg(F.sum(F.col(line_amount_col)).alias("__line_total"))
+    g = (
+        F.col(group_col)
+        if group_col
+        else F.lit("__all__")
+    )
+    joined = fact.select(
+        F.col(key_col).alias("__k"),
+        g.alias("group"),
+        F.col(fact_total_col).alias("__fact_total"),
+    ).join(per_line, "__k", "left")
+    diff = F.coalesce(F.col("__line_total"), F.lit(0)) - F.col(
+        "__fact_total"
+    )
+    marked = joined.select(
+        "group",
+        (diff * 1_000_000).cast("decimal(38,0)").cast("long").alias(
+            "__diff_micro"
+        ),
+    )
+    return (
+        marked.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.sum(
+                F.when(F.col("__diff_micro") == 0, 1).otherwise(0)
+            ).alias("n_exact"),
+            F.sum(
+                F.when(F.col("__diff_micro") != 0, 1).otherwise(0)
+            ).alias("n_mismatched"),
+            F.sum(F.abs(F.col("__diff_micro"))).alias(
+                "sum_abs_diff_micro"
+            ),
+        )
+        .orderBy("group")
+    )

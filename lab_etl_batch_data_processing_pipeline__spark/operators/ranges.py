@@ -16,7 +16,7 @@ the right side per bucket first and range-join the aggregates; see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKET_COL = "_bucket_day"
@@ -54,3 +54,71 @@ def date_range_join(
         right, exploded[BUCKET_COL] == right[right_day_col], how
     )
     return joined.drop(BUCKET_COL)
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key interval-union analysis: merge overlapping/touching
+    [start, end) intervals into islands and report how much of the
+    key's span is actually covered — uptime from heartbeat leases,
+    watch-time from play segments, staffed-time from shifts; the
+    question a plain SUM(duration) answers WRONG whenever intervals
+    overlap (it double-counts).
+
+    Exact: starts/ends must already be integers (seconds/micros — the
+    caller owns the unit); the island sweep is the classic running-max
+    form — an interval starts a new island iff its start exceeds the
+    max end seen so far (touching intervals, start == prev end, MERGE:
+    half-open semantics) — computed with one ordered window; island
+    membership then reduces per (key, island) and per key with integer
+    sums. Zero-length and inverted intervals (end <= start) are
+    dropped.
+
+    Shape: one shuffle on key; the running-max window, the island
+    running-sum and the final aggregates all share that partitioning —
+    per-key serial cost is the key's interval count (the standing
+    window-skew story).
+
+    Returns (key, n_intervals, n_islands, covered, span, gap_total)
+    sorted by key — ``covered`` is the union length, ``span`` is
+    max end − min start, ``gap_total = span − covered``.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    ).filter(F.col("__e") > F.col("__s"))
+    order = [F.col("__s").asc(), F.col("__e").asc()]
+    w_prev = (
+        Window.partitionBy("key").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("key").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("__e").over(w_prev)
+    flagged = base.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(w_run))
+    islands = flagged.groupBy("key", "__island").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+    )
+    return (
+        islands.groupBy("key")
+        .agg(
+            F.sum("__n").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("__ie") - F.col("__is")).alias("covered"),
+            (F.max("__ie") - F.min("__is")).alias("span"),
+        )
+        .withColumn("gap_total", F.col("span") - F.col("covered"))
+        .orderBy("key")
+    )

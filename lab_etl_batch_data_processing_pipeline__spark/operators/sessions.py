@@ -596,3 +596,58 @@ def session_depth_hist(
         .drop("__total")
         .orderBy("depth")
     )
+
+
+def event_streaks(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Run-length (streak) analysis: collapse each user's consecutive
+    same-type events into runs and report, per event type, how many
+    runs exist, the LONGEST run, and the total events — "what's the
+    longest error burst / purchase streak", the consecutiveness
+    question transitions and funnels don't answer.
+
+    Exact: runs come from one LAG + running-sum island pass over the
+    (ts, tiebreak) total order per user — the sessionize/SCD2 island
+    idiom, keyed on type-change instead of time-gap. Ties in ts without
+    a tiebreak would make run BOUNDARIES order-dependent, so pass one
+    whenever timestamps can collide (the registry row uses event_id).
+
+    Shape: one shuffle on user (both windows share it), one hash
+    aggregate per (user, run), one alphabet-sized rollup.
+
+    Returns (event_type, n_events, n_runs, max_run_len) sorted by
+    event_type.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    w_run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag(F.col(type_col)).over(w)
+    flagged = events.withColumn(
+        "__new",
+        F.when(
+            prev.isNull() | (F.col(type_col) != prev), 1
+        ).otherwise(0),
+    ).withColumn("__run", F.sum("__new").over(w_run))
+    runs = flagged.groupBy(
+        F.col(user_col).alias("__u"),
+        F.col("__run"),
+        F.col(type_col).alias("event_type"),
+    ).agg(F.count(F.lit(1)).alias("__len"))
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.sum("__len").alias("n_events"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("__len").alias("max_run_len"),
+        )
+        .orderBy("event_type")
+    )

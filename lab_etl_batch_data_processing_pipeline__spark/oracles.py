@@ -3338,6 +3338,99 @@ def oracle_sql() -> dict[str, str]:
                      AS ingest_batch
             FROM supplier ORDER BY s_suppkey
         """,
+        # Reconcile twin: decimal end-to-end line charges, LEFT join so
+        # line-less orders report their full total as mismatch mass,
+        # micro-unit integer diffs (the decimal is integer-valued at
+        # that scale, so the cast loses nothing on either engine).
+        "orders_reconcile": """
+            WITH lt AS (
+              SELECT l_orderkey AS k,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                         * (1.00 + CAST(l_tax AS DECIMAL(4,2))))
+                       AS line_total
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT o.o_orderstatus AS grp,
+                     CAST((COALESCE(lt.line_total, 0)
+                           - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                          * 1000000 AS HUGEINT) AS dm
+              FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.k
+            )
+            SELECT grp AS o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_facts,
+                   CAST(SUM(CASE WHEN dm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_exact,
+                   CAST(SUM(CASE WHEN dm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_mismatched,
+                   CAST(SUM(ABS(dm)) AS BIGINT) AS sum_abs_diff_micro
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # Coverage twin: the same running-max island sweep over
+        # half-open 30-min leases, whole seconds.
+        "user_activity_coverage": """
+            WITH b AS (
+              SELECT user_id AS key,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 1800 AS e
+              FROM events
+            ), f AS (
+              SELECT key, s, e,
+                     CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                          THEN 1 ELSE 0 END AS nw
+              FROM b
+              WINDOW w AS (PARTITION BY key ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+            ), isl AS (
+              SELECT key, s, e,
+                     SUM(nw) OVER (PARTITION BY key ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+              FROM f
+            ), per AS (
+              SELECT key, island, COUNT(*) AS n,
+                     MIN(s) AS iss, MAX(e) AS ie
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT key AS user_id,
+                   CAST(SUM(n) AS BIGINT) AS n_intervals,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(ie - iss) AS BIGINT) AS covered,
+                   CAST(MAX(ie) - MIN(iss) AS BIGINT) AS span,
+                   CAST(MAX(ie) - MIN(iss) - SUM(ie - iss) AS BIGINT)
+                     AS gap_total
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
+        # Streak twin: LAG islands on the (micros, event_id) total
+        # order, per-(user, run) lengths, alphabet-sized rollup.
+        "event_streaks": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+              FROM events
+            ), f AS (
+              SELECT user_id, event_type, ts_us, event_id,
+                     CASE WHEN LAG(event_type) OVER w IS NULL
+                               OR event_type <> LAG(event_type) OVER w
+                          THEN 1 ELSE 0 END AS nw
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), r AS (
+              SELECT user_id, event_type,
+                     SUM(nw) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+              FROM f
+            ), per AS (
+              SELECT user_id, run, event_type, COUNT(*) AS len
+              FROM r GROUP BY 1, 2, 3
+            )
+            SELECT event_type,
+                   CAST(SUM(len) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(len) AS BIGINT) AS max_run_len
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
         # ann_cosine_lsh / ann_cosine_ivf remain rows-only here: their
         # bucketing is approximate by design, so their quality gate is the
         # recall-vs-bruteforce invariant queries (ann_lsh_recall /

@@ -3426,6 +3426,71 @@ def q_supplier_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     return batch1.unionByName(batch2).orderBy("s_suppkey")
 
 
+def q_orders_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation gate (cleaning.reconcile_totals): per
+    order status, does o_totalprice equal the sum of the order's line
+    charges p*(1-disc)*(1+tax)? Exact decimal end-to-end (the
+    pricing_summary money rule: cast factors BEFORE multiplying), the
+    difference scaled to integer micro-units — the cast truncates
+    nothing because the decimal's own scale makes it integer-valued.
+    Orders with no lines reconcile against 0 (full total = mismatch
+    mass, not an exclusion). The synthetic generator does NOT maintain
+    this invariant, so the gate reports real mismatch mass — which is
+    exactly what makes the hash check meaningful."""
+    one = F.lit(1.0).cast("decimal(3,2)")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (one - F.col("l_discount").cast("decimal(4,2)"))
+            * (one + F.col("l_tax").cast("decimal(4,2)"))
+        ).alias("charge"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+    )
+    return cleaning.reconcile_totals(
+        orders, li, "o_orderkey", "total", "charge",
+        group_col="o_orderstatus", line_key_col="l_orderkey",
+    ).withColumnRenamed("group", "o_orderstatus")
+
+
+def q_user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user (ranges.interval_coverage):
+    each event opens a half-open 30-minute activity lease; overlapping
+    leases merge (a plain SUM(duration) double-counts), islands and
+    gaps report exactly. Whole-second integer sweep — one running-max
+    window marks island starts (touching intervals merge: half-open
+    semantics)."""
+    ev = _events_ts(spark, sf_dir)
+    s = F.col("ts_utc").cast("long")
+    base = ev.select(
+        "user_id", s.alias("s"), (s + 1800).alias("e")
+    )
+    return ranges.interval_coverage(
+        base, "user_id", "s", "e"
+    ).withColumnRenamed("key", "user_id")
+
+
+def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length streak analysis (sessions.event_streaks): per event
+    type, total events, number of consecutive-run islands, and the
+    longest run — the consecutiveness question (longest error burst)
+    transitions don't answer. LAG + running-sum islands on the
+    (micros, event_id) total order."""
+    ev = _events_ts(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts_utc").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return sessions.event_streaks(
+        ev, "user_id", "ts_us", "event_type", tiebreak_col="event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 keys (observed every round since r1), so keys
@@ -3531,14 +3596,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver round — the documented half-step of the >=2 rule, first in
     line to rotate back).
 
-    Seventh/eighth wave (same session; registry 157 → 164): seven more
-    oracle-backed rows born AFTER the window filled — seasonal-naive
-    backtest, level shift, floored running balance, equi-depth
-    histogram, exact two-sample KS drift, session-depth distribution,
-    and the manifest-based incremental-ingest round-trip. All sit at
-    the tail head with computed spot parity (the parametrize list is
-    now DERIVED from TAIL_KEYS ∩ oracles — a hand-kept list was caught
-    drifting) and are first in line for the r10 window.
+    Seventh-to-ninth wave (same session; registry 157 → 167): ten
+    more oracle-backed rows born AFTER the window filled —
+    seasonal-naive backtest, level shift, floored running balance,
+    equi-depth histogram, exact two-sample KS drift, session-depth
+    distribution, the manifest-based incremental-ingest round-trip,
+    cross-table total reconciliation, interval-union coverage, and
+    run-length streaks. All sit at the tail head with computed spot
+    parity (the parametrize list is DERIVED from TAIL_KEYS ∩ oracles —
+    a hand-kept list was caught drifting) and are first in line for
+    the r10 window.
     """
     return {
         "dup_span_report": q_dup_span_report,
@@ -3603,6 +3670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_ks_drift": q_price_ks_drift,
         "session_depth": q_session_depth,
         "supplier_incremental_ingest": q_supplier_incremental_ingest,
+        "orders_reconcile": q_orders_reconcile,
+        "user_activity_coverage": q_user_activity_coverage,
+        "event_streaks": q_event_streaks,
         # rotated out for the sixth wave (attribution, first-seen,
         # FD check, chi-square, winsorized stats, skyline): the five
         # ANN recall gates (driver-green r7+r8, unchanged this round —

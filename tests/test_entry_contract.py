@@ -53,6 +53,9 @@ TAIL_KEYS = {
     "price_ks_drift": "test_spot_oracle_parity (r9-born, r10 window next)",
     "session_depth": "test_spot_oracle_parity (r9-born, r10 window next)",
     "supplier_incremental_ingest": "test_spot_oracle_parity (r9-born, r10 window next)",
+    "orders_reconcile": "test_spot_oracle_parity (r9-born, r10 window next)",
+    "user_activity_coverage": "test_spot_oracle_parity (r9-born, r10 window next)",
+    "event_streaks": "test_spot_oracle_parity (r9-born, r10 window next)",
     # rotated out for the sixth wave (r7+r8 driver-green recall gates
     # + heavy_hitters_gate r8-green; all oracle-bearing, so
     # test_spot_oracle_parity keeps running real value parity):

@@ -395,3 +395,72 @@ def test_read_incremental_and_manifest(spark, tmp_path):
         spark, str(data), manifest, schema=df_a.schema
     )
     assert new3 == []
+
+
+# -------------------------------------------------------- reconciliation
+
+
+def test_reconcile_totals_exact_and_mismatch(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import cleaning
+
+    fact = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 50), (3, "B", 10)],
+        ["k", "g", "total"],
+    ).select("k", "g", F.col("total").cast("decimal(18,2)").alias("total"))
+    lines = spark.createDataFrame(
+        # k=1 reconciles (60+40), k=2 short by 5, k=3 has NO lines
+        [(1, 60), (1, 40), (2, 45)],
+        ["lk", "amt"],
+    ).select("lk", F.col("amt").cast("decimal(18,2)").alias("amt"))
+    out = {
+        r.group: (r.n_facts, r.n_exact, r.n_mismatched, r.sum_abs_diff_micro)
+        for r in cleaning.reconcile_totals(
+            fact, lines, "k", "total", "amt",
+            group_col="g", line_key_col="lk",
+        ).collect()
+    }
+    assert out["A"] == (2, 1, 1, 5_000_000)       # k=2 off by 5.00
+    assert out["B"] == (1, 0, 1, 10_000_000)      # line-less = full total
+
+
+# ----------------------------------------------------- interval coverage
+
+
+def test_interval_coverage_merges_and_gaps(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import ranges
+
+    rows = [
+        # [0,10) + [5,15) merge -> [0,15); [15,20) TOUCHES -> merges too
+        ("k", 0, 10), ("k", 5, 15), ("k", 15, 20),
+        # gap, then [30,40)
+        ("k", 30, 40),
+        # inverted interval dropped
+        ("k", 50, 50),
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    out = ranges.interval_coverage(df, "g", "s", "e").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_intervals, r.n_islands, r.covered, r.span, r.gap_total) == (
+        4, 2, 30, 40, 10,
+    )
+
+
+# -------------------------------------------------------------- streaks
+
+
+def test_event_streaks_runs_and_max(spark):
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions
+
+    rows = [
+        (1, 1, 1, "a"), (1, 2, 2, "a"), (1, 3, 3, "b"), (1, 4, 4, "a"),
+        (2, 1, 5, "a"), (2, 2, 6, "a"), (2, 3, 7, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "t", "id", "et"])
+    out = {
+        r.event_type: (r.n_events, r.n_runs, r.max_run_len)
+        for r in sessions.event_streaks(df, "u", "t", "et", "id").collect()
+    }
+    # a: u1 runs [a,a],[a]; u2 run [a,a,a] -> 6 events, 3 runs, max 3
+    assert out["a"] == (6, 3, 3)
+    assert out["b"] == (1, 1, 1)
