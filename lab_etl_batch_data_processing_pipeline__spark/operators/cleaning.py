@@ -499,14 +499,22 @@ def reconcile_totals(
     its line table, reported as exact mismatch mass instead of a
     row-by-row dump.
 
-    Exact: both sides must already be DECIMAL (the pricing_summary
-    money rule — cast factors BEFORE multiplying, stay decimal
-    end-to-end); the difference is computed in decimal and scaled to an
-    integer micro-unit BIGINT (the decimal's own scale makes the
-    product integer-valued, so the cast truncates nothing and both
-    engines agree bit-for-bit). Facts with NO detail lines reconcile
-    against 0 (their full total reports as difference — a missing-lines
-    fact is the worst mismatch, not an exclusion).
+    Exact: both sides must already be DECIMAL with scale <= 6 (the
+    pricing_summary money rule — cast factors BEFORE multiplying, stay
+    decimal end-to-end; VALIDATED, because at scale > 6 the micro-unit
+    cast would round sub-micro differences away and report mismatched
+    facts as exact); the difference is computed in decimal and scaled
+    to an integer micro-unit BIGINT (at scale <= 6 the product is
+    integer-valued, so the cast truncates nothing and both engines
+    agree bit-for-bit). Facts with NO detail lines reconcile against 0
+    (their full total reports as difference — a missing-lines fact is
+    the worst mismatch, not an exclusion). FAIL-CLOSED: a fact whose
+    difference cannot be evaluated (NULL stored total, decimal
+    overflow nulling the diff) counts as MISMATCHED — n_mismatched is
+    derived as n_facts - n_exact, so the invariant
+    n_exact + n_mismatched == n_facts always holds; unevaluable facts'
+    unknown diff mass is excluded from sum_abs_diff_micro (documented
+    under-count, never a false pass).
 
     Shape: one key-partitioned aggregate over lines (map-side combine),
     one key equi-join to facts, one grouped rollup — three exchanges on
@@ -515,6 +523,19 @@ def reconcile_totals(
     Returns per ``group_col`` value (or one '__all__' row):
     (group, n_facts, n_exact, n_mismatched, sum_abs_diff_micro).
     """
+    from pyspark.sql import types as _T
+
+    for frame, col, side in (
+        (fact, fact_total_col, "fact_total_col"),
+        (lines, line_amount_col, "line_amount_col"),
+    ):
+        dt = frame.schema[col].dataType
+        if not isinstance(dt, _T.DecimalType) or dt.scale > 6:
+            raise ValueError(
+                f"reconcile_totals: {side} must be DECIMAL with scale "
+                f"<= 6 (got {dt.simpleString()}) — cast money columns "
+                "per the pricing_summary rule first"
+            )
     per_line = lines.groupBy(
         F.col(line_key_col or key_col).alias("__k")
     ).agg(F.sum(F.col(line_amount_col)).alias("__line_total"))
@@ -541,15 +562,21 @@ def reconcile_totals(
         marked.groupBy("group")
         .agg(
             F.count(F.lit(1)).alias("n_facts"),
+            # NULL diff falls to otherwise(0): unevaluable is NOT exact
             F.sum(
                 F.when(F.col("__diff_micro") == 0, 1).otherwise(0)
             ).alias("n_exact"),
-            F.sum(
-                F.when(F.col("__diff_micro") != 0, 1).otherwise(0)
-            ).alias("n_mismatched"),
             F.sum(F.abs(F.col("__diff_micro"))).alias(
                 "sum_abs_diff_micro"
             ),
+        )
+        # derived, not a second predicate: fail-closed by construction
+        .withColumn(
+            "n_mismatched", F.col("n_facts") - F.col("n_exact")
+        )
+        .select(
+            "group", "n_facts", "n_exact", "n_mismatched",
+            "sum_abs_diff_micro",
         )
         .orderBy("group")
     )

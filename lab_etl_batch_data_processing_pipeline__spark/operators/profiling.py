@@ -751,7 +751,14 @@ def ks_gate(
         F.col(key_col).alias("key"),
         F.col(value_col).cast("long").alias("__v"),
         F.col(group_col).alias("__g"),
-    ).filter(F.col("__v").isNotNull())
+    ).filter(
+        F.col("__v").isNotNull()
+        # rows outside the two cohorts (third groups, NULL group) must
+        # not enter the distinct-value scan: they would add zero-count
+        # values that can win the argmax and report an at_value present
+        # in NEITHER sample
+        & F.col("__g").isin(group_a, group_b)
+    )
     counts = base.groupBy("key", "__v").agg(
         F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("__cb"),

@@ -97,15 +97,22 @@ def interval_coverage(
         Window.partitionBy("key").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_run = (
-        Window.partitionBy("key").orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        island_ids,
     )
+
     prev_max = F.max("__e").over(w_prev)
-    flagged = base.withColumn(
+    flagged = island_ids(
+        base.withColumn(
+            "__new",
+            F.when(
+                prev_max.isNull() | (F.col("__s") > prev_max), 1
+            ).otherwise(0),
+        ),
+        "key",
+        order,
         "__new",
-        F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0),
-    ).withColumn("__island", F.sum("__new").over(w_run))
+    )
     islands = flagged.groupBy("key", "__island").agg(
         F.count(F.lit(1)).alias("__n"),
         F.min("__s").alias("__is"),

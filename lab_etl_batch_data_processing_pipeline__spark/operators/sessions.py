@@ -626,17 +626,24 @@ def event_streaks(
     order = [F.col(ts_col).asc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
-    w = Window.partitionBy(user_col).orderBy(*order)
-    w_run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        island_ids,
     )
+
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(F.col(type_col)).over(w)
-    flagged = events.withColumn(
+    flagged = island_ids(
+        events.withColumn(
+            "__new",
+            F.when(
+                prev.isNull() | (F.col(type_col) != prev), 1
+            ).otherwise(0),
+        ),
+        user_col,
+        order,
         "__new",
-        F.when(
-            prev.isNull() | (F.col(type_col) != prev), 1
-        ).otherwise(0),
-    ).withColumn("__run", F.sum("__new").over(w_run))
+        out_col="__run",
+    )
     runs = flagged.groupBy(
         F.col(user_col).alias("__u"),
         F.col("__run"),

@@ -800,3 +800,26 @@ def floored_running_balance(
         .drop("__prefix", "__low")
         .orderBy("key", "ts", *([tiebreak_col] if tiebreak_col else []))
     )
+
+
+def island_ids(
+    df: DataFrame,
+    partition_col: str,
+    order_cols,
+    new_flag,
+    out_col: str = "__island",
+) -> DataFrame:
+    """Shared island idiom: caller-provided 1/0 new-island flag ->
+    running SUM over the per-key total order = island id. Single-
+    sources the frame bounds (UNBOUNDED PRECEDING .. CURRENT ROW) so
+    every island consumer (interval union, streak runs) agrees on
+    boundary semantics. ``sessionize`` predates this helper and keeps
+    its inline form deliberately — its plan is multi-round
+    driver-green and byte-stability there outweighs deduplication.
+    """
+    w_run = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(new_flag).over(w_run))

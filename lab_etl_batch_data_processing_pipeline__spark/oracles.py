@@ -3265,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                           AS BIGINT) AS v
               FROM lineitem
+              WHERE l_linestatus IN ('O', 'F')
             ), c AS (
               SELECT key, v,
                      SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS ca,

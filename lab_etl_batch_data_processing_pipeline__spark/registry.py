@@ -3377,7 +3377,7 @@ def q_supplier_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     the watched directory)."""
     import tempfile
 
-    from lab_etl_batch_data_processing_pipeline__spark.sources.readers import (
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
         commit_manifest,
         read_incremental,
     )
@@ -3403,26 +3403,29 @@ def q_supplier_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         except OSError:
             shutil.rmtree(tmp_dir, ignore_errors=True)  # lost the race
     stage = tempfile.mkdtemp(prefix="incr_ingest_")
-    manifest = os.path.join(stage, "ingest.manifest")
-    data_dir = os.path.join(stage, "landing")
-    os.makedirs(data_dir)
-    shutil.copytree(
-        os.path.join(fix_dir, "batch1"), os.path.join(data_dir, "batch1")
-    )
-    df1, new1 = read_incremental(
-        spark, data_dir, manifest, schema=sup.schema
-    )
-    batch1 = df1.withColumn("ingest_batch", F.lit(1)).localCheckpoint()
-    commit_manifest(manifest, new1)
-    shutil.copytree(
-        os.path.join(fix_dir, "batch2"), os.path.join(data_dir, "batch2")
-    )
-    df2, new2 = read_incremental(
-        spark, data_dir, manifest, schema=sup.schema
-    )
-    batch2 = df2.withColumn("ingest_batch", F.lit(2)).localCheckpoint()
-    commit_manifest(manifest, new2)
-    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        manifest = os.path.join(stage, "ingest.manifest")
+        data_dir = os.path.join(stage, "landing")
+        os.makedirs(data_dir)
+        shutil.copytree(
+            os.path.join(fix_dir, "batch1"), os.path.join(data_dir, "batch1")
+        )
+        df1, new1 = read_incremental(
+            spark, data_dir, manifest, schema=sup.schema
+        )
+        batch1 = df1.withColumn("ingest_batch", F.lit(1)).localCheckpoint()
+        commit_manifest(manifest, new1)
+        shutil.copytree(
+            os.path.join(fix_dir, "batch2"), os.path.join(data_dir, "batch2")
+        )
+        df2, new2 = read_incremental(
+            spark, data_dir, manifest, schema=sup.schema
+        )
+        batch2 = df2.withColumn("ingest_batch", F.lit(2)).localCheckpoint()
+        commit_manifest(manifest, new2)
+    finally:
+        # a failed read/checkpoint must not leak the staging copy
+        shutil.rmtree(stage, ignore_errors=True)
     return batch1.unionByName(batch2).orderBy("s_suppkey")
 
 

@@ -294,6 +294,18 @@ def read_xml(
     return reader.load(path)
 
 
+def _read_manifest(manifest_path: str) -> "set[str]":
+    """Single source of truth for the manifest's on-disk format (one
+    relative file name per line, blanks ignored) — read_incremental and
+    commit_manifest MUST agree on what counts as 'seen'."""
+    import os
+
+    if not os.path.isfile(manifest_path):
+        return set()
+    with open(manifest_path) as fh:
+        return {line.strip() for line in fh if line.strip()}
+
+
 def read_incremental(
     spark: SparkSession,
     data_dir: str,
@@ -326,10 +338,7 @@ def read_incremental(
     import glob as _glob
     import os
 
-    seen: set[str] = set()
-    if os.path.isfile(manifest_path):
-        with open(manifest_path) as fh:
-            seen = {line.strip() for line in fh if line.strip()}
+    seen = _read_manifest(manifest_path)
     all_files = sorted(
         os.path.relpath(p, data_dir)
         for p in _glob.glob(os.path.join(data_dir, "**", glob_pattern),
@@ -360,16 +369,22 @@ def commit_manifest(manifest_path: str, new_files: "Sequence[str]") -> None:
     import os
     import tempfile
 
-    seen: list[str] = []
-    if os.path.isfile(manifest_path):
-        with open(manifest_path) as fh:
-            seen = [line.strip() for line in fh if line.strip()]
-    merged = sorted(set(seen) | set(new_files))
+    merged = sorted(_read_manifest(manifest_path) | set(new_files))
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(manifest_path) or ".", suffix=".manifest.tmp"
     )
-    with os.fdopen(fd, "w") as fh:
-        fh.write("\n".join(merged) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, manifest_path)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(merged) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, manifest_path)
+    except BaseException:
+        # a failed commit must not litter the manifest dir (a stray
+        # *.manifest.tmp under a broad landing glob could even be
+        # picked up by a future read)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise

@@ -360,7 +360,7 @@ def test_session_depth_hist_counts_and_bounce(spark):
 
 
 def test_read_incremental_and_manifest(spark, tmp_path):
-    from lab_etl_batch_data_processing_pipeline__spark.sources.readers import (
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
         commit_manifest,
         read_incremental,
     )
@@ -434,8 +434,10 @@ def test_interval_coverage_merges_and_gaps(spark):
         ("k", 0, 10), ("k", 5, 15), ("k", 15, 20),
         # gap, then [30,40)
         ("k", 30, 40),
-        # inverted interval dropped
+        # zero-length interval dropped (end <= start contract)
         ("k", 50, 50),
+        # strictly inverted interval dropped too
+        ("k", 60, 55),
     ]
     df = spark.createDataFrame(rows, ["g", "s", "e"])
     out = ranges.interval_coverage(df, "g", "s", "e").collect()
