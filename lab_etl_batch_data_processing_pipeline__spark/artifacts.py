@@ -72,7 +72,11 @@ def _ground_truth_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
 
 
 
-_IVF_PARAMS = {"nlist": 8, "seed": 42, "max_iter": 4}
+# deterministic=True since r10: the coarse quantizer is the engine's
+# exact-integer Lloyd (clustering.kmeans_fit) instead of pyspark.ml
+# KMeans, so the probed top-k has a DuckDB value-hash twin (seed is
+# unused on that path but kept in the tag for cache continuity).
+_IVF_PARAMS = {"nlist": 8, "seed": 42, "max_iter": 4, "deterministic": True}
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -90,6 +94,7 @@ def _ivf_index_dir(sf_dir: str) -> str:
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"-{int(st.st_mtime)}-{st.st_size}"
         f"-nl{p['nlist']}-s{p['seed']}-it{p['max_iter']}"
+        f"{'-det' if p['deterministic'] else ''}"
     )
     return os.path.join(_REPO_ROOT, ".cache", "ivf", tag)
 
@@ -165,10 +170,11 @@ _TOKSKETCH_LB = 10
 
 #: The two MinHash-signature parameterizations the registry uses:
 #: portable md5/3-gram shingles (q_minhash_near_dups, oracle-matched)
-#: and xxhash/unigram (corpus_prep_auto's dense route).
+#: and portable md5/unigram (corpus_prep_auto's dense route — portable
+#: since r10 so the routed branch has a DuckDB value-hash twin).
 _MINHASH_SIG_VARIANTS = (
     {"num_hashes": 32, "shingle_size": 3, "portable": True},
-    {"num_hashes": 32, "shingle_size": 1, "portable": False},
+    {"num_hashes": 32, "shingle_size": 1, "portable": True},
 )
 
 
@@ -367,6 +373,7 @@ def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
             seed=_IVF_PARAMS["seed"],
             max_iter=_IVF_PARAMS["max_iter"],
             index_dir=index_dir,
+            deterministic=_IVF_PARAMS["deterministic"],
         )
     # Shared dedup sketches: tokenize/shingle-hash the documents table
     # ONCE per generation; every Jaccard/MinHash consumer then reads the

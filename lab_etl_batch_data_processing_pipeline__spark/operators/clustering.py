@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "kmeans_fit"]
 
 
 def _scaled_vec(vec_col, scale: int, shift: float):
@@ -57,7 +57,7 @@ def _dist_sq(vec_col, centroid: list[int]):
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -65,10 +65,14 @@ def kmeans_assign(
     iters: int = 3,
     scale: int = 1 << 20,
     shift: float = 1.0,
-) -> DataFrame:
-    """Run ``iters`` exact-integer Lloyd iterations and return the final
-    assignment: (id, cluster, dist_sq), one row per input vector,
-    sorted by id.
+) -> tuple[DataFrame, list[list[int]]]:
+    """Run ``iters`` exact-integer Lloyd iterations and return
+    ``(assignment, centroids)``: the final assignment frame (id,
+    cluster, dist_sq), one row per input vector sorted by id, plus the
+    final k integer centroid vectors in the fix-point domain
+    (``round((x + shift) * scale)``) — the piece an IVF index builder
+    needs beyond the assignment (similarity.build_ivf_index
+    deterministic=True).
 
     Deterministic rule set (the oracle replicates each):
     - init: centroids 0..k-1 are the scaled vectors of the k smallest
@@ -145,4 +149,19 @@ def kmeans_assign(
         centroids = new_cents
 
     out = assign(centroids).select("id", "cluster", "dist_sq").orderBy("id")
-    return out
+    return out, centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1 << 20,
+    shift: float = 1.0,
+) -> DataFrame:
+    """Final assignment only — :func:`kmeans_fit` without the centroid
+    list (the original public surface; see kmeans_fit for the full
+    deterministic rule set and the scale shape)."""
+    return kmeans_fit(df, id_col, vec_col, k, iters, scale, shift)[0]

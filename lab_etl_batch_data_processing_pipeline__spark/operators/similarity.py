@@ -173,16 +173,43 @@ def cosine_topk_quantized(
     )
 
 
-def _hyperplane_bucket(vec, num_planes: int, table: int):
+def _hyperplane_bucket(vec, num_planes: int, table: int, portable: bool = False):
     """Sign-pattern bucket id for a vector under ``num_planes`` pseudo-random
     hyperplanes (plane p, dim d weight = a deterministic hash in [-1,1)).
 
-    The weight for (table, plane, dim) is derived from xxhash64, so every
+    The weight for (table, plane, dim) is derived from a hash, so every
     row computes the same matrix without any side data to broadcast.
+    ``portable=False`` (default) uses xxhash64 — the JVM fast path;
+    ``portable=True`` derives the weight from the first 60 md5 bits of
+    "table|plane|dim" (the dedup_fuzzy._md5_hash31 recipe), which DuckDB
+    reproduces exactly — the form that makes the WHOLE LSH top-k
+    value-hash oracle-able, not just recall-gated.
     """
-    def weight(p, d):
-        h = F.xxhash64(F.lit(table), p, d)
-        return (h % 10_000_019).cast("double") / F.lit(10_000_019.0)
+    if portable:
+        def weight(p, d):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(table).cast("string"),
+                            p.cast("string"),
+                            d.cast("string"),
+                        )
+                    ),
+                    F.lit(1),
+                    F.lit(15),
+                ),
+                16,
+                10,
+            ).cast("long")
+            return ((h % 20_000_038) - 10_000_019).cast("double") / F.lit(
+                10_000_019.0
+            )
+    else:
+        def weight(p, d):
+            h = F.xxhash64(F.lit(table), p, d)
+            return (h % 10_000_019).cast("double") / F.lit(10_000_019.0)
 
     dims = F.sequence(F.lit(1), F.size(vec))
     bits = F.transform(
@@ -209,8 +236,15 @@ def cosine_topk_lsh(
     query_id_col: str = "query_id",
     num_planes: int = 4,
     num_tables: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
+
+    ``portable=True`` switches the hyperplane weights to the md5-derived
+    family (:func:`_hyperplane_bucket`): same bucket-join structure and
+    S-curve, but the bucket assignment — and therefore the whole top-k
+    output — is reproducible in DuckDB, so the query can be value-hash
+    oracled instead of only recall-gated.
 
     Each side gets ``num_tables`` bucket ids; candidates = bucket collisions
     in any table (union via explode + equi-join + dedup). Exact cosine is
@@ -232,7 +266,9 @@ def cosine_topk_lsh(
             *[
                 F.struct(
                     F.lit(t).alias("table_id"),
-                    _hyperplane_bucket(F.col(vec_col), num_planes, t).alias("bucket"),
+                    _hyperplane_bucket(
+                        F.col(vec_col), num_planes, t, portable
+                    ).alias("bucket"),
                 )
                 for t in range(num_tables)
             ]
@@ -451,16 +487,30 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 4,
     index_dir: str | None = None,
+    deterministic: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF (inverted-file) ANN index: returns ``(inverted,
     centroids)``.
 
     Vectors are L2-normalized (so euclidean k-means order matches cosine
-    order) and clustered into ``nlist`` cells with pyspark.ml KMeans;
-    each corpus vector is assigned to its cell (the inverted file). The
-    centroid table is nlist rows — the only non-DataFrame state, bounded
-    by construction. Iterations are bounded low: an IVF index needs
-    rough cells, not converged clusters.
+    order) and clustered into ``nlist`` cells; each corpus vector is
+    assigned to its cell (the inverted file). The centroid table is
+    nlist rows — the only non-DataFrame state, bounded by construction.
+    Iterations are bounded low: an IVF index needs rough cells, not
+    converged clusters.
+
+    Two coarse quantizers, same probe math either way:
+
+    - ``deterministic=False`` (default): pyspark.ml KMeans (seeded
+      k-means|| init) — the float fast path; cell assignment is
+      engine-specific, so quality is pinned by recall gates only.
+    - ``deterministic=True``: the engine's exact-integer Lloyd
+      (clustering.kmeans_fit — fix-point BIGINTs, k-smallest-id init,
+      ``iters=max_iter``; ``seed`` unused). Bit-identical on any engine
+      that follows the rule, so the FULL probe output is value-hash
+      oracle-able in DuckDB (query key ann_cosine_ivf since r10); the
+      centroid table converts the integer centroids back to the
+      normalized-vector domain (c/scale - 1) for the probe ranking.
 
     With ``index_dir`` the inverted file and centroid table are
     materialized as parquet and read back — the at-scale shape, where
@@ -470,12 +520,57 @@ def build_ivf_index(
     one recompute of the normalization projection at query time is
     cheaper than leaking executor memory in a long-lived session).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     def normalized(col):
         norm = l2_norm(col)
         return F.transform(col, lambda x: x.cast("double") / norm)
+
+    if deterministic:
+        from . import clustering
+
+        scale = 1 << 20
+        assignment, int_centroids = clustering.kmeans_fit(
+            ensure_parallelism(corpus).select(
+                F.col(id_col), normalized(F.col(vec_col)).alias("__nvec")
+            ),
+            id_col,
+            "__nvec",
+            k=nlist,
+            iters=max_iter,
+            scale=scale,
+            shift=1.0,
+        )
+        inverted = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__c_norm"),
+        ).join(
+            assignment.select(
+                F.col("id").alias(id_col), F.col("cluster").alias("cell")
+            ),
+            id_col,
+        )
+        centroid_rows = [
+            (cid, [x / scale - 1.0 for x in c])
+            for cid, c in enumerate(int_centroids)
+        ]
+        centroid_df = corpus.sparkSession.createDataFrame(
+            centroid_rows, "cell int, centroid array<double>"
+        )
+        if index_dir is not None:
+            spark = corpus.sparkSession
+            inverted.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{index_dir}/inverted"
+            )
+            centroid_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+            _write_built(
+                index_dir, kind="ivf-det", nlist=nlist, iters=max_iter
+            )
+            return read_ivf_index(spark, index_dir)
+        return inverted, centroid_df
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
 
     # Cache the featurized corpus for the duration of the fit: k-means
     # re-scans its input every iteration, and without the cache each scan
@@ -596,6 +691,7 @@ def cosine_topk_ivf(
     seed: int = 42,
     max_iter: int = 4,
     index_dir: str | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
     """IVF approximate cosine top-k — build (or reuse) the index, then
     probe. Convenience wrapper over :func:`build_ivf_index` +
@@ -608,12 +704,16 @@ def cosine_topk_ivf(
         # kind only: nlist is a BUILD parameter — the probe reads the
         # centroid table from disk, so a default-nlist caller probing a
         # 32-cell index is perfectly correct (only nprobe affects probe
-        # math; seed likewise doesn't and isn't checked)
-        _check_built(index_dir, kind="ivf")
+        # math; seed likewise doesn't and isn't checked). The kind DOES
+        # distinguish the deterministic quantizer: its cells are part of
+        # the oracle contract, so probing a float-KMeans index where the
+        # caller expects the exact-integer one must fail loudly.
+        _check_built(index_dir, kind="ivf-det" if deterministic else "ivf")
         inverted, centroid_df = read_ivf_index(corpus.sparkSession, index_dir)
     else:
         inverted, centroid_df = build_ivf_index(
-            corpus, nlist, id_col, vec_col, seed, max_iter, index_dir
+            corpus, nlist, id_col, vec_col, seed, max_iter, index_dir,
+            deterministic,
         )
     return cosine_topk_ivf_probe(
         inverted, centroid_df, queries, k, nprobe, id_col, vec_col, query_id_col

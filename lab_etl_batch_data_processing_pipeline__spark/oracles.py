@@ -133,6 +133,63 @@ SELECT query_id, neighbor_id, cosine_sim, sim_rank
 FROM ranked WHERE sim_rank <= 5
 """
 
+# Portable-LSH top-k twin (similarity.cosine_topk_lsh portable=True,
+# 3 planes x 8 tables, k=5 — query key ann_cosine_lsh): replicates the
+# md5-derived hyperplane weights (first 60 md5 bits of "table|plane|dim"
+# mapped to [-1, 1)), the sign-pattern bucket fold (acc*2 + bit — DuckDB's
+# init-less list_reduce equals Spark's 0-seeded aggregate for this op),
+# the any-table bucket-collision candidate set, and the exact cosine
+# re-rank. The dot products only feed SIGN decisions and a 6dp-rounded
+# cosine, and both engines fold left-to-right in index order, so the
+# buckets — and therefore the whole top-k — hash-match (r9 verdict task
+# 4: the oldest rows-only key gets a full value-hash oracle).
+_ANN_LSH_WEIGHT = (
+    "((('0x' || substr(md5(CAST({t} AS VARCHAR) || '|' || CAST({p} AS VARCHAR)"
+    " || '|' || CAST({d} AS VARCHAR)), 1, 15))::BIGINT"
+    " % 20000038 - 10000019) / 10000019.0)"
+)
+_ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_transform(range(0, 8), t ->
+           list_reduce(list_transform(range(0, 3), p ->
+             CASE WHEN list_reduce(
+                 list_transform(range(1, len(embedding) + 1), d ->
+                   CAST(embedding[d] AS DOUBLE)
+                   * {_ANN_LSH_WEIGHT.format(t="t", p="p", d="d")}),
+                 (x, y) -> x + y) > 0
+             THEN 1 ELSE 0 END
+           ), (acc, bit) -> acc * 2 + bit)
+         ) AS buckets
+  FROM embeddings
+), cexp AS (
+  SELECT vec_id, t, buckets[t + 1] AS bkt FROM b, range(0, 8) r(t)
+), qexp AS (
+  SELECT vec_id AS query_id, t, bkt FROM cexp WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM cexp c JOIN qexp q ON c.t = q.t AND c.bkt = q.bkt
+  WHERE c.vec_id <> q.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(
+           {_COS_DOT.format(a="qe.embedding", b="ne.embedding")}
+           / ({_COS_NORM.format(a="qe.embedding")}
+              * {_COS_NORM.format(a="ne.embedding")}),
+           6) AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+    AS sim_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, sim_rank
+FROM ranked WHERE sim_rank <= 5
+"""
+
 _TOK_SET = f"list_distinct({_LTOKENS})"
 
 # Cross-document substring dedup twin (dedup_fuzzy.duplicate_spans /
@@ -310,12 +367,11 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-# End-to-end corpus funnel oracle: same stage order as plans/corpus.py
-# (quality gate on the ROUNDED 4dp score -> md5-fingerprint dedup with
-# min-doc_id survivor -> blocked-Jaccard near-dup removal keeping the
-# lower doc_id).
-_CORPUS_PREP_SQL = f"""
-WITH stats AS (
+# Shared funnel prefix (quality gate on the ROUNDED 4dp score ->
+# md5-fingerprint dedup with min-doc_id survivor -> token-set prep for
+# the near-dup stage) — used verbatim by _CORPUS_PREP_SQL and
+# _CORPUS_PREP_AUTO_SQL so the two funnels cannot drift.
+_CORPUS_FUNNEL_CTES = f"""stats AS (
   SELECT doc_id,
     ROUND(least(1.0,
         (least(n_tokens, 50) / 50.0) * 0.5
@@ -349,7 +405,13 @@ WITH stats AS (
          list_aggregate(list_transform(list_distinct(lt), t -> md5(t)), 'min')
            AS block_tok
   FROM (SELECT doc_id, {_LTOKENS} AS lt FROM exact)
-), pairs AS (
+)"""
+
+
+# End-to-end corpus funnel oracle: shared prefix + blocked-Jaccard
+# near-dup removal keeping the lower doc_id (the exact, unrouted path).
+_CORPUS_PREP_SQL = f"""
+WITH {_CORPUS_FUNNEL_CTES}, pairs AS (
   SELECT doc_id_b FROM (
     SELECT b.doc_id AS doc_id_b,
            ROUND(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
@@ -365,6 +427,98 @@ WITH stats AS (
 SELECT doc_id, text, lang, source, quality_score
 FROM exact WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
 ORDER BY doc_id
+"""
+
+
+# Routed-funnel twin (plans/corpus.py corpus_prep with
+# near_dup_pair_budget=1M, near_dup_portable=True — query key
+# corpus_prep_auto): replicates the ROUTING DECISION (exact blocked
+# candidate-pair count over the exact-dedup survivors, jaccard_block_stats
+# semantics) and BOTH branches — the blocked-Jaccard pair removal when
+# sparse, and the banded MinHash bucket-canonical dedup
+# (minhash_bucket_dedup: shingle_size=1 so the shingle set IS the distinct
+# token set, md5-derived 31-bit base hash, the same inlined (a_i, b_i)
+# universal-hash family as _MINHASH_SQL, bands=8 x r=4 per
+# pick_bands(32, 0.5), min-doc_id survivor per band bucket) when the count
+# exceeds the budget. Empty-token docs cannot reach the minhash stage: the
+# 0.7 quality gate already drops them (n_tokens=0 scores <= 0.3), so the
+# MIN-over-group signature form is total here.
+_CORPUS_PREP_AUTO_SQL = f"""
+WITH {_CORPUS_FUNNEL_CTES}, blocks AS (
+  SELECT len_bucket, block_tok, COUNT(*) AS n
+  FROM prep WHERE block_tok IS NOT NULL
+  GROUP BY 1, 2
+), dense AS (
+  SELECT COALESCE(SUM(CAST(n * (n - 1) / 2 AS BIGINT)), 0) > 1000000
+    AS is_dense
+  FROM blocks
+), pairs AS (
+  SELECT doc_id_b FROM (
+    SELECT b.doc_id AS doc_id_b,
+           ROUND(len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))
+                 / (len(a.tok_set) + len(b.tok_set)
+                    - len(list_filter(a.tok_set, x -> list_contains(b.tok_set, x)))),
+                 6) AS j
+    FROM prep a JOIN prep b
+      ON a.len_bucket = b.len_bucket
+     AND a.block_tok = b.block_tok
+     AND a.doc_id < b.doc_id
+    WHERE NOT (SELECT is_dense FROM dense)
+  ) WHERE j >= 0.5
+), hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(tok_set) AS tok FROM prep
+        WHERE (SELECT is_dense FROM dense))
+), params(i, a, b) AS (
+  VALUES {{MINHASH_PARAMS}}
+), slots AS (
+  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+  FROM hs CROSS JOIN params GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY 1
+), banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+  FROM sigs, range(0, 8) r(b)
+), bucket_min AS (
+  SELECT b, bh, MIN(doc_id) AS min_id FROM banded GROUP BY 1, 2
+), mh_drop AS (
+  SELECT DISTINCT banded.doc_id AS doc_id_b
+  FROM banded JOIN bucket_min USING (b, bh)
+  WHERE banded.doc_id > bucket_min.min_id
+), drops AS (
+  SELECT doc_id_b FROM pairs
+  UNION
+  SELECT doc_id_b FROM mh_drop
+)
+SELECT doc_id, text, lang, source, quality_score
+FROM exact WHERE doc_id NOT IN (SELECT doc_id_b FROM drops)
+ORDER BY doc_id
+"""
+
+
+# Literal-table oracle for the multimodal rollup (query key
+# multimodal_features): the media table is synthesized deterministically
+# (sources/media_synth.py, LCG content, n_per_modality=40, INDEPENDENT of
+# sf_dir) and decoded by pure-Python codecs, so the per-modality rollup is
+# a corpus-independent constant — the currency_convert literal-table
+# pattern. Values captured from the query itself and pinned; the golden
+# decode tests (tests/test_sources_multimodal_streaming.py,
+# tests/test_media_synth.py) keep pixel/sample arithmetic honest, and any
+# codec/synth regression now hash-mismatches at the driver too (r9
+# verdict task 2: the engine's last golden-test-only component converted
+# to the hard signal).
+_MULTIMODAL_SQL = """
+SELECT * FROM (VALUES
+  ('audio', CAST(40 AS BIGINT), CAST(48160 AS BIGINT),
+   CAST(40 AS BIGINT), CAST(0.279464 AS DOUBLE)),
+  ('image', CAST(40 AS BIGINT), CAST(21720 AS BIGINT),
+   CAST(40 AS BIGINT), CAST(0.500582 AS DOUBLE)),
+  ('video', CAST(40 AS BIGINT), CAST(70784 AS BIGINT),
+   CAST(120 AS BIGINT), CAST(0.498389 AS DOUBLE))
+) t(modality, n_media, payload_bytes, n_feature_rows, avg_signal)
+ORDER BY modality
 """
 
 
@@ -453,6 +607,12 @@ GROUP BY 1, 2 ORDER BY 1
 _MINHASH_PARAMS_VALUES = ",\n              ".join(
     f"({i}, {a}, {b})"
     for i, (a, b) in enumerate(dedup_fuzzy.minhash_params(32))
+)
+
+# Defined above as a placeholder (the params constant lives here, after
+# the funnel SQL block); substituted once at import.
+_CORPUS_PREP_AUTO_SQL = _CORPUS_PREP_AUTO_SQL.replace(
+    "{MINHASH_PARAMS}", _MINHASH_PARAMS_VALUES
 )
 
 def _pagerank_sql(iterations: int = 5, scale_bits: int = 20) -> str:
@@ -586,6 +746,99 @@ SELECT id AS vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_sq FROM (
                             ORDER BY {dist}, c.cid) AS rn
   FROM v, c{iters} c) WHERE rn = 1
 ORDER BY vec_id
+"""
+
+
+def _ivf_sql(
+    nlist: int = 8,
+    iters: int = 4,
+    scale: int = 1 << 20,
+    nprobe: int = 3,
+    k: int = 5,
+) -> str:
+    """Unrolled-CTE twin of the DETERMINISTIC IVF probe (query key
+    ann_cosine_ivf: similarity.build_ivf_index deterministic=True +
+    cosine_topk_ivf_probe). Replicates the whole path: L2-normalize,
+    fix-point to BIGINTs (round((x/|x| + 1) * scale) — the
+    clustering.kmeans_fit recipe), ``iters`` unrolled exact-integer
+    Lloyd rounds (the _kmeans_sql pattern: k-smallest-id init,
+    (dist, cid)-lexicographic assignment, sum-div-count update, empty
+    cells keep the prior centroid), then the probe: rank cells per
+    query by dot(q_raw, centroid)/|q| desc (ties to the smaller cell),
+    take ``nprobe``, exact 6dp cosine inside the probed cells only,
+    row_number <= ``k``. Only the Lloyd core is integer; the probe
+    floats are the same left-to-right folds _ANN_SQL already proved
+    engine-portable."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.v) + 1),"
+        " i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])))"
+    )
+    rounds = "".join(
+        f""", a{i} AS (
+  SELECT id, v, cid FROM (
+    SELECT v.id, v.v AS v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM v, c{i - 1} c) WHERE rn = 1
+), s{i} AS (
+  SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
+  FROM a{i}, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c{i} AS (
+  SELECT p.cid, COALESCE(u.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
+    FROM s{i} GROUP BY 1
+  ) u ON p.cid = u.cid)"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+WITH raw AS (
+  SELECT vec_id AS id, embedding,
+         {_COS_NORM.format(a="embedding")} AS nrm
+  FROM embeddings
+), v AS (
+  SELECT id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(ROUND((CAST(embedding[i] AS DOUBLE) / nrm + 1.0)
+                           * {scale}.0) AS BIGINT)) AS v
+  FROM raw
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT id, v FROM v ORDER BY id LIMIT {nlist})
+){rounds}, cells AS (
+  SELECT id, cid AS cell FROM (
+    SELECT v.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn
+    FROM v, c{iters} c) WHERE rn = 1
+), cent AS (
+  SELECT cid AS cell, list_transform(c, y -> y / {scale}.0 - 1.0) AS centroid
+  FROM c{iters}
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.id AS query_id, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+             list_reduce(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * ct.centroid[i]),
+               (x, y) -> x + y) / q.nrm DESC, ct.cell) AS pr
+    FROM raw q, cent ct WHERE q.id < 5
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, ce.id AS neighbor_id,
+         ROUND(
+           {_COS_DOT.format(a="qe.embedding", b="ne.embedding")}
+           / (qe.nrm * ne.nrm), 6) AS cosine_sim
+  FROM probes p
+  JOIN cells ce ON ce.cell = p.cell AND ce.id <> p.query_id
+  JOIN raw qe ON qe.id = p.query_id
+  JOIN raw ne ON ne.id = ce.id
+)
+SELECT query_id, neighbor_id, cosine_sim, sim_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+    AS sim_rank
+  FROM scored
+) WHERE sim_rank <= {k}
 """
 
 
@@ -978,6 +1231,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, chunk_id
         """,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_cosine_lsh": _ANN_LSH_SQL,
+        "ann_cosine_ivf": _ivf_sql(nlist=8, iters=4, nprobe=3, k=5),
         "sessionization": _SESSION_SQL,
         "user_engagement": """
             SELECT user_id,
@@ -1103,6 +1358,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "corpus_prep": _CORPUS_PREP_SQL,
+        "corpus_prep_auto": _CORPUS_PREP_AUTO_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         "running_totals": """
             SELECT o_custkey, o_orderdate, o_orderkey,
                    CAST(ROW_NUMBER() OVER w AS INT) AS seq,

@@ -98,6 +98,7 @@ def corpus_prep(
     keep_cols: tuple[str, ...] = ("lang", "source"),
     max_dup_2gram_frac: float | None = None,
     near_dup_pair_budget: int | None = None,
+    near_dup_portable: bool = False,
     normalize: bool = False,
     sketch: DataFrame | None = None,
     sigs: DataFrame | None = None,
@@ -133,9 +134,17 @@ def corpus_prep(
     the funnel semi-join-restricts them to the exact-dedup survivor set)
     so the near-dup stage skips re-tokenizing text the pipeline has
     already sketched. ``sigs`` must match the funnel's dense-route
-    parameters (num_hashes=32, shingle_size=1, portable=False).
-    Incompatible with ``normalize=True`` — normalization changes the
-    text the sketch would have to reflect.
+    parameters (num_hashes=32, shingle_size=1,
+    portable=``near_dup_portable``). Incompatible with
+    ``normalize=True`` — normalization changes the text the sketch
+    would have to reflect.
+
+    ``near_dup_portable=True`` makes the routed path use the
+    md5-derived portable hash family instead of xxhash64 — slower per
+    shingle, but the routed output then has a DuckDB twin, so
+    ``corpus_prep_auto`` is value-hash oracled on BOTH routing branches
+    (the r9 verdict's rows-only retirement). Default False keeps the
+    JVM fast path for callers that don't need engine portability.
 
     ``substring_min_len`` arms the final intake stage: cross-document
     SUBSTRING-level dedup (dedup_fuzzy.remove_duplicate_spans) over the
@@ -230,7 +239,7 @@ def corpus_prep(
             "text",
             threshold=jaccard_threshold,
             shingle_size=1,
-            portable=False,
+            portable=near_dup_portable,
             sigs=sub_sigs,
         ).persist()
     else:

@@ -372,14 +372,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed cosine top-k (scale path → rows-only check;
-    quality is pinned by ann_lsh_recall below). 3 planes / 8 tables
+    """Approximate LSH-bucketed cosine top-k. 3 planes / 8 tables
     matches the wide-angle neighbor geometry of the testdata embeddings
-    (top-5 cosine ~0.3): measured recall@5 is 0.8+ vs 0.0-0.2 at the
-    old 8/4 setting."""
+    (top-5 cosine ~0.3): measured recall@5 is 0.6-1.0 across SFs.
+    portable=True (md5-derived hyperplane weights) since r10, so the
+    bucket assignment — and therefore the whole top-k output — has a
+    DuckDB value-hash twin (r9 verdict task 4: the oldest rows-only key
+    retired); ann_lsh_recall still pins approximation quality."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_lsh(
-        emb, _query_vectors(emb), k=5, num_planes=3, num_tables=8
+        emb, _query_vectors(emb), k=5, num_planes=3, num_tables=8, portable=True
     )
 
 
@@ -415,7 +417,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     exact = _ground_truth_topk(spark, sf_dir, k=5)
     approx = similarity.cosine_topk_lsh(
-        emb, _query_vectors(emb), k=5, num_planes=3, num_tables=8
+        emb, _query_vectors(emb), k=5, num_planes=3, num_tables=8, portable=True
     ).select("query_id", "neighbor_id")
     return _ann_recall(exact, approx, floor=0.4)
 
@@ -428,7 +430,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _ground_truth_topk(spark, sf_dir, k=5)
     approx = similarity.cosine_topk_ivf(
         emb, _query_vectors(emb), k=5, nlist=8, nprobe=3,
-        index_dir=_ivf_index_dir(sf_dir),
+        index_dir=_ivf_index_dir(sf_dir), deterministic=True,
     ).select("query_id", "neighbor_id")
     return _ann_recall(exact, approx, floor=0.2)
 
@@ -1526,13 +1528,17 @@ prebuild_indexes = _art.prebuild_indexes
 
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k against a materialized inverted file
-    (built on first call, probe-only afterwards; rows-only check — the
-    clustering step has no SQL oracle; recall is pinned by the
-    ann_ivf_recall invariant query and unit tests)."""
+    (built on first call, probe-only afterwards). The coarse quantizer
+    is the deterministic exact-integer Lloyd since r10
+    (build_ivf_index deterministic=True), so the DuckDB twin replicates
+    the WHOLE path — normalization fix-point, 4 unrolled Lloyd rounds,
+    cell assignment, centroid ranking, in-cell exact cosine — and the
+    probe output is value-hash checked (r9 verdict task 4); recall
+    stays pinned by ann_ivf_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(
         emb, _query_vectors(emb), k=5, nlist=8, nprobe=3,
-        index_dir=_ivf_index_dir(sf_dir),
+        index_dir=_ivf_index_dir(sf_dir), deterministic=True,
     )
 
 
@@ -2340,9 +2346,12 @@ def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH instead of the quadratic verify join (plans/corpus.py
     near_dup_route). The 1M budget routes the dense sf0.1 fixture
     (~4.8M candidate pairs) to MinHash while staying exact on sparse
-    corpora. Approximate by design on the routed path, so rows-only at
-    the driver; recall-gated vs the exact funnel in
-    tests/test_text_dedup.py."""
+    corpora. Value-hash oracled on BOTH branches since r10
+    (near_dup_portable=True puts the routed path on the md5 portable
+    hash family, and the DuckDB twin replicates the routing count, the
+    exact pair join AND the banded bucket-canonical dedup, picking the
+    branch with the same 1M budget); the recall gate vs the exact
+    funnel in tests/test_text_dedup.py still pins routed-path quality."""
     from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
 
     return corpus_prep(
@@ -2350,8 +2359,9 @@ def q_corpus_prep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.7,
         jaccard_threshold=0.5,
         near_dup_pair_budget=1_000_000,
+        near_dup_portable=True,
         sketch=_doc_sketch(spark, sf_dir),
-        sigs=_doc_sigs(spark, sf_dir, num_hashes=32, shingle_size=1, portable=False),
+        sigs=_doc_sigs(spark, sf_dir, num_hashes=32, shingle_size=1, portable=True),
     )
 
 
@@ -3503,52 +3513,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r9): the r8 window minus six multi-round-green
-    stable rows (popular_locations_weekly, curated_join,
-    ann_cosine_topk, doc_normalize, char_lm_scores — each driver-green
-    r7+r8, unchanged this round, rotated to the tail per the standing
-    rule), plus the six rows owed a driver round: the five r9-born
-    oracle rows (dup_span_report + substring_dedup — cross-document
-    substring-level dedup, span report + full post-removal corpus;
-    semantic_dedup — the SemDeDup embedding prune's invariant gate;
-    quality_classifier — the trainable quality scorer's accuracy gate)
-    and customer_stratified_sample (born in the r8 tail after the
-    window filled; its first driver round — this closes the one r8
-    rotation debt). Keys whose implementation changed this round stay
-    in-window for a fresh driver round: incremental_dedup (block_cap
-    sub-blocking, oracle updated to replicate the split) and the
-    sketch-consuming dedup family (artifact param validation + the
-    block_tok2 sketch column: near_dup_jaccard, minhash_near_dups,
-    near_dup_clusters, corpus_prep, training_mix, training_batches,
-    recipe_metric, recipe_training_mix), PLUS the eleven operators born
-    mid-r9 (containment_near_dups + containment_prune — asymmetric
-    shingle containment and its dedup action; pmi_collocations —
-    association-lift collocations; streaming_dedup +
-    streaming_attribution — streaming dropDuplicates vs batch DISTINCT
-    and the stream-stream interval join; events_ewma — exact
-    power-of-two EWMA; bloom_join_gate — Bloom semi-join pruning
-    invariants; transaction_pagerank — fixed-iteration integer
-    PageRank vs an unrolled-CTE twin; events_zorder — the Morton
-    clustering key; part_entity_clusters — linkage pairs -> connected
-    components; customer_radius_join — grid-blocked spatial radius
-    degree vs a brute-force twin), each displacing one
-    multi-round-green row (pricing_summary, tfidf_top_terms,
-    quantile_gate, events_variant, doc_chunks, rolling_revenue_7d,
-    parquet_upsert_roundtrip, corpus_mixture_weighted,
-    cardinality_gate, pack_offsets, winnowing) to the tail; and the
-    four fourth-wave rows (events_interpolated — exact linear
-    interpolation on the resample grid; conversion_funnel —
-    ordered-stage funnel counts; orders_rank_stats — the
-    ntile/percent_rank/cume_dist/dense_rank family in one pass;
-    events_mad_outliers — integer median/MAD outlier gate;
-    copurchase_pairs — within-basket frequent-pair mining;
-    user_value_twap — exact time-weighted average;
-    copurchase_triangles — degree-ordered triangle counting over the
-    co-purchase graph), displacing part_unpivot, tables_manifest,
-    jsonl_roundtrip, price_histogram, orders_expectations, pack_bins,
-    events_resampled (each r7+r8 driver-green, unchanged this
-    round). All 50 verified this session under a vanilla
-    driver-replica session at sf0.01 (SPARK_GRAFT_VANILLA).
+    Current window (r10, the r9 verdict's task 1 — closes ALL rotation
+    debt): the 13 rows owed a driver round rotate IN — the eleven
+    oracle-bearing keys that had never had a driver CORRECTNESS row
+    (events_ewma, born mid-r9 and rotated out before any driver round —
+    the rule violation the r9 verdict named — plus the ten
+    seventh-to-ninth-wave keys born after the window filled:
+    revenue_seasonal_backtest, events_level_shift,
+    user_balance_floored, price_equidepth, price_ks_drift,
+    session_depth, supplier_incremental_ingest, orders_reconcile,
+    user_activity_coverage, event_streaks) and the two rows-only
+    retirements (verdict tasks 2-3): multimodal_features, whose
+    deterministic sf-independent rollup now has a literal-table
+    value-hash oracle, and corpus_prep_auto, whose routed MinHash
+    branch moved to the portable md5 hash family so its DuckDB twin
+    replicates the routing count and BOTH branches. After this round
+    every oracle-backed key in the registry has >= 1 driver-green
+    round. Rotated OUT (13): corpus_prep (driver-green r1-r9; its
+    funnel stays driver-pinned through corpus_prep_auto's shared exact
+    branch) and recipe_training_mix (green r8+r9) per the standing
+    >= 2-green rule, plus eleven r9-green single-round rows as
+    documented half-steps — the window must fit 13 debt keys and only
+    two multi-green rows exist; each half-step keeps its r9 driver-green
+    row, its oracle, and computed spot parity every pytest run, and
+    each has an in-window relative and/or a dedicated test file:
+    dup_span_report (substring_dedup keeps the span machinery
+    in-window), customer_stratified_sample (tests/test_cleaning.py),
+    semantic_dedup (tests/test_similarity.py + SCALE receipts),
+    quality_classifier (tests/test_quality.py), containment_near_dups
+    (containment_prune keeps the postings machinery in-window),
+    pmi_collocations (tests/test_text_quality.py), copurchase_pairs
+    (copurchase_triangles/triples embed pair generation),
+    bloom_join_gate (tests/test_sketches.py), streaming_attribution
+    (streaming replay tests; streaming_dedup stays in-window so
+    streaming keeps a driver row), customer_radius_join
+    (tests/test_ranges.py brute-force twin), xml_roundtrip (the
+    roundtrip family pattern: csv/orc/jsonl all live in the tail).
+    All 50 verified this session under a vanilla driver-replica
+    session at sf0.01 (SPARK_GRAFT_VANILLA).
 
     Current tail: rows that are multi-round driver-green (rotated out
     r5-r9 after >= 2 green rounds each), approximate-by-design rows
@@ -3611,13 +3613,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r10 window.
     """
     return {
-        "dup_span_report": q_dup_span_report,
+        # --- r10 driver window (first 50; see docstring) ---
+        # rotation debt: the eleven keys that never had a driver
+        # CORRECTNESS row (r9 verdict task 1):
+        "revenue_seasonal_backtest": q_revenue_seasonal_backtest,
+        "events_level_shift": q_events_level_shift,
+        "user_balance_floored": q_user_balance_floored,
+        "price_equidepth": q_price_equidepth,
+        "price_ks_drift": q_price_ks_drift,
+        "session_depth": q_session_depth,
+        "supplier_incremental_ingest": q_supplier_incremental_ingest,
+        "orders_reconcile": q_orders_reconcile,
+        "user_activity_coverage": q_user_activity_coverage,
+        "event_streaks": q_event_streaks,
+        "events_ewma": q_events_ewma,
+        # rows-only retirements (r9 verdict tasks 2-3): first
+        # value-hash driver rounds for the multimodal rollup and
+        # the routed corpus funnel:
+        "multimodal_features": q_multimodal_features,
+        "corpus_prep_auto": q_corpus_prep_auto,
+        # r9-green rows kept in-window for a second driver round:
         "substring_dedup": q_substring_dedup,
-        "customer_stratified_sample": q_customer_stratified_sample,
-        "semantic_dedup": q_semantic_dedup,
-        "quality_classifier": q_quality_classifier,
-        "containment_near_dups": q_containment_near_dups,
-        "pmi_collocations": q_pmi_collocations,
         "purchase_attribution": q_purchase_attribution,
         "user_first_seen": q_user_first_seen,
         "events_fd_check": q_events_fd_check,
@@ -3628,7 +3644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_funnel": q_conversion_funnel,
         "orders_rank_stats": q_orders_rank_stats,
         "events_mad_outliers": q_events_mad_outliers,
-        "copurchase_pairs": q_copurchase_pairs,
         "user_value_twap": q_user_value_twap,
         "copurchase_triangles": q_copurchase_triangles,
         "customer_cohort_retention": q_customer_cohort_retention,
@@ -3650,53 +3665,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_weighted_median": q_price_weighted_median,
         "revenue_growth_monthly": q_revenue_growth_monthly,
         "monthly_revenue_hhi": q_monthly_revenue_hhi,
-        "recipe_training_mix": q_recipe_training_mix,
         "streaming_dedup": q_streaming_dedup,
-        "bloom_join_gate": q_bloom_join_gate,
         "transaction_pagerank": q_transaction_pagerank,
         "containment_prune": q_containment_prune,
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
+        # --- past the driver's 50-key correctness window (see
+        # docstring). Rotated out r10: corpus_prep (green r1-r9),
+        # recipe_training_mix (green r8+r9), and eleven r9-green
+        # half-steps, each with an in-window relative and/or a
+        # dedicated test file plus computed spot parity:
+        "corpus_prep": q_corpus_prep,
+        "recipe_training_mix": q_recipe_training_mix,
+        "dup_span_report": q_dup_span_report,
+        "customer_stratified_sample": q_customer_stratified_sample,
+        "semantic_dedup": q_semantic_dedup,
+        "quality_classifier": q_quality_classifier,
+        "containment_near_dups": q_containment_near_dups,
+        "pmi_collocations": q_pmi_collocations,
+        "copurchase_pairs": q_copurchase_pairs,
+        "bloom_join_gate": q_bloom_join_gate,
         "streaming_attribution": q_streaming_attribution,
         "customer_radius_join": q_customer_radius_join,
         "xml_roundtrip": q_xml_roundtrip,
-        "corpus_prep": q_corpus_prep,
-        # --- past the driver's 50-key correctness window (see docstring)
-        # born late-r9 AFTER the sixth-wave rotation filled the window
-        # with keys owed their FIRST driver round; these four carry
-        # test_spot_oracle_parity (real Spark-vs-DuckDB value parity)
-        # and are FIRST IN LINE for the r10 window:
-        "revenue_seasonal_backtest": q_revenue_seasonal_backtest,
-        "events_level_shift": q_events_level_shift,
-        "user_balance_floored": q_user_balance_floored,
-        "price_equidepth": q_price_equidepth,
-        "price_ks_drift": q_price_ks_drift,
-        "session_depth": q_session_depth,
-        "supplier_incremental_ingest": q_supplier_incremental_ingest,
-        "orders_reconcile": q_orders_reconcile,
-        "user_activity_coverage": q_user_activity_coverage,
-        "event_streaks": q_event_streaks,
-        # rotated out for the sixth wave (attribution, first-seen,
-        # FD check, chi-square, winsorized stats, skyline): the five
-        # ANN recall gates (driver-green r7+r8, unchanged this round —
-        # their rows-only ann_cosine_* twins stay pinned by these
-        # gates' standing pytest spot parity) and heavy_hitters_gate
-        # (driver-green r8 + spot parity; one driver round, the
-        # documented half-step of the >=2 rule — next in line to
-        # rotate back if a slot opens):
+        # earlier rotations (history in git and TAIL_KEYS):
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "ann_quantized_recall": q_ann_quantized_recall,
         "heavy_hitters_gate": q_heavy_hitters_gate,
-        # rotated out late-r9 (multi-round driver-green, unchanged) as
-        # the fifth-wave rows (cohort retention, RFM, Markov
-        # transitions, top paths, Gini diversity, 3-itemsets) landed;
-        # training_mix stays driver-pinned via recipe_training_mix's
-        # shared oracle:
         "streaming_sessions": q_streaming_sessions,
-        "events_ewma": q_events_ewma,
         "orders_cdc_apply": q_orders_cdc_apply,
         "fuzzy_part_match": q_fuzzy_part_match,
         "incremental_dedup": q_incremental_dedup,
@@ -3714,8 +3713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_counts": q_streaming_event_counts,
         "training_batches": q_training_batches,
         "training_mix": q_training_mix,
-        # rotated out late-r9 (r7+r8 driver-green, unchanged this round)
-        # as the fourth-wave rows landed:
         "orders_expectations": q_orders_expectations,
         "pack_bins": q_pack_bins,
         "events_resampled": q_events_resampled,
@@ -3723,7 +3720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tables_manifest": q_tables_manifest,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "price_histogram": q_price_histogram,
-        # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
         "pricing_summary": q_pricing_summary,
         "tfidf_top_terms": q_tfidf_top_terms,
         "quantile_gate": q_quantile_gate,
@@ -3773,7 +3769,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_weekday": q_orders_by_weekday,
         "revenue_cube": q_revenue_cube,
         "orders_shipped_7d": q_orders_shipped_7d,
-        "corpus_prep_auto": q_corpus_prep_auto,
         "csv_roundtrip": q_csv_roundtrip,
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "date_normalize": q_date_normalize,
@@ -3785,7 +3780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "running_totals": q_running_totals,
         "salted_status_agg": q_salted_status_agg,
-        "multimodal_features": q_multimodal_features,
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
         "revenue_rollup": q_revenue_rollup,

@@ -44,18 +44,24 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
-    # born late-r9 after the sixth-wave rotation filled the window with
-    # keys owed their FIRST driver round — first in line for r10:
-    "revenue_seasonal_backtest": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "events_level_shift": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "user_balance_floored": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "price_equidepth": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "price_ks_drift": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "session_depth": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "supplier_incremental_ingest": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "orders_reconcile": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "user_activity_coverage": "test_spot_oracle_parity (r9-born, r10 window next)",
-    "event_streaks": "test_spot_oracle_parity (r9-born, r10 window next)",
+    # rotated out r10 per the standing >= 2-green rule:
+    "corpus_prep": "test_spot_oracle_parity (driver-green r1-r9; funnel also driver-pinned via corpus_prep_auto's shared exact branch)",
+    "recipe_training_mix": "test_spot_oracle_parity (driver-green r8+r9)",
+    # rotated out r10 as documented single-green half-steps (the window
+    # had to fit the 13 debt keys and only two multi-green rows
+    # existed); each keeps its r9 driver-green row, its oracle, and an
+    # in-window relative and/or dedicated test file:
+    "dup_span_report": "test_spot_oracle_parity (r9-green; substring_dedup in-window)",
+    "customer_stratified_sample": "test_spot_oracle_parity (r9-green; tests/test_cleaning.py)",
+    "semantic_dedup": "test_spot_oracle_parity (r9-green; tests/test_similarity.py)",
+    "quality_classifier": "test_spot_oracle_parity (r9-green; tests/test_quality.py)",
+    "containment_near_dups": "test_spot_oracle_parity (r9-green; containment_prune in-window)",
+    "pmi_collocations": "test_spot_oracle_parity (r9-green; tests/test_text_quality.py)",
+    "copurchase_pairs": "test_spot_oracle_parity (r9-green; triangles/triples in-window)",
+    "bloom_join_gate": "test_spot_oracle_parity (r9-green; tests/test_sketches.py)",
+    "streaming_attribution": "test_spot_oracle_parity (r9-green; streaming_dedup in-window)",
+    "customer_radius_join": "test_spot_oracle_parity (r9-green; tests/test_ranges.py)",
+    "xml_roundtrip": "test_spot_oracle_parity (r9-green; roundtrip family in tail)",
     # rotated out for the sixth wave (r7+r8 driver-green recall gates
     # + heavy_hitters_gate r8-green; all oracle-bearing, so
     # test_spot_oracle_parity keeps running real value parity):
@@ -67,8 +73,8 @@ TAIL_KEYS = {
     "heavy_hitters_gate": "test_spot_oracle_parity (driver-green r8)",
     "top_listings_weekly": "test_spot_oracle_parity",
     "events_json": "test_spot_oracle_parity",
-    "ann_cosine_lsh": "ann_lsh_recall gate parity + tests/test_similarity.py",
-    "ann_cosine_ivf": "ann_ivf_recall gate parity + tests/test_similarity.py",
+    "ann_cosine_lsh": "test_spot_oracle_parity (full value-hash twin since r10) + ann_lsh_recall gate",
+    "ann_cosine_ivf": "test_spot_oracle_parity (full value-hash twin since r10, deterministic quantizer) + ann_ivf_recall gate",
     "token_frequencies": "test_spot_oracle_parity",
     "word_bigrams": "test_spot_oracle_parity",
     "brand_setops": "test_spot_oracle_parity",
@@ -85,10 +91,6 @@ TAIL_KEYS = {
     "orders_by_weekday": "test_spot_oracle_parity",
     "revenue_cube": "test_spot_oracle_parity",
     "orders_shipped_7d": "test_spot_oracle_parity",
-    # approximate by design on its routed path; exact-path parity comes
-    # from the corpus_prep oracle row, routing + recall pinned by
-    # tests/test_text_dedup.py::test_corpus_prep_dense_routing*
-    "corpus_prep_auto": "tests/test_text_dedup.py dense-routing + recall tests",
     # rotated out r7 after multiple driver-green rounds (r5/r6 or r1-r6)
     # to give the r6-born operators + training_mix their driver rounds:
     "csv_roundtrip": "test_spot_oracle_parity",
@@ -118,13 +120,6 @@ TAIL_KEYS = {
     "doc_fingerprint": "test_spot_oracle_parity",
     "simhash": "test_spot_oracle_parity",
     "sessionization": "test_spot_oracle_parity",
-    # rows-only by necessity: testdata ships no media table, so the query
-    # synthesizes one from the golden fixtures; correctness is pinned by
-    # the golden decode/resample tests.
-    "multimodal_features": (
-        "tests/test_sources_multimodal_streaming.py golden decode tests"
-        " + tests/test_media_synth.py"
-    ),
     # born in the tail r7 (window full)
     "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
     "ann_cosine_ivfpq": "ann_ivfpq_recall parity + tests/test_similarity.py",
@@ -175,7 +170,6 @@ TAIL_KEYS = {
     # fifth-wave rows (cohort retention, RFM, Markov transitions, top
     # paths, Gini diversity, 3-itemsets) took their window slots:
     "streaming_sessions": "tests/test_sources_multimodal_streaming.py replay tests + session_window_rollup tail parity",
-    "events_ewma": "test_spot_oracle_parity",
     "orders_cdc_apply": "test_spot_oracle_parity",
     "fuzzy_part_match": "test_spot_oracle_parity",
     "incremental_dedup": "test_spot_oracle_parity",
@@ -192,7 +186,7 @@ TAIL_KEYS = {
     "embedding_near_dups": "test_spot_oracle_parity",
     "streaming_event_counts": "tests/test_sources_multimodal_streaming.py replay tests",
     "training_batches": "test_spot_oracle_parity",
-    "training_mix": "recipe_training_mix shared-oracle window row + test_spot_oracle_parity",
+    "training_mix": "shared oracle with recipe_training_mix (tail, driver-green r8+r9) + test_spot_oracle_parity",
 }
 
 

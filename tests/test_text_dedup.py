@@ -309,14 +309,18 @@ def test_corpus_prep_dense_routing_matches_exact_above_budget(spark):
     assert [r.doc_id for r in exact.collect()] == [r.doc_id for r in routed.collect()]
 
 
-def test_corpus_prep_dense_routing_recall(spark):
+@pytest.mark.parametrize("portable", [False, True])
+def test_corpus_prep_dense_routing_recall(spark, portable):
     """Recall gate for the routed funnel (the ann_lsh_recall pattern):
     when the budget trips and the near-dup stage runs banded MinHash,
     the docs it removes must cover a floor fraction of the docs the
     exact blocked-Jaccard funnel removes. Pins both that the routing
     actually fires on the dense fixture (a broken route would produce
     near-identical outputs AND trip the n_removed_routed check) and
-    that the approximate path's quality doesn't silently collapse."""
+    that the approximate path's quality doesn't silently collapse.
+    Both hash families gated: xxhash (default fast path) and the md5
+    portable family corpus_prep_auto runs since r10 (its DuckDB twin
+    needs engine-portable hashes)."""
     from lab_etl_batch_data_processing_pipeline__spark.plans.corpus import corpus_prep
 
     docs = text_table(spark)
@@ -325,7 +329,8 @@ def test_corpus_prep_dense_routing_recall(spark):
     exact_kept = survivors(corpus_prep(docs, min_quality=0.0, jaccard_threshold=0.3))
     routed_kept = survivors(
         corpus_prep(
-            docs, min_quality=0.0, jaccard_threshold=0.3, near_dup_pair_budget=1_000
+            docs, min_quality=0.0, jaccard_threshold=0.3,
+            near_dup_pair_budget=1_000, near_dup_portable=portable,
         )
     )
     exact_drops = all_ids - exact_kept
