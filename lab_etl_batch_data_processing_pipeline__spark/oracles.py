@@ -624,7 +624,7 @@ def _pagerank_sql(iterations: int = 5, scale_bits: int = 20) -> str:
     base = 15 * (1 << scale_bits) // 100
     r0 = 1 << scale_bits
     rounds = "".join(
-        f""", r{i} AS (
+        f""", r{i} AS MATERIALIZED (
   SELECT n.node_id,
          CAST({base} + COALESCE(
            SUM((85 * r.rank_fp // 100) // d.outdeg), 0) AS BIGINT) AS rank_fp
@@ -636,20 +636,20 @@ def _pagerank_sql(iterations: int = 5, scale_bits: int = 20) -> str:
         for i in range(1, iterations + 1)
     )
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM pairs
   UNION
   SELECT s AS src, c AS dst FROM pairs
-), outdeg AS (
+), outdeg AS MATERIALIZED (
   SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT src AS node_id FROM edges
   UNION
   SELECT DISTINCT dst AS node_id FROM edges
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT node_id, CAST({r0} AS BIGINT) AS rank_fp FROM nodes
 ){rounds}
 SELECT node_id, rank_fp FROM r{iterations} ORDER BY node_id
@@ -663,14 +663,14 @@ def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
     degrees within the final survivor-induced subgraph. Chained
     deg_i/a_i/e_i CTEs — the pagerank pattern."""
     rounds_sql = "".join(
-        f""", deg{i} AS (
+        f""", deg{i} AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT item_a AS node FROM e{i - 1}
     UNION ALL SELECT item_b FROM e{i - 1}
   ) GROUP BY 1
-), a{i} AS (
+), a{i} AS MATERIALIZED (
   SELECT node FROM deg{i} WHERE d >= {k}
-), e{i} AS (
+), e{i} AS MATERIALIZED (
   SELECT p.item_a, p.item_b FROM p
   JOIN a{i} x ON p.item_a = x.node
   JOIN a{i} y ON p.item_b = y.node
@@ -678,13 +678,13 @@ def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
         for i in range(1, rounds + 1)
     )
     return f"""
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
-), p AS (
+), p AS MATERIALIZED (
   SELECT a.i AS item_a, b.i AS item_b
   FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
-), e0 AS (SELECT item_a, item_b FROM p){rounds_sql}
+), e0 AS MATERIALIZED (SELECT item_a, item_b FROM p){rounds_sql}
 SELECT a.node AS item,
        CAST(COALESCE(dg.d, 0) AS BIGINT) AS core_degree
 FROM a{rounds} a LEFT JOIN (
@@ -711,17 +711,17 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
         " i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])))"
     )
     rounds = "".join(
-        f""", a{i} AS (
+        f""", a{i} AS MATERIALIZED (
   SELECT id, v, cid FROM (
     SELECT v.id, v.v AS v, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.id
                               ORDER BY {dist}, c.cid) AS rn
     FROM v, c{i - 1} c) WHERE rn = 1
-), s{i} AS (
+), s{i} AS MATERIALIZED (
   SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
   FROM a{i}, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1, 2
-), c{i} AS (
+), c{i} AS MATERIALIZED (
   SELECT p.cid, COALESCE(u.c, p.c) AS c
   FROM c{i - 1} p LEFT JOIN (
     SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
@@ -730,13 +730,13 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
         for i in range(1, iters + 1)
     )
     return f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id AS id,
          list_transform(embedding,
            x -> CAST(ROUND((CAST(x AS DOUBLE) + 1.0) * {scale}.0)
                      AS BIGINT)) AS v
   FROM embeddings
-), c0 AS (
+), c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS c
   FROM (SELECT id, v FROM v ORDER BY id LIMIT {k})
 ){rounds}
@@ -774,17 +774,17 @@ def _ivf_sql(
         " i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])))"
     )
     rounds = "".join(
-        f""", a{i} AS (
+        f""", a{i} AS MATERIALIZED (
   SELECT id, v, cid FROM (
     SELECT v.id, v.v AS v, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.id
                               ORDER BY {dist}, c.cid) AS rn
     FROM v, c{i - 1} c) WHERE rn = 1
-), s{i} AS (
+), s{i} AS MATERIALIZED (
   SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
   FROM a{i}, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1, 2
-), c{i} AS (
+), c{i} AS MATERIALIZED (
   SELECT p.cid, COALESCE(u.c, p.c) AS c
   FROM c{i - 1} p LEFT JOIN (
     SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
@@ -793,25 +793,25 @@ def _ivf_sql(
         for i in range(1, iters + 1)
     )
     return f"""
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT vec_id AS id, embedding,
          {_COS_NORM.format(a="embedding")} AS nrm
   FROM embeddings
-), v AS (
+), v AS MATERIALIZED (
   SELECT id,
          list_transform(range(1, len(embedding) + 1),
            i -> CAST(ROUND((CAST(embedding[i] AS DOUBLE) / nrm + 1.0)
                            * {scale}.0) AS BIGINT)) AS v
   FROM raw
-), c0 AS (
+), c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS c
   FROM (SELECT id, v FROM v ORDER BY id LIMIT {nlist})
-){rounds}, cells AS (
+){rounds}, cells AS MATERIALIZED (
   SELECT id, cid AS cell FROM (
     SELECT v.id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn
     FROM v, c{iters} c) WHERE rn = 1
-), cent AS (
+), cent AS MATERIALIZED (
   SELECT cid AS cell, list_transform(c, y -> y / {scale}.0 - 1.0) AS centroid
   FROM c{iters}
 ), probes AS (

@@ -3552,65 +3552,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     All 50 verified this session under a vanilla driver-replica
     session at sf0.01 (SPARK_GRAFT_VANILLA).
 
-    Current tail: rows that are multi-round driver-green (rotated out
-    r5-r9 after >= 2 green rounds each), approximate-by-design rows
-    whose quality is pinned by an in-window recall/invariant twin
-    (ann_cosine_lsh/ivf/pq/ivfpq <- ann_*_recall; corpus_prep_auto <-
-    corpus_prep + dense-routing tests; top_listings_weekly <-
-    top_listings_topk; events_json <- events_json_struct), and
-    multimodal_features (rows-only: testdata ships no media table, so
-    it synthesizes one deterministically — pinned by the golden decode
-    tests).
+    Current tail: rows with >= 1 driver-green round (most multi-round;
+    the thirteen r10-rotated rows are annotated per-key in TAIL_KEYS),
+    plus the approximate-by-design rows whose quality is pinned by a
+    recall/invariant twin (ann_cosine_pq/ivfpq <- ann_*_recall gates;
+    top_listings_weekly <- top_listings_topk; events_json <-
+    events_json_struct). Since r10 every oracle-bearing tail key —
+    including ann_cosine_lsh and ann_cosine_ivf, which gained full
+    value-hash twins (portable hyperplane weights / deterministic
+    integer-Lloyd quantizer) — runs real Spark-vs-DuckDB value parity
+    in test_spot_oracle_parity (the list is COMPUTED as
+    TAIL_KEYS ∩ oracle_sql(); a hand-kept list was caught drifting in
+    r9). The only rows-only keys left in the whole registry are
+    ann_cosine_pq and ann_cosine_ivfpq (165 of 167 oracle-backed),
+    each pinned by its recall gate; ann_cosine_lsh/ivf are first in
+    line for an r11 window slot (their first driver-hashed round).
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born in, stable IO/metric rows out; r8: r7/r8-
     born in, ten stable rows out; r9: r9-born + the r8 tail debt in,
-    six stable rows out).
-
-    Late-r9 fifth wave (second continuation session; registry 125 →
-    151, every addition oracle-backed): rotated IN — cohort retention,
-    RFM, Markov transitions, session top paths, Gini diversity,
-    3-itemsets, exact k-means, OLS trend, Pareto head, DAU/WAU/MAU,
-    clustering coefficients, Benford gate, funnel timing, SCD2
-    point-in-time join, CDC incremental-agg maintenance, k-core,
-    weighted median, MoM growth, HHI. copurchase_triangles also gained
-    a full value-hash oracle (id-ordered triangle enumeration),
-    leaving no in-window key without one. Rotated OUT to the
-    spot-parity tail (each ≥1 driver-green round, most multi-round,
-    all with standing pytest coverage and/or an in-window relative
-    that embeds their semantics): streaming_user_totals, recipe_metric,
-    embedding_near_dups, streaming_event_counts, training_batches,
-    training_mix (shared oracle stays in-window via
-    recipe_training_mix), near_dup_clusters, near_dup_jaccard,
-    minhash_near_dups, orc_roundtrip, csv_quarantine,
-    orders_snapshot_diff, hll_union_gate, tfidf_cosine_topk,
-    incremental_dedup, fuzzy_part_match (part_entity_clusters embeds
-    the linkage pair space), orders_cdc_apply (merge rule embedded in
-    orders_cdc_incremental_agg), streaming_sessions, events_ewma.
-
-    Sixth wave (third continuation session; registry 151 → 157):
-    rotated IN — purchase_attribution (largest-remainder multi-touch
-    ppm credit), user_first_seen (daily new-vs-returning actives),
-    events_fd_check (functional-dependency violation profiler),
-    events_chi2 (fixed-point chi-square independence gate),
-    price_winsorized (positional winsorized rollup), part_skyline
-    (2-D Pareto front by frontier reduction). Rotated OUT: the five
-    ANN recall gates (driver-green r7+r8, unchanged — their rows-only
-    ann_cosine_* twins stay pinned by the gates' standing pytest spot
-    parity) and heavy_hitters_gate (driver-green r8 + spot parity; one
-    driver round — the documented half-step of the >=2 rule, first in
-    line to rotate back).
-
-    Seventh-to-ninth wave (same session; registry 157 → 167): ten
-    more oracle-backed rows born AFTER the window filled —
-    seasonal-naive backtest, level shift, floored running balance,
-    equi-depth histogram, exact two-sample KS drift, session-depth
-    distribution, the manifest-based incremental-ingest round-trip,
-    cross-table total reconciliation, interval-union coverage, and
-    run-length streaks. All sit at the tail head with computed spot
-    parity (the parametrize list is DERIVED from TAIL_KEYS ∩ oracles —
-    a hand-kept list was caught drifting) and are first in line for
-    the r10 window.
+    six stable rows out; late-r9 waves five through nine: see the r9
+    tag of this docstring; r10: the 13-key debt-closing rotation
+    described above).
     """
     return {
         # --- r10 driver window (first 50; see docstring) ---

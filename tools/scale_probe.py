@@ -1,0 +1,172 @@
+"""Synthesized-10x scale probe for the r9 structural claims (r9 verdict
+task 5): block_cap sub-blocking, containment slim postings, substring
+dedup gram shuffle, semantic-dedup cell sizing.
+
+No sf1.0 testdata exists, so this builds one: 10 replicas of the sf0.1
+documents/embeddings tables, ids shifted per replica and every TOKEN
+namespaced with a replica suffix ("the" -> "the_r3"). Namespacing makes
+the replica universes token-disjoint, so the 10x corpus decomposes into
+10 independent copies of the sf0.1 problem — the ORGANIC-growth shape
+(10x more blocks at the same block-size distribution, including 10
+copies of the fixture's ~3k-doc degenerate boilerplate block for the
+block_cap path). A probe that instead replicated text verbatim would
+multiply the per-doc near-dup density itself — the measured output
+would grow ~100x by construction and say nothing about the operators.
+
+Usage: python tools/scale_probe.py [base_sf_dir]
+Prints one JSON line: {op: {"sf0.1": [s, s], "x10": [s, s],
+"ratio_steady": r, "out_rows": [n, n10]}} — two timed runs per scale in
+one warm JVM; ratio_steady = x10 run2 / sf0.1 run2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lab_etl_batch_data_processing_pipeline__spark.session import get_spark
+from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    dedup_fuzzy,
+    similarity,
+)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPLICAS = 10
+ID_STRIDE = 10_000_000
+
+
+def synth_dir(base_sf: str) -> str:
+    st = os.stat(os.path.join(base_sf, "documents.parquet"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(base_sf))}"
+        f"-{int(st.st_mtime)}-{st.st_size}-x{REPLICAS}"
+    )
+    return os.path.join(_REPO_ROOT, ".cache", "scaleprobe", tag)
+
+
+def build_synth(spark, base_sf: str) -> str:
+    out = synth_dir(base_sf)
+    if os.path.isfile(os.path.join(out, "_BUILT")):
+        return out
+    docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
+    reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
+    big_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("r") * ID_STRIDE).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")),
+                lambda t: F.concat(t, F.lit("_r"), F.col("r").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    emb = spark.read.parquet(os.path.join(base_sf, "embeddings.parquet"))
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("r") * ID_STRIDE).alias("vec_id"),
+        # small per-replica rotation keeps within-replica neighbor
+        # structure intact without making replicas exact duplicates
+        F.transform(
+            F.col("embedding"),
+            lambda x: x + F.col("r").cast("float") * F.lit(0.001),
+        ).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    with open(os.path.join(out, "_BUILT"), "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def timed(fn, runs: int = 2):
+    times, rows = [], None
+    for _ in range(runs):
+        t0 = time.time()
+        rows = fn()
+        times.append(round(time.time() - t0, 2))
+    return times, rows
+
+
+def main() -> None:
+    base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build_synth(spark, base_sf)
+
+    scales = {
+        "sf0.1": (
+            spark.read.parquet(os.path.join(base_sf, "documents.parquet")),
+            spark.read.parquet(os.path.join(base_sf, "embeddings.parquet")),
+        ),
+        "x10": (
+            spark.read.parquet(os.path.join(big, "documents.parquet")),
+            spark.read.parquet(os.path.join(big, "embeddings.parquet")),
+        ),
+    }
+    # one materialized sketch per scale (the shared-artifact shape);
+    # sketch build time is reported separately from the ops that use it
+    sketches = {}
+    report: dict[str, dict] = {}
+
+    def record(op, scale, times, rows):
+        report.setdefault(op, {})[scale] = times
+        report[op].setdefault("out_rows", []).append(rows)
+
+    for scale, (docs, emb) in scales.items():
+        t, n = timed(
+            lambda: dedup_fuzzy.token_sketch(docs)
+            .localCheckpoint(eager=True)
+            .count(),
+            runs=1,
+        )
+        sk = dedup_fuzzy.token_sketch(docs).localCheckpoint(eager=True)
+        record("token_sketch_build", scale, t, n)
+
+        sketches[scale] = sk
+        t, n = timed(
+            lambda: dedup_fuzzy.jaccard_near_dups(
+                docs, threshold=0.5, sort=False, sketch=sk, block_cap=200
+            ).count()
+        )
+        record("jaccard_near_dups_capped", scale, t, n)
+
+        t, n = timed(
+            lambda: dedup_fuzzy.containment_degree(docs, threshold=0.5).count()
+        )
+        record("containment_degree", scale, t, n)
+
+        t, n = timed(
+            lambda: dedup_fuzzy.remove_duplicate_spans(
+                docs, k=8, min_len=15
+            ).count()
+        )
+        record("substring_dedup", scale, t, n)
+
+        nlist = 8 if scale == "sf0.1" else 80  # cells stay executor-sized
+        t, n = timed(
+            lambda: similarity.semantic_dedup(
+                emb, threshold=0.9, nlist=nlist
+            ).count()
+        )
+        record("semantic_dedup", scale, t, n)
+
+    for op, d in report.items():
+        if "sf0.1" in d and "x10" in d:
+            d["ratio_steady"] = round(d["x10"][-1] / max(d["sf0.1"][-1], 1e-9), 2)
+    print(json.dumps({"base": base_sf, "replicas": REPLICAS, "ops": report}))
+
+
+if __name__ == "__main__":
+    main()
