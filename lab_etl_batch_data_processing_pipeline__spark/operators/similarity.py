@@ -767,7 +767,18 @@ def semantic_dedup(
     import pandas as pd
 
     if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
-        _check_built(index_dir, kind="ivf")
+        # either quantizer's cells are valid here: semantic dedup only
+        # needs SOME bounded partition of the vector space, and the
+        # greedy min-id rule is deterministic GIVEN the materialized
+        # cell assignment (which is read, not recomputed) — unlike the
+        # IVF probe, whose oracle replays the deterministic quantizer.
+        with open(f"{index_dir}/_BUILT") as marker:
+            kind = (json.load(marker) or {}).get("kind")
+        if kind not in ("ivf", "ivf-det"):
+            raise ValueError(
+                f"index at {index_dir} is not an IVF inverted file "
+                f"(kind={kind!r})"
+            )
         inverted, _ = read_ivf_index(corpus.sparkSession, index_dir)
     elif nlist <= 1:
         # global greedy (no clustering): exact, single cell — the small-

@@ -253,21 +253,31 @@ _JACCARD_SQL = _jaccard_sql(0.3)
 # the engine's iterative hash-to-min propagation (operators/graph.py), so
 # an ITERATIVE algorithm still gets a value-hash oracle: component_id =
 # min reachable doc id, which both formulations produce deterministically.
+# Connected components as MIN-LABEL PROPAGATION to fixpoint, not full
+# transitive closure: closure materializes O(n^2) reach pairs per
+# component, which on the dense fixture's near-clique clusters at sf0.1
+# filled the disk (the copurchase_kcore lesson, second instance); label
+# propagation reaches the same component_id = min-reachable-id with
+# ~n x (labels-improved) rows — 2-3 recursion rounds on clique-ish
+# components. The l.lbl < e.a guard only prunes propagation into nodes
+# that already dominate the label; MIN per node at the end is exact.
 _CC_SQL = f"""
-WITH RECURSIVE strong_pairs AS ({_jaccard_sql(0.6)}),
-edges AS (
+WITH RECURSIVE strong_pairs AS MATERIALIZED ({_jaccard_sql(0.6)}),
+edges AS MATERIALIZED (
   SELECT doc_id_a AS a, doc_id_b AS b FROM strong_pairs
   UNION
   SELECT doc_id_b AS a, doc_id_a AS b FROM strong_pairs
 ),
-reach AS (
-  SELECT a, b FROM edges
+lp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS lbl FROM edges GROUP BY a
   UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+  SELECT e.a AS node, l.lbl
+  FROM lp l JOIN edges e ON e.b = l.node
+  WHERE l.lbl < e.a
 )
-SELECT CAST(a AS BIGINT) AS node_id,
-       CAST(LEAST(a, MIN(b)) AS BIGINT) AS component_id
-FROM reach GROUP BY a ORDER BY 1
+SELECT CAST(node AS BIGINT) AS node_id,
+       CAST(MIN(lbl) AS BIGINT) AS component_id
+FROM lp GROUP BY node ORDER BY 1
 """
 
 # Degree form: same pair space, collapsed per doc (both pair sides count).
