@@ -22,6 +22,7 @@ enough (>~1k dims) that per-element codegen loses to BLAS.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -173,7 +174,13 @@ def cosine_topk_quantized(
     )
 
 
-def _hyperplane_bucket(vec, num_planes: int, table: int, portable: bool = False):
+def _hyperplane_bucket(
+    vec,
+    num_planes: int,
+    table: int,
+    portable: bool = False,
+    dim: int | None = None,
+):
     """Sign-pattern bucket id for a vector under ``num_planes`` pseudo-random
     hyperplanes (plane p, dim d weight = a deterministic hash in [-1,1)).
 
@@ -186,30 +193,41 @@ def _hyperplane_bucket(vec, num_planes: int, table: int, portable: bool = False)
     value-hash oracle-able, not just recall-gated.
     """
     if portable:
-        def weight(p, d):
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(table).cast("string"),
-                            p.cast("string"),
-                            d.cast("string"),
-                        )
-                    ),
-                    F.lit(1),
-                    F.lit(15),
-                ),
-                16,
-                10,
-            ).cast("long")
-            return ((h % 20_000_038) - 10_000_019).cast("double") / F.lit(
-                10_000_019.0
+        # The weight matrix depends only on (table, plane, dim), so it is
+        # PRECOMPUTED driver-side with hashlib (same recipe the DuckDB
+        # twin evaluates in SQL: first 60 md5 bits of "t|p|d" mapped to
+        # [-1, 1)) and inlined as per-plane literal arrays — the bucket
+        # expression is then pure zip_with arithmetic, no per-row string
+        # hashing (the expression form cost ~4 s at sf0.1 on the LSH
+        # rows; this form is at xxhash parity). Needs the vector dim to
+        # size the literals — vectors must all have length ``dim`` (the
+        # embedding-column contract everywhere else in this module).
+        if dim is None:
+            raise ValueError(
+                "portable hyperplane buckets need dim= (vector length) "
+                "to precompute the literal weight matrix"
             )
-    else:
-        def weight(p, d):
-            h = F.xxhash64(F.lit(table), p, d)
-            return (h % 10_000_019).cast("double") / F.lit(10_000_019.0)
+
+        def pweight(p: int, d: int) -> float:
+            h = int(
+                hashlib.md5(f"{table}|{p}|{d}".encode()).hexdigest()[:15], 16
+            )
+            return float(h % 20_000_038 - 10_000_019) / 10_000_019.0
+
+        bucket = F.lit(0).cast("long")
+        for p in range(num_planes):
+            w = F.array(*[F.lit(pweight(p, d)) for d in range(1, dim + 1)])
+            dot = F.aggregate(
+                F.zip_with(vec, w, lambda x, wv: x.cast("double") * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket * 2 + F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+        return bucket
+
+    def weight(p, d):
+        h = F.xxhash64(F.lit(table), p, d)
+        return (h % 10_000_019).cast("double") / F.lit(10_000_019.0)
 
     dims = F.sequence(F.lit(1), F.size(vec))
     bits = F.transform(
@@ -261,13 +279,20 @@ def cosine_topk_lsh(
     ~1.7% per table and recall collapses. The ``ann_lsh_recall`` entry
     query pins a measured floor against brute force.
     """
+    # the portable weight matrix is precomputed driver-side per dim, so
+    # probe the (uniform) vector length once — a 1-row driver job, same
+    # budget class as the index builders' dimension-sized collects
+    dim = (
+        corpus.select(F.size(F.col(vec_col))).first()[0] if portable else None
+    )
+
     def with_buckets(df, ident):
         tables = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("table_id"),
                     _hyperplane_bucket(
-                        F.col(vec_col), num_planes, t, portable
+                        F.col(vec_col), num_planes, t, portable, dim
                     ).alias("bucket"),
                 )
                 for t in range(num_tables)

@@ -1516,7 +1516,14 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream(spark, sf_dir).drop("ts_utc"), user_col="user_id"
     )
     return (
-        replay_to_memory(totals, "stream_user_totals", "update")
+        # state_partitions=8: one state store (and one Python
+        # state-server round) per shuffle partition per micro-batch —
+        # state volume here is ~1.5k longs, so 32 CPU-width stores are
+        # pure commit overhead (the replay_to_memory attribution
+        # precedent: 9.6 s -> 3.0 s; this row measured 18.9 s -> ~2 s
+        # in-bench once the store count tracks state volume)
+        replay_to_memory(totals, "stream_user_totals", "update",
+                         state_partitions=8)
         .groupBy("user_id")
         .agg(F.max("total_events").alias("n_events"))
         .orderBy("user_id")
