@@ -99,7 +99,11 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return os.path.join(_REPO_ROOT, ".cache", "ivf", tag)
 
 
-_PQ_PARAMS = {"m": 16, "ksub": 32, "seed": 42, "rerank": 100}
+# deterministic=True since r10 (the IVF precedent): codebooks + codes
+# from the exact-integer Lloyd, so the probed top-k has a DuckDB twin.
+_PQ_PARAMS = {
+    "m": 16, "ksub": 32, "seed": 42, "rerank": 100, "deterministic": True,
+}
 
 
 def _pq_index_dir(sf_dir: str) -> str:
@@ -113,12 +117,14 @@ def _pq_index_dir(sf_dir: str) -> str:
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"-{int(st.st_mtime)}-{st.st_size}"
         f"-m{p['m']}-k{p['ksub']}-s{p['seed']}"
+        f"{'-det' if p['deterministic'] else ''}"
     )
     return os.path.join(_REPO_ROOT, ".cache", "pq", tag)
 
 
 _IVFPQ_PARAMS = {
     "nlist": 8, "nprobe": 3, "m": 16, "ksub": 32, "seed": 42, "rerank": 100,
+    "deterministic": True,  # r10: same rationale as _PQ_PARAMS
 }
 
 
@@ -132,6 +138,7 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"-{int(st.st_mtime)}-{st.st_size}"
         f"-nl{p['nlist']}-m{p['m']}-k{p['ksub']}-s{p['seed']}"
+        f"{'-det' if p['deterministic'] else ''}"
     )
     return os.path.join(
         _REPO_ROOT, ".cache", "ivfpq", tag
@@ -343,22 +350,28 @@ def prebuild_indexes(spark: SparkSession, sf_dir: str) -> None:
         similarity.build_pq_index(
             _t(spark, sf_dir, "embeddings"), pq_dir,
             m=p["m"], ksub=p["ksub"], seed=p["seed"],
+            deterministic=p["deterministic"],
         )
     ivfpq_dir = _ivfpq_index_dir(sf_dir)
     if not os.path.isfile(os.path.join(ivfpq_dir, "_BUILT")):
         p = _IVFPQ_PARAMS
-        # the flat-PQ index above trained identical codebooks (same
-        # m/ksub/seed over the same corpus) — reuse them instead of
-        # re-running the m KMeans fits
-        shared_cb = None
-        if p["m"] == _PQ_PARAMS["m"] and p["ksub"] == _PQ_PARAMS["ksub"] and (
-            p["seed"] == _PQ_PARAMS["seed"]
+        # the flat-PQ index above trained identical codebooks AND codes
+        # (same m/ksub/quantizer over the same corpus) — reuse both
+        # instead of re-running the m fits (on the deterministic path
+        # the reuse is exact by construction, not just same-seed luck)
+        shared_cb = shared_codes = None
+        if (
+            p["m"] == _PQ_PARAMS["m"]
+            and p["ksub"] == _PQ_PARAMS["ksub"]
+            and p["seed"] == _PQ_PARAMS["seed"]
+            and p["deterministic"] == _PQ_PARAMS["deterministic"]
         ):
-            shared_cb, _ = similarity.read_pq_index(spark, pq_dir)
+            shared_cb, shared_codes = similarity.read_pq_index(spark, pq_dir)
         similarity.build_ivfpq_index(
             _t(spark, sf_dir, "embeddings"), ivfpq_dir,
             nlist=p["nlist"], m=p["m"], ksub=p["ksub"], seed=p["seed"],
-            codebooks=shared_cb,
+            codebooks=shared_cb, encoded=shared_codes,
+            deterministic=p["deterministic"],
         )
     index_dir = _ivf_index_dir(sf_dir)
     # The _BUILT sentinel is written after BOTH index writes complete

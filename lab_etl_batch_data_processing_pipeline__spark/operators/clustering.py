@@ -33,7 +33,7 @@ training-data surface the same way the ANN/dedup family does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["kmeans_assign", "kmeans_fit"]
 
@@ -165,3 +165,119 @@ def kmeans_assign(
     list (the original public surface; see kmeans_fit for the full
     deterministic rule set and the scale shape)."""
     return kmeans_fit(df, id_col, vec_col, k, iters, scale, shift)[0]
+
+
+def kmeans_fit_grouped(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1 << 20,
+    shift: float = 1.0,
+) -> tuple[DataFrame, dict]:
+    """Per-group :func:`kmeans_fit`: the SAME deterministic rule set
+    (k-smallest-id init, (dist, cid)-lexicographic assignment,
+    sum-div-count update, empty clusters keep the prior centroid)
+    applied independently within every ``group_col`` value — but
+    trained in ONE round-trip per iteration over the whole frame, not
+    one Lloyd run per group. This is the product-quantization trainer's
+    shape (m sub-quantizers = m groups, FAISS trains them in one data
+    pass too); m sequential kmeans_fit calls cost m x (iters + 2) jobs,
+    this costs (iters + 2) regardless of group count.
+
+    Mechanics: centroids live driver-side as {(group, cid): vec}
+    (groups x k x dim ints — dimension-sized by contract) and re-enter
+    each round as a small joined frame, so the assignment is a
+    broadcast-ish equi-join + one (id, group)-keyed struct-min instead
+    of a literal array_min; the update is one (group, cid, pos) hash
+    aggregate. Values are bit-identical to per-group kmeans_fit
+    (pinned in tests/test_similarity.py::test_det_pq_grouped_matches
+    via the PQ fit) — integer arithmetic, same tie rules.
+
+    Returns ``(assignment, centroids)``: assignment =
+    (group, id, cluster, dist_sq) sorted by (group, id); centroids =
+    {(group, cid): list[int]} in the fix-point domain.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    vecs = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        _scaled_vec(F.col(vec_col), scale, shift).alias("v"),
+    ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    seed_w = Window.partitionBy("g").orderBy("id")
+    seed_rows = (
+        vecs.withColumn("rn", F.row_number().over(seed_w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    centroids: dict = {}
+    group_counts: dict = {}
+    for r in seed_rows:
+        centroids[(r.g, r.rn - 1)] = list(r.v)
+        group_counts[r.g] = max(group_counts.get(r.g, 0), r.rn)
+    for g, n in group_counts.items():
+        if n < k:
+            raise ValueError(f"group {g!r}: need >= {k} vectors, got {n}")
+
+    def cent_df(cents):
+        return spark.createDataFrame(
+            [(g, cid, c) for (g, cid), c in cents.items()],
+            f"g {df.schema[group_col].dataType.simpleString()}, "
+            "cid int, c array<bigint>",
+        )
+
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cents) -> DataFrame:
+        scored = vecs.join(F.broadcast(cent_df(cents)), "g").select(
+            "g",
+            "id",
+            "v",
+            F.struct(dist.alias("dist_sq"), F.col("cid").alias("cluster")).alias(
+                "__sc"
+            ),
+        )
+        best = scored.groupBy("g", "id").agg(
+            F.min("__sc").alias("b"), F.first("v").alias("v")
+        )
+        return best.select(
+            "g",
+            "id",
+            "v",
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.dist_sq").alias("dist_sq"),
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(centroids)
+            .select("g", "cluster", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("g", "cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = {key: list(c) for key, c in centroids.items()}
+        by_key: dict = {}
+        for r in sums:
+            by_key.setdefault((r.g, r.cluster), []).append((r.pos, r.s, r.n))
+        for key, entries in by_key.items():
+            vec = list(new_cents[key])
+            for pos, s, n in entries:
+                vec[pos] = s // n  # non-negative: floor == trunc
+            new_cents[key] = vec
+        centroids = new_cents
+
+    out = (
+        assign(centroids)
+        .select("g", "id", "cluster", "dist_sq")
+        .orderBy("g", "id")
+    )
+    return out, centroids

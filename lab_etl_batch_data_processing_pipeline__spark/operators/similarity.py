@@ -1062,6 +1062,89 @@ def pq_encode(
     )
 
 
+def _det_pq_fit(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    iters: int = 4,
+    scale: int = 1 << 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic PQ training + encode in one pass: per subspace j,
+    the exact-integer Lloyd (clustering.kmeans_fit — fix-point BIGINTs
+    of the L2-NORMALIZED subvectors, ksub-smallest-id init) yields both
+    the codebook (final integer centroids, converted back to the
+    normalized-vector domain c/scale - 1 for the float LUT math) and
+    the codes (the fit's own final assignment — no float re-encode, so
+    code assignment is bit-identical on any engine that follows the
+    rule, which is what makes the WHOLE PQ probe value-hash oracle-able
+    in DuckDB). Returns (codebooks, encoded) with the standard layouts.
+
+    One grouped Lloyd pass trains all m sub-quantizers together
+    (clustering.kmeans_fit_grouped, group = subspace): iters + 2 jobs
+    total instead of m x (iters + 2); driver traffic is m x ksub x dsub
+    integers (the codebook itself), the offline-build budget class.
+    """
+    from . import clustering
+
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "PQ: cannot train codebooks on an empty corpus / NULL embedding"
+        )
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
+    if ksub > 128:
+        raise ValueError(
+            f"PQ: ksub {ksub} exceeds tinyint code range (max 128 codes)"
+        )
+    dsub = dim // m
+    norm = l2_norm(F.col(vec_col))
+    nvec = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    sub = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(nvec, j * dsub + 1, dsub) for j in range(m)])
+        ).alias("subspace", "__sub"),
+    )
+    assignment, cents = clustering.kmeans_fit_grouped(
+        sub,
+        id_col,
+        "__sub",
+        "subspace",
+        k=ksub,
+        iters=iters,
+        scale=scale,
+        shift=1.0,
+    )
+    codebooks = corpus.sparkSession.createDataFrame(
+        [
+            (j, cid, [x / scale - 1.0 for x in c])
+            for (j, cid), c in sorted(cents.items())
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    encoded = (
+        assignment.select(
+            F.col("id").alias(id_col),
+            F.col("g").alias("subspace"),
+            F.col("cluster").cast("tinyint").alias("code"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("subspace"), F.col("code")))
+                ),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+    )
+    return codebooks, encoded
+
+
 def build_pq_index(
     corpus: DataFrame,
     index_dir: str,
@@ -1070,16 +1153,30 @@ def build_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    deterministic: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize a PQ index (codebooks + encoded corpus) as parquet —
     the offline build job; queries read codes only. Same _BUILT-sentinel
     contract as build_ivf_index (partitioned/overwrite writes leave no
-    trustworthy root _SUCCESS)."""
-    codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
-    encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
+    trustworthy root _SUCCESS).
+
+    ``deterministic=True`` trains/encodes via the exact-integer Lloyd
+    (:func:`_det_pq_fit` — ``seed`` unused) so the probed top-k has a
+    DuckDB value-hash twin (query key ann_cosine_pq since r10)."""
+    if deterministic:
+        codebooks, encoded = _det_pq_fit(corpus, m, ksub, id_col, vec_col)
+    else:
+        codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
+        encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
     codebooks.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     encoded.write.mode("overwrite").parquet(f"{index_dir}/encoded")
-    _write_built(index_dir, kind="pq", m=m, ksub=ksub, seed=seed)
+    _write_built(
+        index_dir,
+        kind="pq-det" if deterministic else "pq",
+        m=m,
+        ksub=ksub,
+        seed=seed,
+    )
     return read_pq_index(corpus.sparkSession, index_dir)
 
 
@@ -1105,6 +1202,7 @@ def cosine_topk_pq(
     encoded: DataFrame | None = None,
     rerank: int = 0,
     index_dir: str | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
     """PQ approximate cosine top-k via asymmetric distance computation:
     the query stays exact, the corpus is m-byte codes, and each pair
@@ -1132,12 +1230,20 @@ def cosine_topk_pq(
     """
     if codebooks is None or encoded is None:
         if index_dir is not None and os.path.isfile(f"{index_dir}/_BUILT"):
-            _check_built(index_dir, kind="pq", m=m, ksub=ksub)
+            _check_built(
+                index_dir,
+                kind="pq-det" if deterministic else "pq",
+                m=m,
+                ksub=ksub,
+            )
             codebooks, encoded = read_pq_index(corpus.sparkSession, index_dir)
         elif index_dir is not None:
             codebooks, encoded = build_pq_index(
-                corpus, index_dir, m, ksub, id_col, vec_col, seed
+                corpus, index_dir, m, ksub, id_col, vec_col, seed,
+                deterministic,
             )
+        elif deterministic:
+            codebooks, encoded = _det_pq_fit(corpus, m, ksub, id_col, vec_col)
         else:
             codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
             encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
@@ -1245,6 +1351,8 @@ def build_ivfpq_index(
     max_iter: int = 4,
     codebooks: DataFrame | None = None,
     residual: bool = False,
+    deterministic: bool = False,
+    encoded: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Composed IVF×PQ index — the production billion-scale ANN layout
     (FAISS IVFPQ, Jégou et al. TPAMI'11): one parquet dataset of
@@ -1263,9 +1371,24 @@ def build_ivfpq_index(
 
     Returns (coded, centroids, codebooks) read back from ``index_dir``;
     _BUILT-sentinel contract as the other index builders.
+
+    ``deterministic=True`` (plain layout only — the residual form would
+    need residuals re-fix-pointed and is not oracled): cells from the
+    exact-integer IVF quantizer and codes/codebooks from
+    :func:`_det_pq_fit` (``seed`` unused), so the probed top-k has a
+    DuckDB value-hash twin (query key ann_cosine_ivfpq since r10).
+    Pass ``codebooks`` AND ``encoded`` from a same-parameter
+    deterministic PQ index to skip the m refits (identical training by
+    construction).
     """
+    if deterministic and residual:
+        raise ValueError(
+            "build_ivfpq_index: deterministic currently covers the plain "
+            "layout only"
+        )
     inverted, centroid_df = build_ivf_index(
-        corpus, nlist, id_col, vec_col, seed, max_iter, index_dir=None
+        corpus, nlist, id_col, vec_col, seed, max_iter, index_dir=None,
+        deterministic=deterministic,
     )
     if residual:
         norm = l2_norm(F.col(vec_col))
@@ -1304,11 +1427,15 @@ def build_ivfpq_index(
             seed=seed, residual=True,
         )
         return read_ivfpq_index(corpus.sparkSession, index_dir)
-    if codebooks is None:
+    if deterministic:
+        if codebooks is None or encoded is None:
+            codebooks, encoded = _det_pq_fit(corpus, m, ksub, id_col, vec_col)
+    elif codebooks is None:
         # pass precomputed codebooks (e.g. the flat-PQ index's, same
         # m/ksub/seed => identical training) to skip the m KMeans fits
         codebooks = build_pq_codebooks(corpus, m, ksub, vec_col, seed)
-    encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
+    if encoded is None:
+        encoded = pq_encode(corpus, codebooks, m, id_col, vec_col)
     coded = inverted.select(id_col, "cell").join(encoded, id_col)
     coded.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_dir}/coded"
@@ -1316,8 +1443,8 @@ def build_ivfpq_index(
     centroid_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     _write_built(
-        index_dir, kind="ivfpq", nlist=nlist, m=m, ksub=ksub,
-        seed=seed, residual=False,
+        index_dir, kind="ivfpq-det" if deterministic else "ivfpq",
+        nlist=nlist, m=m, ksub=ksub, seed=seed, residual=False,
     )
     return read_ivfpq_index(corpus.sparkSession, index_dir)
 
@@ -1346,6 +1473,7 @@ def cosine_topk_ivfpq(
     rerank: int = 0,
     index_dir: str | None = None,
     residual: bool = False,
+    deterministic: bool = False,
 ) -> DataFrame:
     """IVF×PQ approximate cosine top-k: rank cell centroids per query,
     statically partition-prune the coded index to the nprobe probed
@@ -1364,7 +1492,9 @@ def cosine_topk_ivfpq(
         # must match the build. nlist deliberately unchecked: cells come
         # from disk, a different probe-side default is harmless.
         _check_built(
-            index_dir, kind="ivfpq", m=m, ksub=ksub, residual=residual,
+            index_dir,
+            kind="ivfpq-det" if deterministic else "ivfpq",
+            m=m, ksub=ksub, residual=residual,
         )
         coded, centroid_df, codebooks = read_ivfpq_index(
             corpus.sparkSession, index_dir
@@ -1372,7 +1502,7 @@ def cosine_topk_ivfpq(
     elif index_dir is not None:
         coded, centroid_df, codebooks = build_ivfpq_index(
             corpus, index_dir, nlist, m, ksub, id_col, vec_col, seed,
-            residual=residual,
+            residual=residual, deterministic=deterministic,
         )
     else:
         import tempfile
@@ -1380,7 +1510,7 @@ def cosine_topk_ivfpq(
         with tempfile.TemporaryDirectory() as tmp:
             coded, centroid_df, codebooks = build_ivfpq_index(
                 corpus, tmp, nlist, m, ksub, id_col, vec_col, seed,
-                residual=residual,
+                residual=residual, deterministic=deterministic,
             )
             # materialize out of the temp dir before it vanishes
             coded = coded.localCheckpoint()

@@ -852,6 +852,224 @@ SELECT query_id, neighbor_id, cosine_sim, sim_rank FROM (
 """
 
 
+def _pq_chain(
+    m: int, ksub: int, iters: int, scale: int, prefix: str = "p"
+) -> str:
+    """CTE fragment for the deterministic PQ fit (similarity._det_pq_fit):
+    one exact-integer Lloyd chain keyed by subspace j — the _kmeans_sql
+    pattern with (j, cid) keys instead of cid. Emits {prefix}sv
+    (fix-point normalized subvectors), {prefix}c{{i}} rounds,
+    {prefix}codes (final per-(id, j) assignment) and {prefix}cb (float
+    codebooks, c/scale - 1). Expects a CTE ``raw(id, embedding, nrm)``
+    in scope. Subvector length is derived as len(embedding) // m."""
+    p = prefix
+    dsub = f"(len(embedding) // {m})"
+    dist = (
+        f"list_sum(list_transform(range(1, len(sv.v) + 1),"
+        f" i -> (sv.v[i] - c.c[i]) * (sv.v[i] - c.c[i])))"
+    )
+    rounds = "".join(
+        f""", {p}a{i} AS MATERIALIZED (
+  SELECT id, j, v, cid FROM (
+    SELECT sv.id, sv.j, sv.v AS v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY sv.id, sv.j
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM {p}sv sv JOIN {p}c{i - 1} c ON c.j = sv.j) WHERE rn = 1
+), {p}s{i} AS MATERIALIZED (
+  SELECT j, cid, i, SUM(v[i]) AS s, COUNT(*) AS n
+  FROM {p}a{i}, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2, 3
+), {p}c{i} AS MATERIALIZED (
+  SELECT pr.j, pr.cid, COALESCE(u.c, pr.c) AS c
+  FROM {p}c{i - 1} pr LEFT JOIN (
+    SELECT j, cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
+    FROM {p}s{i} GROUP BY 1, 2
+  ) u ON pr.j = u.j AND pr.cid = u.cid)"""
+        for i in range(1, iters + 1)
+    )
+    return f"""{p}sv AS MATERIALIZED (
+  SELECT id, j,
+         list_transform(range(1, {dsub} + 1),
+           i -> CAST(ROUND((CAST(embedding[j * {dsub} + i] AS DOUBLE) / nrm
+                            + 1.0) * {scale}.0) AS BIGINT)) AS v
+  FROM raw, range(0, {m}) rj(j)
+), {p}c0 AS MATERIALIZED (
+  SELECT j, CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY id) - 1 AS INT)
+           AS cid, v AS c
+  FROM {p}sv WHERE id IN (SELECT id FROM raw ORDER BY id LIMIT {ksub})
+){rounds}, {p}codes AS MATERIALIZED (
+  SELECT id, j, cid FROM (
+    SELECT sv.id, sv.j, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY sv.id, sv.j
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM {p}sv sv JOIN {p}c{iters} c ON c.j = sv.j) WHERE rn = 1
+), {p}cb AS MATERIALIZED (
+  SELECT j, cid, list_transform(c, y -> y / {scale}.0 - 1.0) AS cent
+  FROM {p}c{iters}
+), {p}lut AS MATERIALIZED (
+  SELECT q.id AS query_id, cb.j, cb.cid,
+         list_reduce(list_transform(range(1, len(q.embedding) // {m} + 1),
+           i -> (CAST(q.embedding[cb.j * (len(q.embedding) // {m}) + i]
+                      AS DOUBLE) / q.nrm) * cb.cent[i]),
+           (x, y) -> x + y) AS pd
+  FROM raw q, {p}cb cb WHERE q.id < 5
+)"""
+
+
+def _pq_sql(
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 4,
+    scale: int = 1 << 20,
+    k: int = 5,
+    rerank: int = 100,
+) -> str:
+    """Twin of the deterministic PQ probe (query key ann_cosine_pq:
+    build_pq_index deterministic=True + cosine_topk_pq): per-subspace
+    exact-integer Lloyd codebooks AND codes (the fit's own assignment —
+    no float re-encode), per-query LUT of subvector x centroid partial
+    dots, j-ordered LUT-sum scoring rounded to 6dp, top-``rerank``
+    shortlist, exact cosine re-rank to top-``k``. Float folds are the
+    same left-to-right shapes _ANN_SQL proved portable; the j-ordered
+    list_reduce in the scorer mirrors Spark's aggregate-over-zip_with
+    fold (a bare SUM() would be order-unstable)."""
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT vec_id AS id, embedding,
+         {_COS_NORM.format(a="embedding")} AS nrm
+  FROM embeddings
+), {_pq_chain(m, ksub, iters, scale)}, pq_scored AS MATERIALIZED (
+  SELECT l.query_id, c.id AS neighbor_id,
+         ROUND(list_reduce(list(l.pd ORDER BY l.j), (x, y) -> x + y), 6)
+           AS pq_sim
+  FROM pcodes c JOIN plut l ON l.j = c.j AND l.cid = c.cid
+  WHERE c.id <> l.query_id
+  GROUP BY 1, 2
+), shortlist AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY pq_sim DESC, neighbor_id) AS rn
+    FROM pq_scored) WHERE rn <= {rerank}
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(
+           {_COS_DOT.format(a="qe.embedding", b="ne.embedding")}
+           / (qe.nrm * ne.nrm), 6) AS cosine_sim
+  FROM shortlist s
+  JOIN raw qe ON qe.id = s.query_id
+  JOIN raw ne ON ne.id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, sim_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+    AS sim_rank
+  FROM rescored) WHERE sim_rank <= {k}
+"""
+
+
+def _ivfpq_sql(
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 4,
+    scale: int = 1 << 20,
+    k: int = 5,
+    rerank: int = 100,
+) -> str:
+    """Twin of the deterministic IVFPQ probe (query key ann_cosine_ivfpq,
+    plain layout): the _ivf_sql cell chain (full-vector integer Lloyd ->
+    per-query top-``nprobe`` cells by centroid dot) composed with the
+    _pq_chain codes/LUT — scoring runs ONLY inside probed cells, then
+    the exact re-rank. Cell and PQ chains share the fix-point recipe
+    but run on full vectors vs subvectors, so their CTEs are disjoint
+    (v/c{{i}} vs pv/pc{{i}} namespaces)."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.v) + 1),"
+        " i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])))"
+    )
+    cell_rounds = "".join(
+        f""", a{i} AS MATERIALIZED (
+  SELECT id, v, cid FROM (
+    SELECT v.id, v.v AS v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM v, c{i - 1} c) WHERE rn = 1
+), s{i} AS MATERIALIZED (
+  SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
+  FROM a{i}, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c{i} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(u.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
+    FROM s{i} GROUP BY 1
+  ) u ON p.cid = u.cid)"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT vec_id AS id, embedding,
+         {_COS_NORM.format(a="embedding")} AS nrm
+  FROM embeddings
+), v AS MATERIALIZED (
+  SELECT id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(ROUND((CAST(embedding[i] AS DOUBLE) / nrm + 1.0)
+                           * {scale}.0) AS BIGINT)) AS v
+  FROM raw
+), c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS c
+  FROM (SELECT id, v FROM v ORDER BY id LIMIT {nlist})
+){cell_rounds}, cells AS MATERIALIZED (
+  SELECT id, cid AS cell FROM (
+    SELECT v.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY {dist}, c.cid) AS rn
+    FROM v, c{iters} c) WHERE rn = 1
+), cent AS MATERIALIZED (
+  SELECT cid AS cell, list_transform(c, y -> y / {scale}.0 - 1.0) AS centroid
+  FROM c{iters}
+), probes AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.id AS query_id, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+             list_reduce(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * ct.centroid[i]),
+               (x, y) -> x + y) / q.nrm DESC, ct.cell) AS pr
+    FROM raw q, cent ct WHERE q.id < 5
+  ) WHERE pr <= {nprobe}
+), {_pq_chain(m, ksub, iters, scale)}, pq_scored AS MATERIALIZED (
+  SELECT l.query_id, c.id AS neighbor_id,
+         ROUND(list_reduce(list(l.pd ORDER BY l.j), (x, y) -> x + y), 6)
+           AS pq_sim
+  FROM pcodes c
+  JOIN cells ce ON ce.id = c.id
+  JOIN probes p ON p.cell = ce.cell
+  JOIN plut l ON l.j = c.j AND l.cid = c.cid AND l.query_id = p.query_id
+  WHERE c.id <> l.query_id
+  GROUP BY 1, 2
+), shortlist AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY pq_sim DESC, neighbor_id) AS rn
+    FROM pq_scored) WHERE rn <= {rerank}
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(
+           {_COS_DOT.format(a="qe.embedding", b="ne.embedding")}
+           / (qe.nrm * ne.nrm), 6) AS cosine_sim
+  FROM shortlist s
+  JOIN raw qe ON qe.id = s.query_id
+  JOIN raw ne ON ne.id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, sim_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+    AS sim_rank
+  FROM rescored) WHERE sim_rank <= {k}
+"""
+
+
 # Shingle-containment twins (dedup_fuzzy.containment_degree /
 # containment_prune, w=3): the blocking is replicated exactly — pair
 # (A, B) qualifies iff A's min-md5 3-shingle appears in B's shingle set
@@ -1243,6 +1461,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ANN_LSH_SQL,
         "ann_cosine_ivf": _ivf_sql(nlist=8, iters=4, nprobe=3, k=5),
+        "ann_cosine_pq": _pq_sql(m=16, ksub=32, iters=4, k=5, rerank=100),
+        "ann_cosine_ivfpq": _ivfpq_sql(
+            nlist=8, nprobe=3, m=16, ksub=32, iters=4, k=5, rerank=100
+        ),
         "sessionization": _SESSION_SQL,
         "user_engagement": """
             SELECT user_id,

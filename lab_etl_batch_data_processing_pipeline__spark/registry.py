@@ -456,14 +456,18 @@ def q_ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (probed cell ids are dimension-sized, collected for an isin
     pushdown), candidates score as m-byte codes via the per-query LUT,
     and the shortlist re-ranks exactly. The two pruning levers compose:
-    nprobe/nlist of the corpus read × 16 B per candidate. Rows-only;
-    quality pinned by ann_ivfpq_recall below."""
+    nprobe/nlist of the corpus read × 16 B per candidate. Cells, codes
+    and codebooks all come from the deterministic exact-integer Lloyd
+    since r10, so the whole composed probe is value-hash checked
+    against a DuckDB twin (_ivfpq_sql: IVF cell chain + PQ chain +
+    probed-cell LUT scoring + exact re-rank); quality stays pinned by
+    ann_ivfpq_recall below."""
     emb = _t(spark, sf_dir, "embeddings")
     p = _IVFPQ_PARAMS
     return similarity.cosine_topk_ivfpq(
         emb, _query_vectors(emb), k=5, nlist=p["nlist"], nprobe=p["nprobe"],
         m=p["m"], ksub=p["ksub"], seed=p["seed"], rerank=p["rerank"],
-        index_dir=_ivfpq_index_dir(sf_dir),
+        index_dir=_ivfpq_index_dir(sf_dir), deterministic=p["deterministic"],
     )
 
 
@@ -479,7 +483,7 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.cosine_topk_ivfpq(
         emb, _query_vectors(emb), k=5, nlist=p["nlist"], nprobe=p["nprobe"],
         m=p["m"], ksub=p["ksub"], seed=p["seed"], rerank=p["rerank"],
-        index_dir=_ivfpq_index_dir(sf_dir),
+        index_dir=_ivfpq_index_dir(sf_dir), deterministic=p["deterministic"],
     ).select("query_id", "neighbor_id")
     return _ann_recall(exact, approx, floor=0.2)
 
@@ -489,14 +493,18 @@ def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.cosine_topk_pq): the corpus scans as m=16 one-byte codes
     (16 B/vector vs 256 B float32 — 16x less memory/bandwidth, the
     billion-scale RAM lever), each pair scores via the per-query LUT,
-    and the top-100 PQ shortlist is exactly re-ranked. Rows-only check
-    (KMeans codebooks have no SQL oracle); quality is pinned by
-    ann_pq_recall below, mechanics by tests/test_similarity.py."""
+    and the top-100 PQ shortlist is exactly re-ranked. Codebooks AND
+    codes come from the deterministic grouped exact-integer Lloyd since
+    r10 (_det_pq_fit — one pass trains all m sub-quantizers), so the
+    whole probe is value-hash checked against a DuckDB twin; quality
+    stays pinned by ann_pq_recall below, mechanics by
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     p = _PQ_PARAMS
     return similarity.cosine_topk_pq(
         emb, _query_vectors(emb), k=5, m=p["m"], ksub=p["ksub"],
         seed=p["seed"], rerank=p["rerank"], index_dir=_pq_index_dir(sf_dir),
+        deterministic=p["deterministic"],
     )
 
 
@@ -513,6 +521,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.cosine_topk_pq(
         emb, _query_vectors(emb), k=5, m=p["m"], ksub=p["ksub"],
         seed=p["seed"], rerank=p["rerank"], index_dir=_pq_index_dir(sf_dir),
+        deterministic=p["deterministic"],
     ).select("query_id", "neighbor_id")
     return _ann_recall(exact, approx, floor=0.6)
 
@@ -3570,10 +3579,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-Lloyd quantizer) — runs real Spark-vs-DuckDB value parity
     in test_spot_oracle_parity (the list is COMPUTED as
     TAIL_KEYS ∩ oracle_sql(); a hand-kept list was caught drifting in
-    r9). The only rows-only keys left in the whole registry are
-    ann_cosine_pq and ann_cosine_ivfpq (165 of 167 oracle-backed),
-    each pinned by its recall gate; ann_cosine_lsh/ivf are first in
-    line for an r11 window slot (their first driver-hashed round).
+    r9). As of late r10 there are ZERO rows-only keys: all 167
+    registry queries are value-hash oracle-backed (the last four —
+    ann_cosine_lsh/ivf/pq/ivfpq — gained full DuckDB twins via
+    portable hyperplane weights and the deterministic exact-integer
+    Lloyd quantizers, with their recall gates retained as quality
+    pins). ann_cosine_lsh/ivf/pq/ivfpq are first in line for r11
+    window slots (their first driver-hashed rounds).
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born in, stable IO/metric rows out; r8: r7/r8-

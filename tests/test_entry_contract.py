@@ -120,9 +120,10 @@ TAIL_KEYS = {
     "doc_fingerprint": "test_spot_oracle_parity",
     "simhash": "test_spot_oracle_parity",
     "sessionization": "test_spot_oracle_parity",
-    # born in the tail r7 (window full)
-    "ann_cosine_pq": "ann_pq_recall parity + tests/test_similarity.py",
-    "ann_cosine_ivfpq": "ann_ivfpq_recall parity + tests/test_similarity.py",
+    # born in the tail r7 (window full); full value-hash twins since
+    # r10 (deterministic grouped-Lloyd codebooks + codes)
+    "ann_cosine_pq": "test_spot_oracle_parity + ann_pq_recall gate",
+    "ann_cosine_ivfpq": "test_spot_oracle_parity + ann_ivfpq_recall gate",
     # rotated out r8 (driver-green r6+r7, unchanged in r8) to make room
     # for heavy_hitters_gate and the four r8-born oracle rows
     # (recipe_training_mix, orc_roundtrip, orders_snapshot_diff,

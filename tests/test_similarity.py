@@ -338,3 +338,52 @@ def test_semantic_dedup_gate_query(spark):
     assert row.n_vecs == 500
     assert row.ids_valid and row.kept_nonempty
     assert row.no_kept_near_pair and row.dropped_have_culprit
+
+
+def test_det_pq_grouped_matches(spark):
+    """The grouped Lloyd trainer (clustering.kmeans_fit_grouped, the
+    one-pass form _det_pq_fit runs) must be BIT-IDENTICAL to m
+    independent kmeans_fit runs — same init, tie, and update rules, only
+    the job shape differs. A drift here silently invalidates the
+    PQ/IVFPQ value-hash oracles, so the equivalence is pinned on a
+    small fixture (the sf0.001/0.01 artifacts were also verified equal
+    to the sequential form when the grouped trainer landed in r10)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import (
+        clustering,
+        similarity,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, ksub = 4, 4
+    cb, enc = similarity._det_pq_fit(emb, m, ksub, "vec_id", "embedding")
+    got_cb = {(r.subspace, r.code): tuple(r.centroid) for r in cb.collect()}
+    got_codes = {r.vec_id: tuple(r.codes) for r in enc.collect()}
+
+    # reference: one kmeans_fit per subspace over the same normalized
+    # subvectors (the pre-r10 sequential form)
+    norm = similarity.l2_norm(F.col("embedding"))
+    nvec = F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
+    dsub = 8 // m
+    exp_cb = {}
+    exp_codes = {i: [None] * m for i, _ in rows}
+    for j in range(m):
+        sub = emb.select(
+            F.col("vec_id"), F.slice(nvec, j * dsub + 1, dsub).alias("sv")
+        )
+        assignment, cents = clustering.kmeans_fit(
+            sub, "vec_id", "sv", k=ksub, iters=4, scale=1 << 20, shift=1.0
+        )
+        for cid, c in enumerate(cents):
+            exp_cb[(j, cid)] = tuple(x / (1 << 20) - 1.0 for x in c)
+        for r in assignment.collect():
+            exp_codes[r.id][j] = r.cluster
+    assert got_cb == exp_cb
+    assert got_codes == {i: tuple(cs) for i, cs in exp_codes.items()}
