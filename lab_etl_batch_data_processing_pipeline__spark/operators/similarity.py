@@ -174,12 +174,33 @@ def cosine_topk_quantized(
     )
 
 
+def portable_plane_weights(
+    table: int, num_planes: int, dim: int
+) -> list[list[float]]:
+    """The md5-derived hyperplane weight matrix for one LSH table:
+    ``result[p][d-1]`` = first 60 md5 bits of ``"table|p|d"`` mapped to
+    [-1, 1) — the exact recipe the DuckDB oracle replays in SQL
+    (oracles.py _ANN_LSH_SQL), computed driver-side once and bound as
+    plan-time constants."""
+    out = []
+    for p in range(num_planes):
+        row = []
+        for d in range(1, dim + 1):
+            h = int(
+                hashlib.md5(f"{table}|{p}|{d}".encode()).hexdigest()[:15], 16
+            )
+            row.append(float(h % 20_000_038 - 10_000_019) / 10_000_019.0)
+        out.append(row)
+    return out
+
+
 def _hyperplane_bucket(
     vec,
     num_planes: int,
     table: int,
     portable: bool = False,
     dim: int | None = None,
+    weights=None,
 ):
     """Sign-pattern bucket id for a vector under ``num_planes`` pseudo-random
     hyperplanes (plane p, dim d weight = a deterministic hash in [-1,1)).
@@ -196,27 +217,25 @@ def _hyperplane_bucket(
         # The weight matrix depends only on (table, plane, dim), so it is
         # PRECOMPUTED driver-side with hashlib (same recipe the DuckDB
         # twin evaluates in SQL: first 60 md5 bits of "t|p|d" mapped to
-        # [-1, 1)) and inlined as per-plane literal arrays — the bucket
-        # expression is then pure zip_with arithmetic, no per-row string
-        # hashing (the expression form cost ~4 s at sf0.1 on the LSH
-        # rows; this form is at xxhash parity). Needs the vector dim to
-        # size the literals — vectors must all have length ``dim`` (the
-        # embedding-column contract everywhere else in this module).
-        if dim is None:
-            raise ValueError(
-                "portable hyperplane buckets need dim= (vector length) "
-                "to precompute the literal weight matrix"
-            )
-
-        def pweight(p: int, d: int) -> float:
-            h = int(
-                hashlib.md5(f"{table}|{p}|{d}".encode()).hexdigest()[:15], 16
-            )
-            return float(h % 20_000_038 - 10_000_019) / 10_000_019.0
+        # [-1, 1)). Callers bind it as a single array<array<double>>
+        # column via ``weights`` (a broadcast 1-row frame in
+        # :func:`cosine_topk_lsh`) — binding it as num_planes*dim
+        # F.lit() nodes instead costs a fixed ~2x plan/codegen overhead
+        # at sf0.1 (the r10 ann_cosine_lsh perf flag), which a single
+        # Literal-backed column avoids while keeping the bucket
+        # expression pure zip_with arithmetic, no per-row string
+        # hashing and nothing data-size-dependent.
+        if weights is None:
+            if dim is None:
+                raise ValueError(
+                    "portable hyperplane buckets need weights= (bound "
+                    "array column) or dim= to build the weight matrix"
+                )
+            weights = F.lit(portable_plane_weights(table, num_planes, dim))
 
         bucket = F.lit(0).cast("long")
         for p in range(num_planes):
-            w = F.array(*[F.lit(pweight(p, d)) for d in range(1, dim + 1)])
+            w = F.element_at(weights, p + 1)
             dot = F.aggregate(
                 F.zip_with(vec, w, lambda x, wv: x.cast("double") * wv),
                 F.lit(0.0),
@@ -281,18 +300,42 @@ def cosine_topk_lsh(
     """
     # the portable weight matrix is precomputed driver-side per dim, so
     # probe the (uniform) vector length once — a 1-row driver job, same
-    # budget class as the index builders' dimension-sized collects
-    dim = (
-        corpus.select(F.size(F.col(vec_col))).first()[0] if portable else None
-    )
+    # budget class as the index builders' dimension-sized collects.
+    # The matrix is then shipped as ONE broadcast 1-row frame
+    # (array<array<array<double>>>, [table][plane][dim]) rather than
+    # num_tables*num_planes*dim literal nodes: the literal-tree form
+    # cost a fixed ~2x plan/codegen overhead at sf0.1 (r10 perf flag)
+    # that the single-column binding removes; at 100 TB both are
+    # data-size-independent but the broadcast form also keeps the
+    # analyzed plan small enough to re-optimize cheaply under AQE.
+    wdf = None
+    if portable:
+        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        wmat = [
+            portable_plane_weights(t, num_planes, dim)
+            for t in range(num_tables)
+        ]
+        wdf = corpus.sparkSession.createDataFrame(
+            [(wmat,)], "__hw array<array<array<double>>>"
+        )
 
     def with_buckets(df, ident):
+        if portable:
+            df = df.crossJoin(F.broadcast(wdf))
         tables = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("table_id"),
                     _hyperplane_bucket(
-                        F.col(vec_col), num_planes, t, portable, dim
+                        F.col(vec_col),
+                        num_planes,
+                        t,
+                        portable,
+                        weights=(
+                            F.element_at(F.col("__hw"), t + 1)
+                            if portable
+                            else None
+                        ),
                     ).alias("bucket"),
                 )
                 for t in range(num_tables)

@@ -3658,7 +3658,11 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY 1 ORDER BY 1
         """,
         # Level-shift twin: the same two ROWS-frame sums, full-window
-        # filter, and earliest-maximum argmax on (ts, event_id).
+        # filter, and earliest-maximum argmax on (ts, event_id). The
+        # output sums/score are CAST to BIGINT because DuckDB's
+        # SUM(BIGINT) widens to HUGEINT (arrow decimal128), which a
+        # dtype-sensitive hasher sees as a different value than Spark's
+        # int64 even when numerically equal (the r10 driver red row).
         "events_level_shift": """
             WITH b AS (
               SELECT event_type AS key,
@@ -3694,8 +3698,10 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, ts_us, event_id) AS rn
               FROM s
             )
-            SELECT key AS event_type, ts_us AS shift_ts_us, score,
-                   sum_prev, sum_next
+            SELECT key AS event_type, ts_us AS shift_ts_us,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(sum_prev AS BIGINT) AS sum_prev,
+                   CAST(sum_next AS BIGINT) AS sum_next
             FROM r WHERE rn = 1 ORDER BY 1
         """,
         # Floored-balance twin: prefix sum, running-min prefix, the same

@@ -21,14 +21,45 @@ import __spark_entry__ as entrymod
 from lab_etl_batch_data_processing_pipeline__spark.session import get_spark
 
 
-def normalize(rows, columns):
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return round(v, 9)
-        return v
+def norm(v):
+    """Canonicalize a value to a (type-class, value) pair.
 
+    Type-SENSITIVE on purpose: the driver's value hash distinguishes
+    dtypes that compare equal in Python (``Decimal(5) == 5`` is True,
+    yet hashes differently), which is exactly how the r10
+    ``events_level_shift`` red row slipped past a tuple-equality
+    replica — DuckDB widens SUM(BIGINT) to HUGEINT (arrow decimal128)
+    while Spark returns int64. Int widths collapse to one class (the
+    driver has always accepted INT-vs-BIGINT oracles); everything else
+    keeps its type tag.
+    """
+    import datetime
+    from decimal import Decimal
+
+    if v is None:
+        return ("null", "")
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "NaN")
+        return ("float", round(v, 9))
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, datetime.datetime):
+        return ("timestamp", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(norm(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("binary", bytes(v))
+    return (type(v).__name__, v)
+
+
+def normalize(rows, columns):
     return sorted(
         [tuple(norm(r[c]) for c in sorted(columns)) for r in rows],
         key=lambda t: tuple(str(x) for x in t),
