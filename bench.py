@@ -165,6 +165,26 @@ def main() -> None:
         if runs:
             timings[name] = min(runs)
 
+    # Warm-receipt second pass (r12, noise control): the single-run total
+    # above swings ~±20% run-to-run on unchanged code (SCALE.md "Bench
+    # variance"), which costs a triage cycle every round. Re-running just
+    # the TOP-20 most expensive keys once more gives each a steady-state
+    # receipt ("queries_warm2") at ~1/8 the cost of a full 3-run median;
+    # a real regression shows in BOTH numbers, host noise in only one.
+    # The official driver metric stays the first-run total.
+    warm2: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM2", "1") != "0" and repeat == 1:
+        registry = entrymod.queries()
+        top20 = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        for name, _ in top20:
+            gc.collect()
+            start = time.perf_counter()
+            try:
+                materialize(registry[name](spark, sf_dir))
+                warm2[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:
+                errors[f"warm2:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total_query_seconds",
@@ -174,6 +194,9 @@ def main() -> None:
         "sf": sf,
         "startup_sec": round(startup, 3),
     }
+    if warm2:
+        payload["queries_warm2"] = warm2
+        payload["warm2_total"] = round(sum(warm2.values()), 3)
     if errors:
         payload["errors"] = errors
     full_line = json.dumps(payload)

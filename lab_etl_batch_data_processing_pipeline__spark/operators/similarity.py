@@ -205,10 +205,13 @@ def _hyperplane_bucket(
     """Sign-pattern bucket id for a vector under ``num_planes`` pseudo-random
     hyperplanes (plane p, dim d weight = a deterministic hash in [-1,1)).
 
-    The weight for (table, plane, dim) is derived from a hash, so every
-    row computes the same matrix without any side data to broadcast.
-    ``portable=False`` (default) uses xxhash64 — the JVM fast path;
-    ``portable=True`` derives the weight from the first 60 md5 bits of
+    The weight for (table, plane, dim) is derived from a hash.
+    ``portable=False`` (default) uses xxhash64 evaluated per row — the
+    JVM fast path, no side data at all; ``portable=True`` expects the
+    precomputed matrix bound as a ``weights=`` array column (in
+    :func:`cosine_topk_lsh`, one broadcast 1-row frame), falling back to
+    a literal matrix built from ``dim=`` when no column is supplied.
+    The portable weight is the first 60 md5 bits of
     "table|plane|dim" (the dedup_fuzzy._md5_hash31 recipe), which DuckDB
     reproduces exactly — the form that makes the WHOLE LSH top-k
     value-hash oracle-able, not just recall-gated.
@@ -310,7 +313,14 @@ def cosine_topk_lsh(
     # analyzed plan small enough to re-optimize cheaply under AQE.
     wdf = None
     if portable:
-        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        first = corpus.select(F.size(F.col(vec_col))).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "cosine_topk_lsh(portable=True) needs a non-empty corpus "
+                f"with non-null '{vec_col}' to size the hyperplane weight "
+                "matrix"
+            )
+        dim = first[0]
         wmat = [
             portable_plane_weights(t, num_planes, dim)
             for t in range(num_tables)
@@ -321,7 +331,10 @@ def cosine_topk_lsh(
 
     def with_buckets(df, ident):
         if portable:
-            df = df.crossJoin(F.broadcast(wdf))
+            # __hw is a reserved internal name (like __q_vec below):
+            # drop any caller column of that name before binding the
+            # broadcast weight frame so F.col("__hw") stays unambiguous.
+            df = df.drop("__hw").crossJoin(F.broadcast(wdf))
         tables = F.array(
             *[
                 F.struct(

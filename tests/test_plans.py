@@ -583,3 +583,77 @@ def test_chi_square_single_data_sized_aggregate(spark):
         "densify must read the checkpointed obs frame, not rescan facts"
     )
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression gate over the most expensive bench keys.
+#
+# tools/plan_audit.py dumps these plans to PLANS.md for human review; this
+# test is the automated form: the invariants SCALE.md claims for the hot
+# keys must hold in the STATIC plan on every run. The key list is pinned
+# (top-10 of BENCH_FULL_r11 by seconds, plus the ANN family whose
+# crossJoins carry a documented allowance) rather than read from
+# BENCH_FULL.json so the gate is deterministic under git.
+#
+# BNLJ allowance: a formatted plan prints each operator in the tree AND in
+# the operator-detail section, so one physical BroadcastNestedLoopJoin
+# counts twice. Allowed BNLJs are exclusively broadcast 1-row frames
+# (hyperplane weights, PQ codebooks, IVF centroid tables — see
+# operators/similarity.py) whose build side is constant-size at any SF.
+# ---------------------------------------------------------------------------
+
+_GATE_SF = SF  # sf0.001 — plan SHAPE is SF-independent for these keys
+
+# key -> max allowed BroadcastNestedLoopJoin mentions in the formatted plan
+# (2 mentions == 1 physical operator). Every other key must have zero.
+_PLAN_GATE_KEYS = {
+    "embedding_kmeans": 0,
+    "near_dup_clusters": 0,
+    "transaction_pagerank": 0,
+    "training_batches": 0,
+    "training_mix": 0,
+    "copurchase_triangles": 0,
+    "streaming_user_totals": 0,
+    "recipe_training_mix": 0,
+    "doc_normalize": 0,
+    "corpus_prep": 0,
+    # ANN family: documented 1-row broadcast side-data crossJoins only.
+    "ann_cosine_topk": 2,   # 1 physical: broadcast query-matrix frame
+    "ann_cosine_lsh": 4,    # 2 physical: hyperplane weights x (corpus, queries)
+    "ann_cosine_ivf": 4,    # 2 physical: centroid table x (corpus, queries)
+    "ann_cosine_pq": 2,     # 1 physical: codebook frame
+    "ann_cosine_ivfpq": 4,  # 2 physical: centroids + codebooks
+}
+
+
+@pytest.fixture(scope="module")
+def gate_plans(spark):
+    """Build every gated plan once (some query builders run eager
+    dimension-probe jobs; prebuild first so artifact reads hit cache)."""
+    try:
+        entrymod.prebuild_indexes(spark, _GATE_SF)
+    except Exception:
+        pass
+    registry = entrymod.queries()
+    return {
+        key: formatted_plan(registry[key](spark, _GATE_SF))
+        for key in _PLAN_GATE_KEYS
+    }
+
+
+@pytest.mark.parametrize("key", sorted(_PLAN_GATE_KEYS))
+def test_hot_key_plan_shape(gate_plans, key):
+    plan = gate_plans[key]
+    assert "CartesianProduct" not in plan, f"{key}: cartesian product appeared"
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= _PLAN_GATE_KEYS[key], (
+        f"{key}: {bnlj} BroadcastNestedLoopJoin mentions "
+        f"(allowed {_PLAN_GATE_KEYS[key]} — only documented 1-row "
+        "side-data frames may nested-loop-join)"
+    )
+    # no row-at-a-time Python in any hot path: BatchEvalPython is the
+    # classic 100x regression; Arrow forms (ArrowEvalPython / mapInPandas
+    # / FlatMapGroupsInPandas) are the only sanctioned Python operators.
+    assert "BatchEvalPython" not in plan, (
+        f"{key}: row-at-a-time Python UDF in a hot-path plan"
+    )

@@ -52,6 +52,13 @@ def norm(v):
         return ("timestamp", v.isoformat())
     if isinstance(v, datetime.date):
         return ("date", v.isoformat())
+    # Struct symmetry: Spark returns Row (a tuple subclass with fields),
+    # DuckDB's to_pylist returns dict — canonicalize both to a sorted
+    # (key, norm(value)) tuple so struct columns compare by field name.
+    if hasattr(v, "asDict"):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return ("struct", tuple(sorted((k, norm(x)) for k, x in v.items())))
     if isinstance(v, (list, tuple)):
         return ("array", tuple(norm(x) for x in v))
     if isinstance(v, (bytes, bytearray)):
