@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from lab_etl_batch_data_processing_pipeline__spark.session import get_spark
 from lab_etl_batch_data_processing_pipeline__spark.operators import (
     dedup_fuzzy,
+    graph,
     similarity,
 )
 
@@ -161,6 +162,59 @@ def main() -> None:
             ).count()
         )
         record("semantic_dedup", scale, t, n)
+
+        # --- r11 verdict task 5 additions: ANN probe paths + CC ---
+
+        # Fixed 5-vector query set at both scales (the corpus grows 10x,
+        # the query volume doesn't — the serving shape). vec_id < 5
+        # lands entirely in replica 0 of the synth, by construction.
+        qv = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        # LSH bucket join (the benched portable config: 3 planes /
+        # 8 tables). Claim under test: candidate volume ~ corpus
+        # bucket-collision mass, linear in corpus size at fixed planes.
+        t, n = timed(
+            lambda: similarity.cosine_topk_lsh(
+                emb, qv, k=5, num_planes=3, num_tables=8, portable=True
+            ).count()
+        )
+        record("ann_cosine_lsh_portable", scale, t, n)
+
+        # IVF: build scaled like semantic_dedup (nlist 8 -> 80 keeps
+        # cells executor-sized); probe timed against a checkpointed
+        # index — the at-scale operating shape (offline build, online
+        # probe). Claim under test: probe cost ~ nprobe cells, NOT the
+        # whole corpus.
+        t0 = time.time()
+        inv, cent = (
+            f.localCheckpoint(eager=True)
+            for f in similarity.build_ivf_index(
+                emb, nlist=nlist, deterministic=True
+            )
+        )
+        record("ivf_index_build_det", scale, [round(time.time() - t0, 2)], nlist)
+        t, n = timed(
+            lambda: similarity.cosine_topk_ivf_probe(
+                inv, cent, qv, k=5, nprobe=3
+            ).count()
+        )
+        record("ann_ivf_probe", scale, t, n)
+
+        # Connected components over the strong-pair graph (the
+        # near_dup_clusters shape: >= 0.6 Jaccard pairs, quotient
+        # contraction CC). Claim under test: rounds ~ log(diameter),
+        # per-round frames quotient-sized — cost ~ edge count.
+        pairs = dedup_fuzzy.jaccard_near_dups(
+            docs, threshold=0.6, sort=False, sketch=sk
+        )
+        t, n = timed(
+            lambda: graph.connected_components(
+                pairs, assume_unique_pairs=True
+            ).count()
+        )
+        record("near_dup_clusters_cc", scale, t, n)
 
     for op, d in report.items():
         if "sf0.1" in d and "x10" in d:
