@@ -79,6 +79,38 @@ def _ground_truth_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
 _IVF_PARAMS = {"nlist": 8, "seed": 42, "max_iter": 4, "deterministic": True}
 
 
+def _validated_index_dir(path: str, expected: dict) -> str:
+    """Self-healing stale-marker check for the MANAGED index cache dirs.
+
+    Builders write the _BUILT sentinel with their build params and
+    probes fail loudly on a contradiction (similarity._check_built) —
+    the right behavior for a hand-pointed index_dir, where silently
+    rebuilding would hide a caller bug. But for the cache dirs these
+    helpers hand out, a contradicting (or pre-JSON) marker can only be
+    a stale artifact from an older build recipe — r10's parameter
+    migration left an sf0.01 IVF dir carrying kind=ivf under a -det
+    directory tag, and every probe of it raised. The driver's vanilla
+    correctness session never runs prebuild_indexes, so it cannot heal
+    itself; the helper therefore deletes the contradicted dir, and the
+    consumer takes the same inline-build path it takes when no index
+    exists (bit-identical values by the artifact contract). Markers
+    missing a key are trusted on that key — older recipes recorded
+    fewer params.
+    """
+    marker = os.path.join(path, "_BUILT")
+    if os.path.isfile(marker):
+        try:
+            with open(marker) as fh:
+                built = json.load(fh)
+        except (ValueError, OSError):
+            built = None  # pre-JSON marker: not a current-recipe build
+        if not isinstance(built, dict) or any(
+            key in built and built[key] != val for key, val in expected.items()
+        ):
+            shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     """Repo-local cache dir for the materialized IVF index of one corpus.
 
@@ -96,7 +128,11 @@ def _ivf_index_dir(sf_dir: str) -> str:
         f"-nl{p['nlist']}-s{p['seed']}-it{p['max_iter']}"
         f"{'-det' if p['deterministic'] else ''}"
     )
-    return os.path.join(_REPO_ROOT, ".cache", "ivf", tag)
+    return _validated_index_dir(
+        os.path.join(_REPO_ROOT, ".cache", "ivf", tag),
+        # what cosine_topk_ivf's probe-time _check_built asserts
+        {"kind": "ivf-det" if p["deterministic"] else "ivf"},
+    )
 
 
 # deterministic=True since r10 (the IVF precedent): codebooks + codes
@@ -119,7 +155,15 @@ def _pq_index_dir(sf_dir: str) -> str:
         f"-m{p['m']}-k{p['ksub']}-s{p['seed']}"
         f"{'-det' if p['deterministic'] else ''}"
     )
-    return os.path.join(_REPO_ROOT, ".cache", "pq", tag)
+    return _validated_index_dir(
+        os.path.join(_REPO_ROOT, ".cache", "pq", tag),
+        # what cosine_topk_pq's probe-time _check_built asserts
+        {
+            "kind": "pq-det" if p["deterministic"] else "pq",
+            "m": p["m"],
+            "ksub": p["ksub"],
+        },
+    )
 
 
 _IVFPQ_PARAMS = {
@@ -140,8 +184,16 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
         f"-nl{p['nlist']}-m{p['m']}-k{p['ksub']}-s{p['seed']}"
         f"{'-det' if p['deterministic'] else ''}"
     )
-    return os.path.join(
-        _REPO_ROOT, ".cache", "ivfpq", tag
+    return _validated_index_dir(
+        os.path.join(_REPO_ROOT, ".cache", "ivfpq", tag),
+        # what cosine_topk_ivfpq's probe-time _check_built asserts; the
+        # registry probes take the residual=False default
+        {
+            "kind": "ivfpq-det" if p["deterministic"] else "ivfpq",
+            "m": p["m"],
+            "ksub": p["ksub"],
+            "residual": False,
+        },
     )
 
 

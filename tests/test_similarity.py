@@ -387,3 +387,52 @@ def test_det_pq_grouped_matches(spark):
             exp_codes[r.id][j] = r.cluster
     assert got_cb == exp_cb
     assert got_codes == {i: tuple(cs) for i, cs in exp_codes.items()}
+
+
+def test_validated_index_dir_heals_stale_marker(tmp_path):
+    """Managed-cache self-heal (the r10->r12 sf0.01 incident): a _BUILT
+    marker contradicting the expected build params means a stale
+    artifact from an older recipe — the helper must delete the dir so
+    consumers rebuild, instead of every probe raising in a session that
+    never runs prebuild_indexes (the driver's)."""
+    import json
+    import os
+
+    from lab_etl_batch_data_processing_pipeline__spark.artifacts import (
+        _validated_index_dir,
+    )
+
+    expected = {"kind": "ivf-det"}
+
+    def make(marker_content):
+        d = tmp_path / "idx"
+        d.mkdir(exist_ok=True)
+        (d / "_BUILT").write_text(marker_content)
+        (d / "payload").write_text("x")
+        return str(d)
+
+    # contradicting marker -> dir removed
+    d = make(json.dumps({"kind": "ivf", "nlist": 8}))
+    assert _validated_index_dir(d, expected) == d
+    assert not os.path.exists(d)
+
+    # matching marker -> kept
+    d = make(json.dumps({"kind": "ivf-det", "nlist": 8}))
+    _validated_index_dir(d, expected)
+    assert os.path.isfile(os.path.join(d, "_BUILT"))
+
+    # marker missing a checked key -> trusted, kept
+    d = make(json.dumps({"nlist": 8}))
+    _validated_index_dir(d, expected)
+    assert os.path.isfile(os.path.join(d, "_BUILT"))
+
+    # pre-JSON marker -> not a current-recipe build, removed
+    d = make("ok\n")
+    _validated_index_dir(d, expected)
+    assert not os.path.exists(d)
+
+    # no marker at all (mid-build dir) -> left alone
+    d = str(tmp_path / "fresh")
+    os.makedirs(d)
+    _validated_index_dir(d, expected)
+    assert os.path.isdir(d)

@@ -1,6 +1,9 @@
-"""Synthesized-10x scale probe for the r9 structural claims (r9 verdict
-task 5): block_cap sub-blocking, containment slim postings, substring
-dedup gram shuffle, semantic-dedup cell sizing.
+"""Synthesized-10x scale probe for the structural claims SCALE.md makes
+about the expensive operator families: block_cap sub-blocking,
+containment slim postings, substring dedup gram shuffle, semantic-dedup
+cell sizing (r9 claims), ANN probe paths + CC (r11 task 5), and the
+iterative/graph/funnel family — pagerank, triangles, k-means,
+corpus_prep (r12).
 
 No sf1.0 testdata exists, so this builds one: 10 replicas of the sf0.1
 documents/embeddings tables, ids shifted per replica and every TOKEN
@@ -12,11 +15,17 @@ copies of the fixture's ~3k-doc degenerate boilerplate block for the
 block_cap path). A probe that instead replicated text verbatim would
 multiply the per-doc near-dup density itself — the measured output
 would grow ~100x by construction and say nothing about the operators.
+The TPC-H side (graph ops) gets the same treatment: 10 key-strided
+replicas of the orders/lineitem join columns — 10 disjoint transaction
+universes, so the co-transaction and co-purchase graphs grow by nodes
+and edges (organic), not by density.
 
-Usage: python tools/scale_probe.py [base_sf_dir]
-Prints one JSON line: {op: {"sf0.1": [s, s], "x10": [s, s],
-"ratio_steady": r, "out_rows": [n, n10]}} — two timed runs per scale in
-one warm JVM; ratio_steady = x10 run2 / sf0.1 run2.
+Usage: python tools/scale_probe.py [base_sf_dir] [op_substr ...]
+Trailing args filter ops by substring (e.g. `pagerank triangles`);
+no filter runs everything. Prints one JSON line:
+{op: {"sf0.1": [s, s], "x10": [s, s], "ratio_steady": r,
+"out_rows": [n, n10]}} — two timed runs per scale in one warm JVM;
+ratio_steady = x10 run2 / sf0.1 run2.
 """
 
 from __future__ import annotations
@@ -32,10 +41,13 @@ from pyspark.sql import functions as F
 
 from lab_etl_batch_data_processing_pipeline__spark.session import get_spark
 from lab_etl_batch_data_processing_pipeline__spark.operators import (
+    clustering,
     dedup_fuzzy,
     graph,
+    joins,
     similarity,
 )
+from lab_etl_batch_data_processing_pipeline__spark.plans import corpus as corpus_plans
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPLICAS = 10
@@ -91,6 +103,43 @@ def build_synth(spark, base_sf: str) -> str:
     return out
 
 
+def build_synth_tpch(spark, base_sf: str) -> str:
+    """10 key-strided replicas of the orders/lineitem JOIN columns (the
+    graph probes touch nothing else — slim projections keep the synth
+    build IO-proportional to what the probed plans actually read).
+    Striding every key by r*ID_STRIDE makes the replica transaction
+    universes disjoint: the co-transaction graph gains 10x nodes and
+    10x edges at the SAME degree distribution — organic growth, not
+    densification (verbatim replication would multiply every node's
+    degree by 10 and the wedge volume by 100 by construction)."""
+    out = synth_dir(base_sf) + "-tpch"
+    if os.path.isfile(os.path.join(out, "_BUILT")):
+        return out
+    reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
+    orders = spark.read.parquet(os.path.join(base_sf, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    orders.crossJoin(reps).select(
+        (F.col("o_orderkey") + F.col("r") * ID_STRIDE).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("r") * ID_STRIDE).alias("o_custkey"),
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    li = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    li.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("r") * ID_STRIDE).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("r") * ID_STRIDE).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("r") * ID_STRIDE).alias("l_suppkey"),
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    with open(os.path.join(out, "_BUILT"), "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
 def timed(fn, runs: int = 2):
     times, rows = [], None
     for _ in range(runs):
@@ -101,7 +150,15 @@ def timed(fn, runs: int = 2):
 
 
 def main() -> None:
-    base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    base_sf = "/root/testdata/sf0.1"
+    if args and (os.path.sep in args[0] or os.path.isdir(args[0])):
+        base_sf = args.pop(0)
+    op_filters = args  # substring match on op names; empty = all
+
+    def want(op: str) -> bool:
+        return not op_filters or any(s in op for s in op_filters)
+
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     big = build_synth(spark, base_sf)
@@ -126,42 +183,52 @@ def main() -> None:
         report[op].setdefault("out_rows", []).append(rows)
 
     for scale, (docs, emb) in scales.items():
-        t, n = timed(
-            lambda: dedup_fuzzy.token_sketch(docs)
-            .localCheckpoint(eager=True)
-            .count(),
-            runs=1,
+        sk = None
+        needs_sketch = any(
+            want(op)
+            for op in ("jaccard_near_dups_capped", "near_dup_clusters_cc")
         )
-        sk = dedup_fuzzy.token_sketch(docs).localCheckpoint(eager=True)
-        record("token_sketch_build", scale, t, n)
+        if want("token_sketch_build") or needs_sketch:
+            t, n = timed(
+                lambda: dedup_fuzzy.token_sketch(docs)
+                .localCheckpoint(eager=True)
+                .count(),
+                runs=1,
+            )
+            sk = dedup_fuzzy.token_sketch(docs).localCheckpoint(eager=True)
+            record("token_sketch_build", scale, t, n)
+            sketches[scale] = sk
 
-        sketches[scale] = sk
-        t, n = timed(
-            lambda: dedup_fuzzy.jaccard_near_dups(
-                docs, threshold=0.5, sort=False, sketch=sk, block_cap=200
-            ).count()
-        )
-        record("jaccard_near_dups_capped", scale, t, n)
+        if want("jaccard_near_dups_capped"):
+            t, n = timed(
+                lambda: dedup_fuzzy.jaccard_near_dups(
+                    docs, threshold=0.5, sort=False, sketch=sk, block_cap=200
+                ).count()
+            )
+            record("jaccard_near_dups_capped", scale, t, n)
 
-        t, n = timed(
-            lambda: dedup_fuzzy.containment_degree(docs, threshold=0.5).count()
-        )
-        record("containment_degree", scale, t, n)
+        if want("containment_degree"):
+            t, n = timed(
+                lambda: dedup_fuzzy.containment_degree(docs, threshold=0.5).count()
+            )
+            record("containment_degree", scale, t, n)
 
-        t, n = timed(
-            lambda: dedup_fuzzy.remove_duplicate_spans(
-                docs, k=8, min_len=15
-            ).count()
-        )
-        record("substring_dedup", scale, t, n)
+        if want("substring_dedup"):
+            t, n = timed(
+                lambda: dedup_fuzzy.remove_duplicate_spans(
+                    docs, k=8, min_len=15
+                ).count()
+            )
+            record("substring_dedup", scale, t, n)
 
         nlist = 8 if scale == "sf0.1" else 80  # cells stay executor-sized
-        t, n = timed(
-            lambda: similarity.semantic_dedup(
-                emb, threshold=0.9, nlist=nlist
-            ).count()
-        )
-        record("semantic_dedup", scale, t, n)
+        if want("semantic_dedup"):
+            t, n = timed(
+                lambda: similarity.semantic_dedup(
+                    emb, threshold=0.9, nlist=nlist
+                ).count()
+            )
+            record("semantic_dedup", scale, t, n)
 
         # --- r11 verdict task 5 additions: ANN probe paths + CC ---
 
@@ -175,46 +242,131 @@ def main() -> None:
         # LSH bucket join (the benched portable config: 3 planes /
         # 8 tables). Claim under test: candidate volume ~ corpus
         # bucket-collision mass, linear in corpus size at fixed planes.
-        t, n = timed(
-            lambda: similarity.cosine_topk_lsh(
-                emb, qv, k=5, num_planes=3, num_tables=8, portable=True
-            ).count()
-        )
-        record("ann_cosine_lsh_portable", scale, t, n)
+        if want("ann_cosine_lsh_portable"):
+            t, n = timed(
+                lambda: similarity.cosine_topk_lsh(
+                    emb, qv, k=5, num_planes=3, num_tables=8, portable=True
+                ).count()
+            )
+            record("ann_cosine_lsh_portable", scale, t, n)
 
         # IVF: build scaled like semantic_dedup (nlist 8 -> 80 keeps
         # cells executor-sized); probe timed against a checkpointed
         # index — the at-scale operating shape (offline build, online
         # probe). Claim under test: probe cost ~ nprobe cells, NOT the
         # whole corpus.
-        t0 = time.time()
-        inv, cent = (
-            f.localCheckpoint(eager=True)
-            for f in similarity.build_ivf_index(
-                emb, nlist=nlist, deterministic=True
+        if want("ann_ivf_probe") or want("ivf_index_build_det"):
+            t0 = time.time()
+            inv, cent = (
+                f.localCheckpoint(eager=True)
+                for f in similarity.build_ivf_index(
+                    emb, nlist=nlist, deterministic=True
+                )
             )
-        )
-        record("ivf_index_build_det", scale, [round(time.time() - t0, 2)], nlist)
-        t, n = timed(
-            lambda: similarity.cosine_topk_ivf_probe(
-                inv, cent, qv, k=5, nprobe=3
-            ).count()
-        )
-        record("ann_ivf_probe", scale, t, n)
+            record(
+                "ivf_index_build_det", scale, [round(time.time() - t0, 2)], nlist
+            )
+            t, n = timed(
+                lambda: similarity.cosine_topk_ivf_probe(
+                    inv, cent, qv, k=5, nprobe=3
+                ).count()
+            )
+            record("ann_ivf_probe", scale, t, n)
 
         # Connected components over the strong-pair graph (the
         # near_dup_clusters shape: >= 0.6 Jaccard pairs, quotient
         # contraction CC). Claim under test: rounds ~ log(diameter),
         # per-round frames quotient-sized — cost ~ edge count.
-        pairs = dedup_fuzzy.jaccard_near_dups(
-            docs, threshold=0.6, sort=False, sketch=sk
-        )
-        t, n = timed(
-            lambda: graph.connected_components(
-                pairs, assume_unique_pairs=True
-            ).count()
-        )
-        record("near_dup_clusters_cc", scale, t, n)
+        if want("near_dup_clusters_cc"):
+            pairs = dedup_fuzzy.jaccard_near_dups(
+                docs, threshold=0.6, sort=False, sketch=sk
+            )
+            t, n = timed(
+                lambda: graph.connected_components(
+                    pairs, assume_unique_pairs=True
+                ).count()
+            )
+            record("near_dup_clusters_cc", scale, t, n)
+
+        # --- r12 additions: iterative / graph / funnel families ---
+
+        # k-means assignment (the embedding_kmeans bench shape: k=8,
+        # 3 Lloyd iterations). Claim under test: cost ~ rows x k x
+        # iters — linear in corpus size at fixed k; the per-iteration
+        # driver collect stays k x dim regardless of scale.
+        if want("embedding_kmeans"):
+            t, n = timed(
+                lambda: clustering.kmeans_assign(
+                    emb, "vec_id", "embedding", k=8, iters=3
+                ).count()
+            )
+            record("embedding_kmeans", scale, t, n)
+
+        # Corpus-prep funnel (quality gate -> exact dedup -> blocked
+        # Jaccard near-dedup; the corpus_prep bench shape). Claim under
+        # test: every stage is one shuffle over frames that shrink down
+        # the funnel, and the (len-bucket, min-md5-token) block key is
+        # token-namespace-local — block SIZES stay flat at 10x, so the
+        # verify join grows by block COUNT (linear), never by density.
+        if want("corpus_prep_funnel"):
+
+            def run_funnel(d=docs):
+                out = corpus_plans.corpus_prep(d)
+                return out.count()
+
+            t, n = timed(run_funnel)
+            record("corpus_prep_funnel", scale, t, n)
+
+    tpch_scales = {}
+    graph_ops = ("transaction_pagerank", "copurchase_triangles")
+    if any(want(op) for op in graph_ops):
+        tp = build_synth_tpch(spark, base_sf)
+        tpch_scales = {
+            "sf0.1": (
+                spark.read.parquet(os.path.join(base_sf, "orders.parquet")),
+                spark.read.parquet(os.path.join(base_sf, "lineitem.parquet")),
+            ),
+            "x10": (
+                spark.read.parquet(os.path.join(tp, "orders.parquet")),
+                spark.read.parquet(os.path.join(tp, "lineitem.parquet")),
+            ),
+        }
+    for scale, (orders, li) in tpch_scales.items():
+        # Integer PageRank over the bidirectional customer<->supplier
+        # co-transaction graph (the transaction_pagerank bench shape:
+        # 5 rounds). Claim under test: cost ~ edges x rounds — the
+        # checkpointed static frames keep per-round work edge-sized, so
+        # 10x edges => ~10x wall, not round-compounding lineage growth.
+        if want("transaction_pagerank"):
+            pairs = (
+                li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .select(
+                    (F.col("o_custkey") * 2).alias("c"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s"),
+                )
+                .distinct()
+            )
+            edges = pairs.select(
+                F.col("c").alias("src"), F.col("s").alias("dst")
+            ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+            t, n = timed(lambda: graph.pagerank(edges, iterations=5).count())
+            record("transaction_pagerank", scale, t, n)
+
+        # Degree-ordered triangle counting over co-purchase edges (the
+        # copurchase_triangles bench shape). Claim under test: the
+        # Suri-Vassilvitskii orientation bounds wedge volume at
+        # O(m^1.5) — with DISJOINT replica universes m grows 10x at
+        # flat degree distribution, so wall grows ~10x (sum of 10
+        # independent m^1.5 problems), NOT 10^1.5 = 32x (what a single
+        # densified graph would pay).
+        if want("copurchase_triangles"):
+            edges = joins.basket_pairs(
+                li, "l_orderkey", "l_partkey", min_support=2
+            )
+            t, n = timed(
+                lambda: graph.triangle_counts(edges, "item_a", "item_b").count()
+            )
+            record("copurchase_triangles", scale, t, n)
 
     for op, d in report.items():
         if "sf0.1" in d and "x10" in d:
