@@ -22,7 +22,11 @@ and edges (organic), not by density.
 
 Usage: python tools/scale_probe.py [base_sf_dir] [op_substr ...]
 Trailing args filter ops by substring (e.g. `pagerank triangles`);
-no filter runs everything. Prints one JSON line:
+no filter runs everything. Run with SPARK_GRAFT_DRIVER_MEM=16g: the
+probe packs 10x data into ONE local JVM whose heap plays executor for
+32 task threads — the 4g session default (sized for sf0.1) heap-OOMs
+on the 10x funnel/graph ops. Both scales run in the same JVM either
+way, so the measured ratios are heap-size-fair. Prints one JSON line:
 {op: {"sf0.1": [s, s], "x10": [s, s], "ratio_steady": r,
 "out_rows": [n, n10]}} — two timed runs per scale in one warm JVM;
 ratio_steady = x10 run2 / sf0.1 run2.
@@ -181,6 +185,10 @@ def main() -> None:
     def record(op, scale, times, rows):
         report.setdefault(op, {})[scale] = times
         report[op].setdefault("out_rows", []).append(rows)
+        # incremental receipt on stderr: a crash mid-probe (e.g. heap
+        # exhaustion at 10x in one small local JVM) still identifies the
+        # last completed op
+        print(f"PROBE {op} {scale} {times} rows={rows}", file=sys.stderr)
 
     for scale, (docs, emb) in scales.items():
         sk = None
@@ -371,6 +379,10 @@ def main() -> None:
     for op, d in report.items():
         if "sf0.1" in d and "x10" in d:
             d["ratio_steady"] = round(d["x10"][-1] / max(d["sf0.1"][-1], 1e-9), 2)
+            # min-based ratio: on 10x inputs a single run can eat a major
+            # GC pause (measured: triangles x10 run2 = 2.4x run1 in the
+            # same JVM), so min-over-runs is the robust steady estimator
+            d["ratio_min"] = round(min(d["x10"]) / max(min(d["sf0.1"]), 1e-9), 2)
     print(json.dumps({"base": base_sf, "replicas": REPLICAS, "ops": report}))
 
 
