@@ -732,3 +732,77 @@ def test_equidepth_partitions_everything_exactly_once(spark, vals):
     assert sum(r.sum_v for r in out) == sum(vals)
     for lo_r, hi_r in zip(out, out[1:]):
         assert hi_r.min_v >= lo_r.max_v
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered orientation must count exactly the triangles a
+    brute-force O(n^3) enumeration finds, per node, on arbitrary small
+    graphs (self-loops and parallel/reversed duplicate edges included —
+    the operator normalizes them away)."""
+    from itertools import combinations
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                expected[n] = expected.get(n, 0) + 1
+
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.n_triangles
+        for r in graph.triangle_counts(df, "src", "dst").collect()
+    }
+    assert got == expected  # nodes in no triangle are absent on both sides
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=1,
+        max_size=25,
+    ),
+    iterations=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_pagerank_matches_python_reference(spark, edges, iterations):
+    """The fixed-iteration integer PageRank must agree BIT-FOR-BIT with
+    a sequential Python replica of its arithmetic rule (ranks start at
+    2^20; edge contribution = (85*r div 100) div outdeg; new rank =
+    base + sum) on arbitrary digraphs, dangling nodes included."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    dedup = {(a, b) for a, b in edges}
+    scale = 1 << 20
+    base = 15 * scale // 100
+    nodes = sorted({n for e in dedup for n in e})
+    outdeg: dict[int, int] = {}
+    for a, _ in dedup:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    ranks = {n: scale for n in nodes}
+    for _ in range(iterations):
+        in_sum = {n: 0 for n in nodes}
+        for a, b in dedup:
+            in_sum[b] += (85 * ranks[a] // 100) // outdeg[a]
+        ranks = {n: base + in_sum[n] for n in nodes}
+
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node_id: r.rank_fp
+        for r in graph.pagerank(df, iterations=iterations).collect()
+    }
+    assert got == ranks
