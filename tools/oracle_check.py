@@ -86,6 +86,11 @@ def main() -> int:
         spark = (
             SparkSession.builder.master("local[8]")
             .appName("oracle-check-vanilla")
+            # UI-only, no query semantics: console progress bars write
+            # \r-terminated fragments that splice into the per-key OK
+            # lines when a sweep's output is captured with 2>&1 — the
+            # r12b receipt lost ~30 visually intact lines that way
+            .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
     else:
