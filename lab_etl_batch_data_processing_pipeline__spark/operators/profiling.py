@@ -324,13 +324,27 @@ def benford_gate(
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
-    digits = df.sparkSession.createDataFrame(
-        [(d, e) for d, e in _BENFORD_PPM.items()], ["digit", "exp_ppm"]
+    # Densify to the fixed 1-9 digit domain by UNION + re-aggregate, NOT
+    # by left-joining a 9-row digit frame onto the aggregate: a LeftOuter
+    # join puts an isnotnull(join key) constraint on the aggregate side,
+    # and pushing it below the aggregate inlines the full digit CASE —
+    # with the decimal cents expression re-evaluated per WHEN branch —
+    # into a pre-scan Filter (measured 6x on the data-sized stage at
+    # sf0.1: 0.56 s -> 3.2 s). The union's zero rows are dimension-sized
+    # and the re-aggregate sees <= 18 rows; expected shares attach as a
+    # literal map lookup, so no join exists to infer constraints from.
+    zeros = df.sparkSession.createDataFrame(
+        [(d, 0) for d in _BENFORD_PPM], "digit long, n_obs long"
     )
-    full = digits.join(counts, "digit", "left").select(
-        "digit",
-        F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
-        "exp_ppm",
+    exp_map = F.create_map(
+        *[F.lit(x) for d, e in _BENFORD_PPM.items() for x in (d, e)]
+    )
+    full = (
+        counts.select(F.col("digit").cast("long").alias("digit"), "n_obs")
+        .unionByName(zeros)
+        .groupBy("digit")
+        .agg(F.sum("n_obs").alias("n_obs"))
+        .withColumn("exp_ppm", exp_map[F.col("digit")])
     )
     return (
         full.withColumn(
