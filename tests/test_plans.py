@@ -657,3 +657,17 @@ def test_hot_key_plan_shape(gate_plans, key):
     assert "BatchEvalPython" not in plan, (
         f"{key}: row-at-a-time Python UDF in a hot-path plan"
     )
+
+
+def test_benford_densify_does_not_inline_digit_case_into_filter(spark):
+    """The union-densify form: no join exists, so no isnotnull(join key)
+    constraint can push below the count aggregate and inline the
+    16-branch digit CASE (with its per-branch decimal cents math) into
+    a pre-scan Filter — the measured 6x data-stage regression of the
+    left-join form."""
+    plan = formatted_plan(entrymod.queries()["price_benford"](spark, SF))
+    assert "Join type:" not in plan, "benford must stay join-free"
+    filter_lines = [
+        l for l in plan.splitlines() if "isnotnull(CASE" in l
+    ]
+    assert not filter_lines, "digit CASE re-inlined into a null filter"
