@@ -1195,11 +1195,34 @@ def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(
         _REPO_ROOT, ".cache", "curated", tag
     )
-    if not os.path.isfile(os.path.join(out_dir, "_SUCCESS")):
+    # Gate on an explicit marker, NOT _SUCCESS: dynamic partition
+    # overwrite leaves no root _SUCCESS (the artifacts.py sentinel
+    # rationale), so an _SUCCESS gate never passes and every call
+    # silently re-ran the curated join + 80-partition write — the
+    # "partition-pruned scan" key was ~85% write (measured 2.8 s build /
+    # 0.3 s scan at sf0.1). Build into a pid-private sibling and publish
+    # by rename, the q_parquet_upsert_roundtrip race protocol.
+    marker = os.path.join(out_dir, "_CURATED_DONE")
+    if not os.path.isfile(marker):
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         curated = q_curated_join(spark, sf_dir).withColumn(
             "order_month", F.date_format("order_date", "yyyy-MM")
         )
-        write_parquet(curated, out_dir, partition_by=["order_month"])
+        write_parquet(curated, tmp_dir, partition_by=["order_month"])
+        open(os.path.join(tmp_dir, "_CURATED_DONE"), "w").close()
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            if os.path.isfile(marker):
+                # a concurrent builder published first — use its dataset
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            else:
+                # out_dir is a stale partial (pre-fix _SUCCESS-era cache
+                # or a crashed pre-publish run): marker absent, nothing
+                # reads it as complete — replace with the fresh build
+                shutil.rmtree(out_dir, ignore_errors=True)
+                os.rename(tmp_dir, out_dir)
     sliced = spark.read.parquet(out_dir).filter(F.col("order_month") == "1995-03")
     return (
         sliced.groupBy("order_status")
