@@ -806,3 +806,89 @@ def test_pagerank_matches_python_reference(spark, edges, iterations):
         for r in graph.pagerank(df, iterations=iterations).collect()
     }
     assert got == ranks
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 10)),
+        min_size=1,
+        max_size=35,
+    )
+)
+@settings(**SETTINGS)
+def test_clustering_coefficients_match_bruteforce(spark, edges):
+    """coeff_ppm must equal (2e6*tri) div (d*(d-1)) with brute-force
+    triangles and dedup'd degrees, every node present, degree-1 -> 0."""
+    from itertools import combinations
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                tri[n] = tri.get(n, 0) + 1
+    expected = {
+        n: (
+            len(adj[n]),
+            tri.get(n, 0),
+            (2 * 1_000_000 * tri.get(n, 0)) // (len(adj[n]) * (len(adj[n]) - 1))
+            if len(adj[n]) >= 2
+            else 0,
+        )
+        for n in adj
+    }
+
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.coeff_ppm)
+        for r in graph.clustering_coefficients(df).collect()
+    }
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 10)),
+        min_size=1,
+        max_size=35,
+    ),
+    k=st.integers(2, 4),
+    rounds=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_kcore_matches_python_peel(spark, edges, k, rounds):
+    """Fixed-round k-core must match a sequential peel replica: per
+    round, survivors are nodes with degree >= k in the live-induced
+    subgraph; output reports each final survivor's degree within the
+    final survivor-induced edges (0 for isolated survivors)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def degs(es):
+        d: dict[int, int] = {}
+        for a, b in es:
+            d[a] = d.get(a, 0) + 1
+            d[b] = d.get(b, 0) + 1
+        return d
+
+    live_e = set(simple)
+    alive: set[int] = set()
+    for _ in range(rounds):
+        alive = {n for n, c in degs(live_e).items() if c >= k}
+        live_e = {(a, b) for a, b in live_e if a in alive and b in alive}
+    final_d = degs(live_e)
+    expected = {n: final_d.get(n, 0) for n in alive}
+
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.core_degree
+        for r in graph.kcore(df, k=k, rounds=rounds).collect()
+    }
+    assert got == expected
