@@ -892,3 +892,34 @@ def test_kcore_matches_python_peel(spark, edges, k, rounds):
         for r in graph.kcore(df, k=k, rounds=rounds).collect()
     }
     assert got == expected
+
+
+@given(
+    prefix=st.text(alphabet="abcdef", max_size=30),
+    shared=st.text(alphabet="ghijkl", min_size=11, max_size=25),
+    suffix=st.text(alphabet="mnopqr", max_size=30),
+)
+@settings(**SETTINGS)
+def test_winnowing_guarantee_shared_span_shares_fingerprint(
+    spark, prefix, shared, suffix
+):
+    """The winnowing guarantee (MOSS): any verbatim match of length >=
+    k+window-1 (8+4-1=11 here) must share at least one selected
+    fingerprint, wherever the span sits in either document — the
+    property that makes the ~2/(w+1) sampling safe for copy detection.
+    Disjoint alphabets keep the only common k-grams inside the planted
+    span."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import dedup_fuzzy
+
+    doc_a = f"{prefix}{shared}"
+    doc_b = f"{shared}{suffix}"
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fps = dedup_fuzzy.winnowing_fingerprints(docs, k=8, window=4).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r.doc_id].add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], (
+        f"shared span of len {len(shared)} produced no common fingerprint"
+    )
