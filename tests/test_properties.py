@@ -923,3 +923,59 @@ def test_winnowing_guarantee_shared_span_shares_fingerprint(
     assert by_doc[1] & by_doc[2], (
         f"shared span of len {len(shared)} produced no common fingerprint"
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                    # user_id
+            st.sampled_from(["view", "click"]),   # event_type
+            st.integers(0, 1_000_000),            # epoch seconds (~11 days)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_streaming_counts_match_batch_on_random_streams(spark, rows):
+    """Stream/batch parity under randomization: a bounded availableNow
+    replay of the watermarked tumbling-window count (complete mode, so
+    nothing evicts) must equal the per-(epoch-aligned 6h window, type)
+    Python count on arbitrary event streams — out-of-order arrival,
+    duplicate timestamps, and window-boundary values included.
+    Timestamps build from epoch seconds (timestamp_seconds), so the
+    check is timezone-free."""
+    import shutil as sh
+    import tempfile
+
+    from lab_etl_batch_data_processing_pipeline__spark.streaming import jobs
+
+    expected: dict[tuple[int, str], int] = {}
+    for _, t, s in rows:
+        key = ((s // 21600) * 21600, t)
+        expected[key] = expected.get(key, 0) + 1
+
+    events = spark.createDataFrame(
+        rows, "user_id int, event_type string, s long"
+    ).select("user_id", "event_type", F.timestamp_seconds("s").alias("ts"))
+    d = tempfile.mkdtemp(prefix="stream-prop-")
+    try:
+        events.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(
+            "user_id int, event_type string, ts timestamp"
+        ).parquet(d)
+        out = jobs.streaming_event_type_counts(stream, ts_col="ts")
+        sink = jobs.replay_to_memory(
+            out, "prop_counts", "complete", state_partitions=4
+        )
+        got = {
+            (r.window_start_sec, r.event_type): r.n_events
+            for r in sink.collect()
+        }
+    finally:
+        sh.rmtree(d, ignore_errors=True)
+    assert got == expected
