@@ -979,3 +979,50 @@ def test_streaming_counts_match_batch_on_random_streams(spark, rows):
     finally:
         sh.rmtree(d, ignore_errors=True)
     assert got == expected
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 100)),
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    """As-of semantics on random inputs: every left row survives and
+    carries the payload of the LATEST right row at-or-before its
+    timestamp for its key (ties on timestamp -> highest tiebreak),
+    NULL when none exists — duplicate keys, timestamps, and exact
+    ts collisions included."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import asof
+
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    left = spark.createDataFrame(left_rows, "lid int, k int, t long")
+    right = spark.createDataFrame(rights, "k int, rt long, val int") if rights else (
+        spark.createDataFrame([], "k int, rt long, val int")
+    )
+
+    expected = {}
+    for lid, k, t in left_rows:
+        best = None
+        for rk, rt, val in rights:
+            if rk == k and rt <= t:
+                cand = (rt, val)
+                if best is None or cand > best:
+                    best = cand
+        expected[lid] = best  # (rt, val) or None
+
+    out = asof.asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", right_tiebreak="val"
+    ).collect()
+    assert len(out) == len(left_rows)
+    got = {
+        r.lid: (None if r.val_right is None else (r.rt_right, r.val_right))
+        for r in out
+    }
+    assert got == expected
