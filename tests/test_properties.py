@@ -1026,3 +1026,49 @@ def test_asof_join_matches_python_reference(spark, lefts, rights):
         for r in out
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),    # key
+            st.integers(0, 40),   # start
+            st.integers(0, 40),   # end
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_coverage_matches_python_sweep(spark, rows):
+    """Interval-union analysis vs a sequential sweep: overlapping or
+    touching [s, e) intervals merge into islands; covered is the union
+    length, span is max end - min start, gaps the difference. Inverted
+    and zero-length intervals drop; keys with no valid interval emit
+    nothing. Random inputs include duplicates, containment, and exact
+    touch (s == prev end, which must MERGE under half-open semantics)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import ranges
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, s, e in rows:
+        if e > s:
+            by_key.setdefault(k, []).append((s, e))
+    expected = {}
+    for k, ivs in by_key.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        covered = sum(e - s for s, e in islands)
+        span = max(e for _, e in ivs) - min(s for s, _ in ivs)
+        expected[k] = (len(ivs), len(islands), covered, span, span - covered)
+
+    df = spark.createDataFrame(rows, "key int, s long, e long")
+    got = {
+        r.key: (r.n_intervals, r.n_islands, r.covered, r.span, r.gap_total)
+        for r in ranges.interval_coverage(df, "key", "s", "e").collect()
+    }
+    assert got == expected
