@@ -1072,3 +1072,49 @@ def test_interval_coverage_matches_python_sweep(spark, rows):
         for r in ranges.interval_coverage(df, "key", "s", "e").collect()
     }
     assert got == expected
+
+
+@given(
+    ids=st.lists(st.integers(1, 10_000), unique=True, min_size=1, max_size=30),
+    data=st.data(),
+    seq_len=st.sampled_from([4, 16, 64]),
+    buckets=st.sampled_from([1, 4, 64]),
+)
+@settings(**SETTINGS)
+def test_pack_offsets_matches_python_prefix_sum(spark, ids, data, seq_len, buckets):
+    """The two-phase packer must equal a sequential replica of its own
+    rule bit-for-bit: order docs by (md5-byte bucket, md5(id), id),
+    prefix-sum whitespace token counts, bin by seq_len — so the
+    parallel two-phase prefix sum can never drift from the single
+    global ordering it claims to implement (zero-token docs and bucket
+    boundary collisions included)."""
+    import hashlib
+    import math
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text
+
+    texts = [
+        data.draw(st.text(alphabet="ab \t", max_size=20), label=f"text{i}")
+        for i in ids
+    ]
+    rows = list(zip(ids, texts))
+
+    order = []
+    for doc_id, body in rows:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        bucket = math.floor(int(h[:2], 16) / (256 / buckets))
+        order.append((bucket, h, doc_id, len(body.split())))
+    order.sort()
+    expected, run = {}, 0
+    for bucket, h, doc_id, n in order:
+        expected[doc_id] = (n, run, run // seq_len)
+        run += n
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.seq_bin)
+        for r in text.pack_offsets(
+            df, seq_len=seq_len, buckets=buckets
+        ).collect()
+    }
+    assert got == expected
