@@ -116,6 +116,38 @@ def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
             print(f"WARNING: streaming warmup failed: {exc}", file=sys.stderr)
 
 
+def env_block(spark) -> dict:
+    """Host context for the run (r12 verdict task 5): a 1.18× driver-vs-
+    builder total delta cost a triage cycle to prove as host noise; with
+    loadavg + free memory in the payload it's a 10-second check. See
+    SCALE.md "Bench variance"."""
+    env: dict = {}
+    try:
+        env["loadavg_1m"], env["loadavg_5m"], env["loadavg_15m"] = (
+            round(x, 2) for x in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = dict(
+                (parts[0].rstrip(":"), int(parts[1]))
+                for parts in (l.split() for l in fh)
+                if len(parts) >= 2 and parts[1].isdigit()
+            )
+        env["mem_available_gib"] = round(mem.get("MemAvailable", 0) / 2**20, 2)
+        env["mem_total_gib"] = round(mem.get("MemTotal", 0) / 2**20, 2)
+    except (OSError, ValueError):
+        pass
+    env["cpu_count"] = os.cpu_count()
+    env["spark_graft_cpus"] = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        env["spark_driver_memory"] = spark.conf.get("spark.driver.memory", None)
+    except Exception:
+        pass
+    return env
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -137,6 +169,7 @@ def main() -> None:
             file=sys.stderr,
         )
     startup = time.perf_counter() - t0
+    env_at_start = env_block(spark)
 
     # SPARK_GRAFT_BENCH_REPEAT=n re-runs each query n times and records
     # the MINIMUM — for local A/Bs where steady-state matters more than
@@ -193,7 +226,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "startup_sec": round(startup, 3),
+        "env": env_at_start,
     }
+    try:
+        payload["env"]["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     if warm2:
         payload["queries_warm2"] = warm2
         payload["warm2_total"] = round(sum(warm2.values()), 3)

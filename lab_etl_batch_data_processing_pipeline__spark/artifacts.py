@@ -95,19 +95,36 @@ def _validated_index_dir(path: str, expected: dict) -> str:
     consumer takes the same inline-build path it takes when no index
     exists (bit-identical values by the artifact contract). Markers
     missing a key are trusted on that key — older recipes recorded
-    fewer params.
+    fewer params. Marker semantics mirror similarity._check_built
+    (r12 ADVICE): legacy plain-text sentinels ("ok" / "ok residual")
+    recorded only the residual flag and are validated on just that
+    key rather than treated as stale, and a transient OSError while
+    reading leaves the dir alone — the probe's _check_built makes the
+    final call, so a momentary read failure cannot destroy a valid
+    cache.
     """
     marker = os.path.join(path, "_BUILT")
-    if os.path.isfile(marker):
-        try:
-            with open(marker) as fh:
-                built = json.load(fh)
-        except (ValueError, OSError):
-            built = None  # pre-JSON marker: not a current-recipe build
-        if not isinstance(built, dict) or any(
-            key in built and built[key] != val for key, val in expected.items()
-        ):
-            shutil.rmtree(path, ignore_errors=True)
+    try:
+        with open(marker) as fh:
+            content = fh.read().strip()
+    except FileNotFoundError:
+        return path
+    except OSError:
+        return path  # transient read failure: let the probe decide
+    try:
+        built = json.loads(content)
+        if not isinstance(built, dict):
+            raise ValueError
+    except ValueError:
+        if content in ("ok", "ok residual"):
+            # legacy sentinel: trusted exactly as _check_built trusts it
+            built = {"residual": content == "ok residual"}
+        else:
+            built = None  # unrecognized marker: not a current-recipe build
+    if not isinstance(built, dict) or any(
+        key in built and built[key] != val for key, val in expected.items()
+    ):
+        shutil.rmtree(path, ignore_errors=True)
     return path
 
 

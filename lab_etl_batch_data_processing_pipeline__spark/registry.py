@@ -1187,8 +1187,12 @@ def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py), and aggregate the slice. The DuckDB oracle
     computes the same month straight from the base tables, so a pruning
     bug that drops or duplicates a partition hash-mismatches. The write
-    is cached per testdata generation (mtime+size tag, _SUCCESS-gated)
-    like csv_roundtrip."""
+    is cached per testdata generation (mtime+size tag) behind an
+    explicit _CURATED_DONE marker with rename-publish — NOT _SUCCESS,
+    which dynamic partition overwrite never writes (the r12 dead-gate
+    fix): builders assemble in a pid-private sibling, stamp the marker,
+    and publish with an atomic os.rename; losers of the publish race
+    re-check the marker in a bounded retry loop (r12 ADVICE)."""
     from lab_etl_batch_data_processing_pipeline__spark.sources import write_parquet
 
     tag = _gen_tag(sf_dir)
@@ -1211,18 +1215,50 @@ def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_parquet(curated, tmp_dir, partition_by=["order_month"])
         open(os.path.join(tmp_dir, "_CURATED_DONE"), "w").close()
-        try:
-            os.rename(tmp_dir, out_dir)
-        except OSError:
+        # Publish by atomic rename; on collision, re-check the marker
+        # inside a bounded retry loop (r12 ADVICE: the old single-shot
+        # "marker absent -> rmtree(out_dir)" had a TOCTOU where racer B
+        # could delete racer A's just-published complete dataset, and
+        # its follow-up rename was unguarded). Claiming the stale dir
+        # with a rename-away before deleting means a complete dataset
+        # published between the marker check and the claim is moved,
+        # detected by its marker, and restored — never rmtree'd.
+        for _ in range(5):
+            try:
+                os.rename(tmp_dir, out_dir)
+                break
+            except OSError:
+                pass
             if os.path.isfile(marker):
                 # a concurrent builder published first — use its dataset
                 shutil.rmtree(tmp_dir, ignore_errors=True)
-            else:
-                # out_dir is a stale partial (pre-fix _SUCCESS-era cache
-                # or a crashed pre-publish run): marker absent, nothing
-                # reads it as complete — replace with the fresh build
-                shutil.rmtree(out_dir, ignore_errors=True)
-                os.rename(tmp_dir, out_dir)
+                break
+            # out_dir exists without a marker: a stale partial (pre-fix
+            # _SUCCESS-era cache or a crashed pre-publish run). Claim it
+            # atomically, then re-check what we actually claimed.
+            claimed = f"{out_dir}.stale.{os.getpid()}"
+            try:
+                os.rename(out_dir, claimed)
+            except OSError:
+                continue  # another racer moved it first — retry publish
+            if os.path.isfile(os.path.join(claimed, "_CURATED_DONE")):
+                # raced-in complete dataset: put it back and use it
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                try:
+                    os.rename(claimed, out_dir)
+                except OSError:
+                    # yet another publisher won meanwhile; marker-gated
+                    # out_dir now exists, our claimed copy is redundant
+                    shutil.rmtree(claimed, ignore_errors=True)
+                break
+            shutil.rmtree(claimed, ignore_errors=True)
+        else:
+            if not os.path.isfile(marker):
+                raise OSError(
+                    f"could not publish curated cache to {out_dir} "
+                    "after 5 attempts and no complete dataset exists"
+                )
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     sliced = spark.read.parquet(out_dir).filter(F.col("order_month") == "1995-03")
     return (
         sliced.groupBy("order_status")
@@ -3552,75 +3588,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r10, the r9 verdict's task 1 — closes ALL rotation
-    debt): the 13 rows owed a driver round rotate IN — the eleven
-    oracle-bearing keys that had never had a driver CORRECTNESS row
-    (events_ewma, born mid-r9 and rotated out before any driver round —
-    the rule violation the r9 verdict named — plus the ten
-    seventh-to-ninth-wave keys born after the window filled:
-    revenue_seasonal_backtest, events_level_shift,
-    user_balance_floored, price_equidepth, price_ks_drift,
-    session_depth, supplier_incremental_ingest, orders_reconcile,
-    user_activity_coverage, event_streaks) and the two rows-only
-    retirements (verdict tasks 2-3): multimodal_features, whose
-    deterministic sf-independent rollup now has a literal-table
-    value-hash oracle, and corpus_prep_auto, whose routed MinHash
-    branch moved to the portable md5 hash family so its DuckDB twin
-    replicates the routing count and BOTH branches. After this round
-    every oracle-backed key in the registry has >= 1 driver-green
-    round. Rotated OUT (13): corpus_prep (driver-green r1-r9; its
-    funnel stays driver-pinned through corpus_prep_auto's shared exact
-    branch) and recipe_training_mix (green r8+r9) per the standing
-    >= 2-green rule, plus eleven r9-green single-round rows as
-    documented half-steps — the window must fit 13 debt keys and only
-    two multi-green rows exist; each half-step keeps its r9 driver-green
-    row, its oracle, and computed spot parity every pytest run, and
-    each has an in-window relative and/or a dedicated test file:
-    dup_span_report (substring_dedup keeps the span machinery
-    in-window), customer_stratified_sample (tests/test_cleaning.py),
-    semantic_dedup (tests/test_similarity.py + SCALE receipts),
-    quality_classifier (tests/test_quality.py), containment_near_dups
-    (containment_prune keeps the postings machinery in-window),
-    pmi_collocations (tests/test_text_quality.py), copurchase_pairs
-    (copurchase_triangles/triples embed pair generation),
-    bloom_join_gate (tests/test_sketches.py), streaming_attribution
-    (streaming replay tests; streaming_dedup stays in-window so
-    streaming keeps a driver row), customer_radius_join
-    (tests/test_ranges.py brute-force twin), xml_roundtrip (the
-    roundtrip family pattern: csv/orc/jsonl all live in the tail).
-    All 50 verified this session under a vanilla driver-replica
-    session at sf0.01 (SPARK_GRAFT_VANILLA).
+    Current window (r13, the r12 verdict's tasks 1-2). Rotated IN
+    (20): the four ANN probe keys — ann_cosine_lsh, ann_cosine_ivf,
+    ann_cosine_pq, ann_cosine_ivfpq — the ONLY registry keys with zero
+    driver-green CORRECTNESS rows (full DuckDB value-hash twins since
+    r10: portable hyperplane weights / deterministic exact-integer
+    Lloyd quantizers; certification chain in README), their five
+    quality pins — ann_lsh_recall, ann_ivf_recall, ann_pq_recall,
+    ann_ivfpq_recall, ann_quantized_recall (driver-green r7+r8, in for
+    a third round certifying the family) — and the eleven r10-rotated
+    single-green half-steps owed a second driver round:
+    dup_span_report, customer_stratified_sample, semantic_dedup,
+    quality_classifier, containment_near_dups, pmi_collocations,
+    copurchase_pairs, bloom_join_gate, streaming_attribution,
+    customer_radius_join, xml_roundtrip (each r9-green once). Rotated
+    OUT (20), all per the standing >= 2-green rule with FOUR
+    driver-green rounds each (r9+r10+r11+r12, unchanged since):
+    substring_dedup, purchase_attribution, user_first_seen,
+    events_fd_check, events_chi2, price_winsorized, part_skyline,
+    events_interpolated, conversion_funnel, orders_rank_stats,
+    events_mad_outliers, user_value_twap, copurchase_triangles,
+    customer_cohort_retention, customer_rfm, event_transitions,
+    session_top_paths, user_type_diversity, copurchase_triples,
+    user_value_trend. The 13 r10-debt keys (3 green rounds each) and
+    the 17 r9-wave keys whose families this round touches or that
+    anchor in-window coverage (streaming_dedup for streaming,
+    containment_prune for postings, purchase_pit_state /
+    orders_cdc_incremental_agg for the newly property-tested
+    stateful-temporal family) stay in-window.
 
-    Current tail: rows with >= 1 driver-green round (most multi-round;
-    the thirteen r10-rotated rows are annotated per-key in TAIL_KEYS),
-    plus the approximate-by-design rows whose quality is pinned by a
-    recall/invariant twin (ann_cosine_pq/ivfpq <- ann_*_recall gates;
-    top_listings_weekly <- top_listings_topk; events_json <-
-    events_json_struct). Since r10 every oracle-bearing tail key —
-    including ann_cosine_lsh and ann_cosine_ivf, which gained full
-    value-hash twins (portable hyperplane weights / deterministic
-    integer-Lloyd quantizer) — runs real Spark-vs-DuckDB value parity
-    in test_spot_oracle_parity (the list is COMPUTED as
-    TAIL_KEYS ∩ oracle_sql(); a hand-kept list was caught drifting in
-    r9). As of late r10 there are ZERO rows-only keys: all 167
-    registry queries are value-hash oracle-backed (the last four —
-    ann_cosine_lsh/ivf/pq/ivfpq — gained full DuckDB twins via
-    portable hyperplane weights and the deterministic exact-integer
-    Lloyd quantizers, with their recall gates retained as quality
-    pins). ann_cosine_lsh/ivf/pq/ivfpq are first in line for r11
-    window slots (their first driver-hashed rounds).
+    Current tail: rows with >= 1 driver-green round (most
+    multi-round; per-key receipts annotated in TAIL_KEYS), plus the
+    approximate-by-design rows whose quality is pinned by a
+    recall/invariant twin (top_listings_weekly <- top_listings_topk;
+    events_json <- events_json_struct). Every oracle-bearing tail key
+    runs real Spark-vs-DuckDB value parity in test_spot_oracle_parity
+    (the list is COMPUTED as TAIL_KEYS ∩ oracle_sql(); a hand-kept
+    list was caught drifting in r9). Since late r10 there are ZERO
+    rows-only keys: all 167 registry queries are value-hash
+    oracle-backed.
 
     Rotation history lives in git (r5: IO-layer rows in; r6: r5-born
     operators in; r7: r6-born in, stable IO/metric rows out; r8: r7/r8-
     born in, ten stable rows out; r9: r9-born + the r8 tail debt in,
     six stable rows out; late-r9 waves five through nine: see the r9
-    tag of this docstring; r10: the 13-key debt-closing rotation
-    described above).
+    tag of this docstring; r10: the 13-key debt-closing rotation, held
+    through r11+r12 — see the r12 tag; r13: the ANN-family + tail-debt
+    rotation described above).
     """
     return {
-        # --- r10 driver window (first 50; see docstring) ---
-        # rotation debt: the eleven keys that never had a driver
-        # CORRECTNESS row (r9 verdict task 1):
+        # --- r13 driver window (first 50; see docstring) ---
+        # the four ANN probes: first driver value-hash rounds (the
+        # only keys with zero driver-green rows before r13):
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
+        "ann_cosine_pq": q_ann_cosine_pq,
+        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        # their quality pins, certifying the family alongside:
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,
+        "ann_quantized_recall": q_ann_quantized_recall,
+        # the eleven r10-rotated single-green half-steps, in for
+        # their second driver round (r12 verdict task 2):
+        "dup_span_report": q_dup_span_report,
+        "customer_stratified_sample": q_customer_stratified_sample,
+        "semantic_dedup": q_semantic_dedup,
+        "quality_classifier": q_quality_classifier,
+        "containment_near_dups": q_containment_near_dups,
+        "pmi_collocations": q_pmi_collocations,
+        "copurchase_pairs": q_copurchase_pairs,
+        "bloom_join_gate": q_bloom_join_gate,
+        "streaming_attribution": q_streaming_attribution,
+        "customer_radius_join": q_customer_radius_join,
+        "xml_roundtrip": q_xml_roundtrip,
+        # r10-debt keys held in-window (3 green rounds r10-r12):
         "revenue_seasonal_backtest": q_revenue_seasonal_backtest,
         "events_level_shift": q_events_level_shift,
         "user_balance_floored": q_user_balance_floored,
@@ -3632,12 +3675,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_coverage": q_user_activity_coverage,
         "event_streaks": q_event_streaks,
         "events_ewma": q_events_ewma,
-        # rows-only retirements (r9 verdict tasks 2-3): first
-        # value-hash driver rounds for the multimodal rollup and
-        # the routed corpus funnel:
         "multimodal_features": q_multimodal_features,
         "corpus_prep_auto": q_corpus_prep_auto,
-        # r9-green rows kept in-window for a second driver round:
+        # r9-wave keys held in-window (coverage anchors; see docstring):
+        "embedding_kmeans": q_embedding_kmeans,
+        "part_revenue_pareto": q_part_revenue_pareto,
+        "active_users_rolling": q_active_users_rolling,
+        "copurchase_clustering": q_copurchase_clustering,
+        "price_benford": q_price_benford,
+        "funnel_timing": q_funnel_timing,
+        "purchase_pit_state": q_purchase_pit_state,
+        "orders_cdc_incremental_agg": q_orders_cdc_incremental_agg,
+        "copurchase_kcore": q_copurchase_kcore,
+        "price_weighted_median": q_price_weighted_median,
+        "revenue_growth_monthly": q_revenue_growth_monthly,
+        "monthly_revenue_hhi": q_monthly_revenue_hhi,
+        "streaming_dedup": q_streaming_dedup,
+        "transaction_pagerank": q_transaction_pagerank,
+        "containment_prune": q_containment_prune,
+        "events_zorder": q_events_zorder,
+        "part_entity_clusters": q_part_entity_clusters,
+        # --- past the driver's 50-key correctness window (see
+        # docstring). Rotated out r13 with four driver-green rounds
+        # each (r9-r12, unchanged since r9):
         "substring_dedup": q_substring_dedup,
         "purchase_attribution": q_purchase_attribution,
         "user_first_seen": q_user_first_seen,
@@ -3657,48 +3717,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_top_paths": q_session_top_paths,
         "user_type_diversity": q_user_type_diversity,
         "copurchase_triples": q_copurchase_triples,
-        "embedding_kmeans": q_embedding_kmeans,
         "user_value_trend": q_user_value_trend,
-        "part_revenue_pareto": q_part_revenue_pareto,
-        "active_users_rolling": q_active_users_rolling,
-        "copurchase_clustering": q_copurchase_clustering,
-        "price_benford": q_price_benford,
-        "funnel_timing": q_funnel_timing,
-        "purchase_pit_state": q_purchase_pit_state,
-        "orders_cdc_incremental_agg": q_orders_cdc_incremental_agg,
-        "copurchase_kcore": q_copurchase_kcore,
-        "price_weighted_median": q_price_weighted_median,
-        "revenue_growth_monthly": q_revenue_growth_monthly,
-        "monthly_revenue_hhi": q_monthly_revenue_hhi,
-        "streaming_dedup": q_streaming_dedup,
-        "transaction_pagerank": q_transaction_pagerank,
-        "containment_prune": q_containment_prune,
-        "events_zorder": q_events_zorder,
-        "part_entity_clusters": q_part_entity_clusters,
-        # --- past the driver's 50-key correctness window (see
-        # docstring). Rotated out r10: corpus_prep (green r1-r9),
-        # recipe_training_mix (green r8+r9), and eleven r9-green
-        # half-steps, each with an in-window relative and/or a
-        # dedicated test file plus computed spot parity:
+        # rotated out r10 after r1-r9 / r8+r9 green runs:
         "corpus_prep": q_corpus_prep,
         "recipe_training_mix": q_recipe_training_mix,
-        "dup_span_report": q_dup_span_report,
-        "customer_stratified_sample": q_customer_stratified_sample,
-        "semantic_dedup": q_semantic_dedup,
-        "quality_classifier": q_quality_classifier,
-        "containment_near_dups": q_containment_near_dups,
-        "pmi_collocations": q_pmi_collocations,
-        "copurchase_pairs": q_copurchase_pairs,
-        "bloom_join_gate": q_bloom_join_gate,
-        "streaming_attribution": q_streaming_attribution,
-        "customer_radius_join": q_customer_radius_join,
-        "xml_roundtrip": q_xml_roundtrip,
         # earlier rotations (history in git and TAIL_KEYS):
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "ann_pq_recall": q_ann_pq_recall,
-        "ann_ivfpq_recall": q_ann_ivfpq_recall,
-        "ann_quantized_recall": q_ann_quantized_recall,
         "heavy_hitters_gate": q_heavy_hitters_gate,
         "streaming_sessions": q_streaming_sessions,
         "orders_cdc_apply": q_orders_cdc_apply,
@@ -3757,8 +3780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "top_listings_weekly": q_top_listings_weekly,
         "events_json": q_events_json,
-        "ann_cosine_lsh": q_ann_cosine_lsh,
-        "ann_cosine_ivf": q_ann_cosine_ivf,
         "token_frequencies": q_token_frequencies,
         "word_bigrams": q_word_bigrams,
         "brand_setops": q_brand_setops,
@@ -3785,8 +3806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "running_totals": q_running_totals,
         "salted_status_agg": q_salted_status_agg,
-        "ann_cosine_pq": q_ann_cosine_pq,
-        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
         "revenue_rollup": q_revenue_rollup,
         "events_json_struct": q_events_json_struct,
         "asof_purchase_view": q_asof_purchase_view,

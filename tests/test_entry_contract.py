@@ -44,37 +44,36 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # rotated out r13 per the standing >= 2-green rule, each with FOUR
+    # driver-green rounds (r9+r10+r11+r12, code unchanged since r9):
+    "substring_dedup": "test_spot_oracle_parity (driver-green r9-r12; dup_span_report in-window keeps the span machinery driver-pinned)",
+    "purchase_attribution": "test_spot_oracle_parity (driver-green r9-r12)",
+    "user_first_seen": "test_spot_oracle_parity (driver-green r9-r12)",
+    "events_fd_check": "test_spot_oracle_parity (driver-green r9-r12)",
+    "events_chi2": "test_spot_oracle_parity (driver-green r9-r12)",
+    "price_winsorized": "test_spot_oracle_parity (driver-green r9-r12)",
+    "part_skyline": "test_spot_oracle_parity (driver-green r9-r12)",
+    "events_interpolated": "test_spot_oracle_parity (driver-green r9-r12)",
+    "conversion_funnel": "test_spot_oracle_parity (driver-green r9-r12; funnel_timing in-window)",
+    "orders_rank_stats": "test_spot_oracle_parity (driver-green r9-r12)",
+    "events_mad_outliers": "test_spot_oracle_parity (driver-green r9-r12)",
+    "user_value_twap": "test_spot_oracle_parity (driver-green r9-r12)",
+    "copurchase_triangles": "test_spot_oracle_parity (driver-green r9-r12; copurchase_pairs in-window keeps pair generation driver-pinned)",
+    "customer_cohort_retention": "test_spot_oracle_parity (driver-green r9-r12)",
+    "customer_rfm": "test_spot_oracle_parity (driver-green r9-r12)",
+    "event_transitions": "test_spot_oracle_parity (driver-green r9-r12)",
+    "session_top_paths": "test_spot_oracle_parity (driver-green r9-r12)",
+    "user_type_diversity": "test_spot_oracle_parity (driver-green r9-r12)",
+    "copurchase_triples": "test_spot_oracle_parity (driver-green r9-r12; copurchase_pairs in-window)",
+    "user_value_trend": "test_spot_oracle_parity (driver-green r9-r12)",
     # rotated out r10 per the standing >= 2-green rule:
     "corpus_prep": "test_spot_oracle_parity (driver-green r1-r9; funnel also driver-pinned via corpus_prep_auto's shared exact branch)",
     "recipe_training_mix": "test_spot_oracle_parity (driver-green r8+r9)",
-    # rotated out r10 as documented single-green half-steps (the window
-    # had to fit the 13 debt keys and only two multi-green rows
-    # existed); each keeps its r9 driver-green row, its oracle, and an
-    # in-window relative and/or dedicated test file:
-    "dup_span_report": "test_spot_oracle_parity (r9-green; substring_dedup in-window)",
-    "customer_stratified_sample": "test_spot_oracle_parity (r9-green; tests/test_cleaning.py)",
-    "semantic_dedup": "test_spot_oracle_parity (r9-green; tests/test_similarity.py)",
-    "quality_classifier": "test_spot_oracle_parity (r9-green; tests/test_quality.py)",
-    "containment_near_dups": "test_spot_oracle_parity (r9-green; containment_prune in-window)",
-    "pmi_collocations": "test_spot_oracle_parity (r9-green; tests/test_text_quality.py)",
-    "copurchase_pairs": "test_spot_oracle_parity (r9-green; triangles/triples in-window)",
-    "bloom_join_gate": "test_spot_oracle_parity (r9-green; tests/test_sketches.py)",
-    "streaming_attribution": "test_spot_oracle_parity (r9-green; streaming_dedup in-window)",
-    "customer_radius_join": "test_spot_oracle_parity (r9-green; tests/test_ranges.py)",
-    "xml_roundtrip": "test_spot_oracle_parity (r9-green; roundtrip family in tail)",
-    # rotated out for the sixth wave (r7+r8 driver-green recall gates
-    # + heavy_hitters_gate r8-green; all oracle-bearing, so
-    # test_spot_oracle_parity keeps running real value parity):
-    "ann_lsh_recall": "test_spot_oracle_parity (driver-green r7+r8)",
-    "ann_ivf_recall": "test_spot_oracle_parity (driver-green r7+r8)",
-    "ann_pq_recall": "test_spot_oracle_parity (driver-green r7+r8)",
-    "ann_ivfpq_recall": "test_spot_oracle_parity (driver-green r7+r8)",
-    "ann_quantized_recall": "test_spot_oracle_parity (driver-green r7+r8)",
+    # rotated out for the sixth wave; oracle-bearing, so
+    # test_spot_oracle_parity keeps running real value parity:
     "heavy_hitters_gate": "test_spot_oracle_parity (driver-green r8)",
     "top_listings_weekly": "test_spot_oracle_parity",
     "events_json": "test_spot_oracle_parity",
-    "ann_cosine_lsh": "test_spot_oracle_parity (full value-hash twin since r10) + ann_lsh_recall gate",
-    "ann_cosine_ivf": "test_spot_oracle_parity (full value-hash twin since r10, deterministic quantizer) + ann_ivf_recall gate",
     "token_frequencies": "test_spot_oracle_parity",
     "word_bigrams": "test_spot_oracle_parity",
     "brand_setops": "test_spot_oracle_parity",
@@ -120,10 +119,6 @@ TAIL_KEYS = {
     "doc_fingerprint": "test_spot_oracle_parity",
     "simhash": "test_spot_oracle_parity",
     "sessionization": "test_spot_oracle_parity",
-    # born in the tail r7 (window full); full value-hash twins since
-    # r10 (deterministic grouped-Lloyd codebooks + codes)
-    "ann_cosine_pq": "test_spot_oracle_parity + ann_pq_recall gate",
-    "ann_cosine_ivfpq": "test_spot_oracle_parity + ann_ivfpq_recall gate",
     # rotated out r8 (driver-green r6+r7, unchanged in r8) to make room
     # for heavy_hitters_gate and the four r8-born oracle rows
     # (recipe_training_mix, orc_roundtrip, orders_snapshot_diff,

@@ -233,6 +233,48 @@ def test_curated_scan_dynamic_partition_pruning(spark, curated_partitioned):
     )
 
 
+def test_curated_partition_scan_marker_gates_the_write(spark):
+    """Re-regression pin for the r12 dead-cache-gate fix (VERDICT r12
+    task 4): once the _CURATED_DONE marker exists, q_curated_partition_scan
+    must be a partition-pruned READ — the cached dataset untouched on
+    disk (no silent rebuild: the pre-fix _SUCCESS gate never passed, so
+    every call re-ran the curated join + 80-partition write and the
+    'scan' key was ~85% write) and no write node anywhere in the
+    returned plan."""
+    import os
+
+    from lab_etl_batch_data_processing_pipeline__spark import registry
+
+    # first call builds the cache (or reuses a prior build) + marker
+    registry.q_curated_partition_scan(spark, SF).collect()
+    out_dir = os.path.join(
+        registry._REPO_ROOT, ".cache", "curated", registry._gen_tag(SF)
+    )
+    assert os.path.isfile(os.path.join(out_dir, "_CURATED_DONE"))
+
+    def snapshot(d):
+        files = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                files[p] = (st.st_mtime_ns, st.st_size)
+        return files
+
+    before = snapshot(out_dir)
+    df = registry.q_curated_partition_scan(spark, SF)
+    df.collect()
+    assert snapshot(out_dir) == before, (
+        "marker-gated call rewrote the curated cache — the r12 dead "
+        "cache gate regressed"
+    )
+    plan = formatted_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and "order_month" in scan_lines[0] and "1995-03" in scan_lines[0]
+    assert "WriteFiles" not in plan
+    assert "InsertIntoHadoopFsRelation" not in plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
     """At 100 TB a selective dim-filtered shuffle join should inject a
     runtime bloom filter on the fact side (rows failing might_contain

@@ -1118,3 +1118,287 @@ def test_pack_offsets_matches_python_prefix_sum(spark, ids, data, seq_len, bucke
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Stateful/temporal family vs sequential Python replicas (r12 verdict task
+# 3): SCD2 compression, CDC merge, point-in-time join, incremental
+# aggregate maintenance, and the native session_window rollup. The only
+# randomized check these semantics-heavy operators had before was the
+# fixture-bound oracle; these pin the rules themselves on arbitrary
+# inputs (ties, NULL states, deletes of absent keys, boundary gaps).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),                    # entity key
+            st.sampled_from(["a", "b", None]),    # state (NULL first-class)
+            st.integers(0, 20),                   # observation ts (ties likely)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_history_matches_sequential_replica(spark, rows):
+    """scd2_history must equal a sequential replica of its own rule on
+    arbitrary streams: per key order by (ts, tiebreaker), collapse
+    null-safe consecutive repeats into their first observation, emit
+    half-open validity ranges with per-key versions and an open
+    (valid_to NULL, is_current) last version."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    data = [(k, s, t, i) for i, (k, s, t) in enumerate(rows)]
+
+    bykey: dict[int, list] = {}
+    for k, s, t, i in data:
+        bykey.setdefault(k, []).append((t, i, s))
+    expected = {}
+    for k, obs in bykey.items():
+        obs.sort(key=lambda o: (o[0], o[1]))
+        changes = [obs[0]]
+        for o in obs[1:]:
+            if o[2] != changes[-1][2]:  # None == None -> not a change
+                changes.append(o)
+        for v, (t, i, s) in enumerate(changes, start=1):
+            nxt = changes[v][0] if v < len(changes) else None
+            expected[(k, v)] = (s, t, nxt, nxt is None)
+
+    df = spark.createDataFrame(data, "k int, state string, ts long, tid long")
+    out = scd.scd2_history(df, "k", "state", "ts", order_cols=("tid",)).collect()
+    got = {
+        (r["k"], r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in out
+    }
+    assert got == expected
+
+
+@given(
+    snap=st.dictionaries(st.integers(1, 8), st.integers(0, 100), max_size=8),
+    changes=st.dictionaries(
+        st.integers(1, 10),  # keys 9-10 exercise insert-via-changelog
+        st.lists(
+            st.tuples(st.integers(0, 100), st.booleans()),  # (value, is_delete)
+            min_size=1,
+            max_size=3,
+        ),
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_apply_changelog_matches_sequential_merge(spark, snap, changes):
+    """apply_changelog must equal the sequential MERGE rule: per key the
+    highest-seq change wins, a delete removes the key (deleting an
+    absent key is a no-op), an upsert replaces or inserts the row, and
+    untouched keys keep their snapshot row."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    final = dict(snap)
+    for k, batch in changes.items():
+        value, is_delete = batch[-1]  # seqs 1..n in list order: last wins
+        if is_delete:
+            final.pop(k, None)
+        else:
+            final[k] = value
+
+    snap_df = spark.createDataFrame(
+        list(snap.items()) or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    change_rows = [
+        (k, value, seq, "D" if is_delete else "U")
+        for k, batch in changes.items()
+        for seq, (value, is_delete) in enumerate(batch, start=1)
+    ]
+    if not change_rows:
+        change_rows = [(None, None, None, None)]
+    ch_df = spark.createDataFrame(
+        change_rows, "k int, v int, seq int, op string"
+    ).filter(F.col("k").isNotNull())
+
+    got = {
+        r["k"]: r.v
+        for r in scd.apply_changelog(snap_df, ch_df, ["k"], "seq").collect()
+    }
+    assert got == final
+
+
+@given(
+    versions=st.dictionaries(
+        st.integers(1, 4),
+        st.sets(st.integers(0, 20), min_size=1, max_size=5),
+        min_size=1,
+        max_size=4,
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(-2, 25)),  # key 5: no dim
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**SETTINGS)
+def test_point_in_time_join_matches_sequential_lookup(spark, versions, facts):
+    """point_in_time_join must attach exactly the version whose half-open
+    range [valid_from, valid_to) contains the fact ts — facts before the
+    key's first version (or with no dim key at all) keep NULL columns,
+    boundary facts at valid_to land in the NEXT version."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    dim_rows = []
+    lookup: dict[int, list] = {}
+    for k, froms in versions.items():
+        ordered = sorted(froms)
+        for v, vf in enumerate(ordered, start=1):
+            vt = ordered[v] if v < len(ordered) else None
+            dim_rows.append((k, vf, vt, f"s{v}", v))
+            lookup.setdefault(k, []).append((vf, vt, f"s{v}", v))
+
+    expected = {}
+    for fid, (k, ts) in enumerate(facts):
+        hit = (None, None)
+        for vf, vt, state, v in lookup.get(k, []):
+            if vf <= ts and (vt is None or ts < vt):
+                hit = (state, v)
+        expected[fid] = (k, ts, *hit)
+
+    dim = spark.createDataFrame(
+        dim_rows, "k int, valid_from int, valid_to int, state string, version int"
+    )
+    fact_df = spark.createDataFrame(
+        [(k, ts, fid) for fid, (k, ts) in enumerate(facts)],
+        "k int, ts int, fid int",
+    )
+    out = scd.point_in_time_join(fact_df, dim, "k", "ts").collect()
+    got = {r.fid: (r["k"], r.ts, r.state, r.version) for r in out}
+    assert got == expected
+    assert len(out) == len(facts)  # disjoint ranges: never a fanout
+
+
+@given(
+    snap=st.lists(
+        st.tuples(
+            st.integers(1, 8),
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(-50, 100),  # negative cents: refunds must subtract
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+    changes=st.dictionaries(
+        st.integers(1, 10),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["g1", "g2", "g3"]),
+                st.integers(-50, 100),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_incremental_agg_maintenance_matches_full_recompute(spark, snap, changes):
+    """incremental_agg_maintenance must be bit-identical to the full
+    recompute (apply the changelog sequentially, re-aggregate from
+    scratch) in BOTH forms: bootstrap (base_agg=None) and steady-state
+    (base_agg = the previously materialized view) — including group
+    moves, inserts of new keys, deletes, and groups whose count reaches
+    zero dropping out."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import scd
+
+    rows = {k: (g, c) for k, g, c in snap}
+    for k, batch in changes.items():
+        g, c, is_delete = batch[-1]
+        if is_delete:
+            rows.pop(k, None)
+        else:
+            rows[k] = (g, c)
+    expected: dict[str, list] = {}
+    for g, c in rows.values():
+        agg = expected.setdefault(g, [0, 0])
+        agg[0] += 1
+        agg[1] += c
+    expected = {g: (n, s) for g, (n, s) in expected.items() if n > 0}
+
+    snap_df = spark.createDataFrame(list(snap), "k int, grp string, cents long")
+    change_rows = [
+        (k, g, c, seq, "D" if is_delete else "U")
+        for k, batch in changes.items()
+        for seq, (g, c, is_delete) in enumerate(batch, start=1)
+    ]
+    if not change_rows:
+        change_rows = [(None, None, None, None, None)]
+    ch_df = spark.createDataFrame(
+        change_rows, "k int, grp string, cents long, seq int, op string"
+    ).filter(F.col("k").isNotNull())
+
+    boot = scd.incremental_agg_maintenance(
+        snap_df, ch_df, ["k"], "seq", "grp", F.col("cents")
+    )
+    got = {r.grp: (r.n_rows, r.sum_cents) for r in boot.collect()}
+    assert got == expected
+
+    base = (
+        snap_df.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents"))
+    )
+    steady = scd.incremental_agg_maintenance(
+        snap_df, ch_df, ["k"], "seq", "grp", F.col("cents"), base_agg=base
+    )
+    got2 = {r.grp: (r.n_rows, r.sum_cents) for r in steady.collect()}
+    assert got2 == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 40)),  # (user, epoch sec)
+        min_size=1,
+        max_size=30,
+    ),
+    gap=st.integers(2, 6),
+)
+@settings(**SETTINGS)
+def test_session_window_matches_sequential_gap_split(spark, events, gap):
+    """Spark's native F.session_window must equal the sequential gap
+    rule the engine's manual sessionization and the DuckDB oracle use:
+    per user sort, a new event joins the session iff ts < last_ts + gap
+    (an event exactly AT the session end starts a NEW session — the
+    half-open boundary), end = last event + gap."""
+    byuser: dict[int, list] = {}
+    for u, t in events:
+        byuser.setdefault(u, []).append(t)
+    expected = set()
+    for u, ts in byuser.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev < gap:
+                prev = t
+                n += 1
+            else:
+                expected.add((u, start, prev + gap, n))
+                start = prev = t
+                n = 1
+        expected.add((u, start, prev + gap, n))
+
+    df = spark.createDataFrame(events, "user_id int, epoch int").withColumn(
+        "ts", F.timestamp_seconds("epoch")
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("ts", f"{gap} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("s"),
+            F.col("w.end").cast("long").alias("e"),
+            "n_events",
+        )
+        .collect()
+    )
+    got = {(r.user_id, r.s, r.e, r.n_events) for r in out}
+    assert got == expected

@@ -426,10 +426,32 @@ def test_validated_index_dir_heals_stale_marker(tmp_path):
     _validated_index_dir(d, expected)
     assert os.path.isfile(os.path.join(d, "_BUILT"))
 
-    # pre-JSON marker -> not a current-recipe build, removed
+    # legacy plain-text sentinel recorded only the residual flag and
+    # _check_built explicitly trusts it (r12 ADVICE) — the helper must
+    # match: validate on the residual key alone, not treat it as stale
     d = make("ok\n")
     _validated_index_dir(d, expected)
+    assert os.path.isfile(os.path.join(d, "_BUILT"))
+    d = make("ok residual")
+    _validated_index_dir(d, {"kind": "ivfpq-det", "residual": False})
+    assert not os.path.exists(d)  # recorded flag contradicts the probe
+    d = make("ok")
+    _validated_index_dir(d, {"kind": "ivfpq-det", "residual": False})
+    assert os.path.isfile(os.path.join(d, "_BUILT"))  # flag agrees
+
+    # unrecognized non-JSON garbage -> not a current-recipe build, removed
+    d = make("corrupted!!")
+    _validated_index_dir(d, expected)
     assert not os.path.exists(d)
+
+    # transient read failure (OSError that is not FileNotFoundError:
+    # _BUILT is a directory here) -> leave the dir, the probe decides
+    d = str(tmp_path / "idx")
+    os.makedirs(os.path.join(d, "_BUILT"))
+    _validated_index_dir(d, expected)
+    assert os.path.isdir(d)
+    os.rmdir(os.path.join(d, "_BUILT"))
+    os.rmdir(d)
 
     # no marker at all (mid-build dir) -> left alone
     d = str(tmp_path / "fresh")
