@@ -1402,3 +1402,289 @@ def test_session_window_matches_sequential_gap_split(spark, events, gap):
     )
     got = {(r.user_id, r.s, r.e, r.n_events) for r in out}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Order-statistics / run-length / contribution family vs sequential
+# replicas (round 13, second wave): ewma, 2-D skyline, weighted median,
+# Pareto head, calendar-range rolling sum, streak islands. Same pattern
+# as the graph/stateful waves — the replica implements the documented
+# rule sequentially and must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),     # key
+            st.integers(0, 10),    # order ts (ties likely)
+            st.integers(-20, 20),  # integer-valued measure (exact fixpoint)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    window_rows=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_ewma_matches_sequential_replica(spark, rows, window_rows):
+    """windows.ewma must equal its documented rule sequentially: over
+    the trailing window ordered by (ts, tiebreaker), row i (oldest=0)
+    weighs 2^i on the 256-fixpointed value; den = 2^m - 1; ewma_ppm =
+    floor of the one double divide under the same parenthesization."""
+    import math
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    data = [(k, t, i, float(v)) for i, (k, t, v) in enumerate(rows)]
+    bykey: dict[int, list] = {}
+    for k, t, i, v in data:
+        bykey.setdefault(k, []).append((t, i, v))
+    expected = {}
+    for k, obs in bykey.items():
+        obs.sort()
+        for j in range(len(obs)):
+            frame = obs[max(0, j - window_rows + 1) : j + 1]
+            num = sum(
+                int(round(v * 256)) * (1 << i) for i, (_, _, v) in enumerate(frame)
+            )
+            den = (1 << len(frame)) - 1
+            t, i, _ = obs[j]
+            expected[(k, t, i)] = (
+                len(frame),
+                num,
+                den,
+                math.floor((1000000.0 * num) / den),
+            )
+
+    df = spark.createDataFrame(
+        data, "k int, t int, i int, value double"
+    )
+    out = windows.ewma(df, "k", ["t", "i"], "value", window_rows=window_rows)
+    got = {
+        (r["k"], r.t, r.i): (r.n_in_window, r.ewma_num, r.ewma_den, r.ewma_ppm)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 6)),   # max dimension
+            st.one_of(st.none(), st.integers(0, 6)),   # min dimension
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_skyline2d_matches_bruteforce_dominance(spark, rows):
+    """The frontier-reduction skyline must return exactly the rows the
+    O(n^2) dominance scan keeps: no other row with mx >= and mn <= and
+    one strict; NULL in either dimension excludes the row; frontier-tie
+    rows all survive."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import joins
+
+    data = [(i, mx, mn) for i, (mx, mn) in enumerate(rows)]
+    clean = [(i, mx, mn) for i, mx, mn in data if mx is not None and mn is not None]
+    expected = {
+        i
+        for i, mx, mn in clean
+        if not any(
+            (mx2 >= mx and mn2 <= mn and (mx2 > mx or mn2 < mn))
+            for j, mx2, mn2 in clean
+            if j != i
+        )
+    }
+
+    df = spark.createDataFrame(data, "row_id int, mx int, mn int")
+    got = {r.row_id for r in joins.skyline2d(df, "mx", "mn").collect()}
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),    # key
+            st.integers(-10, 10), # value (scale=1 integral)
+            st.integers(0, 5),    # weight (zeros exercised)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_weighted_median_matches_sequential_selection(spark, rows):
+    """profiling.weighted_median must pick the smallest value whose
+    running weight reaches half the key total (2*cum >= total), with
+    zero-total keys present and NULL."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    bykey: dict[int, list] = {}
+    for k, v, w in rows:
+        bykey.setdefault(k, []).append((v, w))
+    expected = {}
+    for k, obs in bykey.items():
+        total = sum(w for _, w in obs)
+        med = None
+        if total > 0:
+            cum = 0
+            for v, w in sorted(obs):
+                cum += w
+                if 2 * cum >= total:
+                    med = v
+                    break
+        expected[k] = (total, med)
+
+    df = spark.createDataFrame(rows, "k int, v int, w int")
+    out = profiling.weighted_median(df, "k", "v", "w", scale=1)
+    got = {r.key: (r.total_weight, r.wmedian_s) for r in out.collect()}
+    assert got == expected
+
+
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(1, 6),        # entity
+            st.integers(0, 10000),    # price in cents
+            st.sampled_from([0, 5, 10]),  # discount in hundredths
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    frac_ppm=st.sampled_from([300_000, 800_000, 1_000_000]),
+)
+@settings(**SETTINGS)
+def test_revenue_pareto_matches_sequential_replica(spark, lines, frac_ppm):
+    """metrics.revenue_pareto must equal the sequential rule: per-entity
+    decimal revenue (price x (1 - discount)) rounded half-up to cents,
+    ranked on (cents DESC, entity ASC), in_head by exact integer
+    cross-multiplication of the running total."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    per: dict[int, Decimal] = {}
+    for e, cents, disc in lines:
+        rev = (Decimal(cents) / 100) * (1 - Decimal(disc) / 100)
+        per[e] = per.get(e, Decimal(0)) + rev
+    ranked = sorted(
+        ((int((rev.quantize(Decimal("0.01"), ROUND_HALF_UP)) * 100), e)
+         for e, rev in per.items()),
+        key=lambda rc: (-rc[0], rc[1]),
+    )
+    total = sum(c for c, _ in ranked)
+    expected, cum = {}, 0
+    for rank, (cents, e) in enumerate(ranked, start=1):
+        cum += cents
+        expected[e] = (cents, rank, cum, cum * 1_000_000 <= total * frac_ppm)
+
+    df = spark.createDataFrame(
+        [(e, Decimal(c) / 100, Decimal(d) / 100) for e, c, d in lines],
+        "entity int, price decimal(18,2), discount decimal(4,2)",
+    )
+    out = metrics.revenue_pareto(df, "entity", "price", "discount",
+                                 top_frac_ppm=frac_ppm)
+    got = {
+        r.entity: (r.revenue_cents, r.rank, r.cum_cents, r.in_head)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),    # key
+            st.integers(0, 20),   # day offset from 2024-01-01
+            st.integers(-50, 100),  # integral amount (exact in decimal)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    window_days=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_rolling_window_sum_matches_calendar_replica(spark, rows, window_days):
+    """windows.rolling_window_sum must equal the sequential calendar
+    rule: one output row per (key, active day) with the amount sum and
+    row count over the trailing window_days CALENDAR days — days with
+    no rows age out (the RANGE-frame semantics a ROWS frame breaks)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    base = dt.date(2024, 1, 1)
+    daily: dict[tuple, list] = {}
+    for k, off, amt in rows:
+        daily.setdefault((k, off), []).append(amt)
+    expected = {}
+    for (k, off), amts in daily.items():
+        win_amt = win_rows = 0
+        for (k2, off2), amts2 in daily.items():
+            if k2 == k and off - window_days + 1 <= off2 <= off:
+                win_amt += sum(amts2)
+                win_rows += len(amts2)
+        expected[(k, base + dt.timedelta(days=off))] = (
+            float(sum(amts)),
+            len(amts),
+            float(win_amt),
+            win_rows,
+        )
+
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=off), amt) for k, off, amt in rows],
+        "k int, day date, amount long",
+    )
+    out = windows.rolling_window_sum(df, "k", "day", "amount",
+                                     window_days=window_days)
+    got = {
+        (r["k"], r.day_date): (r.day_amount, r.day_rows,
+                               r.rolling_amount, r.rolling_rows)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                  # user
+            st.integers(0, 10),                 # ts (ties -> tiebreaker)
+            st.sampled_from(["a", "b", "c"]),   # event type
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_event_streaks_match_sequential_islands(spark, events):
+    """sessions.event_streaks must equal the sequential run-length scan:
+    per user order by (ts, tiebreaker), split runs on type change, then
+    per type report total events, run count, and the longest run."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions
+
+    data = [(u, t, i, typ) for i, (u, t, typ) in enumerate(events)]
+    byuser: dict[int, list] = {}
+    for u, t, i, typ in data:
+        byuser.setdefault(u, []).append((t, i, typ))
+    per_type: dict[str, list] = {}
+    for u, obs in byuser.items():
+        obs.sort()
+        run_type, run_len = None, 0
+        for _, _, typ in obs:
+            if typ == run_type:
+                run_len += 1
+            else:
+                if run_type is not None:
+                    per_type.setdefault(run_type, []).append(run_len)
+                run_type, run_len = typ, 1
+        per_type.setdefault(run_type, []).append(run_len)
+    expected = {
+        typ: (sum(runs), len(runs), max(runs)) for typ, runs in per_type.items()
+    }
+
+    df = spark.createDataFrame(data, "u int, ts long, eid long, typ string")
+    out = sessions.event_streaks(df, "u", "ts", "typ", tiebreak_col="eid")
+    got = {
+        r.event_type: (r.n_events, r.n_runs, r.max_run_len) for r in out.collect()
+    }
+    assert got == expected
