@@ -1364,10 +1364,12 @@ def test_incremental_agg_maintenance_matches_full_recompute(spark, snap, changes
 @settings(**SETTINGS)
 def test_session_window_matches_sequential_gap_split(spark, events, gap):
     """Spark's native F.session_window must equal the sequential gap
-    rule the engine's manual sessionization and the DuckDB oracle use:
-    per user sort, a new event joins the session iff ts < last_ts + gap
-    (an event exactly AT the session end starts a NEW session — the
-    half-open boundary), end = last event + gap."""
+    rule the engine's DuckDB oracle uses: per user sort, a new event
+    joins the session iff ts <= last_ts + gap — the boundary is
+    INCLUSIVE (an event exactly gap after the last one still merges;
+    hypothesis found the [(1,0),(1,2)], gap=2 counterexample against a
+    strict-< replica, matching the oracle's `diff > gap` split rule) —
+    and end = last event + gap."""
     byuser: dict[int, list] = {}
     for u, t in events:
         byuser.setdefault(u, []).append(t)
@@ -1377,7 +1379,7 @@ def test_session_window_matches_sequential_gap_split(spark, events, gap):
         start = prev = ts[0]
         n = 1
         for t in ts[1:]:
-            if t - prev < gap:
+            if t - prev <= gap:
                 prev = t
                 n += 1
             else:

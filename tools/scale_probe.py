@@ -1,9 +1,11 @@
 """Synthesized-10x scale probe for the structural claims SCALE.md makes
 about the expensive operator families: block_cap sub-blocking,
 containment slim postings, substring dedup gram shuffle, semantic-dedup
-cell sizing (r9 claims), ANN probe paths + CC (r11 task 5), and the
+cell sizing (r9 claims), ANN probe paths + CC (r11 task 5), the
 iterative/graph/funnel family — pagerank, triangles, k-means,
-corpus_prep (r12).
+corpus_prep (r12) — and the stateful/temporal family — SCD2
+compression, CDC merge, point-in-time join, native session windows
+(r13, key-strided events synth).
 
 No sf1.0 testdata exists, so this builds one: 10 replicas of the sf0.1
 documents/embeddings tables, ids shifted per replica and every TOKEN
@@ -49,6 +51,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     dedup_fuzzy,
     graph,
     joins,
+    scd,
     similarity,
 )
 from lab_etl_batch_data_processing_pipeline__spark.plans import corpus as corpus_plans
@@ -138,6 +141,50 @@ def build_synth_tpch(spark, base_sf: str) -> str:
         (F.col("l_suppkey") + F.col("r") * ID_STRIDE).alias("l_suppkey"),
     ).repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "lineitem.parquet")
+    )
+    with open(os.path.join(out, "_BUILT"), "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def _events_slim(spark, sf_dir: str):
+    """The slim event projection the stateful probes read: (user_id,
+    event_id, ts_us BIGINT, event_type) with ts normalized to epoch
+    micros at read time (sources.ensure_timestamp) so both scales feed
+    identical BIGINT-keyed plans regardless of parquet ts encoding."""
+    from lab_etl_batch_data_processing_pipeline__spark.sources import (
+        ensure_timestamp,
+        read_parquet,
+    )
+
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(ensure_timestamp(ev, "ts")).alias("ts_us"),
+        "event_type",
+    )
+
+
+def build_synth_events(spark, base_sf: str) -> str:
+    """10 key-strided replicas of the slim event projection: user_id and
+    event_id stride by r*ID_STRIDE, timestamps stay — 10 disjoint user
+    universes with the SAME per-user event-count and state-change
+    distributions (organic growth for the stateful family: 10x keys at
+    flat per-key version counts, the shape that keeps SCD2/PIT linear;
+    verbatim replication would multiply per-user observation density
+    and the PIT fact x version mass by 100 by construction)."""
+    out = synth_dir(base_sf) + "-events"
+    if os.path.isfile(os.path.join(out, "_BUILT")):
+        return out
+    reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
+    _events_slim(spark, base_sf).crossJoin(reps).select(
+        (F.col("user_id") + F.col("r") * ID_STRIDE).alias("user_id"),
+        (F.col("event_id") + F.col("r") * ID_STRIDE).alias("event_id"),
+        "ts_us",
+        "event_type",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
     with open(os.path.join(out, "_BUILT"), "w") as fh:
         fh.write("ok\n")
@@ -324,6 +371,92 @@ def main() -> None:
 
             t, n = timed(run_funnel)
             record("corpus_prep_funnel", scale, t, n)
+
+    # --- r13 additions: the stateful/temporal family (SCD2, CDC merge,
+    # point-in-time join, native session windows) ---
+    events_scales = {}
+    stateful_ops = (
+        "scd2_history", "cdc_apply", "pit_join", "session_window",
+    )
+    if any(want(op) for op in stateful_ops):
+        ep = build_synth_events(spark, base_sf)
+        events_scales = {
+            "sf0.1": _events_slim(spark, base_sf),
+            "x10": spark.read.parquet(os.path.join(ep, "events.parquet")),
+        }
+    for scale, ev in events_scales.items():
+        ev = ev.localCheckpoint(eager=True)  # synth cost out of the timings
+
+        # SCD2 compression (the scd2_user_state bench shape). Claim
+        # under test: one hash shuffle on user_id, BOTH window passes
+        # reuse it — cost ~ observation rows, no per-version joins.
+        if want("scd2_history"):
+            t, n = timed(
+                lambda: scd.scd2_history(
+                    ev, "user_id", "event_type", "ts_us",
+                    order_cols=("event_id",),
+                ).count()
+            )
+            record("scd2_history", scale, t, n)
+
+        # CDC merge (the orders_cdc_apply shape on event_id keys: every
+        # 4th row updated at seq 1, every 6th deleted at seq 2). Claim
+        # under test: union + ONE ranking window hashed on the key —
+        # cost ~ snapshot + change rows, per-key frames stay tiny.
+        if want("cdc_apply"):
+            upd = (
+                ev.filter(F.col("event_id") % 4 == 0)
+                .withColumn("event_type", F.lit("X"))
+                .withColumn("seq", F.lit(1))
+                .withColumn("op", F.lit("U"))
+            )
+            dele = (
+                ev.filter(F.col("event_id") % 6 == 0)
+                .withColumn("seq", F.lit(2))
+                .withColumn("op", F.lit("D"))
+            )
+            changes = upd.unionByName(dele)
+            t, n = timed(
+                lambda: scd.apply_changelog(
+                    ev, changes, ["event_id"], "seq"
+                ).count()
+            )
+            record("cdc_apply", scale, t, n)
+
+        # Point-in-time join (the purchase_pit_state shape: browse-state
+        # SCD2 dim, purchase facts). Claim under test: fact x version
+        # blowup bounded per key by that key's STATE-CHANGE count — with
+        # disjoint replica users both sides grow 10x at flat per-user
+        # version counts, so the join is linear, never quadratic.
+        if want("pit_join"):
+            browse = ev.filter(F.col("event_type") != "purchase")
+            dim = scd.scd2_history(
+                browse, "user_id", "event_type", "ts_us",
+                order_cols=("event_id",),
+            ).drop("is_current").localCheckpoint(eager=True)
+            facts = ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts_us", "event_id"
+            )
+            t, n = timed(
+                lambda: scd.point_in_time_join(
+                    facts, dim, "user_id", "ts_us"
+                ).count()
+            )
+            record("pit_join", scale, t, n)
+
+        # Native gap session windows (the session_window_rollup shape,
+        # 12 h gap). Claim under test: ONE shuffle on the session key,
+        # merge work ~ events per user — linear in rows.
+        if want("session_window"):
+            t, n = timed(
+                lambda: ev.withColumn("ts", F.timestamp_micros("ts_us"))
+                .groupBy(
+                    "user_id", F.session_window("ts", "12 hours").alias("w")
+                )
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .count()
+            )
+            record("session_window", scale, t, n)
 
     tpch_scales = {}
     graph_ops = ("transaction_pagerank", "copurchase_triangles")
