@@ -389,9 +389,16 @@ def weighted_median(
     order, which cannot change the RESULT (equal values are
     interchangeable at the cut) but keeps the plan deterministic.
 
-    Shape: one shuffle on key; a cumulative-sum window and the per-key
-    total share that partitioning; one filter + row_number picks the
-    cut row. Zero-total keys (all weights 0) emit NULL.
+    Shape: ONE shuffle on key, total. The cumulative-sum and per-key
+    total windows share the key partitioning, and the selection is a
+    conditional aggregate over the window output — rows satisfying the
+    half-point test form a SUFFIX of the cum order, so MIN(v) over
+    them IS the cut row — which Catalyst runs WITHOUT a second
+    exchange (the aggregate's required distribution is the window's
+    output partitioning; pre-r13 a filter + row_number + left join
+    back to a separate per-key total aggregate shuffled the slim
+    projection twice and scanned it twice for the same values).
+    Zero-total keys (all weights 0) emit NULL.
 
     Returns (key, total_weight, wmedian_s) sorted by key.
     """
@@ -416,21 +423,21 @@ def weighted_median(
         F.sum("__w").over(w_cum).alias("__cum"),
         F.sum("__w").over(w_all).alias("__total"),
     )
-    cut = (
-        marked.filter(
-            (F.col("__total") > 0) & (F.col("__cum") * 2 >= F.col("__total"))
-        )
-        .withColumn("__rn", F.row_number().over(
-            Window.partitionBy("key").orderBy(F.col("__cum").asc(), F.col("__v").asc())
-        ))
-        .filter(F.col("__rn") == 1)
-        .select("key", F.col("__total").alias("total_weight"),
-                F.col("__v").alias("wmedian_s"))
-    )
-    totals = base.groupBy("key").agg(F.sum("__w").alias("total_weight"))
     return (
-        totals.join(cut.select("key", "wmedian_s"), "key", "left")
-        .select("key", "total_weight", "wmedian_s")
+        marked.groupBy("key")
+        .agg(
+            # __total is constant within the key; MAX is just a picker
+            F.coalesce(F.max("__total"), F.lit(0).cast("long")).alias(
+                "total_weight"
+            ),
+            F.min(
+                F.when(
+                    (F.col("__total") > 0)
+                    & (F.col("__cum") * 2 >= F.col("__total")),
+                    F.col("__v"),
+                )
+            ).alias("wmedian_s"),
+        )
         .orderBy("key")
     )
 

@@ -355,6 +355,39 @@ def test_session_window_single_shuffle(spark):
     assert len(hash_exchanges) == 1 and "user_id" in hash_exchanges[0]
 
 
+def test_weighted_median_single_shuffle(spark):
+    """The r13 rewrite's claim: ONE key-hash exchange total — the two
+    windows share it and the conditional-aggregate selection runs on
+    the window's output partitioning without re-shuffling (the pre-r13
+    filter + row_number + join-back form shuffled and scanned the
+    projection twice)."""
+    plan = formatted_plan(entrymod.queries()["price_weighted_median"](spark, SF))
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hash_exchanges) == 1 and "key" in hash_exchanges[0]
+    assert "Join" not in plan  # selection is an aggregate, not a join-back
+
+
+def test_scd2_single_shuffle_shared_by_both_windows(spark):
+    """scd2_history's SCALE claim: both window passes (change detect +
+    range close) reuse ONE user-key hash partitioning — no second
+    exchange, no join."""
+    plan = formatted_plan(entrymod.queries()["scd2_user_state"](spark, SF))
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hash_exchanges) == 1 and "user_id" in hash_exchanges[0]
+    assert "Join" not in plan
+
+
+def test_cdc_apply_single_shuffle_no_join(spark):
+    """apply_changelog's MERGE shape: union + ONE ranking window hashed
+    on the key — never a snapshot-vs-changes join (which would shuffle
+    both sides separately and double the exchange mass at 100 TB)."""
+    plan = formatted_plan(entrymod.queries()["orders_cdc_apply"](spark, SF))
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hash_exchanges) == 1 and "o_orderkey" in hash_exchanges[0]
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
 def test_normalize_text_is_map_only(spark):
     # zero-width/control strip + CRLF + collapse + NFC pandas_udf: one
     # projection chain, no shuffle besides the terminal orderBy range
