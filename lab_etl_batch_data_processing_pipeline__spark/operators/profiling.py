@@ -169,11 +169,17 @@ def mad_outliers(
     expects); deviations are |v_s - med_s|; a row is an outlier when
     dev_s > k * mad_s (integer compare — no float anywhere).
 
-    Shape: two ranking windows partitioned by key (value pass, then
-    deviation pass) + one final hash aggregate — the per-key serial
-    bound is the largest single key's row count, the usual window skew
-    story. At scale, replace the exact selection with approx_percentile
-    partials and keep THIS form as the correctness oracle.
+    Shape (r13): ONE scan, ONE shuffle. Every pass — value ranking,
+    median pick, deviation ranking, MAD pick, final aggregate — shares
+    the key hash partitioning, so after the first exchange the whole
+    operator is in-partition sorts and window passes; the median/MAD
+    picks are min-over-WHEN window aggregates at the selection
+    position instead of the pre-r13 filter + join-backs (which
+    re-scanned the input and re-shuffled three times for the same
+    values). The per-key serial bound is the largest single key's row
+    count, the usual window skew story. At scale, replace the exact
+    selection with approx_percentile partials and keep THIS form as
+    the correctness oracle.
 
     Returns (key, n_rows, med_s, mad_s, n_outliers) — one row per key.
     """
@@ -183,34 +189,38 @@ def mad_outliers(
     ).filter(F.col("v_s").isNotNull())
     w_rank = Window.partitionBy("key").orderBy("v_s")
     w_all = Window.partitionBy("key")
-    med = (
-        v.select(
-            "key",
-            "v_s",
-            F.row_number().over(w_rank).alias("__rn"),
-            F.count(F.lit(1)).over(w_all).alias("__n"),
-        )
-        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
-        .select("key", F.col("v_s").alias("med_s"))
-    )
-    dev = v.join(med, "key").select(
-        "key", "v_s", F.abs(F.col("v_s") - F.col("med_s")).alias("dev_s"),
+    # median by position, picked in-frame: the (n+1) div 2 row's value
+    # broadcast to every row of the key via an unbounded window MIN
+    # (the WHEN hits exactly one position; ties at the cut value are
+    # interchangeable, so tie order in row_number cannot move it)
+    med = v.select(
+        "key",
+        "v_s",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    ).withColumn(
         "med_s",
+        F.min(
+            F.when(F.col("__rn") == F.expr("(__n + 1) div 2"), F.col("v_s"))
+        ).over(w_all),
+    )
+    dev = med.select(
+        "key",
+        F.abs(F.col("v_s") - F.col("med_s")).alias("dev_s"),
+        "med_s",
+        "__n",
     )
     w_drank = Window.partitionBy("key").orderBy("dev_s")
-    mad = (
-        dev.select(
-            "key",
-            "dev_s",
-            F.row_number().over(w_drank).alias("__rn"),
-            F.count(F.lit(1)).over(w_all).alias("__n"),
-        )
-        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
-        .select("key", F.col("dev_s").alias("mad_s"))
+    marked = dev.withColumn(
+        "__rn2", F.row_number().over(w_drank)
+    ).withColumn(
+        "mad_s",
+        F.min(
+            F.when(F.col("__rn2") == F.expr("(__n + 1) div 2"), F.col("dev_s"))
+        ).over(w_all),
     )
     return (
-        dev.join(mad, "key")
-        .groupBy("key")
+        marked.groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.max("med_s").alias("med_s"),
@@ -618,10 +628,13 @@ def winsorized_stats(
     (``tiebreak_col``) cannot move a cut VALUE (equal values are
     interchangeable at the cut position).
 
-    Shape: one shuffle on key; one ranking window + per-key count
-    share it; the two cut rows per key join back metrics-sized; one
-    conditional aggregate emits the clamped sum. Same physical shape
-    as weighted_median — at 100 TB this is exactly as expensive as any
+    Shape (r13): ONE scan, ONE shuffle on key. The ranking window, the
+    per-key count, the two cut picks (min-over-WHEN window aggregates
+    at the cut positions — the weighted_median/mad_outliers idiom),
+    and the final clamped-sum aggregate all share the key hash
+    partitioning; the pre-r13 form joined a metrics-sized cut frame
+    back to a SECOND scan of the input and re-shuffled it for the
+    final aggregate. At 100 TB this is exactly as expensive as any
     per-key exact quantile, and the approx path (approx_percentile)
     uses THIS as its oracle.
 
@@ -647,26 +660,21 @@ def winsorized_stats(
     )
     pos_lo = F.greatest(F.lit(1), F.expr(f"(__n * {p_lo} + 99) div 100"))
     pos_hi = F.greatest(F.lit(1), F.expr(f"(__n * {p_hi} + 99) div 100"))
-    cuts = (
-        ranked.filter(
-            (F.col("__rn") == pos_lo) | (F.col("__rn") == pos_hi)
-        )
-        .groupBy("key")
-        .agg(
-            F.min(F.when(F.col("__rn") == pos_lo, F.col("__v"))).alias(
-                "lo_cut"
-            ),
-            F.min(F.when(F.col("__rn") == pos_hi, F.col("__v"))).alias(
-                "hi_cut"
-            ),
-        )
-    )
     # no coalesce fallback: pos_hi is always in [1, n], so the hi_cut
     # WHEN-branch matches a real row for every key (when pos_lo ==
     # pos_hi the single cut row fills BOTH columns)
+    marked = ranked.select(
+        "key",
+        "__v",
+        F.min(F.when(F.col("__rn") == pos_lo, F.col("__v")))
+        .over(w_all)
+        .alias("lo_cut"),
+        F.min(F.when(F.col("__rn") == pos_hi, F.col("__v")))
+        .over(w_all)
+        .alias("hi_cut"),
+    )
     return (
-        base.join(cuts, "key")
-        .groupBy("key")
+        marked.groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("lo_cut").alias("lo_cut"),

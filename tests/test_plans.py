@@ -388,6 +388,30 @@ def test_cdc_apply_single_shuffle_no_join(spark):
     assert "Union" in plan
 
 
+def test_mad_outliers_single_shuffle_no_joins(spark):
+    """The r13 rewrite's claim: median and MAD picks are min-over-WHEN
+    window aggregates sharing ONE key-hash exchange — no join-backs,
+    no re-scan (the pre-r13 form scanned the input three times and
+    shuffled three times for bit-identical values)."""
+    plan = formatted_plan(entrymod.queries()["events_mad_outliers"](spark, SF))
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hash_exchanges) == 1
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_winsorized_single_shuffle_no_joins(spark):
+    """r13 rewrite pin (same idiom as weighted_median/mad_outliers):
+    cut picks ride min-over-WHEN window aggregates on the ONE key-hash
+    exchange; no join back to a second scan."""
+    plan = formatted_plan(entrymod.queries()["price_winsorized"](spark, SF))
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hash_exchanges) == 1
+    assert "Join" not in plan
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+
+
 def test_normalize_text_is_map_only(spark):
     # zero-width/control strip + CRLF + collapse + NFC pandas_udf: one
     # projection chain, no shuffle besides the terminal orderBy range

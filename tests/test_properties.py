@@ -1690,3 +1690,37 @@ def test_event_streaks_match_sequential_islands(spark, events):
         r.event_type: (r.n_events, r.n_runs, r.max_run_len) for r in out.collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    p_lo=st.integers(0, 40),
+    p_hi=st.integers(60, 100),
+)
+@settings(**SETTINGS)
+def test_winsorized_stats_match_sequential_selection(spark, rows, p_lo, p_hi):
+    """profiling.winsorized_stats must equal the sequential rule: cuts
+    are lower empirical quantiles by position max(1, ceil(n*p/100)),
+    the clamped sum is exact integer — including single-row keys and
+    p_lo == 0 (position clamps to 1)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    bykey: dict[int, list] = {}
+    for k, v in rows:
+        bykey.setdefault(k, []).append(v)
+    expected = {}
+    for k, vs in bykey.items():
+        vs.sort()
+        n = len(vs)
+        lo = vs[max(1, (n * p_lo + 99) // 100) - 1]
+        hi = vs[max(1, (n * p_hi + 99) // 100) - 1]
+        expected[k] = (n, lo, hi, sum(max(lo, min(hi, v)) for v in vs))
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    out = profiling.winsorized_stats(df, "k", "v", p_lo=p_lo, p_hi=p_hi)
+    got = {r.key: (r.n, r.lo_cut, r.hi_cut, r.wins_sum) for r in out.collect()}
+    assert got == expected
