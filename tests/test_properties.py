@@ -1724,3 +1724,259 @@ def test_winsorized_stats_match_sequential_selection(spark, rows, p_lo, p_hi):
     out = profiling.winsorized_stats(df, "k", "v", p_lo=p_lo, p_hi=p_hi)
     got = {r.key: (r.n, r.lo_cut, r.hi_cut, r.wins_sum) for r in out.collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Drift/profiling gate family vs sequential replicas (round 13, third
+# wave): Gini-Simpson diversity, Benford screen, seasonal-naive
+# backtest, two-window level shift, HHI concentration, FD profiler.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_categorical_diversity_matches_exact_rationals(spark, rows):
+    """gini_ppm must equal floor(1e6 * (n^2 - sum c_i^2) / n^2) with
+    exact integer counts — 0 for single-category keys."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    counts: dict[int, dict] = {}
+    for k, c in rows:
+        counts.setdefault(k, {}).setdefault(c, 0)
+        counts[k][c] += 1
+    expected = {}
+    for k, cs in counts.items():
+        n = sum(cs.values())
+        sumsq = sum(c * c for c in cs.values())
+        expected[k] = (n, len(cs), (1_000_000 * (n * n - sumsq)) // (n * n))
+
+    df = spark.createDataFrame(rows, "k int, cat string")
+    out = profiling.categorical_diversity(df, "k", "cat")
+    got = {r.key: (r.n_rows, r.n_categories, r.gini_ppm) for r in out.collect()}
+    assert got == expected
+
+
+@given(
+    cents=st.lists(st.integers(0, 200_000), min_size=1, max_size=30)
+)
+@settings(**SETTINGS)
+def test_benford_gate_matches_digit_histogram(spark, cents):
+    """benford_gate must equal the sequential rule: first digit of the
+    integer cents for values >= 1.00, truncating-ppm observed shares,
+    the hard expected-ppm constants, all 9 digits present (0 rows for
+    unseen digits) — including the all-excluded corpus (total 0)."""
+    from decimal import Decimal
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+    from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
+        _BENFORD_PPM,
+    )
+
+    kept = [c for c in cents if c >= 100]
+    n_by_digit = {d: 0 for d in range(1, 10)}
+    for c in kept:
+        n_by_digit[int(str(c)[0])] += 1
+    total = len(kept)
+    expected = {}
+    for d in range(1, 10):
+        obs = (1_000_000 * n_by_digit[d]) // total if total > 0 else 0
+        expected[d] = (
+            n_by_digit[d], obs, _BENFORD_PPM[d], abs(obs - _BENFORD_PPM[d])
+        )
+
+    df = spark.createDataFrame(
+        [(Decimal(c) / 100,) for c in cents], "v decimal(18,2)"
+    )
+    out = profiling.benford_gate(df, "v")
+    got = {
+        r.digit: (r.n_obs, r.obs_ppm, r.exp_ppm, r.dev_ppm) for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),     # key
+            st.integers(0, 15),    # day offset
+            st.integers(-20, 50),  # integral value (negatives gate WAPE)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    season=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_seasonal_backtest_matches_sequential_scoring(spark, rows, season):
+    """seasonal_naive_backtest must equal the sequential rule: daily
+    totals, score only days whose d-season day EXISTS, BIGINT error
+    mass, WAPE NULL unless the scored actual mass is positive."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    base = dt.date(2024, 1, 1)
+    daily: dict[tuple, int] = {}
+    for k, off, v in rows:
+        daily[(k, off)] = daily.get((k, off), 0) + v
+    expected = {}
+    for (k, off), v in daily.items():
+        prev = daily.get((k, off - season))
+        if prev is None:
+            continue
+        n, ae, act = expected.get(k, (0, 0, 0))
+        expected[k] = (n + 1, ae + abs(v - prev), act + v)
+    expected = {
+        k: (n, ae, act, (1_000_000 * ae) // act if act > 0 else None)
+        for k, (n, ae, act) in expected.items()
+    }
+
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=off), v) for k, off, v in rows],
+        "k int, day date, v long",
+    )
+    out = windows.seasonal_naive_backtest(df, "k", "day", "v", season_days=season)
+    got = {
+        r.key: (r.n_scored, r.sum_abs_err, r.sum_actual, r.wape_ppm)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),     # key
+            st.integers(0, 12),    # ts (ties -> tiebreaker)
+            st.integers(-20, 20),  # value
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    window=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_level_shift_matches_sequential_argmax(spark, rows, window):
+    """level_shift must equal the sequential two-window scan: only
+    positions with BOTH windows full score, score = |sum_next -
+    sum_prev|, reported shift is the earliest maximal position in the
+    (ts, tiebreaker) order; keys with < 2*window rows emit nothing."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    data = [(k, t, i, v) for i, (k, t, v) in enumerate(rows)]
+    bykey: dict[int, list] = {}
+    for k, t, i, v in data:
+        bykey.setdefault(k, []).append((t, i, v))
+    expected = {}
+    for k, obs in bykey.items():
+        obs.sort()
+        vals = [v for _, _, v in obs]
+        best = None
+        for j in range(window, len(vals) - window + 1):
+            sp = sum(vals[j - window : j])
+            sn = sum(vals[j : j + window])
+            cand = (-abs(sn - sp), obs[j][0], obs[j][1], sp, sn)
+            if best is None or cand < best:
+                best = cand
+        if best is not None:
+            score, ts, _, sp, sn = -best[0], best[1], best[2], best[3], best[4]
+            expected[k] = (ts, score, sp, sn)
+
+    df = spark.createDataFrame(data, "k int, ts long, tid long, v long")
+    out = windows.level_shift(df, "k", "ts", "v", window=window,
+                              tiebreak_col="tid")
+    got = {
+        r.key: (r.shift_ts, r.score, r.sum_prev, r.sum_next)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),                 # group
+            st.integers(1, 5),                 # entity
+            st.integers(-1000, 5000),          # amount cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_concentration_hhi_matches_exact_rationals(spark, rows):
+    """hhi_ppm must equal (1e6 * sum c_i^2) div total^2 on exact
+    integer cents per entity, NULL when the total is exactly zero."""
+    from decimal import Decimal
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    per: dict[tuple, int] = {}
+    for g, e, c in rows:
+        per[(g, e)] = per.get((g, e), 0) + c
+    expected = {}
+    for (g, _), c in sorted(per.items()):
+        n, tot, sumsq = expected.get(g, (0, 0, 0))
+        expected[g] = (n + 1, tot + c, sumsq + c * c)
+    expected = {
+        g: (n, tot, (1_000_000 * sumsq) // (tot * tot) if tot != 0 else None)
+        for g, (n, tot, sumsq) in expected.items()
+    }
+
+    df = spark.createDataFrame(
+        [(g, e, Decimal(c) / 100) for g, e, c in rows],
+        "grp int, ent int, amt decimal(18,2)",
+    )
+    out = metrics.concentration_hhi(df, "grp", "ent", "amt")
+    got = {
+        r.group: (r.n_entities, r.total_cents, r.hhi_ppm) for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),                          # a
+            st.one_of(st.none(), st.integers(1, 3)),    # b (NULL lhs groups)
+            st.one_of(st.none(), st.integers(1, 3)),    # c (NULL rhs ignored)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_fd_report_matches_sequential_violation_scan(spark, rows):
+    """fd_report must equal the sequential scan per candidate: groups
+    by LHS (NULL groups as a value), a group violates iff it holds >1
+    distinct NON-NULL RHS value, violating-row mass counts every row
+    of violating groups."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import profiling
+
+    def scan(lhs_of):
+        groups: dict = {}
+        for a, b, c in rows:
+            g = groups.setdefault(lhs_of(a, b), [set(), 0])
+            if c is not None:
+                g[0].add(c)
+            g[1] += 1
+        n_viol = sum(1 for s, _ in groups.values() if len(s) > 1)
+        viol_rows = sum(n for s, n in groups.values() if len(s) > 1)
+        return (len(groups), n_viol, viol_rows, n_viol == 0)
+
+    expected = {
+        "a->c": scan(lambda a, b: a),
+        "a,b->c": scan(lambda a, b: (a, b)),
+    }
+
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    out = profiling.fd_report(df, [(["a"], "c"), (["a", "b"], "c")])
+    got = {
+        r.fd: (r.n_groups, r.n_violating_groups, r.n_violating_rows, r.holds)
+        for r in out.collect()
+    }
+    assert got == expected
