@@ -1980,3 +1980,294 @@ def test_fd_report_matches_sequential_violation_scan(spark, rows):
         for r in out.collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Behavioral-analytics family vs sequential replicas (round 13, fourth
+# wave): rank family, Markov transitions, cohort retention, RFM
+# segmentation, top session paths.
+# ---------------------------------------------------------------------------
+
+
+def _ntile(n_rows: int, n_tiles: int, rn: int) -> int:
+    """SQL NTILE: first (n mod t) tiles get ceil(n/t) rows, rest floor."""
+    q, r = divmod(n_rows, n_tiles)
+    big = r * (q + 1)
+    if rn <= big:
+        return (rn - 1) // (q + 1) + 1
+    return r + (rn - big - 1) // q + 1 if q else n_tiles
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),     # partition
+            st.integers(0, 5),     # value (ties -> unique id breaks)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_tiles=st.integers(2, 5),
+)
+@settings(**SETTINGS)
+def test_rank_stats_match_sequential_rank_family(spark, rows, n_tiles):
+    """windows.rank_stats over a TOTAL order (unique tiebreak last) must
+    equal the positional definitions: ntile's uneven-split rule,
+    pct_rank = (rn-1)/(n-1), cume_dist = rn/n, dense_rank = rn."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    data = [(p, v, i) for i, (p, v) in enumerate(rows)]
+    bypart: dict[int, list] = {}
+    for p, v, i in data:
+        bypart.setdefault(p, []).append((v, i))
+    expected = {}
+    for p, obs in bypart.items():
+        obs.sort()
+        n = len(obs)
+        for rn, (v, i) in enumerate(obs, start=1):
+            expected[i] = (
+                _ntile(n, n_tiles, rn),
+                (rn - 1) / (n - 1) if n > 1 else 0.0,
+                rn / n,
+                rn,
+            )
+
+    df = spark.createDataFrame(data, "p int, v int, id long")
+    out = windows.rank_stats(df, "p", ["v", "id"], n_tiles=n_tiles)
+    got = {
+        r.id: (r.bucket, r.pct_rank, r.cume_dist, r.dense_rank)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                 # user
+            st.integers(0, 10),                # ts
+            st.sampled_from(["a", "b", "c"]),  # type
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_event_transitions_match_sequential_lead_pairs(spark, events):
+    """sessions.event_transitions must equal the sequential rule:
+    consecutive (ts, tiebreak)-ordered pairs per user, sequence ends
+    dropped, p_ppm = floor(1e6 * n / from-type total)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions
+
+    data = [(u, t, i, typ) for i, (u, t, typ) in enumerate(events)]
+    byuser: dict[int, list] = {}
+    for u, t, i, typ in data:
+        byuser.setdefault(u, []).append((t, i, typ))
+    counts: dict[tuple, int] = {}
+    for obs in byuser.values():
+        obs.sort()
+        for (_, _, a), (_, _, b) in zip(obs, obs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    from_totals: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        from_totals[a] = from_totals.get(a, 0) + n
+    expected = {
+        (a, b): (n, (1_000_000 * n) // from_totals[a])
+        for (a, b), n in counts.items()
+    }
+
+    df = spark.createDataFrame(data, "u int, ts long, eid long, typ string")
+    out = sessions.event_transitions(df, "u", "ts", "typ", tiebreak_col="eid")
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_ppm)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 6),     # user
+            st.integers(0, 14),    # month offset from 2024-01
+            st.integers(1, 28),    # day in month
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_cohort_retention_matches_sequential_matrix(spark, rows):
+    """metrics.cohort_retention must equal the sequential rule: cohort
+    = first active month, months_since by integer month index,
+    retention_ppm truncating, months_since=0 has n_active == n_cohort."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    cohort: dict[int, int] = {}
+    active: set = set()
+    for u, off, _ in rows:
+        cohort[u] = min(cohort.get(u, off), off)
+        active.add((u, off))
+    sizes: dict[int, int] = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    cells: dict[tuple, int] = {}
+    for u, off in active:
+        key = (cohort[u], off - cohort[u])
+        cells[key] = cells.get(key, 0) + 1
+    expected = {
+        (dt.date(2024 + c // 12, 1 + c % 12, 1), since): (
+            n, sizes[c], (1_000_000 * n) // sizes[c]
+        )
+        for (c, since), n in cells.items()
+    }
+
+    df = spark.createDataFrame(
+        [
+            (u, dt.date(2024 + off // 12, 1 + off % 12, day))
+            for u, off, day in rows
+        ],
+        "u int, odate date",
+    )
+    out = metrics.cohort_retention(df, "u", "odate")
+    got = {
+        (r.cohort_month, r.months_since): (r.n_active, r.n_cohort, r.retention_ppm)
+        for r in out.collect()
+    }
+    assert got == expected
+    for (_, since), (n_active, n_cohort, _) in got.items():
+        if since == 0:
+            assert n_active == n_cohort
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 8),       # user
+            st.integers(0, 60),      # day offset
+            st.integers(0, 10000),   # amount cents
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_tiles=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_rfm_segments_match_sequential_ntiles(spark, orders, n_tiles):
+    """metrics.rfm_segments must equal the sequential rule: recency =
+    days from the user's last order to the corpus max date, exact cent
+    sums, NTILE over the documented total orders with the user-id
+    tiebreak, scores inverted so best = n_tiles."""
+    from decimal import Decimal
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
+
+    base = dt.date(2024, 1, 1)
+    per: dict[int, list] = {}
+    for u, off, cents in orders:
+        per.setdefault(u, []).append((off, cents))
+    anchor = max(off for _, off, _ in orders)
+    triples = {
+        u: (
+            anchor - max(off for off, _ in obs),
+            len(obs),
+            sum(c for _, c in obs),
+        )
+        for u, obs in per.items()
+    }
+    users = list(triples)
+    n = len(users)
+
+    def tile_of(order_key):
+        ranked = sorted(users, key=order_key)
+        return {
+            u: _ntile(n, n_tiles, rn)
+            for rn, u in enumerate(ranked, start=1)
+        }
+
+    r_t = tile_of(lambda u: (triples[u][0], u))
+    f_t = tile_of(lambda u: (-triples[u][1], u))
+    m_t = tile_of(lambda u: (-triples[u][2], u))
+    inv = lambda t: n_tiles + 1 - t  # noqa: E731
+    expected = {
+        u: (
+            triples[u][0],
+            triples[u][1],
+            triples[u][2],
+            inv(r_t[u]),
+            inv(f_t[u]),
+            inv(m_t[u]),
+            inv(r_t[u]) * 100 + inv(f_t[u]) * 10 + inv(m_t[u]),
+        )
+        for u in users
+    }
+
+    df = spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(days=off), Decimal(c) / 100)
+            for u, off, c in orders
+        ],
+        "u int, odate date, amount decimal(18,2)",
+    )
+    out = metrics.rfm_segments(df, "u", "odate", "amount", n_tiles=n_tiles)
+    got = {
+        r.user: (
+            r.recency_days, r.frequency, r.monetary_cents,
+            r.r_score, r.f_score, r.m_score, r.rfm,
+        )
+        for r in out.collect()
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                 # user
+            st.integers(0, 5000),              # ts seconds
+            st.sampled_from(["a", "b", "c"]),  # type
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    max_len=st.integers(1, 4),
+    k=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_top_paths_match_sequential_mining(spark, events, max_len, k):
+    """sessions.top_paths must equal the sequential rule: 30-min-gap
+    sessions (> gap splits), first max_len types joined with '>', top-k
+    on the (n_sessions DESC, path ASC) total order."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import sessions
+
+    gap_s = 30 * 60
+    data = [(u, t, i, typ) for i, (u, t, typ) in enumerate(events)]
+    byuser: dict[int, list] = {}
+    for u, t, i, typ in data:
+        byuser.setdefault(u, []).append((t, i, typ))
+    counts: dict[str, int] = {}
+    for obs in byuser.values():
+        obs.sort()
+        sessions_types: list = []
+        cur = [obs[0][2]]
+        prev_t = obs[0][0]
+        for t, _, typ in obs[1:]:
+            if t - prev_t > gap_s:
+                sessions_types.append(cur)
+                cur = []
+            cur.append(typ)
+            prev_t = t
+        sessions_types.append(cur)
+        for s in sessions_types:
+            path = ">".join(s[:max_len])
+            counts[path] = counts.get(path, 0) + 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    df = spark.createDataFrame(data, "u int, ts long, eid long, typ string")
+    out = sessions.top_paths(
+        df.withColumn("tsv", F.timestamp_seconds("ts")),
+        "u", "tsv", "typ", gap_minutes=30, max_len=max_len, k=k,
+        tiebreak_col="eid",
+    )
+    got = [(r.path, r.n_sessions) for r in out.collect()]
+    assert got == expected
