@@ -2271,3 +2271,80 @@ def test_top_paths_match_sequential_mining(spark, events, max_len, k):
     )
     got = [(r.path, r.n_sessions) for r in out.collect()]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Sketch / sampling family (round 13, fifth wave): Bloom semi-filter
+# invariants under a deliberately tiny bitmap, and the exact stratified
+# sampler vs its md5-ranking replica.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    build_keys=st.sets(st.integers(0, 200), min_size=1, max_size=30),
+    probe_extra=st.sets(st.integers(201, 400), max_size=30),
+    m_bits=st.sampled_from([64, 128, 256]),
+    k=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_bloom_semi_filter_never_false_negative(spark, build_keys,
+                                                probe_extra, m_bits, k):
+    """The Bloom prune's load-bearing invariant at any sizing: EVERY
+    build-side key survives the probe (no false negatives — a lost key
+    silently drops join rows), and the kept set never grows beyond the
+    probe input. m_bits is deliberately tiny so collisions and false
+    positives actually occur."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import joins
+
+    build = spark.createDataFrame([(x,) for x in build_keys], "key long")
+    words = joins.bloom_filter_build(build, "key", m_bits=m_bits, k=k)
+    assert len(words) == m_bits // 64
+
+    probe_keys = sorted(build_keys | probe_extra)
+    fact = spark.createDataFrame([(x,) for x in probe_keys], "key long")
+    kept = {
+        r.key
+        for r in joins.bloom_semi_filter(
+            fact, "key", words, m_bits=m_bits, k=k
+        ).collect()
+    }
+    assert build_keys <= kept          # no false negatives, ever
+    assert kept <= set(probe_keys)     # pure filter: nothing invented
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),     # stratum
+            st.integers(0, 1000),  # id (unique-ified below)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_per=st.integers(1, 4),
+    salt=st.sampled_from(["", "s1", "rotate-2"]),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_exact_matches_md5_ranking(spark, rows, n_per, salt):
+    """stratified_sample_exact must equal the sequential rule: within
+    each stratum rank by (md5(salt || '|' ... actually concat_ws of
+    salt and id string), id) and keep the first n — exact counts,
+    order- and parallelism-independent, salt-rotatable."""
+    import hashlib
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import cleaning
+
+    data = list({(s, i) for s, i in rows})  # unique (stratum, id) pairs
+    bystratum: dict[int, list] = {}
+    for s, i in data:
+        h = hashlib.md5(f"{salt}|{i}".encode()).hexdigest()
+        bystratum.setdefault(s, []).append((h, i))
+    expected = set()
+    for s, ranked in bystratum.items():
+        ranked.sort()
+        expected |= {(s, i) for _, i in ranked[:n_per]}
+
+    df = spark.createDataFrame(data, "stratum int, id long")
+    out = cleaning.stratified_sample_exact(df, ["stratum"], "id", n_per, salt=salt)
+    got = {(r.stratum, r["id"]) for r in out.collect()}
+    assert got == expected
