@@ -2348,3 +2348,119 @@ def test_stratified_sample_exact_matches_md5_ranking(spark, rows, n_per, salt):
     out = cleaning.stratified_sample_exact(df, ["stratum"], "id", n_per, salt=salt)
     got = {(r.stratum, r["id"]) for r in out.collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Hand-rolled bit/hash operators (round 13, sixth wave): z-order
+# interleave, portable SimHash, canonical MD5 fingerprint — the three
+# places the engine does raw bit arithmetic that a typo would silently
+# corrupt while staying plausible.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1,
+        max_size=25,
+    ),
+    bits=st.sampled_from([4, 8, 16]),
+)
+@settings(**SETTINGS)
+def test_zorder_value_matches_python_interleave(spark, pairs, bits):
+    """layout.zorder_value must equal the sequential Morton interleave
+    of the low `bits` bits: a's bit i lands at 2i, b's at 2i+1."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import layout
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    data = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    expected = {i: morton(a, b) for i, a, b in data}
+    df = spark.createDataFrame(data, "rid int, a long, b long")
+    out = df.select(
+        "rid", layout.zorder_value(F.col("a"), F.col("b"), bits=bits).alias("z")
+    )
+    got = {r.rid: r.z for r in out.collect()}
+    assert got == expected
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "x", "Y"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_simhash_portable_matches_md5_replica(spark, docs):
+    """The portable 60-bit SimHash (packed-counter aggregate form) must
+    equal the sequential definition: per distinct lowercase token, 60
+    bits from the md5 prefix; sketch bit b set iff a strict majority of
+    tokens carry it; empty docs sketch to 0."""
+    import hashlib
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import dedup_fuzzy
+
+    expected = {}
+    rows = []
+    for i, words in enumerate(docs):
+        text = " ".join(words)
+        rows.append((i, text))
+        toks = list(dict.fromkeys(w for w in text.lower().split() if w))
+        if not toks:
+            expected[i] = 0
+            continue
+        counts = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                counts[b] += (h >> (59 - b)) & 1
+        sk = 0
+        for b in range(60):
+            if 2 * counts[b] > len(toks):
+                sk |= 1 << (59 - b)
+        expected[i] = sk
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_fuzzy.simhash(df, portable=True)
+    got = {r.doc_id: r.simhash for r in out.collect()}
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="aB \t\ncd!", max_size=20),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_fingerprint_matches_md5_of_canonical_text(spark, texts):
+    """text.fingerprint must equal md5(lower -> collapse whitespace ->
+    trim) computed sequentially — the cross-engine exact-dup key."""
+    import hashlib
+    import re
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import text as text_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    expected = {
+        i: hashlib.md5(
+            re.sub(r"\s+", " ", t.lower()).strip().encode()
+        ).hexdigest()
+        for i, t in rows
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.fingerprint
+        for r in text_ops.fingerprint(df).collect()
+    }
+    assert got == expected
