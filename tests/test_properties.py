@@ -2464,3 +2464,79 @@ def test_fingerprint_matches_md5_of_canonical_text(spark, texts):
         for r in text_ops.fingerprint(df).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Skew-remedy equivalence + cumulative prefix (round 13, seventh wave).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),      # key (few keys -> heavy per-key mass)
+            st.integers(-100, 100),  # integral amount (exact through decimal)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    salt=st.sampled_from([2, 4, 16]),
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_direct_groupby_randomized(spark, rows, salt):
+    """skew.salted_agg's load-bearing contract on ANY input: the
+    two-phase salted aggregation is value-identical to the direct
+    groupBy — count and sums both — at any salt width. (The fixture
+    test pins one shape; this pins the algebra.)"""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import skew
+
+    expected: dict[int, list] = {}
+    for k, a in rows:
+        agg = expected.setdefault(k, [0, 0])
+        agg[0] += 1
+        agg[1] += a
+    expected = {k: (n, float(s)) for k, (n, s) in expected.items()}
+
+    df = spark.createDataFrame(rows, "k int, amt long")
+    out = skew.salted_agg(df, ["k"], sum_cols=["amt"], salt=salt)
+    got = {r["k"]: (r.n_rows, r.sum_amt) for r in out.collect()}
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),       # key
+            st.integers(0, 10),      # order ts (ties -> tiebreak id)
+            st.integers(-100, 100),  # integral amount
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_running_totals_match_sequential_prefix_sums(spark, rows):
+    """windows.running_totals must equal the sequential prefix scan
+    over the (ts, tiebreak) total order: seq = position, running
+    amount = exact prefix sum (decimal-exact, so integral inputs give
+    exact doubles)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    data = [(k, t, i, a) for i, (k, t, a) in enumerate(rows)]
+    bykey: dict[int, list] = {}
+    for k, t, i, a in data:
+        bykey.setdefault(k, []).append((t, i, a))
+    expected = {}
+    for k, obs in bykey.items():
+        obs.sort()
+        run = 0
+        for seq, (t, i, a) in enumerate(obs, start=1):
+            run += a
+            expected[(k, t, i)] = (seq, float(run))
+
+    df = spark.createDataFrame(data, "k int, t int, i int, amt long")
+    out = windows.running_totals(df, "k", ["t", "i"], "amt")
+    got = {
+        (r["k"], r.t, r.i): (r.seq, r.running_amount) for r in out.collect()
+    }
+    assert got == expected
