@@ -296,11 +296,17 @@ def cohort_retention(
     (floor(1e6 * n_active / n_cohort); operands non-negative so
     div == floor on any engine).
 
-    Shape: one groupBy(user) for the cohort anchor, one distinct on
-    (user, month) for activity, an equi-join on user (both sides
-    already hash-partitioned by user — AQE reuses the exchange), and a
-    final small aggregate. Nothing global; the cohort frame is
-    user-sized, the output month²-sized.
+    Shape (r13): ONE scan, ONE data-sized shuffle. groupBy(user) with
+    collect_set(month) builds each user's activity set in one exchange
+    (the set is months-bounded, <= a few hundred entries ever);
+    cohort = array_min in the same frame, the explode back to (cohort,
+    months_since) cells is map-side, and everything after is
+    dimension-sized (a month²-grain aggregate + a cohort-partitioned
+    window that reads n_cohort off the months_since=0 cell — each user
+    contributes EXACTLY one month == cohort_month row, so the zero
+    cell IS the cohort size; no user-frame join back). The pre-r13
+    form scanned the input three times (cohort anchor, activity
+    distinct, sizes) and shuffled each.
 
     Returns (cohort_month, months_since, n_active, n_cohort,
     retention_ppm) sorted by (cohort_month, months_since);
@@ -308,21 +314,30 @@ def cohort_retention(
     """
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     base = df.select(F.col(user_col).alias("user"), _month(ts).alias("month"))
-    cohorts = base.groupBy("user").agg(F.min("month").alias("cohort_month"))
-    active = base.distinct()
     midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
-    joined = active.join(cohorts, "user").select(
-        "cohort_month",
-        (midx(F.col("month")) - midx(F.col("cohort_month"))).alias("months_since"),
-        "user",
-    )
-    sizes = cohorts.groupBy("cohort_month").agg(
-        F.count(F.lit(1)).alias("n_cohort")
-    )
-    return (
-        joined.groupBy("cohort_month", "months_since")
+    per_user = base.groupBy("user").agg(F.collect_set("month").alias("__months"))
+    cells = (
+        per_user.select(
+            F.array_min("__months").alias("cohort_month"),
+            F.explode("__months").alias("month"),
+        )
+        .select(
+            "cohort_month",
+            (midx(F.col("month")) - midx(F.col("cohort_month"))).alias(
+                "months_since"
+            ),
+        )
+        .groupBy("cohort_month", "months_since")
         .agg(F.count(F.lit(1)).alias("n_active"))
-        .join(sizes, "cohort_month")
+    )
+    w_cohort = Window.partitionBy("cohort_month")
+    return (
+        cells.withColumn(
+            "n_cohort",
+            F.max(
+                F.when(F.col("months_since") == 0, F.col("n_active"))
+            ).over(w_cohort),
+        )
         .select(
             "cohort_month",
             "months_since",

@@ -412,6 +412,21 @@ def test_winsorized_single_shuffle_no_joins(spark):
     assert plan.split("\n\n")[0].count("Scan parquet") == 1
 
 
+def test_cohort_retention_single_scan_no_joins(spark):
+    """r13 rewrite pin: collect_set(month) per user -> map-side explode
+    to cells -> dimension-sized aggregate + cohort window. ONE scan,
+    ONE data-sized (user) exchange, the rest month²-grain; no join back
+    to the user frame (the pre-r13 form scanned the input three times)."""
+    plan = formatted_plan(
+        entrymod.queries()["customer_cohort_retention"](spark, SF)
+    )
+    assert "Join" not in plan
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    data_sized = [l for l in hash_exchanges if "user" in l]
+    assert len(data_sized) == 1 and len(hash_exchanges) == 3
+
+
 def test_normalize_text_is_map_only(spark):
     # zero-width/control strip + CRLF + collapse + NFC pandas_udf: one
     # projection chain, no shuffle besides the terminal orderBy range
