@@ -214,6 +214,34 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
     )
 
 
+def sweep_orphan_siblings(out_dir: str) -> None:
+    """Remove dead builders' '<out_dir>.tmp.<pid>' / '<out_dir>.stale.<pid>'
+    siblings. The rename-publish protocol parks work in pid-suffixed
+    siblings (private build dirs; claimed-for-inspection stale dirs) that
+    the owning process normally removes or renames away — but a process
+    killed between the claim rename and the follow-up rmtree/restore
+    leaks a full dataset copy, and nothing on the vanilla path ever
+    swept them (r13 ADVICE: repeated crashes accumulate curated-dataset
+    copies in .cache). Called at build entry, next to the own-pid
+    tmp_dir rmtree. Only dirs whose embedded pid is DEAD are removed:
+    a live concurrent builder owns its siblings, and deleting a live
+    claim dir between its claim and marker-check would downgrade a
+    raced-in complete dataset to a rebuild."""
+    for path in glob.glob(f"{out_dir}.tmp.*") + glob.glob(f"{out_dir}.stale.*"):
+        try:
+            pid = int(path.rsplit(".", 1)[1])
+        except ValueError:
+            continue  # not a pid-suffixed sibling of ours
+        if pid == os.getpid():
+            continue  # own siblings are managed inline by the protocol
+        try:
+            os.kill(pid, 0)  # liveness probe only — signal 0 sends nothing
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except (OSError, PermissionError):
+            continue  # pid live (or unknowable): leave the dir alone
+
+
 def _sweep_stale_cache(parent: str, keep: str) -> None:
     """Best-effort removal of cache tags superseded by a newer testdata
     generation of the SAME scale factor (the driver regenerates

@@ -308,12 +308,21 @@ def cohort_retention(
     form scanned the input three times (cohort anchor, activity
     distinct, sizes) and shuffled each.
 
+    NULL timestamps are ignored: a NULL month never forms a cell, and
+    a user whose timestamps are ALL NULL has no cohort and is absent
+    from the matrix entirely (the r13 single-pass form made this the
+    de-facto behavior — collect_set drops NULLs and exploding an empty
+    set drops the user; the filter below makes it the DECLARED
+    contract, pinned by the NULL-generating property test).
+
     Returns (cohort_month, months_since, n_active, n_cohort,
     retention_ppm) sorted by (cohort_month, months_since);
     months_since=0 rows carry n_active == n_cohort by construction.
     """
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    base = df.select(F.col(user_col).alias("user"), _month(ts).alias("month"))
+    base = df.select(
+        F.col(user_col).alias("user"), _month(ts).alias("month")
+    ).where(F.col("month").isNotNull())
     midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     per_user = base.groupBy("user").agg(F.collect_set("month").alias("__months"))
     cells = (

@@ -58,18 +58,24 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, float]:
 
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # gray, RGB, palette, gray+A, RGBA
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     """REAL PNG decode on the stdlib alone: chunk walk, IDAT inflate,
-    and per-spec scanline un-filtering (None/Sub/Up/Average/Paeth).
-    Returns ``(width, height, channels, pixels)`` with pixels as the
-    un-filtered interleaved 8-bit sample buffer.
+    per-spec scanline un-filtering (None/Sub/Up/Average/Paeth), and
+    PLTE palette expansion. Returns ``(width, height, channels,
+    pixels)`` with pixels as the un-filtered interleaved 8-bit sample
+    buffer (palette images come back as expanded RGB, channels == 3).
 
-    Supports non-interlaced 8-bit grayscale / RGB / gray+alpha / RGBA —
-    the overwhelming majority of corpus PNGs; anything else raises
-    ``ValueError`` (caller falls back or drops the row).
+    Supports non-interlaced 8-bit grayscale / RGB / gray+alpha / RGBA,
+    plus indexed-color (type 3) at every legal palette bit depth
+    (1/2/4/8 — sub-byte indices are unpacked big-endian-first per
+    spec). That covers the overwhelming majority of corpus PNGs;
+    16-bit and interlaced (Adam7) shapes raise ``ValueError`` (caller
+    falls back or drops the row). A tRNS chunk is ignored: palette
+    output is opaque RGB, matching the alpha-excluded mean the feature
+    extractors compute anyway.
 
     The un-filter loops are pure Python — adequate for small thumbnails
     and as the reference implementation; swap Pillow/OpenCV into
@@ -83,6 +89,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = channels = None
+    bit_depth = 8
+    color_type = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -93,50 +102,93 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
             width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
-                raise ValueError("unsupported PNG shape (need 8-bit non-interlaced)")
+            if (
+                interlace != 0
+                or color_type not in _PNG_CHANNELS
+                or (color_type == 3 and bit_depth not in (1, 2, 4, 8))
+                or (color_type != 3 and bit_depth != 8)
+            ):
+                raise ValueError(
+                    "unsupported PNG shape (need 8-bit non-interlaced, "
+                    "or 1/2/4/8-bit indexed)"
+                )
             channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0:
+                raise ValueError("malformed PLTE chunk")
+            palette = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
+    if color_type == 3 and palette is None:
+        raise ValueError("indexed PNG without a PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    # filter arithmetic works on the PACKED scanline bytes; for sub-byte
+    # palette depths the per-pixel byte offset clamps to 1 (PNG spec:
+    # bpp = max(1, bits_per_pixel // 8))
+    stride = (width * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     prev = bytearray(stride)
-    pixels = bytearray()
+    packed_rows = []
     rpos = 0
     for _y in range(height):
         filt = raw[rpos]
         line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
         rpos += 1 + stride
         if filt == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif filt == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif filt == 3:  # Average
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
         elif filt == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pred) & 0xFF
         elif filt != 0:
             raise ValueError(f"invalid PNG filter type {filt}")
-        pixels += line
+        packed_rows.append(line)
         prev = line
-    return (width, height, channels, pixels)
+    if color_type != 3:
+        pixels = bytearray()
+        for line in packed_rows:
+            pixels += line
+        return (width, height, channels, pixels)
+    # palette expansion: unpack indices (high bits first within each
+    # byte, per spec), then map each through the PLTE RGB triple
+    n_entries = len(palette) // 3
+    pixels = bytearray(width * height * 3)
+    out = 0
+    mask = (1 << bit_depth) - 1
+    per_byte = 8 // bit_depth
+    for line in packed_rows:
+        emitted = 0
+        for byte in line:
+            for slot in range(per_byte):
+                if emitted >= width:
+                    break  # trailing pad bits in the last byte
+                idx = (byte >> (8 - bit_depth * (slot + 1))) & mask
+                if idx >= n_entries:
+                    raise ValueError("palette index out of range")
+                p = idx * 3
+                pixels[out : out + 3] = palette[p : p + 3]
+                out += 3
+                emitted += 1
+    return (width, height, 3, pixels)
 
 
 def decode_png(payload: bytes) -> tuple[int, int, float]:
@@ -214,7 +266,7 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
         try:
             return decode_png(payload)
         except ValueError:
-            pass  # unsupported PNG shape (palette/16-bit/interlaced) — Pillow next
+            pass  # unsupported PNG shape (16-bit/interlaced) — Pillow next
     try:  # optional dependency — not in this container
         import io
 

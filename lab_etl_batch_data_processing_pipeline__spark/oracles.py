@@ -3301,11 +3301,13 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_kcore": _kcore_sql(2, 4),
         # Cohort-retention twin: month-truncated dates, pure INTEGER
         # month arithmetic (no months_between float), truncating ppm.
+        # NULL order dates are ignored (the operator's declared
+        # contract — all-NULL users have no cohort and drop out).
         "customer_cohort_retention": """
             WITH base AS (
               SELECT o_custkey AS u,
                      CAST(date_trunc('month', o_orderdate) AS DATE) AS m
-              FROM orders
+              FROM orders WHERE o_orderdate IS NOT NULL
             ), coh AS (
               SELECT u, MIN(m) AS cm FROM base GROUP BY 1
             ), act AS (

@@ -69,6 +69,17 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
         )
     )
+    # Extra driver-JVM flags (GC tuning), honored only at JVM launch like
+    # driver.memory. Motivated by the r13/r14 graph-family GC mode: JDK-17
+    # G1's GCLocker gives up after 2 retry allocations by default, and
+    # with 32 task threads inside JNI-critical sections (Arrow, zlib,
+    # snappy) a contended locker can fail tasks spuriously mid-cache-write
+    # ("Retried waiting for GCLocker too often"), which then surfaces as
+    # "Block rdd_N does not exist" on the localCheckpoint read side —
+    # observed on the 100x edge-strided CC probe. See SCALE.md Round-14.
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

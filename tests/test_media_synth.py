@@ -56,31 +56,66 @@ def test_multimodal_features_row(spark):
         assert r.payload_bytes > 0 and 0.0 < r.avg_signal < 1.0
 
 
-def _palette_png_2x2() -> bytes:
-    """Hand-built 2x2 palette PNG (color type 3, entries black+white,
-    indices [0,1 / 1,0]) — a shape the pure-Python decoder rejects
-    (ValueError) by design, driving decode_image's fallback chain:
-    Pillow when present, deterministic stub otherwise."""
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
     import zlib
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data))
-        )
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # color type 3
+
+def _palette_png_2x2(bit_depth: int = 8) -> bytes:
+    """Hand-built 2x2 palette PNG (color type 3, entries black+white,
+    indices [0,1 / 1,0]) at any legal palette depth — since the r14
+    PLTE support this is a shape the pure-Python decoder handles
+    natively (the r13 verdict task 4 'fallback golden flipped' fixture).
+    Sub-byte depths pack both row indices into one byte, high bits
+    first per spec."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, 3, 0, 0, 0)
     plte = bytes((0, 0, 0, 255, 255, 255))
-    raw = b"\x00" + bytes((0, 1)) + b"\x00" + bytes((1, 0))
+    if bit_depth == 8:
+        rows = (bytes((0, 1)), bytes((1, 0)))
+    else:  # indices 0,1 then 1,0 packed high-bits-first
+        shift = 8 - 2 * bit_depth
+        rows = (
+            bytes(((0 << bit_depth | 1) << shift,)),
+            bytes(((1 << bit_depth | 0) << shift,)),
+        )
+    raw = b"".join(b"\x00" + r for r in rows)
     return (
         multimodal.PNG_SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", plte)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _gray16_png_2x2() -> bytes:
+    """Hand-built 2x2 16-bit grayscale PNG — the shape deliberately
+    LEFT to the fallback chain (stub reserved for 16-bit/interlaced,
+    r13 verdict task 4): Pillow when present, deterministic stub
+    otherwise. Samples 0x0000/0xFFFF checkerboard."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    raw = (
+        b"\x00" + b"\x00\x00" + b"\xff\xff"
+        + b"\x00" + b"\xff\xff" + b"\x00\x00"
+    )
+    return (
+        multimodal.PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -90,31 +125,106 @@ except ImportError:
     PIL = None
 
 
-@pytest.mark.skipif(PIL is None, reason="Pillow not installed")
-def test_decode_image_pillow_upgrade_path():
-    """The moment the environment gains Pillow, the palette PNG must take
-    the real Pillow decode (r12 verdict task 6): exact dimensions and a
-    mean that is exact for a black/white palette regardless of Pillow's
-    L-conversion rounding."""
-    w, h, mean = multimodal.decode_image(_palette_png_2x2())
-    assert (w, h) == (2, 2)
-    assert mean == 0.5
+@pytest.mark.parametrize("bit_depth", [1, 2, 4, 8])
+def test_decode_image_palette_png_decodes_natively(bit_depth):
+    """PLTE support (r13 verdict task 4): indexed-color PNGs decode on
+    the pure-Python path at every legal palette depth — exact expanded
+    RGB pixels, exact 0.5 mean for the black/white checker — instead of
+    falling through to the stub. This flips the r12-era fallback golden
+    into a real-decode golden."""
+    payload = _palette_png_2x2(bit_depth)
+    w, h, ch, pixels = multimodal.decode_png_pixels(payload)
+    assert (w, h, ch) == (2, 2, 3)
+    assert bytes(pixels) == bytes(
+        (0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0)
+    )
+    assert multimodal.decode_image(payload) == (2, 2, 0.5)
 
 
-def test_decode_image_palette_png_falls_back_to_stub_without_pillow():
-    """Golden for the no-Pillow fallback route: the pure decoder raises on
-    color type 3, Pillow is absent, so decode_image must return exactly
-    the deterministic stub tuple (and the stub itself must stay stable —
-    it feeds reproducible tests and the driver's multimodal oracle)."""
-    if PIL is not None:
-        pytest.skip("Pillow present: the upgrade path takes precedence")
-    payload = _palette_png_2x2()
+def test_decode_image_16bit_png_falls_back():
+    """The fallback chain now starts at 16-bit/interlaced shapes: the
+    pure decoder raises, then Pillow (when present) or the
+    deterministic stub takes over. Both routes pinned: stub tuple
+    exact without Pillow; dimensions + full-scale mean with it."""
+    payload = _gray16_png_2x2()
     with pytest.raises(ValueError):
         multimodal.decode_png(payload)
-    assert multimodal.decode_image(payload) == multimodal.decode_image_stub(payload)
-    checksum = sum(payload[:64])
-    assert multimodal.decode_image_stub(payload) == (
-        64 + checksum % 512,
-        64 + (checksum * 7) % 512,
-        (checksum % 256) / 255.0,
-    )
+    if PIL is None:
+        assert multimodal.decode_image(payload) == multimodal.decode_image_stub(
+            payload
+        )
+        checksum = sum(payload[:64])
+        assert multimodal.decode_image_stub(payload) == (
+            64 + checksum % 512,
+            64 + (checksum * 7) % 512,
+            (checksum % 256) / 255.0,
+        )
+    else:
+        w, h, mean = multimodal.decode_image(payload)
+        assert (w, h) == (2, 2)
+        assert mean == pytest.approx(0.5, abs=0.01)
+
+
+def test_decode_png_palette_randomized_all_filters():
+    """Randomized palette-decode golden: random index images at every
+    legal palette depth, rows filtered with ALL five PNG filter types
+    (the spec's bpp=1 packed-byte filter domain for sub-byte depths),
+    must decode to the exact palette-expanded RGB buffer. Seeded, so
+    deterministic; the hand fixture above only exercises filter 0."""
+    import random
+    import struct
+    import zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    def apply_filter(ft, line, prev, bpp):
+        out = bytearray()
+        for i in range(len(line)):
+            x = line[i]
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = (0, a, b, (a + b) // 2, paeth(a, b, c))[ft]
+            out.append((x - pred) & 0xFF)
+        return out
+
+    rng = random.Random(1405)
+    for _trial in range(40):
+        depth = rng.choice([1, 2, 4, 8])
+        w, h = rng.randint(1, 9), rng.randint(1, 6)
+        n_entries = rng.randint(1, 1 << depth)
+        palette = bytes(rng.randrange(256) for _ in range(3 * n_entries))
+        idx = [[rng.randrange(n_entries) for _ in range(w)] for _ in range(h)]
+        stride = (w * depth + 7) // 8
+        packed = []
+        for row in idx:
+            cur = bytearray(stride)
+            bit = 0
+            for v in row:
+                cur[bit // 8] |= v << (8 - depth - bit % 8)
+                bit += depth
+            packed.append(cur)
+        raw = bytearray()
+        prev = bytearray(stride)
+        for row in packed:
+            ft = rng.randrange(5)
+            raw.append(ft)
+            raw += apply_filter(ft, row, prev, 1)
+            prev = row
+        png = (
+            multimodal.PNG_SIGNATURE
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+            + _png_chunk(b"PLTE", palette)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        got_w, got_h, got_ch, px = multimodal.decode_png_pixels(png)
+        assert (got_w, got_h, got_ch) == (w, h, 3)
+        expect = bytearray()
+        for row in idx:
+            for v in row:
+                expect += palette[3 * v : 3 * v + 3]
+        assert bytes(px) == bytes(expect)

@@ -2090,7 +2090,7 @@ def test_event_transitions_match_sequential_lead_pairs(spark, events):
         st.tuples(
             st.integers(1, 6),     # user
             st.integers(0, 14),    # month offset from 2024-01
-            st.integers(1, 28),    # day in month
+            st.integers(0, 28),    # day in month; 0 => NULL timestamp
         ),
         min_size=1,
         max_size=30,
@@ -2100,14 +2100,26 @@ def test_event_transitions_match_sequential_lead_pairs(spark, events):
 def test_cohort_retention_matches_sequential_matrix(spark, rows):
     """metrics.cohort_retention must equal the sequential rule: cohort
     = first active month, months_since by integer month index,
-    retention_ppm truncating, months_since=0 has n_active == n_cohort."""
+    retention_ppm truncating, months_since=0 has n_active == n_cohort.
+    NULL timestamps (day == 0 in the generator) are IGNORED by the
+    declared contract: they form no cell, and an all-NULL user drops
+    out of the matrix entirely (r13 ADVICE pin — the generator plants
+    both mixed NULL/non-NULL users and all-NULL users)."""
     from lab_etl_batch_data_processing_pipeline__spark.operators import metrics
 
     cohort: dict[int, int] = {}
     active: set = set()
-    for u, off, _ in rows:
+    for u, off, day in rows:
+        if day == 0:
+            continue  # NULL timestamp: no cell, no cohort anchor
         cohort[u] = min(cohort.get(u, off), off)
         active.add((u, off))
+    if not active:  # every generated row was NULL: empty matrix
+        df = spark.createDataFrame(
+            [(u, None) for u, _, _ in rows], "u int, odate date"
+        )
+        assert metrics.cohort_retention(df, "u", "odate").count() == 0
+        return
     sizes: dict[int, int] = {}
     for u, c in cohort.items():
         sizes[c] = sizes.get(c, 0) + 1
@@ -2124,7 +2136,7 @@ def test_cohort_retention_matches_sequential_matrix(spark, rows):
 
     df = spark.createDataFrame(
         [
-            (u, dt.date(2024 + off // 12, 1 + off % 12, day))
+            (u, dt.date(2024 + off // 12, 1 + off % 12, day) if day else None)
             for u, off, day in rows
         ],
         "u int, odate date",
@@ -2540,3 +2552,163 @@ def test_running_totals_match_sequential_prefix_sums(spark, rows):
         (r["k"], r.t, r.i): (r.seq, r.running_amount) for r in out.collect()
     }
     assert got == expected
+
+
+# --- r14 wave: the last uncovered algorithmic families (r13 verdict
+# task 7) — spatial radius join vs an O(n²) planar scan, and fuzzy
+# linkage vs a full DP replica with planted same-block typos.
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(-30, 30),  # lat (microdegree grid, negatives
+            st.integers(-30, 30),  # lon  exercise floor-division cells)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    radius=st.integers(1, 15),
+)
+@settings(**SETTINGS)
+def test_radius_pairs_matches_quadratic_scan(spark, pts, radius):
+    """geo.radius_pairs must equal the O(n²) planar-distance scan
+    EXACTLY — recall 1.0 (the 3x3 cell neighborhood covers every pair
+    within radius, a geometric guarantee, not probabilistic) AND
+    precision 1.0 (the integer dist² verify admits nothing outside).
+    Negative coordinates pin floor-division cell snapping; duplicate
+    coordinates pin the dist2 == 0 self-pair edge."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import geo
+
+    expected = {}
+    for i, (la, lo) in enumerate(pts):
+        for j in range(i + 1, len(pts)):
+            lb, ob = pts[j]
+            d2 = (la - lb) ** 2 + (lo - ob) ** 2
+            if d2 <= radius * radius:
+                expected[(i, j)] = d2
+
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "id long, lat long, lon long",
+    )
+    out = geo.radius_pairs(df, "id", "lat", "lon", radius, sort=False)
+    got = {(r.id_a, r.id_b): r.dist2 for r in out.collect()}
+    assert got == expected
+
+
+def test_radius_pairs_exact_boundary_and_cell_edges(spark):
+    """Determinism at the two geometric edges: a pair at EXACTLY the
+    radius is in (dist² == r², <=); one microdegree past is out; and a
+    pair straddling a grid-cell border (each point in a different cell)
+    is still found via the 3x3 neighborhood."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import geo
+
+    r = 10
+    df = spark.createDataFrame(
+        [
+            (1, 0, 0),
+            (2, r, 0),       # exactly radius from 1 -> in
+            (3, r + 1, 0),   # one past radius from 1 -> out vs 1
+            (4, -1, -1),     # adjacent cell across the (0,0) border
+        ],
+        "id long, lat long, lon long",
+    )
+    got = {
+        (x.id_a, x.id_b): x.dist2
+        for x in geo.radius_pairs(df, "id", "lat", "lon", r, sort=False).collect()
+    }
+    assert got == {
+        (1, 2): r * r,
+        (2, 3): 1,
+        (1, 4): 2,
+    }
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein — the sequential replica for fuzzy_pairs."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=4, max_size=8),  # base word
+            st.integers(0, 2),       # planted same-block edits
+            st.integers(0, 10_000),  # edit placement seed
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_fuzzy_pairs_matches_dp_replica_on_planted_typos(spark, data):
+    """linkage.fuzzy_pairs (first-char blocking) must equal the full
+    DP-Levenshtein replica over every same-block pair — so blocking
+    recall on planted typos is 1.0 BY CONSTRUCTION here (each planted
+    variant substitutes only at positions >= 2, preserving the block
+    key and a true distance <= max_distance), and the reported
+    distances are exact (pinning both the 3-arg early-abandon
+    levenshtein and the length prune as output-invariant)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import linkage
+
+    alphabet = "abc"
+    records = []
+    for base, n_edits, seed in data:
+        records.append(base)
+        if n_edits:
+            chars = list(base)
+            for e in range(n_edits):
+                pos = 1 + (seed + e * 7) % (len(chars) - 1)
+                cur = chars[pos]
+                chars[pos] = alphabet[
+                    (alphabet.index(cur) + 1 + seed) % len(alphabet)
+                    if cur in alphabet
+                    else 0
+                ]
+                if chars[pos] == cur:  # substitution must change the char
+                    chars[pos] = alphabet[(alphabet.index(cur) + 1) % 3]
+            records.append("".join(chars))
+
+    max_d = 2
+    expected = {}
+    for i, a in enumerate(records):
+        for j in range(i + 1, len(records)):
+            b = records[j]
+            if a[0] != b[0]:
+                continue  # different block: out of the declared pair space
+            d = _lev(a, b)
+            if d <= max_d:
+                expected[(i, j)] = d
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(records)], "rid long, name string"
+    )
+    out = linkage.fuzzy_pairs(
+        df,
+        "rid",
+        "name",
+        [F.substring(F.col("name"), 1, 1)],
+        max_distance=max_d,
+        sort=False,
+    )
+    got = {(r.id_a, r.id_b): r.distance for r in out.collect()}
+    assert got == expected
+    # every planted typo shares its base's block and sits within
+    # max_distance, so it MUST have been recalled
+    rid = 0
+    for base, n_edits, _ in data:
+        if n_edits:
+            pair = (rid, rid + 1)
+            assert pair in got and 1 <= got[pair] <= max_d
+            rid += 2
+        else:
+            rid += 1

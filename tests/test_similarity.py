@@ -458,3 +458,41 @@ def test_validated_index_dir_heals_stale_marker(tmp_path):
     os.makedirs(d)
     _validated_index_dir(d, expected)
     assert os.path.isdir(d)
+
+
+def test_sweep_orphan_siblings_removes_dead_pid_dirs_only(tmp_path):
+    """r13 ADVICE: a builder killed between the stale-claim rename and
+    its rmtree/restore leaks '<out_dir>.stale.<pid>' (and '.tmp.<pid>')
+    dataset copies. The build-entry sweep must remove siblings whose
+    pid is dead and leave live builders' dirs (and non-pid names)
+    untouched."""
+    import os
+    import subprocess
+
+    from lab_etl_batch_data_processing_pipeline__spark.artifacts import (
+        sweep_orphan_siblings,
+    )
+
+    out = str(tmp_path / "curated" / "sf0.01-1-2")
+    os.makedirs(out)
+    dead = subprocess.Popen(["sleep", "0"])
+    dead.wait()  # reaped child: os.kill(pid, 0) raises ProcessLookupError
+    live_pid = os.getppid()  # the pytest parent: alive for the whole test
+    for name in (
+        f"{out}.stale.{dead.pid}",
+        f"{out}.tmp.{dead.pid}",
+        f"{out}.stale.{live_pid}",
+        f"{out}.tmp.{live_pid}",
+        f"{out}.stale.notapid",
+        f"{out}.tmp.{os.getpid()}",  # own-pid dirs are protocol-managed
+    ):
+        os.makedirs(name)
+        open(os.path.join(name, "payload"), "w").close()
+    sweep_orphan_siblings(out)
+    assert not os.path.isdir(f"{out}.stale.{dead.pid}")
+    assert not os.path.isdir(f"{out}.tmp.{dead.pid}")
+    assert os.path.isdir(f"{out}.stale.{live_pid}")
+    assert os.path.isdir(f"{out}.tmp.{live_pid}")
+    assert os.path.isdir(f"{out}.stale.notapid")
+    assert os.path.isdir(f"{out}.tmp.{os.getpid()}")
+    assert os.path.isdir(out)  # the published dataset itself is never touched
