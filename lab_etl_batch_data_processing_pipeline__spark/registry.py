@@ -1024,6 +1024,7 @@ def q_parquet_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (observed once under two concurrent local sessions).
         tmp_dir = f"{ds_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        _art.sweep_orphan_siblings(ds_dir)  # dead builders' tmp/stale dirs
         base = _t(spark, sf_dir, "orders").select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
@@ -1210,6 +1211,11 @@ def q_curated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isfile(marker):
         tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        # r13 ADVICE: a process dying between the stale-claim rename
+        # below and its follow-up rmtree/restore leaks a full
+        # '<out_dir>.stale.<pid>' dataset copy — sweep dead pids' leaks
+        # here at build entry (live racers' dirs are left alone).
+        _art.sweep_orphan_siblings(out_dir)
         curated = q_curated_join(spark, sf_dir).withColumn(
             "order_month", F.date_format("order_date", "yyyy-MM")
         )
@@ -3475,6 +3481,7 @@ def q_supplier_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     if not os.path.isfile(os.path.join(fix_dir, "_FIXTURE_DONE")):
         tmp_dir = f"{fix_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        _art.sweep_orphan_siblings(fix_dir)  # dead builders' tmp/stale dirs
         sup.filter(F.col("s_suppkey") % 2 == 0).write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp_dir, "batch1"))
@@ -3588,34 +3595,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     truth for the split, and test_spot_oracle_parity runs Spark-vs-DuckDB
     parity for every oracle-bearing tail key).
 
-    Current window (r13, the r12 verdict's tasks 1-2). Rotated IN
-    (20): the four ANN probe keys — ann_cosine_lsh, ann_cosine_ivf,
-    ann_cosine_pq, ann_cosine_ivfpq — the ONLY registry keys with zero
-    driver-green CORRECTNESS rows (full DuckDB value-hash twins since
-    r10: portable hyperplane weights / deterministic exact-integer
-    Lloyd quantizers; certification chain in README), their five
-    quality pins — ann_lsh_recall, ann_ivf_recall, ann_pq_recall,
-    ann_ivfpq_recall, ann_quantized_recall (driver-green r7+r8, in for
-    a third round certifying the family) — and the eleven r10-rotated
-    single-green half-steps owed a second driver round:
-    dup_span_report, customer_stratified_sample, semantic_dedup,
-    quality_classifier, containment_near_dups, pmi_collocations,
-    copurchase_pairs, bloom_join_gate, streaming_attribution,
-    customer_radius_join, xml_roundtrip (each r9-green once). Rotated
-    OUT (20), all per the standing >= 2-green rule with FOUR
-    driver-green rounds each (r9+r10+r11+r12, unchanged since):
-    substring_dedup, purchase_attribution, user_first_seen,
-    events_fd_check, events_chi2, price_winsorized, part_skyline,
-    events_interpolated, conversion_funnel, orders_rank_stats,
-    events_mad_outliers, user_value_twap, copurchase_triangles,
-    customer_cohort_retention, customer_rfm, event_transitions,
-    session_top_paths, user_type_diversity, copurchase_triples,
-    user_value_trend. The 13 r10-debt keys (3 green rounds each) and
-    the 17 r9-wave keys whose families this round touches or that
-    anchor in-window coverage (streaming_dedup for streaming,
-    containment_prune for postings, purchase_pit_state /
-    orders_cdc_incremental_agg for the newly property-tested
-    stateful-temporal family) stay in-window.
+    ROTATION RULES (standing):
+    - >= 2-green: a key leaves the window only after at least two
+      driver-green CORRECTNESS rows on its CURRENT implementation.
+    - rewrite-requeues (adopted r14, r13 verdict task 2): ANY rewrite
+      of an operator re-queues that operator's keys for the next
+      window, regardless of how many greens the pre-rewrite code had —
+      a driver-green row certifies the code that ran, not the key
+      name. Precedents that motivated the rule: the r9 LSH rewrite and
+      the r13 single-pass selection collapse (price_weighted_median,
+      events_mad_outliers, price_winsorized, customer_cohort_retention
+      were rewritten AFTER their r9-r12 green rows).
+
+    Current window (r14, the r13 verdict's tasks 1-2). HELD: all ten
+    ANN-family keys (ann_cosine_lsh/ivf/pq/ivfpq + the five recall
+    gates + ann_quantized_recall) — the four probes got their FIRST
+    driver-green rows in r13 and stay for the >= 2-green second row
+    (r13 verdict task 1), the gates certify the family alongside.
+    Rotated IN (3), all under the rewrite-requeues rule: the three r13
+    single-pass rewrites whose only driver-green rows predate the
+    rewrite — events_mad_outliers, price_winsorized,
+    customer_cohort_retention (the last also r14-touched: the
+    NULL-month contract pin). price_weighted_median (same rewrite
+    family) already sat in-window r13 and its green row IS
+    post-rewrite; it stays for its second. multimodal_features is
+    r14-touched (native PLTE palette decode) and stays in-window.
+    Rotated OUT (3), per the >= 2-green rule with two greens each
+    (r9+r13, code unchanged since r9): customer_stratified_sample,
+    quality_classifier, xml_roundtrip — their families remain
+    anchored in-window (corpus_prep_auto carries the quality-gate
+    branch; supplier_incremental_ingest carries IO). The remaining
+    r13 window — the eight r10-era 2-green keys held one more round
+    (cheap anchors), the r10-debt keys, and the r9-wave coverage
+    anchors — stays put.
 
     Current tail: rows with >= 1 driver-green round (most
     multi-round; per-key receipts annotated in TAIL_KEYS), plus the
@@ -3637,9 +3649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation described above).
     """
     return {
-        # --- r13 driver window (first 50; see docstring) ---
-        # the four ANN probes: first driver value-hash rounds (the
-        # only keys with zero driver-green rows before r13):
+        # --- r14 driver window (first 50; see docstring) ---
+        # the ten ANN-family keys, HELD for the probes' >= 2-green
+        # second row (first greens r13; r13 verdict task 1):
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "ann_cosine_pq": q_ann_cosine_pq,
@@ -3650,19 +3662,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "ann_quantized_recall": q_ann_quantized_recall,
-        # the eleven r10-rotated single-green half-steps, in for
-        # their second driver round (r12 verdict task 2):
+        # rotated IN r14 under the rewrite-requeues rule: r13
+        # single-pass rewrites whose greens predate the rewrite
+        # (cohort also carries the r14 NULL-month contract pin):
+        "events_mad_outliers": q_events_mad_outliers,
+        "price_winsorized": q_price_winsorized,
+        "customer_cohort_retention": q_customer_cohort_retention,
+        # r10-era keys with two greens (r9+r13) held as anchors:
         "dup_span_report": q_dup_span_report,
-        "customer_stratified_sample": q_customer_stratified_sample,
         "semantic_dedup": q_semantic_dedup,
-        "quality_classifier": q_quality_classifier,
         "containment_near_dups": q_containment_near_dups,
         "pmi_collocations": q_pmi_collocations,
         "copurchase_pairs": q_copurchase_pairs,
         "bloom_join_gate": q_bloom_join_gate,
         "streaming_attribution": q_streaming_attribution,
         "customer_radius_join": q_customer_radius_join,
-        "xml_roundtrip": q_xml_roundtrip,
         # r10-debt keys held in-window (3 green rounds r10-r12):
         "revenue_seasonal_backtest": q_revenue_seasonal_backtest,
         "events_level_shift": q_events_level_shift,
@@ -3696,22 +3710,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
         # --- past the driver's 50-key correctness window (see
-        # docstring). Rotated out r13 with four driver-green rounds
-        # each (r9-r12, unchanged since r9):
+        # docstring). Rotated out r14 with two driver-green rounds
+        # each (r9+r13, code unchanged since r9):
+        "customer_stratified_sample": q_customer_stratified_sample,
+        "quality_classifier": q_quality_classifier,
+        "xml_roundtrip": q_xml_roundtrip,
+        # Rotated out r13 with four driver-green rounds each (r9-r12,
+        # unchanged since r9):
         "substring_dedup": q_substring_dedup,
         "purchase_attribution": q_purchase_attribution,
         "user_first_seen": q_user_first_seen,
         "events_fd_check": q_events_fd_check,
         "events_chi2": q_events_chi2,
-        "price_winsorized": q_price_winsorized,
         "part_skyline": q_part_skyline,
         "events_interpolated": q_events_interpolated,
         "conversion_funnel": q_conversion_funnel,
         "orders_rank_stats": q_orders_rank_stats,
-        "events_mad_outliers": q_events_mad_outliers,
         "user_value_twap": q_user_value_twap,
         "copurchase_triangles": q_copurchase_triangles,
-        "customer_cohort_retention": q_customer_cohort_retention,
         "customer_rfm": q_customer_rfm,
         "event_transitions": q_event_transitions,
         "session_top_paths": q_session_top_paths,

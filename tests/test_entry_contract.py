@@ -44,22 +44,28 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # rotated out r14 per the standing >= 2-green rule, two
+    # driver-green rounds each (r9+r13, code unchanged since r9):
+    "customer_stratified_sample": "test_spot_oracle_parity (driver-green r9+r13)",
+    "quality_classifier": "test_spot_oracle_parity (driver-green r9+r13; corpus_prep_auto in-window keeps the quality gate driver-pinned)",
+    "xml_roundtrip": "test_spot_oracle_parity (driver-green r9+r13; supplier_incremental_ingest in-window anchors IO)",
     # rotated out r13 per the standing >= 2-green rule, each with FOUR
-    # driver-green rounds (r9+r10+r11+r12, code unchanged since r9):
+    # driver-green rounds (r9+r10+r11+r12, code unchanged since r9).
+    # NOTE (rewrite-requeues rule, r14): events_mad_outliers,
+    # price_winsorized, customer_cohort_retention were rewritten in r13
+    # AFTER those green rows and therefore re-queued into the r14
+    # window — they are no longer tail keys.
     "substring_dedup": "test_spot_oracle_parity (driver-green r9-r12; dup_span_report in-window keeps the span machinery driver-pinned)",
     "purchase_attribution": "test_spot_oracle_parity (driver-green r9-r12)",
     "user_first_seen": "test_spot_oracle_parity (driver-green r9-r12)",
     "events_fd_check": "test_spot_oracle_parity (driver-green r9-r12)",
     "events_chi2": "test_spot_oracle_parity (driver-green r9-r12)",
-    "price_winsorized": "test_spot_oracle_parity (driver-green r9-r12)",
     "part_skyline": "test_spot_oracle_parity (driver-green r9-r12)",
     "events_interpolated": "test_spot_oracle_parity (driver-green r9-r12)",
     "conversion_funnel": "test_spot_oracle_parity (driver-green r9-r12; funnel_timing in-window)",
     "orders_rank_stats": "test_spot_oracle_parity (driver-green r9-r12)",
-    "events_mad_outliers": "test_spot_oracle_parity (driver-green r9-r12)",
     "user_value_twap": "test_spot_oracle_parity (driver-green r9-r12)",
     "copurchase_triangles": "test_spot_oracle_parity (driver-green r9-r12; copurchase_pairs in-window keeps pair generation driver-pinned)",
-    "customer_cohort_retention": "test_spot_oracle_parity (driver-green r9-r12)",
     "customer_rfm": "test_spot_oracle_parity (driver-green r9-r12)",
     "event_transitions": "test_spot_oracle_parity (driver-green r9-r12)",
     "session_top_paths": "test_spot_oracle_parity (driver-green r9-r12)",
