@@ -32,6 +32,15 @@ way, so the measured ratios are heap-size-fair. Prints one JSON line:
 {op: {"sf0.1": [s, s], "x10": [s, s], "ratio_steady": r,
 "out_rows": [n, n10]}} — two timed runs per scale in one warm JVM;
 ratio_steady = x10 run2 / sf0.1 run2.
+
+Knobs (r14): SPARK_GRAFT_PROBE_REPLICAS=100 runs the second decade
+(labels become "x100"); the `cc_edges` op self-scales x1/x10/x100 by
+edge striding in one invocation. For the 100x decades also set
+SPARK_GRAFT_DRIVER_JAVA_OPTS="-XX:+UnlockDiagnosticVMOptions
+-XX:GCLockerRetryAllocationCount=100" — at default GCLocker settings
+32 task threads inside JNI-critical sections can fail tasks
+spuriously mid-cache-write (SCALE.md Round-14, one-JVM capacity
+finding).
 """
 
 from __future__ import annotations
@@ -51,14 +60,21 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     dedup_fuzzy,
     graph,
     joins,
+    metrics,
+    profiling,
     scd,
     similarity,
 )
 from lab_etl_batch_data_processing_pipeline__spark.plans import corpus as corpus_plans
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REPLICAS = 10
+# SPARK_GRAFT_PROBE_REPLICAS=100 runs the 100x decade (r13 verdict task
+# 6: the apply_changelog / CC trends needed a second decade to rule out
+# superlinearity hiding inside one) — the synth dir tag and the recipe
+# marker both carry the value, so decades never cross-contaminate.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
 ID_STRIDE = 10_000_000
+XN = f"x{REPLICAS}"  # the scaled label in the report ("x10" / "x100")
 
 
 def synth_dir(base_sf: str) -> str:
@@ -70,9 +86,46 @@ def synth_dir(base_sf: str) -> str:
     return os.path.join(_REPO_ROOT, ".cache", "scaleprobe", tag)
 
 
+def _recipe_valid(out: str, recipe: dict) -> bool:
+    """Gate a synth dir on its FULL build recipe, not a bare sentinel:
+    the pre-r14 'ok' marker recorded no params, so changing REPLICAS,
+    ID_STRIDE, or the slim column projection silently reused a stale
+    corpus and produced wrong scale ratios (r13 ADVICE). A marker that
+    is missing, unreadable, legacy-format, or records ANY differing
+    param invalidates the dir (mirrors artifacts._validated_index_dir,
+    except these dirs are cheap to rebuild so stale always rebuilds)."""
+    try:
+        with open(os.path.join(out, "_BUILT")) as fh:
+            return json.load(fh) == recipe
+    except (OSError, ValueError):
+        return False
+
+
+def _stamp_recipe(out: str, recipe: dict) -> None:
+    with open(os.path.join(out, "_BUILT"), "w") as fh:
+        json.dump(recipe, fh, sort_keys=True)
+
+
+def _fresh_dir(out: str, recipe: dict) -> bool:
+    """True if the dir must be (re)built; clears any stale build."""
+    if _recipe_valid(out, recipe):
+        return False
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    return True
+
+
+_DOCS_RECIPE = {
+    "replicas": REPLICAS,
+    "stride": ID_STRIDE,
+    "columns": ["doc_id", "text(token-namespaced)", "lang", "source"],
+}
+
+
 def build_synth(spark, base_sf: str) -> str:
     out = synth_dir(base_sf)
-    if os.path.isfile(os.path.join(out, "_BUILT")):
+    if not _fresh_dir(out, _DOCS_RECIPE):
         return out
     docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
     reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
@@ -105,53 +158,74 @@ def build_synth(spark, base_sf: str) -> str:
     big_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
-    with open(os.path.join(out, "_BUILT"), "w") as fh:
-        fh.write("ok\n")
+    _stamp_recipe(out, _DOCS_RECIPE)
     return out
 
 
+_TPCH_RECIPE = {
+    "replicas": REPLICAS,
+    "stride": ID_STRIDE,
+    "columns": [
+        "o_orderkey", "o_custkey", "o_orderdate",
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_extendedprice", "l_quantity",
+    ],
+}
+
+
 def build_synth_tpch(spark, base_sf: str) -> str:
-    """10 key-strided replicas of the orders/lineitem JOIN columns (the
-    graph probes touch nothing else — slim projections keep the synth
-    build IO-proportional to what the probed plans actually read).
-    Striding every key by r*ID_STRIDE makes the replica transaction
-    universes disjoint: the co-transaction graph gains 10x nodes and
-    10x edges at the SAME degree distribution — organic growth, not
-    densification (verbatim replication would multiply every node's
-    degree by 10 and the wedge volume by 100 by construction)."""
+    """Key-strided replicas of the orders/lineitem columns the graph
+    AND selection-family probes read (slim projections keep the synth
+    build IO-proportional; parquet column pruning keeps each probe's
+    scan limited to its own columns). Striding every key by
+    r*ID_STRIDE makes the replica transaction universes disjoint: the
+    co-transaction graph gains REPLICAS x nodes and edges at the SAME
+    degree distribution — organic growth, not densification (verbatim
+    replication would multiply every node's degree by REPLICAS and the
+    wedge volume by REPLICAS² by construction). The r14 additions ride
+    the same shape: o_orderdate / l_returnflag / prices stay unstrided,
+    so cohort months and return-flag groups keep their cardinality
+    while rows-per-group grow REPLICAS x — the per-key selection
+    stress the weighted_median / winsorized / cohort claims make."""
     out = synth_dir(base_sf) + "-tpch"
-    if os.path.isfile(os.path.join(out, "_BUILT")):
+    if not _fresh_dir(out, _TPCH_RECIPE):
         return out
     reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
     orders = spark.read.parquet(os.path.join(base_sf, "orders.parquet")).select(
-        "o_orderkey", "o_custkey"
+        "o_orderkey", "o_custkey", "o_orderdate"
     )
     orders.crossJoin(reps).select(
         (F.col("o_orderkey") + F.col("r") * ID_STRIDE).alias("o_orderkey"),
         (F.col("o_custkey") + F.col("r") * ID_STRIDE).alias("o_custkey"),
+        "o_orderdate",
     ).repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "orders.parquet")
     )
     li = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet")).select(
-        "l_orderkey", "l_partkey", "l_suppkey"
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_extendedprice", "l_quantity",
     )
     li.crossJoin(reps).select(
         (F.col("l_orderkey") + F.col("r") * ID_STRIDE).alias("l_orderkey"),
         (F.col("l_partkey") + F.col("r") * ID_STRIDE).alias("l_partkey"),
         (F.col("l_suppkey") + F.col("r") * ID_STRIDE).alias("l_suppkey"),
+        "l_returnflag", "l_extendedprice", "l_quantity",
     ).repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "lineitem.parquet")
     )
-    with open(os.path.join(out, "_BUILT"), "w") as fh:
-        fh.write("ok\n")
+    _stamp_recipe(out, _TPCH_RECIPE)
     return out
 
 
 def _events_slim(spark, sf_dir: str):
-    """The slim event projection the stateful probes read: (user_id,
-    event_id, ts_us BIGINT, event_type) with ts normalized to epoch
-    micros at read time (sources.ensure_timestamp) so both scales feed
-    identical BIGINT-keyed plans regardless of parquet ts encoding."""
+    """The slim event projection the stateful + selection probes read:
+    (user_id, event_id, ts_us BIGINT, event_type, value) with ts
+    normalized to epoch micros at read time (sources.ensure_timestamp)
+    so both scales feed identical BIGINT-keyed plans regardless of
+    parquet ts encoding. ``value`` rides along unchanged per replica
+    for the mad_outliers probe (r14): the per-type value distribution
+    is identical at both scales, so the MAD cuts are scale-invariant
+    and only the selection volume grows."""
     from lab_etl_batch_data_processing_pipeline__spark.sources import (
         ensure_timestamp,
         read_parquet,
@@ -163,19 +237,28 @@ def _events_slim(spark, sf_dir: str):
         "event_id",
         F.unix_micros(ensure_timestamp(ev, "ts")).alias("ts_us"),
         "event_type",
+        "value",
     )
 
 
+_EVENTS_RECIPE = {
+    "replicas": REPLICAS,
+    "stride": ID_STRIDE,
+    "columns": ["user_id", "event_id", "ts_us", "event_type", "value"],
+}
+
+
 def build_synth_events(spark, base_sf: str) -> str:
-    """10 key-strided replicas of the slim event projection: user_id and
-    event_id stride by r*ID_STRIDE, timestamps stay — 10 disjoint user
-    universes with the SAME per-user event-count and state-change
-    distributions (organic growth for the stateful family: 10x keys at
-    flat per-key version counts, the shape that keeps SCD2/PIT linear;
-    verbatim replication would multiply per-user observation density
-    and the PIT fact x version mass by 100 by construction)."""
+    """Key-strided replicas of the slim event projection: user_id and
+    event_id stride by r*ID_STRIDE, timestamps/types/values stay —
+    REPLICAS disjoint user universes with the SAME per-user event-count
+    and state-change distributions (organic growth for the stateful
+    family: REPLICAS x keys at flat per-key version counts, the shape
+    that keeps SCD2/PIT linear; verbatim replication would multiply
+    per-user observation density and the PIT fact x version mass by
+    REPLICAS² by construction)."""
     out = synth_dir(base_sf) + "-events"
-    if os.path.isfile(os.path.join(out, "_BUILT")):
+    if not _fresh_dir(out, _EVENTS_RECIPE):
         return out
     reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
     _events_slim(spark, base_sf).crossJoin(reps).select(
@@ -183,11 +266,11 @@ def build_synth_events(spark, base_sf: str) -> str:
         (F.col("event_id") + F.col("r") * ID_STRIDE).alias("event_id"),
         "ts_us",
         "event_type",
+        "value",
     ).repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
-    with open(os.path.join(out, "_BUILT"), "w") as fh:
-        fh.write("ok\n")
+    _stamp_recipe(out, _EVENTS_RECIPE)
     return out
 
 
@@ -219,7 +302,7 @@ def main() -> None:
             spark.read.parquet(os.path.join(base_sf, "documents.parquet")),
             spark.read.parquet(os.path.join(base_sf, "embeddings.parquet")),
         ),
-        "x10": (
+        XN: (
             spark.read.parquet(os.path.join(big, "documents.parquet")),
             spark.read.parquet(os.path.join(big, "embeddings.parquet")),
         ),
@@ -276,7 +359,7 @@ def main() -> None:
             )
             record("substring_dedup", scale, t, n)
 
-        nlist = 8 if scale == "sf0.1" else 80  # cells stay executor-sized
+        nlist = 8 if scale == "sf0.1" else 8 * REPLICAS  # cells stay executor-sized
         if want("semantic_dedup"):
             t, n = timed(
                 lambda: similarity.semantic_dedup(
@@ -377,12 +460,13 @@ def main() -> None:
     events_scales = {}
     stateful_ops = (
         "scd2_history", "cdc_apply", "pit_join", "session_window",
+        "mad_outliers",
     )
     if any(want(op) for op in stateful_ops):
         ep = build_synth_events(spark, base_sf)
         events_scales = {
             "sf0.1": _events_slim(spark, base_sf),
-            "x10": spark.read.parquet(os.path.join(ep, "events.parquet")),
+            XN: spark.read.parquet(os.path.join(ep, "events.parquet")),
         }
     for scale, ev in events_scales.items():
         ev = ev.localCheckpoint(eager=True)  # synth cost out of the timings
@@ -458,16 +542,33 @@ def main() -> None:
             )
             record("session_window", scale, t, n)
 
+        # MAD outlier gate (the events_mad_outliers bench shape; r13
+        # single-pass rewrite). Claim under test: ONE scan — the
+        # row_number/count window pass and the deviation re-aggregation
+        # both reuse the same key-hash exchange; replicas keep the
+        # per-type value distribution, so cost ~ rows at flat key
+        # cardinality, and out_rows (one per event type) stays flat.
+        if want("mad_outliers"):
+            t, n = timed(
+                lambda: profiling.mad_outliers(
+                    ev, "event_type", "value", scale=1024, k=3
+                ).count()
+            )
+            record("mad_outliers", scale, t, n)
+
     tpch_scales = {}
     graph_ops = ("transaction_pagerank", "copurchase_triangles")
-    if any(want(op) for op in graph_ops):
+    selection_tpch_ops = (
+        "weighted_median", "winsorized_stats", "cohort_retention",
+    )
+    if any(want(op) for op in graph_ops + selection_tpch_ops):
         tp = build_synth_tpch(spark, base_sf)
         tpch_scales = {
             "sf0.1": (
                 spark.read.parquet(os.path.join(base_sf, "orders.parquet")),
                 spark.read.parquet(os.path.join(base_sf, "lineitem.parquet")),
             ),
-            "x10": (
+            XN: (
                 spark.read.parquet(os.path.join(tp, "orders.parquet")),
                 spark.read.parquet(os.path.join(tp, "lineitem.parquet")),
             ),
@@ -509,13 +610,127 @@ def main() -> None:
             )
             record("copurchase_triangles", scale, t, n)
 
+        # --- r14 additions: the r13 single-pass selection rewrites
+        # (plan-shape pins existed; these are their measured receipts).
+
+        # Quantity-weighted median per return flag (the
+        # price_weighted_median bench shape). Claim under test: the
+        # r13 rewrite's single scan + one key-hash shuffle — the
+        # cumulative-weight window and the picks join both ride the
+        # same exchange; 3 flag groups at REPLICAS x rows each, so
+        # wall ~ rows and out_rows stays 3.
+        if want("weighted_median"):
+            li_cents = li.select(
+                "l_returnflag",
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("price_cents"),
+                F.col("l_quantity").cast("long").alias("qty"),
+            )
+            t, n = timed(
+                lambda: profiling.weighted_median(
+                    li_cents, "l_returnflag", "price_cents", "qty", scale=1
+                ).count()
+            )
+            record("weighted_median", scale, t, n)
+
+        # Winsorized rollup per return flag (the price_winsorized bench
+        # shape). Same single-pass claim: p05/p95 cut selection and the
+        # clamped re-aggregation share one exchange.
+        if want("winsorized_stats"):
+            li_w = li.select(
+                "l_returnflag",
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("price_cents"),
+            )
+            t, n = timed(
+                lambda: profiling.winsorized_stats(
+                    li_w, "l_returnflag", "price_cents", p_lo=5, p_hi=95
+                ).count()
+            )
+            record("winsorized_stats", scale, t, n)
+
+        # Cohort retention over orders (the customer_cohort_retention
+        # bench shape). Claim under test: the r13 collapse to ONE
+        # data-sized shuffle (groupBy user + collect_set month);
+        # strided custkeys at unstrided months = REPLICAS x users in
+        # the SAME month grid, so the cell matrix (out_rows) stays
+        # flat while n_active scales — organic cohort growth.
+        if want("cohort_retention"):
+            t, n = timed(
+                lambda: metrics.cohort_retention(
+                    orders, "o_custkey", "o_orderdate"
+                ).count()
+            )
+            record("cohort_retention", scale, t, n)
+
+    # Edge-strided CC decades (r13 verdict task 6): CC's claim is
+    # cost ~ edges, and the 10x receipt rode a docs re-run. This probe
+    # isolates the CC loop itself: build the >=0.6 Jaccard pair graph
+    # ONCE at sf0.1, checkpoint it, then stride the EDGE LIST by
+    # replica (disjoint doc-id universes -> component structure
+    # repeats per replica, diameter flat) and time CC at 1x/10x/100x
+    # in one JVM. Superlinearity inside either decade shows up as
+    # ratio >> factor.
+    if want("cc_edges"):
+        docs01 = scales["sf0.1"][0]
+        sk01 = sketches.get("sf0.1")
+        # block_cap=200 (the production sub-blocking path): WITHOUT it
+        # the sf0.1 fixture's ~3k-doc boilerplate block yields its full
+        # quadratic pair list — measured 4,347,066 edges over ~4.7k
+        # nodes — and striding THAT x100 (435M edges) exceeds what one
+        # local JVM can hold as a pinned localCheckpoint while also
+        # running a 32-way min-aggregation over 2x edges (measured:
+        # AGGREGATE_OUT_OF_MEMORY at 16g in level-1; a cluster shards
+        # the same frame across executors — capacity, not
+        # superlinearity; receipts in SCALE.md Round-14).
+        pairs01 = dedup_fuzzy.jaccard_near_dups(
+            docs01, threshold=0.6, sort=False, sketch=sk01, block_cap=200
+        )
+        pa, pb = pairs01.columns[:2]  # (doc_id_a, doc_id_b)
+        # Deterministic 10% edge sample: even capped, the boilerplate
+        # sub-blocks keep the sf0.1 graph at 3.3M edges, so x100 of the
+        # full base (331M) is still one-JVM-infeasible (see above).
+        # 10% by edge hash -> decades run at 331k / 3.3M / 33M edges,
+        # the top matching the full base's measured-feasible x10 mass.
+        base_pairs = (
+            pairs01.select(pa, pb)
+            .filter(F.pmod(F.hash(pa, pb), F.lit(10)) == 0)
+            .localCheckpoint(eager=True)
+        )
+        print(f"PROBE cc_edges base edges={base_pairs.count()}", file=sys.stderr)
+        for factor in (1, 10, 100):
+            reps = spark.range(factor).select(F.col("id").alias("r"))
+            big_pairs = (
+                base_pairs.crossJoin(reps)
+                .select(
+                    (F.col(pa) + F.col("r") * ID_STRIDE).alias(pa),
+                    (F.col(pb) + F.col("r") * ID_STRIDE).alias(pb),
+                )
+                .repartition(32)
+                .localCheckpoint(eager=True)
+            )
+            t, n = timed(
+                lambda: graph.connected_components(
+                    big_pairs, assume_unique_pairs=True
+                ).count()
+            )
+            record("cc_edges", f"x{factor}", t, n)
+            big_pairs.unpersist()
+
     for op, d in report.items():
-        if "sf0.1" in d and "x10" in d:
-            d["ratio_steady"] = round(d["x10"][-1] / max(d["sf0.1"][-1], 1e-9), 2)
+        if "sf0.1" in d and XN in d:
+            d["ratio_steady"] = round(d[XN][-1] / max(d["sf0.1"][-1], 1e-9), 2)
             # min-based ratio: on 10x inputs a single run can eat a major
             # GC pause (measured: triangles x10 run2 = 2.4x run1 in the
             # same JVM), so min-over-runs is the robust steady estimator
-            d["ratio_min"] = round(min(d["x10"]) / max(min(d["sf0.1"]), 1e-9), 2)
+            d["ratio_min"] = round(min(d[XN]) / max(min(d["sf0.1"]), 1e-9), 2)
+    cc = report.get("cc_edges")
+    if cc:
+        for hi, lo, label in (("x10", "x1", "ratio_x10"), ("x100", "x1", "ratio_x100")):
+            if hi in cc and lo in cc:
+                cc[label] = round(min(cc[hi]) / max(min(cc[lo]), 1e-9), 2)
     print(json.dumps({"base": base_sf, "replicas": REPLICAS, "ops": report}))
 
 
