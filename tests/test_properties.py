@@ -2712,3 +2712,91 @@ def test_fuzzy_pairs_matches_dp_replica_on_planted_typos(spark, data):
             rid += 2
         else:
             rid += 1
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-25, 25), st.integers(-25, 25)),
+        min_size=1,
+        max_size=20,
+    ),
+    radius=st.integers(1, 12),
+)
+@settings(**SETTINGS)
+def test_radius_degree_matches_quadratic_scan(spark, pts, radius):
+    """geo.radius_degree (the corpus-sized collapse that never
+    materializes the quadratic pair list) must equal the per-point
+    degree/min-dist² derived from the O(n²) scan; points with no
+    neighbor are absent."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import geo
+
+    expected: dict[int, tuple[int, int]] = {}
+    for i, (la, lo) in enumerate(pts):
+        for j in range(i + 1, len(pts)):
+            lb, ob = pts[j]
+            d2 = (la - lb) ** 2 + (lo - ob) ** 2
+            if d2 <= radius * radius:
+                for node in (i, j):
+                    n, m = expected.get(node, (0, d2))
+                    expected[node] = (n + 1, min(m, d2))
+
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "id long, lat long, lon long",
+    )
+    out = geo.radius_degree(df, "id", "lat", "lon", radius)
+    got = {r.id: (r.n_neighbors, r.min_dist2) for r in out.collect()}
+    assert got == expected
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=3, max_size=6),
+            st.integers(0, 2),
+            st.integers(0, 10_000),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_fuzzy_match_degree_matches_dp_replica(spark, data):
+    """linkage.fuzzy_match_degree must equal the per-record
+    (n_matches, min_distance) derived from the full same-block DP
+    replica — the entity-sized collapse of fuzzy_pairs; records with
+    no match absent."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import linkage
+
+    alphabet = "ab"
+    records = []
+    for base, n_edits, seed in data:
+        records.append(base)
+        if n_edits:
+            chars = list(base)
+            for e in range(n_edits):
+                pos = 1 + (seed + e * 3) % (len(chars) - 1)
+                chars[pos] = alphabet[(alphabet.index(chars[pos]) + 1) % 2]
+            records.append("".join(chars))
+
+    max_d = 2
+    expected: dict[int, tuple[int, int]] = {}
+    for i, a in enumerate(records):
+        for j in range(i + 1, len(records)):
+            b = records[j]
+            if a[0] != b[0]:
+                continue
+            d = _lev(a, b)
+            if d <= max_d:
+                for node in (i, j):
+                    n, m = expected.get(node, (0, d))
+                    expected[node] = (n + 1, min(m, d))
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(records)], "rid long, name string"
+    )
+    out = linkage.fuzzy_match_degree(
+        df, "rid", "name", [F.substring(F.col("name"), 1, 1)], max_distance=max_d
+    )
+    got = {r.rid: (r.n_matches, r.min_distance) for r in out.collect()}
+    assert got == expected

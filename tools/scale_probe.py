@@ -107,11 +107,31 @@ def _stamp_recipe(out: str, recipe: dict) -> None:
 
 
 def _fresh_dir(out: str, recipe: dict) -> bool:
-    """True if the dir must be (re)built; clears any stale build."""
-    if _recipe_valid(out, recipe):
-        return False
+    """True if the dir must be (re)built; clears any stale build, and
+    sweeps SIBLING synth dirs superseded by a newer testdata generation
+    of the same sf/replica count (the tag carries mtime+size, so every
+    driver-regenerated testdata orphans the previous round's synth —
+    at x100 that is multi-GB per family; same hygiene as
+    artifacts._sweep_stale_cache, applied here because the probe, not
+    prebuild_indexes, owns this cache family)."""
     import shutil
 
+    parent = os.path.dirname(out)
+    name = os.path.basename(out)  # '<sf>-<mtime>-<size>-xN[-suffix]'
+    sf = name.split("-", 1)[0]
+    parts = name.split("-")
+    xn_suffix = "-".join(parts[3:])  # 'xN' or 'xN-tpch' / 'xN-events'
+    if os.path.isdir(parent):
+        for sib in os.listdir(parent):
+            sp = sib.split("-")
+            if (
+                sib != name
+                and sp[0] == sf
+                and "-".join(sp[3:]) == xn_suffix
+            ):
+                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+    if _recipe_valid(out, recipe):
+        return False
     shutil.rmtree(out, ignore_errors=True)
     return True
 
