@@ -99,10 +99,9 @@ def _palette_png_2x2(bit_depth: int = 8) -> bytes:
 
 
 def _gray16_png_2x2() -> bytes:
-    """Hand-built 2x2 16-bit grayscale PNG — the shape deliberately
-    LEFT to the fallback chain (stub reserved for 16-bit/interlaced,
-    r13 verdict task 4): Pillow when present, deterministic stub
-    otherwise. Samples 0x0000/0xFFFF checkerboard."""
+    """Hand-built 2x2 16-bit grayscale PNG, 0x0000/0xFFFF checkerboard
+    — natively decoded since the r14 full-shape decoder (16-bit
+    samples reduce to their high byte)."""
     import struct
     import zlib
 
@@ -141,28 +140,41 @@ def test_decode_image_palette_png_decodes_natively(bit_depth):
     assert multimodal.decode_image(payload) == (2, 2, 0.5)
 
 
-def test_decode_image_16bit_png_falls_back():
-    """The fallback chain now starts at 16-bit/interlaced shapes: the
-    pure decoder raises, then Pillow (when present) or the
-    deterministic stub takes over. Both routes pinned: stub tuple
-    exact without Pillow; dimensions + full-scale mean with it."""
+def test_decode_png_16bit_natively():
+    """16-bit samples decode natively since r14, reducing to the high
+    byte — exact 0.5 mean for the full-scale checker."""
     payload = _gray16_png_2x2()
+    w, h, ch, px = multimodal.decode_png_pixels(payload)
+    assert (w, h, ch) == (2, 2, 1)
+    assert bytes(px) == bytes((0, 255, 255, 0))
+    assert multimodal.decode_image(payload) == (2, 2, 0.5)
+
+
+def test_decode_image_malformed_png_falls_back_to_stub():
+    """With every legal PNG shape decoded natively, the fallback chain
+    is reserved for MALFORMED streams: the pure decoder raises, then
+    Pillow (when present) or the deterministic stub takes over. The
+    fixture is a structurally-truncated PNG (valid signature + IHDR,
+    IDAT shorter than one scanline), which Pillow also rejects — so
+    the stub tuple is pinned on both routes."""
+    import struct
+    import zlib
+
+    payload = (
+        multimodal.PNG_SIGNATURE
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01"))  # 2 of 52 bytes
+        + _png_chunk(b"IEND", b"")
+    )
     with pytest.raises(ValueError):
         multimodal.decode_png(payload)
-    if PIL is None:
-        assert multimodal.decode_image(payload) == multimodal.decode_image_stub(
-            payload
-        )
-        checksum = sum(payload[:64])
-        assert multimodal.decode_image_stub(payload) == (
-            64 + checksum % 512,
-            64 + (checksum * 7) % 512,
-            (checksum % 256) / 255.0,
-        )
-    else:
-        w, h, mean = multimodal.decode_image(payload)
-        assert (w, h) == (2, 2)
-        assert mean == pytest.approx(0.5, abs=0.01)
+    assert multimodal.decode_image(payload) == multimodal.decode_image_stub(payload)
+    checksum = sum(payload[:64])
+    assert multimodal.decode_image_stub(payload) == (
+        64 + checksum % 512,
+        64 + (checksum * 7) % 512,
+        (checksum % 256) / 255.0,
+    )
 
 
 def test_decode_png_palette_randomized_all_filters():
@@ -228,3 +240,122 @@ def test_decode_png_palette_randomized_all_filters():
             for v in row:
                 expect += palette[3 * v : 3 * v + 3]
         assert bytes(px) == bytes(expect)
+
+
+def test_decode_png_full_shape_matrix_randomized():
+    """Randomized golden over the COMPLETE legal PNG shape matrix:
+    every (color type, bit depth) pair the spec allows, both interlace
+    methods (Adam7 included), all five filter types, random dims —
+    decoded pixels must equal the reference image exactly (palette
+    expanded; 16-bit reduced to high byte; sub-byte gray scaled to
+    full range). Seeded; 60 cases cover each shape at least twice."""
+    import random
+    import struct
+    import zlib
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    def filt_row(ft, line, prev, bpp):
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = (0, a, b, (a + b) // 2, paeth(a, b, c))[ft]
+            out.append((line[i] - pred) & 0xFF)
+        return out
+
+    def pack_row(pxs, depth, channels):
+        if depth == 8:
+            return bytearray(v for px in pxs for v in px)
+        if depth == 16:
+            out = bytearray()
+            for px in pxs:
+                for v in px:
+                    out += struct.pack(">H", v)
+            return out
+        out = bytearray((len(pxs) * depth + 7) // 8)
+        bit = 0
+        for px in pxs:
+            out[bit // 8] |= px[0] << (8 - depth - bit % 8)
+            bit += depth
+        return out
+
+    def encode(w, h, depth, ct, channels, img, palette, interlace, rng):
+        raw = bytearray()
+        passes = ((0, 0, 1, 1),) if interlace == 0 else ADAM7
+        bpp = max(1, channels * depth // 8)
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            prev = bytearray(stride)
+            for ry in range(ph):
+                rowpx = [img[y0 + ry * dy][x0 + rx * dx] for rx in range(pw)]
+                packed = pack_row(rowpx, depth, channels)
+                ft = rng.randrange(5)
+                raw.append(ft)
+                raw += filt_row(ft, packed, prev, bpp)
+                prev = packed
+        png = multimodal.PNG_SIGNATURE + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+        )
+        if palette is not None:
+            png += _png_chunk(b"PLTE", palette)
+        return png + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+            b"IEND", b""
+        )
+
+    CASES = [
+        (ct, d, il)
+        for ct, depths in (
+            (0, (1, 2, 4, 8, 16)), (2, (8, 16)), (3, (1, 2, 4, 8)),
+            (4, (8, 16)), (6, (8, 16)),
+        )
+        for d in depths
+        for il in (0, 1)
+    ]
+    CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    rng = random.Random(2014)
+    for trial in range(2 * len(CASES)):
+        ct, d, il = CASES[trial % len(CASES)]
+        channels = CH[ct]
+        w, h = rng.randint(1, 13), rng.randint(1, 11)
+        palette = None
+        if ct == 3:
+            n_entries = rng.randint(1, 1 << d)
+            palette = bytes(rng.randrange(256) for _ in range(3 * n_entries))
+            maxv = n_entries - 1
+        else:
+            maxv = (1 << d) - 1
+        img = [
+            [tuple(rng.randint(0, maxv) for _ in range(channels)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        png = encode(w, h, d, ct, channels, img, palette, il, rng)
+        got_w, got_h, got_ch, px = multimodal.decode_png_pixels(png)
+        out_ch = 3 if ct == 3 else channels
+        assert (got_w, got_h, got_ch) == (w, h, out_ch), (trial, ct, d, il)
+        exp = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = img[y][x]
+                if ct == 3:
+                    exp += palette[v[0] * 3 : v[0] * 3 + 3]
+                elif d == 16:
+                    exp += bytes(s >> 8 for s in v)
+                elif d == 8:
+                    exp += bytes(v)
+                else:
+                    exp += bytes((v[0] * (255 // maxv),))
+        assert bytes(px) == bytes(exp), (trial, ct, d, il, w, h)
