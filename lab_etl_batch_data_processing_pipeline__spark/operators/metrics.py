@@ -320,9 +320,14 @@ def cohort_retention(
     months_since=0 rows carry n_active == n_cohort by construction.
     """
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    base = df.select(
+    # Filter on the RAW timestamp, not the derived month: _month() is
+    # null-preserving, so the two are equivalent — but isnotnull on the
+    # source column reaches the parquet scan as a pushed filter
+    # (row-group skipping), while isnotnull(date_trunc(...)) stays a
+    # post-scan Filter node (checked via explain("formatted")).
+    base = df.where(ts.isNotNull()).select(
         F.col(user_col).alias("user"), _month(ts).alias("month")
-    ).where(F.col("month").isNotNull())
+    )
     midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     per_user = base.groupBy("user").agg(F.collect_set("month").alias("__months"))
     cells = (

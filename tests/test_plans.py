@@ -425,6 +425,10 @@ def test_cohort_retention_single_scan_no_joins(spark):
     hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     data_sized = [l for l in hash_exchanges if "user" in l]
     assert len(data_sized) == 1 and len(hash_exchanges) == 3
+    # r14 NULL-contract pin: the ignore-NULL-timestamps filter must
+    # reach the scan as a pushed source filter (filtering the raw ts
+    # column), not sit post-scan on the derived month expression
+    assert "PushedFilters: [IsNotNull(o_orderdate)]" in plan
 
 
 def test_normalize_text_is_map_only(spark):
