@@ -108,6 +108,16 @@ def test_r8_operators_empty_behavior(spark, empty):
     # linkage over empty records -> empty
     assert linkage.fuzzy_pairs(docs, "doc_id", "text", ["lang"]).count() == 0
     assert linkage.fuzzy_match_degree(docs, "doc_id", "text", ["lang"]).count() == 0
+    # spatial radius join over empty points -> empty (r14: both forms)
+    from lab_etl_batch_data_processing_pipeline__spark.operators import geo
+
+    pts = spark.createDataFrame([], "id long, lat long, lon long")
+    assert geo.radius_pairs(pts, "id", "lat", "lon", 10).count() == 0
+    assert geo.radius_degree(pts, "id", "lat", "lon", 10).count() == 0
+    # a single point has no pair and no degree row
+    one = spark.createDataFrame([(1, 0, 0)], "id long, lat long, lon long")
+    assert geo.radius_pairs(one, "id", "lat", "lon", 10).count() == 0
+    assert geo.radius_degree(one, "id", "lat", "lon", 10).count() == 0
 
 
 def test_r9_fourth_wave_empty_behavior(spark, empty):
