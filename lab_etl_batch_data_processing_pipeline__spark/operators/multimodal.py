@@ -304,7 +304,9 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 def resize_png(payload: bytes, target_w: int, target_h: int) -> tuple[bytes, int, int]:
     """REAL PNG resize: decode -> nearest-neighbor resample -> re-encode.
     Returns ``(png_bytes, orig_w, orig_h)``; raises ValueError on
-    unsupported PNG shapes (caller falls back to the stub)."""
+    malformed streams (caller falls back to the stub). Any legal input
+    shape decodes (r14); the re-encode normalizes to 8-bit
+    non-interlaced, palette expanded to RGB."""
     w, h, ch, pixels = decode_png_pixels(payload)
     if w == 0 or h == 0 or target_w <= 0 or target_h <= 0:
         raise ValueError("degenerate dimensions")
