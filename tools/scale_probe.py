@@ -577,7 +577,10 @@ def main() -> None:
             record("mad_outliers", scale, t, n)
 
     tpch_scales = {}
-    graph_ops = ("transaction_pagerank", "copurchase_triangles")
+    graph_ops = (
+        "transaction_pagerank", "copurchase_triangles",
+        "copurchase_kcore", "copurchase_clustering",
+    )
     selection_tpch_ops = (
         "weighted_median", "winsorized_stats", "cohort_retention",
     )
@@ -629,6 +632,41 @@ def main() -> None:
                 lambda: graph.triangle_counts(edges, "item_a", "item_b").count()
             )
             record("copurchase_triangles", scale, t, n)
+
+        # --- r14 additions: the last two graph ops without receipts ---
+
+        # Fixed-round k-core peel (the copurchase_kcore bench shape:
+        # k=2, 4 rounds). Claim under test: each peel round is one
+        # degree aggregate + one semi-join over the surviving edges —
+        # cost ~ edges x rounds; with disjoint replica universes the
+        # peel order inside each replica is identical, so survivors
+        # scale exactly linearly.
+        if want("copurchase_kcore"):
+            edges = joins.basket_pairs(
+                li, "l_orderkey", "l_partkey", min_support=2
+            )
+            t, n = timed(
+                lambda: graph.kcore(
+                    edges, "item_a", "item_b", k=2, rounds=4
+                ).count()
+            )
+            record("copurchase_kcore", scale, t, n)
+
+        # Local clustering coefficients (copurchase_clustering shape).
+        # Claim under test: one degree aggregate + one node join on top
+        # of the degree-ordered O(m^1.5) triangle plan — same organic
+        # scaling argument as triangles (disjoint universes: 10 summed
+        # m^1.5 problems, not (10m)^1.5).
+        if want("copurchase_clustering"):
+            edges = joins.basket_pairs(
+                li, "l_orderkey", "l_partkey", min_support=2
+            )
+            t, n = timed(
+                lambda: graph.clustering_coefficients(
+                    edges, "item_a", "item_b"
+                ).count()
+            )
+            record("copurchase_clustering", scale, t, n)
 
         # --- r14 additions: the r13 single-pass selection rewrites
         # (plan-shape pins existed; these are their measured receipts).
