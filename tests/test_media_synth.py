@@ -359,3 +359,83 @@ def test_decode_png_full_shape_matrix_randomized():
                 else:
                     exp += bytes((v[0] * (255 // maxv),))
         assert bytes(px) == bytes(exp), (trial, ct, d, il, w, h)
+
+
+def test_resize_png_accepts_every_legal_shape_and_matches_replica():
+    """resize_png over formerly-fallback input shapes (palette,
+    sub-byte gray, 16-bit, Adam7) — decode now succeeds, the
+    nearest-neighbor resample must equal the index-arithmetic replica,
+    and the re-encode normalizes to 8-bit non-interlaced (decodable by
+    the same decoder, bit-identical pixels)."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(77)
+
+    def build(ct, depth, interlace, w, h):
+        channels = {0: 1, 2: 3, 3: 1}[ct]
+        palette = None
+        if ct == 3:
+            n_entries = rng.randint(1, 1 << depth)
+            palette = bytes(rng.randrange(256) for _ in range(3 * n_entries))
+            maxv = n_entries - 1
+        else:
+            maxv = (1 << depth) - 1
+        img = [
+            [tuple(rng.randint(0, maxv) for _ in range(channels)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        # filter-0 rows, optionally Adam7-ordered
+        ADAM7 = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        passes = ((0, 0, 1, 1),) if interlace == 0 else ADAM7
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            for ry in range(ph):
+                rowpx = [img[y0 + ry * dy][x0 + rx * dx] for rx in range(pw)]
+                if depth == 8:
+                    line = bytearray(v for px in rowpx for v in px)
+                elif depth == 16:
+                    line = bytearray()
+                    for px in rowpx:
+                        for v in px:
+                            line += struct.pack(">H", v)
+                else:
+                    line = bytearray((pw * depth + 7) // 8)
+                    bit = 0
+                    for px in rowpx:
+                        line[bit // 8] |= px[0] << (8 - depth - bit % 8)
+                        bit += depth
+                raw += b"\x00" + line
+        png = multimodal.PNG_SIGNATURE + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+        )
+        if palette is not None:
+            png += _png_chunk(b"PLTE", palette)
+        return png + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+            b"IEND", b""
+        )
+
+    for ct, depth, interlace in ((3, 4, 0), (0, 2, 0), (0, 16, 1), (2, 8, 1)):
+        w, h = rng.randint(2, 9), rng.randint(2, 7)
+        tw, th = rng.randint(1, 6), rng.randint(1, 6)
+        png = build(ct, depth, interlace, w, h)
+        src_w, src_h, ch, src_px = multimodal.decode_png_pixels(png)
+        out_png, ow, oh = multimodal.resize_png(png, tw, th)
+        assert (ow, oh) == (w, h)
+        rw, rh, rch, rpx = multimodal.decode_png_pixels(out_png)
+        assert (rw, rh, rch) == (tw, th, ch)
+        for ty in range(th):
+            sy = min(h - 1, ty * h // th)
+            for tx in range(tw):
+                sx = min(w - 1, tx * w // tw)
+                s = (sy * w + sx) * ch
+                d = (ty * tw + tx) * ch
+                assert rpx[d : d + ch] == src_px[s : s + ch], (ct, depth, interlace)
