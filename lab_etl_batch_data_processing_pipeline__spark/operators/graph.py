@@ -41,8 +41,30 @@ Two scale guards the naive loop gets wrong:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _ckpt_storage() -> StorageLevel | None:
+    """Optional storage level for CC's per-level frames, from
+    SPARK_GRAFT_CKPT_STORAGE (e.g. ``DISK_ONLY``) — the r14 one-JVM
+    capacity finding was pinned MEMORY_AND_DISK checkpoint blocks
+    squeezing the unified pool against a 32-thread aggregation;
+    DISK_ONLY trades per-level re-read cost for aggregation headroom.
+    Unset (the default, and the only configuration used by the engine's
+    own queries) keeps Spark's stock MEMORY_AND_DISK behavior."""
+    name = os.environ.get("SPARK_GRAFT_CKPT_STORAGE")
+    return getattr(StorageLevel, name) if name else None
+
+
+def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+    lvl = _ckpt_storage()
+    if lvl is not None:
+        return df.localCheckpoint(eager=eager, storageLevel=lvl)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -81,7 +103,8 @@ def connected_components(
     ).select("e.a", "e.b")
     if not assume_unique_pairs:
         edges = edges.distinct()
-    edges = edges.persist()
+    lvl = _ckpt_storage()
+    edges = edges.persist(lvl) if lvl is not None else edges.persist()
     try:
         return _resolve(edges, max_iter).orderBy("node_id")
     finally:
@@ -120,7 +143,7 @@ def _resolve(edges: DataFrame, depth: int, quotient_level: bool = False) -> Data
     tests/test_graph.py::test_first_level_tolerates_unbroadcastable_labels.
     """
     hint = F.broadcast if quotient_level else (lambda df: df)
-    labels = _min_over_neighborhood(edges).localCheckpoint()
+    labels = _ckpt(_min_over_neighborhood(edges))
     if depth <= 1:
         return labels
     # Quotient: map both endpoints through the label frame and keep only
@@ -135,8 +158,8 @@ def _resolve(edges: DataFrame, depth: int, quotient_level: bool = False) -> Data
         .filter(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .distinct()
-        .localCheckpoint()
     )
+    contracted = _ckpt(contracted)
     if not contracted.take(1):
         contracted.unpersist()
         return labels  # no inter-label edges: labels ARE the components
@@ -158,8 +181,8 @@ def _resolve(edges: DataFrame, depth: int, quotient_level: bool = False) -> Data
             "left",
         )
         .select("node_id", F.coalesce("root", "lbl").alias("component_id"))
-        .localCheckpoint()
     )
+    composed = _ckpt(composed)
     labels.unpersist()
     contracted.unpersist()
     return composed
@@ -236,25 +259,29 @@ def pagerank(
     # the upstream plan that built the edges (often a fact-fact join +
     # distinct) re-executes per iteration: measured 14.6 s -> 3.9 s warm
     # at sf0.1 on the co-transaction graph.
-    e = (
+    e = _ckpt(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    outdeg = (
+    outdeg = _ckpt(
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    nodes = _ckpt(
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     ranks = nodes.select(
         "node_id", F.lit(1 << scale_bits).cast("long").alias("rank_fp")
     )
+    # checkpoint_ranks=True only: the previous round's eager rank
+    # checkpoint, unpersisted as soon as its successor materializes —
+    # without this every round's node-sized block stays pinned for the
+    # whole loop (the r14 one-JVM capacity finding: pinned checkpoint
+    # storage squeezing the unified pool is exactly what broke the
+    # 435M-edge CC run). CC's _resolve has the same discipline.
+    prev_ranks: DataFrame | None = None
     for _ in range(iterations):
         contrib = (
             e.join(ranks, e["src"] == ranks["node_id"])
@@ -273,7 +300,10 @@ def pagerank(
             .alias("rank_fp"),
         )
         if checkpoint_ranks:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _ckpt(ranks)
+            if prev_ranks is not None:
+                prev_ranks.unpersist()  # superseded: nothing references it
+            prev_ranks = ranks
     return ranks
 
 
@@ -444,9 +474,11 @@ def kcore(
 
     Shape per round: two semi-joins restrict the dedup'd edge set to
     live×live, one endpoint-count aggregate, one >= k filter — all
-    node/edge-sized with map-side combine; the live set is
-    localCheckpointed per round so lineage stays flat (the pagerank
-    discipline).
+    node/edge-sized with map-side combine; the live set is eagerly
+    localCheckpointed per round so lineage stays flat, and the
+    SUPERSEDED round's checkpoint is unpersisted as soon as its
+    successor materializes (CC's per-level discipline — r15; pinned
+    per-round blocks were the r14 one-JVM capacity squeeze).
 
     Returns (node, core_degree) for round-R survivors, sorted by node.
     """
@@ -457,8 +489,8 @@ def kcore(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    e = _ckpt(e, eager=False)
 
     def degrees(edge_df: DataFrame) -> DataFrame:
         return (
@@ -470,17 +502,25 @@ def kcore(
 
     alive = degrees(e).select("node")
     live_edges = e
+    # Eager per-round checkpoint + unpersist of the superseded level
+    # (CC's _resolve discipline): round i's live set is referenced only
+    # by round i+1's degree count, so once the successor materializes
+    # the old node-sized block is dead weight pinned in the unified
+    # pool — the exact squeeze the r14 one-JVM capacity probe hit.
+    prev_alive: DataFrame | None = None
     for _ in range(rounds):
-        alive = (
+        alive = _ckpt(
             degrees(live_edges)
             .filter(F.col("d") >= k)
             .select("node")
-            .localCheckpoint(eager=False)
         )
         live_edges = (
             e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
         )
+        if prev_alive is not None:
+            prev_alive.unpersist()  # superseded: new alive+live_edges built
+        prev_alive = alive
     return (
         alive.join(degrees(live_edges), "node", "left")
         .select(
