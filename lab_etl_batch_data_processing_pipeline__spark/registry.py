@@ -3607,27 +3607,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events_mad_outliers, price_winsorized, customer_cohort_retention
       were rewritten AFTER their r9-r12 green rows).
 
-    Current window (r14, the r13 verdict's tasks 1-2). HELD: all ten
-    ANN-family keys (ann_cosine_lsh/ivf/pq/ivfpq + the five recall
-    gates + ann_quantized_recall) — the four probes got their FIRST
-    driver-green rows in r13 and stay for the >= 2-green second row
-    (r13 verdict task 1), the gates certify the family alongside.
-    Rotated IN (3), all under the rewrite-requeues rule: the three r13
-    single-pass rewrites whose only driver-green rows predate the
-    rewrite — events_mad_outliers, price_winsorized,
-    customer_cohort_retention (the last also r14-touched: the
-    NULL-month contract pin). price_weighted_median (same rewrite
-    family) already sat in-window r13 and its green row IS
-    post-rewrite; it stays for its second. multimodal_features is
-    r14-touched (native PLTE palette decode) and stays in-window.
-    Rotated OUT (3), per the >= 2-green rule with two greens each
-    (r9+r13, code unchanged since r9): customer_stratified_sample,
-    quality_classifier, xml_roundtrip — their families remain
-    anchored in-window (corpus_prep_auto carries the quality-gate
-    branch; supplier_incremental_ingest carries IO). The remaining
-    r13 window — the eight r10-era 2-green keys held one more round
-    (cheap anchors), the r10-debt keys, and the r9-wave coverage
-    anchors — stays put.
+    Current window (r15, the r14 verdict's task 1: begin retiring
+    rotation STALENESS — 114 of 167 keys' newest driver-green row
+    predated r13, the oldest dating to r03). Rotated IN (15), the
+    oldest-green tail keys, oldest-first exactly as the verdict
+    listed: top_listings_weekly, events_json (last green r03),
+    token_frequencies, word_bigrams, doc_tokens_regex, events_pivot,
+    docs_per_source_quota, brand_setops (r04-r05), status_percentiles,
+    zscore_events, customers_semi_anti, revenue_cube,
+    orders_shipped_7d, nation_top_customer, acctbal_ntile (r05-r06).
+    Rotated OUT (15), per the >= 2-green rule: the nine ANN-family
+    keys (probes green r13+r14 on unchanged code — the exact second
+    row they were held for; the recall gates certified alongside both
+    rounds, plus the r14 sf0.1 segment receipt), and six r10-debt
+    anchors with FIVE driver-green rounds each (r10-r14, code
+    unchanged since r10): revenue_seasonal_backtest,
+    events_level_shift, user_balance_floored, price_equidepth,
+    session_depth, events_ewma. HELD: events_mad_outliers,
+    price_winsorized, customer_cohort_retention (rewrite-requeued r14;
+    r14 green is their FIRST post-rewrite row — they stay for the
+    second), multimodal_features (r14-touched: native palette
+    decode), transaction_pagerank and copurchase_kcore (r15-touched:
+    per-round checkpoint unpersist hygiene — rewrite-requeues applies),
+    the r10-era anchors, and the r9-wave coverage anchors
+    (price_ks_drift, supplier_incremental_ingest, orders_reconcile,
+    user_activity_coverage, event_streaks keep IO/debt families
+    driver-pinned).
 
     Current tail: rows with >= 1 driver-green round (most
     multi-round; per-key receipts annotated in TAIL_KEYS), plus the
@@ -3646,25 +3651,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     six stable rows out; late-r9 waves five through nine: see the r9
     tag of this docstring; r10: the 13-key debt-closing rotation, held
     through r11+r12 — see the r12 tag; r13: the ANN-family + tail-debt
-    rotation described above).
+    rotation; r14: the rewrite-requeues rotation — see the r14 tag;
+    r15: the staleness-retirement rotation described above).
     """
     return {
-        # --- r14 driver window (first 50; see docstring) ---
-        # the ten ANN-family keys, HELD for the probes' >= 2-green
-        # second row (first greens r13; r13 verdict task 1):
-        "ann_cosine_lsh": q_ann_cosine_lsh,
-        "ann_cosine_ivf": q_ann_cosine_ivf,
-        "ann_cosine_pq": q_ann_cosine_pq,
-        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
-        # their quality pins, certifying the family alongside:
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "ann_pq_recall": q_ann_pq_recall,
-        "ann_ivfpq_recall": q_ann_ivfpq_recall,
-        "ann_quantized_recall": q_ann_quantized_recall,
-        # rotated IN r14 under the rewrite-requeues rule: r13
-        # single-pass rewrites whose greens predate the rewrite
-        # (cohort also carries the r14 NULL-month contract pin):
+        # --- r15 driver window (first 50; see docstring) ---
+        # rotated IN r15 (r14 verdict task 1): the fifteen
+        # oldest-green tail keys, oldest first — their last driver
+        # rows dated r03-r06:
+        "top_listings_weekly": q_top_listings_weekly,
+        "events_json": q_events_json,
+        "token_frequencies": q_token_frequencies,
+        "word_bigrams": q_word_bigrams,
+        "doc_tokens_regex": q_doc_tokens_regex,
+        "events_pivot": q_events_pivot,
+        "docs_per_source_quota": q_docs_per_source_quota,
+        "brand_setops": q_brand_setops,
+        "status_percentiles": q_status_percentiles,
+        "zscore_events": q_zscore_events,
+        "customers_semi_anti": q_customers_semi_anti,
+        "revenue_cube": q_revenue_cube,
+        "orders_shipped_7d": q_orders_shipped_7d,
+        "nation_top_customer": q_nation_top_customer,
+        "acctbal_ntile": q_acctbal_ntile,
+        # HELD from r14 under the rewrite-requeues rule (r14 green is
+        # their first POST-rewrite row; they stay for the second):
         "events_mad_outliers": q_events_mad_outliers,
         "price_winsorized": q_price_winsorized,
         "customer_cohort_retention": q_customer_cohort_retention,
@@ -3677,18 +3688,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_gate": q_bloom_join_gate,
         "streaming_attribution": q_streaming_attribution,
         "customer_radius_join": q_customer_radius_join,
-        # r10-debt keys held in-window (3 green rounds r10-r12):
-        "revenue_seasonal_backtest": q_revenue_seasonal_backtest,
-        "events_level_shift": q_events_level_shift,
-        "user_balance_floored": q_user_balance_floored,
-        "price_equidepth": q_price_equidepth,
+        # r10-debt keys held in-window as family anchors (5 green
+        # rounds r10-r14; IO + reconciliation + session coverage):
         "price_ks_drift": q_price_ks_drift,
-        "session_depth": q_session_depth,
         "supplier_incremental_ingest": q_supplier_incremental_ingest,
         "orders_reconcile": q_orders_reconcile,
         "user_activity_coverage": q_user_activity_coverage,
         "event_streaks": q_event_streaks,
-        "events_ewma": q_events_ewma,
         "multimodal_features": q_multimodal_features,
         "corpus_prep_auto": q_corpus_prep_auto,
         # r9-wave keys held in-window (coverage anchors; see docstring):
@@ -3710,7 +3716,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
         # --- past the driver's 50-key correctness window (see
-        # docstring). Rotated out r14 with two driver-green rounds
+        # docstring). Rotated out r15 per the >= 2-green rule: the
+        # nine ANN-family keys (driver-green r13+r14 on unchanged
+        # code, plus the r14 sf0.1 segment receipt):
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
+        "ann_cosine_pq": q_ann_cosine_pq,
+        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,
+        "ann_quantized_recall": q_ann_quantized_recall,
+        # and six r10-debt anchors with five driver-green rounds each
+        # (r10-r14, code unchanged since r10):
+        "revenue_seasonal_backtest": q_revenue_seasonal_backtest,
+        "events_level_shift": q_events_level_shift,
+        "user_balance_floored": q_user_balance_floored,
+        "price_equidepth": q_price_equidepth,
+        "session_depth": q_session_depth,
+        "events_ewma": q_events_ewma,
+        # Rotated out r14 with two driver-green rounds
         # each (r9+r13, code unchanged since r9):
         "customer_stratified_sample": q_customer_stratified_sample,
         "quality_classifier": q_quality_classifier,
@@ -3794,23 +3820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
         "sessionization": q_sessionization,
-        "top_listings_weekly": q_top_listings_weekly,
-        "events_json": q_events_json,
-        "token_frequencies": q_token_frequencies,
-        "word_bigrams": q_word_bigrams,
-        "brand_setops": q_brand_setops,
-        "events_pivot": q_events_pivot,
-        "docs_per_source_quota": q_docs_per_source_quota,
-        "doc_tokens_regex": q_doc_tokens_regex,
-        "status_percentiles": q_status_percentiles,
-        "zscore_events": q_zscore_events,
-        "customers_semi_anti": q_customers_semi_anti,
-        "nation_top_customer": q_nation_top_customer,
-        "acctbal_ntile": q_acctbal_ntile,
         "nation_custkey_list": q_nation_custkey_list,
         "orders_by_weekday": q_orders_by_weekday,
-        "revenue_cube": q_revenue_cube,
-        "orders_shipped_7d": q_orders_shipped_7d,
         "csv_roundtrip": q_csv_roundtrip,
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "date_normalize": q_date_normalize,

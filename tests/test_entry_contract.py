@@ -44,6 +44,26 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # rotated out r15 per the standing >= 2-green rule: the nine
+    # ANN-family keys, driver-green r13+r14 on unchanged code (plus
+    # the r14 sf0.1 segment receipt 10/10):
+    "ann_cosine_lsh": "test_spot_oracle_parity (driver-green r13+r14; recall floor also pinned by tests/test_similarity.py)",
+    "ann_cosine_ivf": "test_spot_oracle_parity (driver-green r13+r14)",
+    "ann_cosine_pq": "test_spot_oracle_parity (driver-green r13+r14)",
+    "ann_cosine_ivfpq": "test_spot_oracle_parity (driver-green r13+r14)",
+    "ann_lsh_recall": "test_spot_oracle_parity (driver-green r13+r14)",
+    "ann_ivf_recall": "test_spot_oracle_parity (driver-green r13+r14)",
+    "ann_pq_recall": "test_spot_oracle_parity (driver-green r13+r14)",
+    "ann_ivfpq_recall": "test_spot_oracle_parity (driver-green r13+r14)",
+    "ann_quantized_recall": "test_spot_oracle_parity (driver-green r13+r14)",
+    # and six r10-debt anchors with FIVE driver-green rounds each
+    # (r10-r14, code unchanged since r10):
+    "revenue_seasonal_backtest": "test_spot_oracle_parity (driver-green r10-r14)",
+    "events_level_shift": "test_spot_oracle_parity (driver-green r10-r14)",
+    "user_balance_floored": "test_spot_oracle_parity (driver-green r10-r14)",
+    "price_equidepth": "test_spot_oracle_parity (driver-green r10-r14)",
+    "session_depth": "test_spot_oracle_parity (driver-green r10-r14; user_activity_coverage + event_streaks in-window keep sessions driver-pinned)",
+    "events_ewma": "test_spot_oracle_parity (driver-green r10-r14)",
     # rotated out r14 per the standing >= 2-green rule, two
     # driver-green rounds each (r9+r13, code unchanged since r9):
     "customer_stratified_sample": "test_spot_oracle_parity (driver-green r9+r13)",
@@ -78,24 +98,16 @@ TAIL_KEYS = {
     # rotated out for the sixth wave; oracle-bearing, so
     # test_spot_oracle_parity keeps running real value parity:
     "heavy_hitters_gate": "test_spot_oracle_parity (driver-green r8)",
-    "top_listings_weekly": "test_spot_oracle_parity",
-    "events_json": "test_spot_oracle_parity",
-    "token_frequencies": "test_spot_oracle_parity",
-    "word_bigrams": "test_spot_oracle_parity",
-    "brand_setops": "test_spot_oracle_parity",
-    "events_pivot": "test_spot_oracle_parity",
-    "docs_per_source_quota": "test_spot_oracle_parity",
-    "doc_tokens_regex": "test_spot_oracle_parity",
+    # NOTE (r15 staleness retirement): top_listings_weekly,
+    # events_json, token_frequencies, word_bigrams, brand_setops,
+    # events_pivot, docs_per_source_quota, doc_tokens_regex,
+    # status_percentiles, zscore_events, customers_semi_anti,
+    # nation_top_customer, acctbal_ntile, revenue_cube,
+    # orders_shipped_7d rotated back IN r15 (their last driver rows
+    # dated r03-r06) — no longer tail keys.
     # rotated out r6 after multiple driver-green rounds (r1-r5):
-    "status_percentiles": "test_spot_oracle_parity",
-    "zscore_events": "test_spot_oracle_parity",
-    "customers_semi_anti": "test_spot_oracle_parity",
-    "nation_top_customer": "test_spot_oracle_parity",
-    "acctbal_ntile": "test_spot_oracle_parity",
     "nation_custkey_list": "test_spot_oracle_parity",
     "orders_by_weekday": "test_spot_oracle_parity",
-    "revenue_cube": "test_spot_oracle_parity",
-    "orders_shipped_7d": "test_spot_oracle_parity",
     # rotated out r7 after multiple driver-green rounds (r5/r6 or r1-r6)
     # to give the r6-born operators + training_mix their driver rounds:
     "csv_roundtrip": "test_spot_oracle_parity",
