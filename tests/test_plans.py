@@ -6,6 +6,7 @@ plan is a bug at 100 TB even when values match."""
 from __future__ import annotations
 
 import pytest
+import re
 
 import __spark_entry__ as entrymod
 
@@ -789,3 +790,108 @@ def test_benford_densify_does_not_inline_digit_case_into_filter(spark):
         l for l in plan.splitlines() if "isnotnull(CASE" in l
     ]
     assert not filter_lines, "digit CASE re-inlined into a null filter"
+
+
+# ---------------------------------------------------------------------------
+# Standing all-registry pushdown audit (r14 verdict task 3).
+#
+# The r14 round ran a one-off programmatic audit of all 167 formatted
+# plans and found zero filters sitting above a file scan with empty
+# PushedFilters — this is that audit folded into the suite, so any
+# future operator that regresses pushdown fails CI instead of waiting
+# for the next manual audit. The regression fixture that motivated it:
+# pre-f68abd0, customer_cohort_retention filtered NULL months ABOVE the
+# scan (on the derived month column) and its orders scan showed
+# `PushedFilters: []`; the rewrite moved the null guard to o_orderdate
+# so it reaches the scan. This gate would have flagged exactly that.
+#
+# Scope: only FILE-source scans (parquet/csv/orc/json/text) are gated —
+# post-checkpoint RDD scans (`Scan ExistingRDD`) have no pushdown API
+# and legitimately carry filters above them, so they are excluded by
+# construction rather than by allowlist.
+# ---------------------------------------------------------------------------
+
+_TREE_NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][\w ]*?)\s*\((\d+)\)\s*$")
+_SCAN_DETAIL_RE = re.compile(r"^\((\d+)\)\s+Scan (\w+)")
+# pass-through unary wrappers between a Filter and the scan it reads
+_PASSTHROUGH = {"ColumnarToRow", "InputAdapter", "WholeStageCodegen"}
+_FILE_SOURCES = {"parquet", "csv", "orc", "json", "text"}
+
+
+def unpushed_filter_scans(plan: str) -> list[tuple[str, str]]:
+    """(filter_node, scan_node) pairs where a Filter sits directly above
+    a file-source scan whose PushedFilters list is empty — i.e. nothing
+    at all was pushed even though a predicate exists at scan level."""
+    lines = plan.splitlines()
+    # 1) detail sections: scan id -> (source kind, has empty PushedFilters)
+    empty_push: set[str] = set()
+    scan_kind: dict[str, str] = {}
+    cur_scan = None
+    for ln in lines:
+        m = _SCAN_DETAIL_RE.match(ln)
+        if m:
+            cur_scan = m.group(1)
+            scan_kind[cur_scan] = m.group(2).lower()
+            continue
+        if ln.startswith("(") and ") " in ln[:8]:
+            cur_scan = None  # a different node's detail section
+        if cur_scan is not None and ln.strip() == "PushedFilters: []":
+            empty_push.add(cur_scan)
+    # 2) tree walk: preorder; a unary node's child is the next tree line
+    tree: list[tuple[str, str]] = []
+    for ln in lines:
+        if ln.startswith("=="):
+            continue
+        m = _TREE_NODE_RE.match(ln)
+        if m:
+            tree.append((m.group(1).strip(), m.group(2)))
+        if not ln.strip():
+            break  # tree section ends at the first blank line
+    bad: list[tuple[str, str]] = []
+    for i, (name, fid) in enumerate(tree):
+        if name != "Filter":
+            continue
+        j = i + 1
+        while j < len(tree) and tree[j][0] in _PASSTHROUGH:
+            j += 1
+        if j >= len(tree):
+            continue
+        child, cid = tree[j]
+        if child.startswith("Scan ") and scan_kind.get(cid) in _FILE_SOURCES:
+            if cid in empty_push:
+                bad.append((f"Filter ({fid})", f"{child} ({cid})"))
+    return bad
+
+
+# key -> documented reason a filter may legitimately sit above a scan
+# with nothing pushed. Empty today: every registry plan pushes at least
+# one predicate whenever a filter touches a file scan. Add entries ONLY
+# with a why-it-cannot-push justification.
+_PUSHDOWN_AUDIT_ALLOW: dict[str, str] = {}
+
+
+@pytest.fixture(scope="module")
+def all_registry_plans(spark):
+    """Formatted static plans for EVERY registry key at sf0.001 (plan
+    shape is SF-independent; builders that run eager probe jobs run
+    them at the tiny SF). Built once per module."""
+    try:
+        entrymod.prebuild_indexes(spark, SF)
+    except Exception:
+        pass
+    registry = entrymod.queries()
+    return {key: formatted_plan(fn(spark, SF)) for key, fn in registry.items()}
+
+
+def test_every_registry_plan_pushes_filters(all_registry_plans):
+    violations = {}
+    for key, plan in all_registry_plans.items():
+        if key in _PUSHDOWN_AUDIT_ALLOW:
+            continue
+        bad = unpushed_filter_scans(plan)
+        if bad:
+            violations[key] = bad
+    assert not violations, (
+        "filter above a file scan with PushedFilters: [] — the predicate "
+        f"never reached the scan: {violations}"
+    )
