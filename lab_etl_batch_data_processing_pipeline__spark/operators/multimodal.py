@@ -207,7 +207,11 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
                 raise ValueError("illegal PNG shape (IHDR outside the spec)")
             channels = _PNG_CHANNELS[color_type]
         elif ctype == b"PLTE":
-            if length % 3 != 0 or length == 0:
+            # len(data) can be < the declared length on a truncated
+            # stream (data is sliced from the payload), and a partial
+            # final entry would otherwise surface later as an opaque
+            # slice-length mismatch instead of this message.
+            if len(data) != length or length % 3 != 0 or length == 0:
                 raise ValueError("malformed PLTE chunk")
             palette = bytes(data)
         elif ctype == b"IDAT":

@@ -177,6 +177,24 @@ def test_decode_image_malformed_png_falls_back_to_stub():
     )
 
 
+def test_decode_png_truncated_plte_reports_malformed_plte():
+    """A PLTE whose declared length overruns the remaining payload (a
+    truncated stream) must fail with the malformed-PLTE message, not
+    surface later as an opaque pixel-slice length mismatch (r14
+    ADVICE): the chunk walk slices data from the payload, so len(data)
+    can silently be < the declared length."""
+    import struct
+
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    # declared 6-byte (2-entry) palette, but only 4 bytes present: the
+    # chunk-length field says 6 and the payload ends mid-palette.
+    plte = _png_chunk(b"PLTE", b"\x10\x20\x30\x40\x50\x60")
+    truncated = plte[: 8 + 4]  # keep length+type+4 of 6 data bytes
+    payload = multimodal.PNG_SIGNATURE + ihdr + truncated
+    with pytest.raises(ValueError, match="malformed PLTE"):
+        multimodal.decode_png_pixels(payload)
+
+
 def test_decode_png_palette_randomized_all_filters():
     """Randomized palette-decode golden: random index images at every
     legal palette depth, rows filtered with ALL five PNG filter types
@@ -439,3 +457,160 @@ def test_resize_png_accepts_every_legal_shape_and_matches_replica():
                 s = (sy * w + sx) * ch
                 d = (ty * tw + tx) * ch
                 assert rpx[d : d + ch] == src_px[s : s + ch], (ct, depth, interlace)
+
+
+def test_decode_wav_full_shape_matrix_randomized():
+    """Randomized golden over the legal PCM WAV shape matrix (the WAV
+    twin of the PNG matrix golden, r14 verdict task 4): every sample
+    width the decoder claims (8-bit unsigned, 16/24/32-bit signed LE)
+    x mono/stereo x the common sample rates, random frame counts —
+    container bytes are hand-built here (RIFF/fmt/data via struct, NOT
+    the ``wave`` module the decoder itself uses), and every decoded
+    field including the 6-dp RMS must match an in-test replica."""
+    import random
+    import struct
+
+    def encode_wav(channels, rate, width, samples):
+        if width == 1:
+            frames = bytes((s + 128) & 0xFF for s in samples)
+        elif width == 3:
+            frames = b"".join(
+                s.to_bytes(3, "little", signed=True) for s in samples
+            )
+        else:
+            fmt = {2: "h", 4: "i"}[width]
+            frames = struct.pack(f"<{len(samples)}{fmt}", *samples)
+        block = channels * width
+        fmt_chunk = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * block, block, width * 8
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(frames)) + frames
+            + (b"\x00" if len(frames) % 2 else b"")  # RIFF word align
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    FULL_SCALE = {1: 128.0, 2: 32768.0, 3: 8388608.0, 4: 2147483648.0}
+    MAXV = {1: 127, 2: 32767, 3: 8388607, 4: 2147483647}
+    RATES = (8000, 11025, 16000, 22050, 44100)
+    CASES = [(w, ch) for w in (1, 2, 3, 4) for ch in (1, 2)]
+    rng = random.Random(2015)
+    for trial in range(3 * len(CASES)):
+        width, channels = CASES[trial % len(CASES)]
+        rate = RATES[rng.randrange(len(RATES))]
+        n_frames = rng.randint(1, 300)
+        lo, hi = -MAXV[width] - 1, MAXV[width]
+        samples = [
+            rng.randint(lo, hi) for _ in range(n_frames * channels)
+        ]
+        payload = encode_wav(channels, rate, width, samples)
+        got = multimodal.decode_wav(payload)
+        n = len(samples)
+        exp_rms = round(
+            (sum(v * v for v in samples) / n) ** 0.5 / FULL_SCALE[width], 6
+        )
+        exp = (
+            channels,
+            rate,
+            n_frames,
+            round(n_frames * 1000 / rate),
+            exp_rms,
+        )
+        assert got == exp, (trial, width, channels, rate, n_frames, got, exp)
+
+
+def test_decode_avi_full_shape_matrix_randomized():
+    """Randomized golden over the AVI/DIB shape matrix (the video twin
+    of the PNG matrix golden, r14 verdict task 4): BI_RGB bit depths
+    8/24 x bottom-up AND top-down (negative strf height) x random dims
+    chosen to exercise 4-byte row-stride padding x random frame counts.
+    The container is hand-built here (independent of media_synth's
+    encoder); header fields, stream format, frame iteration, and every
+    decoded pixel must match the in-test reference image exactly."""
+    import random
+
+    def riff(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+    def encode_avi(w, h_signed, bits, imgs, usec_per_frame):
+        h = abs(h_signed)
+        channels = bits // 8
+        stride = (w * channels + 3) & ~3
+        frames = []
+        for img in imgs:  # img: top-down rows of pixel tuples
+            buf = bytearray()
+            rows = range(h) if h_signed < 0 else range(h - 1, -1, -1)
+            for y in rows:
+                row = bytearray()
+                for px in img[y]:
+                    row += bytes(px[::-1]) if channels == 3 else bytes(px)
+                row += b"\x00" * (stride - len(row))
+                buf += row
+            frames.append(bytes(buf))
+        avih = b"".join(
+            v.to_bytes(4, "little")
+            for v in [usec_per_frame, 0, 0, 0, len(imgs), 0, 1, 0, w, h, 0, 0, 0, 0]
+        )
+        strh = b"vids" + b"\x00" * 52
+        strf = (
+            (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h_signed.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+            + (0).to_bytes(4, "little")  # BI_RGB
+            + b"\x00" * 20
+        )
+        hdrl = riff(
+            b"LIST",
+            b"hdrl"
+            + riff(b"avih", avih)
+            + riff(b"LIST", b"strl" + riff(b"strh", strh) + riff(b"strf", strf)),
+        )
+        movi = riff(
+            b"LIST", b"movi" + b"".join(riff(b"00db", f) for f in frames)
+        )
+        # a non-frame trailing chunk the walkers must skip, not choke on
+        body = b"AVI " + hdrl + movi + riff(b"idx1", b"\x00" * 16)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    CASES = [
+        (bits, top_down) for bits in (8, 24) for top_down in (False, True)
+    ]
+    rng = random.Random(2016)
+    for trial in range(4 * len(CASES)):
+        bits, top_down = CASES[trial % len(CASES)]
+        channels = bits // 8
+        # odd widths force nonzero stride padding for both depths
+        w, h = rng.randint(1, 13), rng.randint(1, 9)
+        n_frames = rng.randint(1, 5)
+        usec = rng.choice((33_333, 40_000, 66_667))
+        imgs = [
+            [
+                [tuple(rng.randrange(256) for _ in range(channels)) for _ in range(w)]
+                for _ in range(h)
+            ]
+            for _ in range(n_frames)
+        ]
+        h_signed = -h if top_down else h
+        payload = encode_avi(w, h_signed, bits, imgs, usec)
+        assert multimodal.decode_avi_header(payload) == (
+            w, h, n_frames, round(n_frames * usec / 1000)
+        ), (trial, bits, top_down)
+        assert multimodal.decode_avi_stream_format(payload) == (
+            w, h_signed, bits, 0
+        ), (trial, bits, top_down)
+        frames = list(multimodal.iter_avi_frames(payload))
+        assert len(frames) == n_frames, (trial, bits, top_down)
+        for img, frame in zip(imgs, frames):
+            fw, fh, fch, px = multimodal.decode_dib_frame(
+                frame, w, h_signed, bits
+            )
+            exp = b"".join(
+                bytes(p) for row in img for p in row
+            )
+            assert (fw, fh, fch) == (w, h, channels), (trial, bits, top_down)
+            assert px == exp, (trial, bits, top_down, w, h)
