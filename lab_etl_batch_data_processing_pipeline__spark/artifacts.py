@@ -22,6 +22,7 @@ import glob
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -226,7 +227,15 @@ def sweep_orphan_siblings(out_dir: str) -> None:
     tmp_dir rmtree. Only dirs whose embedded pid is DEAD are removed:
     a live concurrent builder owns its siblings, and deleting a live
     claim dir between its claim and marker-check would downgrade a
-    raced-in complete dataset to a rebuild."""
+    raced-in complete dataset to a rebuild.
+
+    pid-liveness alone is not sufficient: a recycled pid that now
+    belongs to an unrelated live process would make a dead builder's
+    multi-GB sibling survive every sweep (r14 ADVICE). Age is the
+    secondary signal — a genuinely live builder's siblings are always
+    recent (created this build attempt), so a pid-live dir whose mtime
+    is older than a generous 24 h is treated as orphaned regardless."""
+    now = time.time()
     for path in glob.glob(f"{out_dir}.tmp.*") + glob.glob(f"{out_dir}.stale.*"):
         try:
             pid = int(path.rsplit(".", 1)[1])
@@ -238,8 +247,15 @@ def sweep_orphan_siblings(out_dir: str) -> None:
             os.kill(pid, 0)  # liveness probe only — signal 0 sends nothing
         except ProcessLookupError:
             shutil.rmtree(path, ignore_errors=True)
+            continue
         except (OSError, PermissionError):
-            continue  # pid live (or unknowable): leave the dir alone
+            pass  # pid live (or unknowable): fall through to the age gate
+        try:
+            age_sec = now - os.stat(path).st_mtime
+        except OSError:
+            continue  # vanished mid-sweep (e.g. its owner cleaned up)
+        if age_sec > 24 * 3600:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def _sweep_stale_cache(parent: str, keep: str) -> None:

@@ -496,3 +496,31 @@ def test_sweep_orphan_siblings_removes_dead_pid_dirs_only(tmp_path):
     assert os.path.isdir(f"{out}.stale.notapid")
     assert os.path.isdir(f"{out}.tmp.{os.getpid()}")
     assert os.path.isdir(out)  # the published dataset itself is never touched
+
+
+def test_sweep_orphan_siblings_age_gate_catches_recycled_pids(tmp_path):
+    """r14 ADVICE: pid-liveness alone leaks forever when a dead
+    builder's pid is recycled by an unrelated live process. A LIVE-pid
+    sibling older than 24 h must be swept (live builders' siblings are
+    always recent); a live-pid sibling with a fresh mtime must survive
+    (the existing test pins that), and so must a fresh DEAD-pid dir's
+    removal — age only ever widens the sweep."""
+    import os
+
+    from lab_etl_batch_data_processing_pipeline__spark.artifacts import (
+        sweep_orphan_siblings,
+    )
+
+    out = str(tmp_path / "curated" / "sf0.01-1-2")
+    os.makedirs(out)
+    live_pid = os.getppid()
+    old = f"{out}.stale.{live_pid}"
+    fresh = f"{out}.tmp.{live_pid}"
+    for name in (old, fresh):
+        os.makedirs(name)
+    stale_ts = __import__("time").time() - 25 * 3600
+    os.utime(old, (stale_ts, stale_ts))
+    sweep_orphan_siblings(out)
+    assert not os.path.isdir(old), "25h-old live-pid dir must be swept"
+    assert os.path.isdir(fresh), "fresh live-pid dir must survive"
+    assert os.path.isdir(out)
