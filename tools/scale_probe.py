@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -118,17 +119,22 @@ def _fresh_dir(out: str, recipe: dict) -> bool:
 
     parent = os.path.dirname(out)
     name = os.path.basename(out)  # '<sf>-<mtime>-<size>-xN[-suffix]'
-    sf = name.split("-", 1)[0]
-    parts = name.split("-")
-    xn_suffix = "-".join(parts[3:])  # 'xN' or 'xN-tpch' / 'xN-events'
+    # Derive (sf, family-suffix) by matching the known '-<mtime>-<size>-
+    # xN' tail, NOT by split('-') position: the sf tag may itself carry
+    # dashes, and pre-r14 legacy dirs ('<sf>-<mtime>-<size>', no xN
+    # segment) must still be recognized and swept or their multi-GB
+    # contents leak forever (r14 ADVICE).
+    tail_re = re.compile(r"^(?P<sf>.+)-\d+-\d+(?:-x\d+(?P<fam>(?:-\w+)?))?$")
+    m = tail_re.match(name)
+    sf = m.group("sf") if m else name.split("-", 1)[0]
+    fam = (m.group("fam") or "") if m else ""
     if os.path.isdir(parent):
         for sib in os.listdir(parent):
-            sp = sib.split("-")
-            if (
-                sib != name
-                and sp[0] == sf
-                and "-".join(sp[3:]) == xn_suffix
-            ):
+            sm = tail_re.match(sib)
+            if sib == name or not sm or sm.group("sf") != sf:
+                continue
+            sib_fam = sm.group("fam")  # None = legacy pre-r14 (no xN)
+            if sib_fam is None or sib_fam == fam:
                 shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
     if _recipe_valid(out, recipe):
         return False
@@ -345,7 +351,7 @@ def main() -> None:
         needs_sketch = any(
             want(op)
             for op in ("jaccard_near_dups_capped", "near_dup_clusters_cc")
-        )
+        ) or ("cc_capacity" in op_filters and scale == "sf0.1")
         if want("token_sketch_build") or needs_sketch:
             t, n = timed(
                 lambda: dedup_fuzzy.token_sketch(docs)
@@ -777,6 +783,97 @@ def main() -> None:
             record("cc_edges", f"x{factor}", t, n)
             big_pairs.unpersist()
 
+    # pagerank_edges: the cc_edges protocol applied to pagerank (r14
+    # verdict task 2: 2.93x @ 10x organic was the steepest receipt
+    # without a second decade). The co-transaction edge list is built
+    # ONCE at sf0.1, checkpointed, then id-strided x1/x10/x100 into
+    # disjoint replica universes (degree distribution flat, rank mass
+    # per replica identical) and pagerank(5 rounds) timed per decade.
+    if want("pagerank_edges"):
+        o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
+        li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
+        pr_pairs = (
+            li01.join(o01, li01["l_orderkey"] == o01["o_orderkey"])
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+        pr_base = (
+            pr_pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+            .union(
+                pr_pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        print(
+            f"PROBE pagerank_edges base edges={pr_base.count()}",
+            file=sys.stderr,
+        )
+        for factor in (1, 10, 100):
+            reps = spark.range(factor).select(F.col("id").alias("r"))
+            big_edges = (
+                pr_base.crossJoin(reps)
+                .select(
+                    (F.col("src") + F.col("r") * ID_STRIDE).alias("src"),
+                    (F.col("dst") + F.col("r") * ID_STRIDE).alias("dst"),
+                )
+                .repartition(32)
+                .localCheckpoint(eager=True)
+            )
+            t, n = timed(
+                lambda: graph.pagerank(big_edges, iterations=5).count()
+            )
+            record("pagerank_edges", f"x{factor}", t, n)
+            big_edges.unpersist()
+        pr_base.unpersist()
+
+    # cc_capacity: EXPLICIT-ONLY (exact token, never in a default sweep)
+    # — the r14 one-JVM ceiling retry (verdict task 6). Reproduces the
+    # 435M-edge configuration that hit AGGREGATE_OUT_OF_MEMORY at 16g
+    # (FULL capped base pairs, no 10% sample, x100 id-stride), intended
+    # to run under the new hooks:
+    #   SPARK_GRAFT_DRIVER_JAVA_OPTS  (GC tuning, e.g. G1 region size)
+    #   SPARK_GRAFT_CKPT_STORAGE=DISK_ONLY  (per-level CC frames +
+    #     symmetrized-edge persist go disk-only, freeing the unified
+    #     pool for the 32-thread min-aggregation)
+    # SPARK_GRAFT_CC_CAP_FACTOR overrides the stride (default 100).
+    if "cc_capacity" in op_filters:
+        docs01 = scales["sf0.1"][0]
+        sk01 = sketches.get("sf0.1")
+        cap_pairs = dedup_fuzzy.jaccard_near_dups(
+            docs01, threshold=0.6, sort=False, sketch=sk01, block_cap=200
+        )
+        pa, pb = cap_pairs.columns[:2]
+        base_pairs = cap_pairs.select(pa, pb).localCheckpoint(eager=True)
+        n_base = base_pairs.count()
+        factor = int(os.environ.get("SPARK_GRAFT_CC_CAP_FACTOR", "100"))
+        print(
+            f"PROBE cc_capacity base edges={n_base} factor={factor} "
+            f"ckpt_storage={os.environ.get('SPARK_GRAFT_CKPT_STORAGE')}",
+            file=sys.stderr,
+        )
+        reps = spark.range(factor).select(F.col("id").alias("r"))
+        big_pairs = (
+            base_pairs.crossJoin(reps)
+            .select(
+                (F.col(pa) + F.col("r") * ID_STRIDE).alias(pa),
+                (F.col(pb) + F.col("r") * ID_STRIDE).alias(pb),
+            )
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        base_pairs.unpersist()
+        t, n = timed(
+            lambda: graph.connected_components(
+                big_pairs, assume_unique_pairs=True
+            ).count(),
+            runs=1,
+        )
+        record("cc_capacity", f"x{factor}", t, n)
+        big_pairs.unpersist()
+
     for op, d in report.items():
         if "sf0.1" in d and XN in d:
             d["ratio_steady"] = round(d[XN][-1] / max(d["sf0.1"][-1], 1e-9), 2)
@@ -784,11 +881,13 @@ def main() -> None:
             # GC pause (measured: triangles x10 run2 = 2.4x run1 in the
             # same JVM), so min-over-runs is the robust steady estimator
             d["ratio_min"] = round(min(d[XN]) / max(min(d["sf0.1"]), 1e-9), 2)
-    cc = report.get("cc_edges")
-    if cc:
+    for strided in ("cc_edges", "pagerank_edges"):
+        d = report.get(strided)
+        if not d:
+            continue
         for hi, lo, label in (("x10", "x1", "ratio_x10"), ("x100", "x1", "ratio_x100")):
-            if hi in cc and lo in cc:
-                cc[label] = round(min(cc[hi]) / max(min(cc[lo]), 1e-9), 2)
+            if hi in d and lo in d:
+                d[label] = round(min(d[hi]) / max(min(d[lo]), 1e-9), 2)
     print(json.dumps({"base": base_sf, "replicas": REPLICAS, "ops": report}))
 
 
