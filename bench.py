@@ -51,15 +51,28 @@ WARM_KEYS = (
 WARM_BUDGET_SEC = 20.0
 
 
-def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
+def warm_up(spark, sf_dir: str, warm_mode: str, phases: dict | None = None) -> None:
     """JVM/codegen warmup, honestly bounded (time-capped so warmup cost
     can't silently grow with the registry). Codegen for plans the subset
     doesn't cover stays in that query's timed number. Modes: 'subset'
-    (default), 'full' (r5-style whole-registry warm, for A/B), 'none'."""
+    (default), 'full' (r5-style whole-registry warm, for A/B), 'none'.
+
+    ``phases`` (r14 verdict task 7): per-phase wall seconds recorded
+    into the payload's startup_breakdown so every round's startup_sec
+    is decomposable without re-instrumenting."""
+
+    def mark(key: str, since: float) -> float:
+        now = time.perf_counter()
+        if phases is not None:
+            phases[key] = round(now - since, 3)
+        return now
+
+    t = time.perf_counter()
     # JIT spinup + the vectorized reader / hash-agg / exchange paths
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_regionkey").count()\
         .orderBy("r_regionkey").collect()
+    t = mark("warm_jit", t)
     # Python/Arrow worker-pool spinup (shared infrastructure for every
     # Pandas-UDF/mapInPandas path, e.g. the multimodal decoders): one
     # trivial identity mapInPandas forks the daemon + worker processes
@@ -69,6 +82,7 @@ def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
         spark.range(64).repartition(8).mapInPandas(
             lambda it: it, "id long"
         ).write.format("noop").mode("overwrite").save()
+    t = mark("warm_arrow_workers", t)
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_sf) or warm_mode == "none":
         return
@@ -96,6 +110,7 @@ def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
             materialize(registry[name](spark, warm_sf))
         except Exception as exc:
             print(f"WARNING: warmup {name} failed: {exc}", file=sys.stderr)
+    t = mark("warm_codegen_subset", t)
     # Stateful-streaming warm at sf0.01, NOT sf0.001: the micro-batch
     # planner + state store + applyInPandasWithState Arrow-state paths
     # only cross C2 JIT compile thresholds under real volume — an
@@ -114,6 +129,7 @@ def warm_up(spark, sf_dir: str, warm_mode: str) -> None:
             materialize(registry["streaming_user_totals"](spark, warm01))
         except Exception as exc:
             print(f"WARNING: streaming warmup failed: {exc}", file=sys.stderr)
+    mark("warm_streaming_state", t)
 
 
 def env_block(spark) -> dict:
@@ -154,9 +170,12 @@ def main() -> None:
     sf = float(match.group(1)) if match else -1.0
 
     t0 = time.perf_counter()
+    phases: dict = {}
     spark = get_spark("lab-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    warm_up(spark, sf_dir, os.environ.get("SPARK_GRAFT_WARM", "subset"))
+    phases["spark_boot"] = round(time.perf_counter() - t0, 3)
+    warm_up(spark, sf_dir, os.environ.get("SPARK_GRAFT_WARM", "subset"), phases)
+    t_prebuild = time.perf_counter()
     # Materialize the IVF ANN index if absent (an offline build job at
     # scale — the benched query is the probe path, matching how an IVF
     # index is actually operated). Counted in startup_sec, not query time.
@@ -168,6 +187,7 @@ def main() -> None:
             "IVF queries will build their index inline (timed)",
             file=sys.stderr,
         )
+    phases["prebuild_indexes"] = round(time.perf_counter() - t_prebuild, 3)
     startup = time.perf_counter() - t0
     env_at_start = env_block(spark)
 
@@ -226,6 +246,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "startup_sec": round(startup, 3),
+        "startup_breakdown": phases,
         "env": env_at_start,
     }
     try:
