@@ -813,14 +813,19 @@ def main() -> None:
         )
         for factor in (1, 10, 100):
             reps = spark.range(factor).select(F.col("id").alias("r"))
-            big_edges = (
+            # the strided frame honors SPARK_GRAFT_CKPT_STORAGE like the
+            # operator internals: at x100 (117M edges) a MEMORY_AND_DISK
+            # checkpoint of this probe INPUT occupies the storage-
+            # protected region and starves the 32-thread execution pool
+            # (measured: UNABLE_TO_ACQUIRE_MEMORY at 16g) — the same
+            # one-JVM squeeze the operator knob exists for.
+            big_edges = graph._ckpt(
                 pr_base.crossJoin(reps)
                 .select(
                     (F.col("src") + F.col("r") * ID_STRIDE).alias("src"),
                     (F.col("dst") + F.col("r") * ID_STRIDE).alias("dst"),
                 )
                 .repartition(32)
-                .localCheckpoint(eager=True)
             )
             t, n = timed(
                 lambda: graph.pagerank(big_edges, iterations=5).count()
@@ -855,14 +860,13 @@ def main() -> None:
             file=sys.stderr,
         )
         reps = spark.range(factor).select(F.col("id").alias("r"))
-        big_pairs = (
+        big_pairs = graph._ckpt(
             base_pairs.crossJoin(reps)
             .select(
                 (F.col(pa) + F.col("r") * ID_STRIDE).alias(pa),
                 (F.col(pb) + F.col("r") * ID_STRIDE).alias(pb),
             )
             .repartition(64)
-            .localCheckpoint(eager=True)
         )
         base_pairs.unpersist()
         t, n = timed(
