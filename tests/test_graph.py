@@ -141,3 +141,39 @@ def test_entity_clusters_transitive_chain(spark):
         ).collect()
     }
     assert out == {10: 10, 11: 10, 12: 10}
+
+
+def test_ckpt_storage_knob_is_value_neutral(spark, monkeypatch):
+    """SPARK_GRAFT_CKPT_STORAGE only changes WHERE checkpoint blocks
+    live (the one-JVM capacity knob, SCALE.md Round-15) — CC, kcore,
+    and pagerank results under DISK_ONLY must be bit-identical to the
+    default storage path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    pr_edges = edges.selectExpr("doc_id_a as src", "doc_id_b as dst").union(
+        edges.selectExpr("doc_id_b as src", "doc_id_a as dst")
+    )
+
+    def snapshot():
+        cc = {
+            (r.node_id, r.component_id)
+            for r in graph.connected_components(edges).collect()
+        }
+        kc = {
+            (r.node, r.core_degree)
+            for r in graph.kcore(edges, "doc_id_a", "doc_id_b", k=2, rounds=3).collect()
+        }
+        pr = {
+            (r.node_id, r.rank_fp)
+            for r in graph.pagerank(
+                pr_edges, iterations=4, checkpoint_ranks=True
+            ).collect()
+        }
+        return cc, kc, pr
+
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_STORAGE", raising=False)
+    base = snapshot()
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "DISK_ONLY")
+    assert snapshot() == base
