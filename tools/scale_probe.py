@@ -834,6 +834,48 @@ def main() -> None:
             big_edges.unpersist()
         pr_base.unpersist()
 
+    # kcore_edges / clustering_edges: the same edge-strided two-decade
+    # protocol for the two remaining graph loops with only a 10x
+    # organic receipt (r15). The co-purchase pair list is built ONCE at
+    # sf0.1 (basket_pairs min_support=2), checkpointed, id-strided into
+    # disjoint universes; per-replica peel order and triangle structure
+    # are identical, so out_rows must scale exactly linearly.
+    if want("kcore_edges") or want("clustering_edges"):
+        li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
+        cp_base = graph._ckpt(
+            joins.basket_pairs(li01, "l_orderkey", "l_partkey", min_support=2)
+        )
+        print(
+            f"PROBE copurchase strided base edges={cp_base.count()}",
+            file=sys.stderr,
+        )
+        for factor in (1, 10, 100):
+            reps = spark.range(factor).select(F.col("id").alias("r"))
+            big_cp = graph._ckpt(
+                cp_base.crossJoin(reps)
+                .select(
+                    (F.col("item_a") + F.col("r") * ID_STRIDE).alias("item_a"),
+                    (F.col("item_b") + F.col("r") * ID_STRIDE).alias("item_b"),
+                )
+                .repartition(32)
+            )
+            if want("kcore_edges"):
+                t, n = timed(
+                    lambda: graph.kcore(
+                        big_cp, "item_a", "item_b", k=2, rounds=4
+                    ).count()
+                )
+                record("kcore_edges", f"x{factor}", t, n)
+            if want("clustering_edges"):
+                t, n = timed(
+                    lambda: graph.clustering_coefficients(
+                        big_cp, "item_a", "item_b"
+                    ).count()
+                )
+                record("clustering_edges", f"x{factor}", t, n)
+            big_cp.unpersist()
+        cp_base.unpersist()
+
     # cc_capacity: EXPLICIT-ONLY (exact token, never in a default sweep)
     # — the r14 one-JVM ceiling retry (verdict task 6). Reproduces the
     # 435M-edge configuration that hit AGGREGATE_OUT_OF_MEMORY at 16g
@@ -885,7 +927,7 @@ def main() -> None:
             # GC pause (measured: triangles x10 run2 = 2.4x run1 in the
             # same JVM), so min-over-runs is the robust steady estimator
             d["ratio_min"] = round(min(d[XN]) / max(min(d["sf0.1"]), 1e-9), 2)
-    for strided in ("cc_edges", "pagerank_edges"):
+    for strided in ("cc_edges", "pagerank_edges", "kcore_edges", "clustering_edges"):
         d = report.get(strided)
         if not d:
             continue
