@@ -789,7 +789,7 @@ def main() -> None:
     # ONCE at sf0.1, checkpointed, then id-strided x1/x10/x100 into
     # disjoint replica universes (degree distribution flat, rank mass
     # per replica identical) and pagerank(5 rounds) timed per decade.
-    if want("pagerank_edges"):
+    if want("pagerank_edges") or want("kcore_dense"):
         o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
         li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
         pr_pairs = (
@@ -827,10 +827,22 @@ def main() -> None:
                 )
                 .repartition(32)
             )
-            t, n = timed(
-                lambda: graph.pagerank(big_edges, iterations=5).count()
-            )
-            record("pagerank_edges", f"x{factor}", t, n)
+            if want("pagerank_edges"):
+                t, n = timed(
+                    lambda: graph.pagerank(big_edges, iterations=5).count()
+                )
+                record("pagerank_edges", f"x{factor}", t, n)
+            # kcore_dense: the k-core peel on the SAME dense strided
+            # frame — the capacity-grade kcore receipt (the co-purchase
+            # kcore_edges base is only 3.6k edges) and the at-scale
+            # exercise of the r15 eager-unpersist loop hygiene.
+            if want("kcore_dense"):
+                t, n = timed(
+                    lambda: graph.kcore(
+                        big_edges, "src", "dst", k=2, rounds=4
+                    ).count()
+                )
+                record("kcore_dense", f"x{factor}", t, n)
             big_edges.unpersist()
         pr_base.unpersist()
 
@@ -927,7 +939,10 @@ def main() -> None:
             # GC pause (measured: triangles x10 run2 = 2.4x run1 in the
             # same JVM), so min-over-runs is the robust steady estimator
             d["ratio_min"] = round(min(d[XN]) / max(min(d["sf0.1"]), 1e-9), 2)
-    for strided in ("cc_edges", "pagerank_edges", "kcore_edges", "clustering_edges"):
+    for strided in (
+        "cc_edges", "pagerank_edges", "kcore_edges", "clustering_edges",
+        "kcore_dense",
+    ):
         d = report.get(strided)
         if not d:
             continue
