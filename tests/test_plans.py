@@ -895,3 +895,47 @@ def test_every_registry_plan_pushes_filters(all_registry_plans):
         "filter above a file scan with PushedFilters: [] — the predicate "
         f"never reached the scan: {violations}"
     )
+
+
+def test_unpushed_filter_parser_detects_the_bad_shape():
+    """Self-test for the audit parser: a gate that silently parses
+    nothing passes everything, so pin BOTH directions on synthetic
+    formatted-plan text — the pre-f68abd0 cohort shape (Filter above a
+    parquet scan with PushedFilters: []) must be detected; the fixed
+    shape (non-empty PushedFilters) and an RDD scan must not be."""
+    bad = """== Physical Plan ==
+* HashAggregate (4)
++- * Filter (3)
+   +- * ColumnarToRow (2)
+      +- Scan parquet  (1)
+
+(1) Scan parquet
+Output [2]: [o_custkey#1, o_orderdate#2]
+Batched: true
+Location: InMemoryFileIndex [file:/x/orders.parquet]
+PushedFilters: []
+ReadSchema: struct<o_custkey:bigint,o_orderdate:date>
+
+(3) Filter [codegen id : 1]
+Input [2]: [o_custkey#1, o_orderdate#2]
+Condition : isnotnull(date_trunc(month, o_orderdate#2))
+"""
+    hits = unpushed_filter_scans(bad)
+    assert hits == [("Filter (3)", "Scan parquet (1)")]
+
+    good = bad.replace(
+        "PushedFilters: []", "PushedFilters: [IsNotNull(o_orderdate)]"
+    )
+    assert unpushed_filter_scans(good) == []
+
+    rdd = """== Physical Plan ==
+* Filter (2)
++- Scan ExistingRDD (1)
+
+(1) Scan ExistingRDD
+Output [1]: [node_id#1]
+
+(2) Filter
+Condition : isnotnull(node_id#1)
+"""
+    assert unpushed_filter_scans(rdd) == []
