@@ -531,3 +531,82 @@ def kcore(
         )
         .orderBy("node")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation over an undirected
+    edge list: (node, community) after ``rounds`` full sweeps — the
+    community-detection layer components and cores do not give (a
+    near-clique BRIDGED to another near-clique is ONE component and
+    often one k-core, but two communities). Raghavan et al.'s LPA
+    (Phys. Rev. E 76, 2007), made engine-grade deterministic:
+
+    - labels start as the node id;
+    - each round, EVERY node simultaneously adopts the most frequent
+      label among its neighbors, ties broken by the SMALLEST label —
+      no randomized visit order, no async update, so the result is
+      bit-identical across partitionings and engines;
+    - a FIXED round count, not convergence detection (the pagerank /
+      kcore contract): deterministic unrollable computation, so an
+      ITERATIVE community algorithm carries a full value-hash oracle
+      (the DuckDB twin chains one count/pick CTE pair per round).
+      Synchronous LPA can oscillate on bipartite structure instead of
+      converging — fixed rounds make that a defined, replayable
+      output rather than a nontermination hazard; callers wanting a
+      fixpoint raise ``rounds`` and compare consecutive outputs.
+
+    Shape per round: one equi-join of the (symmetrized, deduped) edge
+    list onto the node-sized label frame, one (node, label) count
+    aggregate with map-side combine, one per-node top-1 window on the
+    count frame — all edge- or node-sized; no per-pair state beyond
+    the join stream. The label frame is eagerly checkpointed per round
+    and the SUPERSEDED round's blocks are unpersisted as soon as the
+    successor materializes (the per-level discipline shared with
+    connected_components/_resolve, pagerank, and kcore)."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = _ckpt(
+        und.select("a", "b").unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ),
+        eager=False,
+    )
+    nodes = _ckpt(sym.select(F.col("a").alias("node")).distinct(), eager=False)
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    prev_labels: DataFrame | None = None
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = _ckpt(
+            counts.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        if prev_labels is not None:
+            prev_labels.unpersist()  # superseded: successor materialized
+        prev_labels = labels
+    # every node in an edge list has >= 1 neighbor, so the final pick
+    # is total over nodes by construction; the rename is the public
+    # contract (community id == the propagated min-biased label).
+    return labels.select(
+        "node", F.col("lbl").alias("community")
+    ).orderBy("node")

@@ -707,6 +707,41 @@ ORDER BY 1
 """
 
 
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled-CTE twin of graph.label_propagation over the support>=2
+    co-purchase pair graph: per round, count neighbor labels over the
+    symmetrized edge list, then every node picks (count DESC, label
+    ASC) top-1 via ROW_NUMBER — the exact deterministic tie-break the
+    Spark side uses. Chained c_i/l_i CTEs, integer labels only."""
+    rounds_sql = "".join(
+        f""", c{i} AS MATERIALIZED (
+  SELECT e.a AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e JOIN l{i - 1} l ON e.b = l.node GROUP BY 1, 2
+), l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY n DESC, lbl ASC) AS rn
+    FROM c{i}) WHERE rn = 1)"""
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), p AS MATERIALIZED (
+  SELECT a.i AS item_a, b.i AS item_b
+  FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), e AS MATERIALIZED (
+  SELECT item_a AS a, item_b AS b FROM p
+  UNION ALL SELECT item_b, item_a FROM p
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS lbl FROM e
+){rounds_sql}
+SELECT node AS item, lbl AS community FROM l{rounds} ORDER BY 1
+"""
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
     """Unrolled-CTE twin of clustering.kmeans_assign over embeddings:
     identical fix-pointing (round((x+1)*scale) BIGINTs), init (k
@@ -3299,6 +3334,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(8, 3),
         # k-core twin: unrolled peel rounds (see _kcore_sql).
         "copurchase_kcore": _kcore_sql(2, 4),
+        # label-propagation twin: unrolled count/pick rounds (_lpa_sql).
+        "copurchase_communities": _lpa_sql(3),
         # Cohort-retention twin: month-truncated dates, pure INTEGER
         # month arithmetic (no months_between float), truncating ppm.
         # NULL order dates are ignored (the operator's declared

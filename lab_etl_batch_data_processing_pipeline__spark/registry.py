@@ -3187,6 +3187,27 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the co-purchase
+    graph (graph.label_propagation, 3 synchronous rounds, ties to the
+    smallest label): the community layer the pair list / components /
+    k-core stack does not give — two dense co-buy clusters joined by
+    one bridge edge are ONE component but TWO communities. Fourth
+    iterative algorithm with a full value-hash oracle (unrolled
+    count/pick CTE pairs in DuckDB, the pagerank pattern); integer
+    labels only, so the 3-round output hashes identically."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph, joins
+
+    edges = joins.basket_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2,
+    )
+    return (
+        graph.label_propagation(edges, "item_a", "item_b", rounds=3)
+        .withColumnRenamed("node", "item")
+    )
+
+
 def q_price_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag
     (profiling.weighted_median): the smallest price cents at which half
@@ -3844,6 +3865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
         "scd2_user_state": q_scd2_user_state,
+        # born r15 (past the window; queued for the r16 rotation):
+        "copurchase_communities": q_copurchase_communities,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -44,6 +44,9 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # born r15 (new operator, never yet driver-sampled; queued for the
+    # r16 rotation per the born-keys convention):
+    "copurchase_communities": "test_spot_oracle_parity + tests/test_graph.py LPA golden/replica tests",
     # rotated out r15 per the standing >= 2-green rule: the nine
     # ANN-family keys, driver-green r13+r14 on unchanged code (plus
     # the r14 sf0.1 segment receipt 10/10):

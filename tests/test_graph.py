@@ -177,3 +177,64 @@ def test_ckpt_storage_knob_is_value_neutral(spark, monkeypatch):
     base = snapshot()
     monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "DISK_ONLY")
     assert snapshot() == base
+
+
+def test_label_propagation_bridged_triangles(spark):
+    """Two 3-cliques joined by a single bridge are ONE component but
+    must resolve to TWO communities — the separation components/cores
+    cannot make, and the reason LPA exists in the engine."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+        ["src", "dst"],
+    )
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(edges, rounds=3).collect()
+    }
+    assert len({out[1], out[10]}) == 2, "bridge must not merge communities"
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+
+
+def test_label_propagation_matches_sequential_replica(spark):
+    """Randomized parity vs an in-test synchronous-LPA replica (same
+    min-label tie-break), over seeded random graphs — pins that the
+    distributed join/count/window form IS the algorithm, including
+    duplicate/reversed input edges normalizing away."""
+    import random
+
+    rng = random.Random(2017)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        edges = set()
+        while len(edges) < n + 4:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rounds = rng.randint(1, 4)
+
+        nbrs: dict[int, list[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        lbl = {v: v for v in nbrs}
+        for _ in range(rounds):
+            nxt = {}
+            for v, ns in nbrs.items():
+                counts: dict[int, int] = {}
+                for u in ns:
+                    counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+                nxt[v] = min(
+                    counts, key=lambda c: (-counts[c], c)
+                )
+            lbl = nxt
+
+        rows = [(a, b) for a, b in edges] + [
+            (b, a) for a, b in edges if rng.random() < 0.5  # noisy dups
+        ]
+        df = spark.createDataFrame(rows, ["src", "dst"])
+        got = {
+            r.node: r.community
+            for r in graph.label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == lbl, (trial, rounds, sorted(edges))
