@@ -789,7 +789,7 @@ def main() -> None:
     # ONCE at sf0.1, checkpointed, then id-strided x1/x10/x100 into
     # disjoint replica universes (degree distribution flat, rank mass
     # per replica identical) and pagerank(5 rounds) timed per decade.
-    if want("pagerank_edges") or want("kcore_dense"):
+    if want("pagerank_edges") or want("kcore_dense") or want("lpa_edges"):
         o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
         li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
         pr_pairs = (
@@ -832,6 +832,17 @@ def main() -> None:
                     lambda: graph.pagerank(big_edges, iterations=5).count()
                 )
                 record("pagerank_edges", f"x{factor}", t, n)
+            # lpa_edges: label propagation (3 sync rounds) on the same
+            # dense strided frame — the birth receipt for the r15
+            # operator (per-round join + count agg + per-node top-1
+            # window; claim: cost ~ edges x rounds).
+            if want("lpa_edges"):
+                t, n = timed(
+                    lambda: graph.label_propagation(
+                        big_edges, "src", "dst", rounds=3
+                    ).count()
+                )
+                record("lpa_edges", f"x{factor}", t, n)
             # kcore_dense: the k-core peel on the SAME dense strided
             # frame — the capacity-grade kcore receipt (the co-purchase
             # kcore_edges base is only 3.6k edges) and the at-scale
@@ -941,7 +952,7 @@ def main() -> None:
             d["ratio_min"] = round(min(d[XN]) / max(min(d["sf0.1"]), 1e-9), 2)
     for strided in (
         "cc_edges", "pagerank_edges", "kcore_edges", "clustering_edges",
-        "kcore_dense",
+        "kcore_dense", "lpa_edges",
     ):
         d = report.get(strided)
         if not d:
