@@ -34,6 +34,7 @@ training-data surface the same way the ANN/dedup family does.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from lab_etl_batch_data_processing_pipeline__spark.operators.graph import _ckpt
 
 __all__ = ["kmeans_assign", "kmeans_fit"]
 
@@ -99,7 +100,7 @@ def kmeans_fit(
     # materialize the scaled vectors once: the loop scans them iters+1
     # times and the lineage must not re-run the parquet scan per pass
     # (same discipline as pagerank's static frames)
-    vecs = vecs.localCheckpoint(eager=True)
+    vecs = _ckpt(vecs)
     # init: k smallest ids, dimension-sized collect (k rows)
     seed_rows = vecs.orderBy("id").limit(k).collect()
     if len(seed_rows) < k:
@@ -206,7 +207,8 @@ def kmeans_fit_grouped(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("id"),
         _scaled_vec(F.col(vec_col), scale, shift).alias("v"),
-    ).localCheckpoint(eager=True)
+    )
+    vecs = _ckpt(vecs)
     spark = df.sparkSession
     seed_w = Window.partitionBy("g").orderBy("id")
     seed_rows = (

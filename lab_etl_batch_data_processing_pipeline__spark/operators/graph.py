@@ -41,6 +41,7 @@ Two scale guards the naive loop gets wrong:
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame
@@ -48,20 +49,59 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+@functools.lru_cache(maxsize=None)
+def _resolve_storage(name: str) -> StorageLevel:
+    """Validated name -> StorageLevel resolution, memoized per distinct
+    value so a typo'd SPARK_GRAFT_CKPT_STORAGE fails FAST with an error
+    naming the variable and the valid levels — not a bare AttributeError
+    deep inside an iterative query (r15 ADVICE)."""
+    lvl = getattr(StorageLevel, name, None)
+    if not isinstance(lvl, StorageLevel):
+        valid = sorted(
+            n
+            for n in dir(StorageLevel)
+            if isinstance(getattr(StorageLevel, n), StorageLevel)
+        )
+        raise ValueError(
+            f"SPARK_GRAFT_CKPT_STORAGE={name!r} is not a pyspark "
+            f"StorageLevel; valid values: {valid}"
+        )
+    return lvl
+
+
 def _ckpt_storage() -> StorageLevel | None:
-    """Optional storage level for CC's per-level frames, from
+    """Optional storage level for the engine's checkpoint frames, from
     SPARK_GRAFT_CKPT_STORAGE (e.g. ``DISK_ONLY``) — the r14 one-JVM
     capacity finding was pinned MEMORY_AND_DISK checkpoint blocks
     squeezing the unified pool against a 32-thread aggregation;
     DISK_ONLY trades per-level re-read cost for aggregation headroom.
     Unset (the default, and the only configuration used by the engine's
-    own queries) keeps Spark's stock MEMORY_AND_DISK behavior."""
-    name = os.environ.get("SPARK_GRAFT_CKPT_STORAGE")
-    return getattr(StorageLevel, name) if name else None
+    own queries) keeps Spark's stock MEMORY_AND_DISK behavior.
+    Surrounding whitespace is tolerated; an unknown value raises with
+    the valid names (validation is cached per distinct value)."""
+    name = os.environ.get("SPARK_GRAFT_CKPT_STORAGE", "").strip()
+    return _resolve_storage(name) if name else None
 
 
-def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-    lvl = _ckpt_storage()
+#: sentinel for "resolve the storage knob from the environment now" —
+#: iterative operators that checkpoint once per round resolve the knob
+#: ONCE at entry and pass it down, so one algorithm run can never mix
+#: storage levels even if the environment changes mid-run (r15 ADVICE).
+_ENV = object()
+
+
+def _ckpt(
+    df: DataFrame,
+    eager: bool = True,
+    storage: StorageLevel | None | object = _ENV,
+) -> DataFrame:
+    """localCheckpoint honoring the SPARK_GRAFT_CKPT_STORAGE knob — the
+    ONE checkpoint path for the whole engine (operators outside graph
+    import it too, so a capacity probe can apply the DISK_ONLY lever to
+    any checkpointing family, SCALE.md Round-15). Value-neutral by
+    construction: the knob changes only where blocks live
+    (tests/test_graph.py knob-neutrality pin)."""
+    lvl = _ckpt_storage() if storage is _ENV else storage
     if lvl is not None:
         return df.localCheckpoint(eager=eager, storageLevel=lvl)
     return df.localCheckpoint(eager=eager)
@@ -562,13 +602,18 @@ def label_propagation(
 
     Shape per round: one equi-join of the (symmetrized, deduped) edge
     list onto the node-sized label frame, one (node, label) count
-    aggregate with map-side combine, one per-node top-1 window on the
-    count frame — all edge- or node-sized; no per-pair state beyond
+    aggregate with map-side combine, then a per-node deterministic
+    argmin AGGREGATION — ``min(struct(-n, lbl))`` rides the count
+    frame's key-hash exchange with partial aggregation and NO window
+    sort (the r15 ``row_number()`` form paid a full per-node sort
+    every round for the same (count DESC, label ASC) pick; r15 verdict
+    task 4). All frames edge- or node-sized; no per-pair state beyond
     the join stream. The label frame is eagerly checkpointed per round
     and the SUPERSEDED round's blocks are unpersisted as soon as the
     successor materializes (the per-level discipline shared with
-    connected_components/_resolve, pagerank, and kcore)."""
-    from pyspark.sql import Window
+    connected_components/_resolve, pagerank, and kcore); the storage
+    knob is resolved ONCE at entry so a run never mixes levels."""
+    lvl = _ckpt_storage()
 
     und = (
         edges.select(
@@ -583,12 +628,14 @@ def label_propagation(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ),
         eager=False,
+        storage=lvl,
     )
-    nodes = _ckpt(sym.select(F.col("a").alias("node")).distinct(), eager=False)
+    nodes = _ckpt(
+        sym.select(F.col("a").alias("node")).distinct(),
+        eager=False,
+        storage=lvl,
+    )
     labels = nodes.select("node", F.col("node").alias("lbl"))
-    top1 = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("lbl").asc()
-    )
     prev_labels: DataFrame | None = None
     for _ in range(rounds):
         counts = (
@@ -596,10 +643,20 @@ def label_propagation(
             .groupBy(F.col("a").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        # deterministic top-1 WITHOUT a window sort: min over
+        # struct(-n, lbl) == (count DESC, label ASC) lexicographically,
+        # computed as one partially-aggregated groupBy on the node key
         labels = _ckpt(
-            counts.withColumn("rn", F.row_number().over(top1))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("neg_n"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("top")
+            )
+            .select("node", F.col("top.lbl").alias("lbl")),
+            storage=lvl,
         )
         if prev_labels is not None:
             prev_labels.unpersist()  # superseded: successor materialized

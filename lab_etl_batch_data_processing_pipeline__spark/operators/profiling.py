@@ -5,6 +5,7 @@ act on."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from .graph import _ckpt
 from pyspark.sql import functions as F
 
 
@@ -563,7 +564,7 @@ def chi_square_gate(
     # scan of the fact table — three data-sized passes at 100 TB.
     # Materializing the |a|x|b|-sized cells frame once makes the fact
     # scan single-pass; the checkpoint itself is alphabet-sized.
-    obs = obs.localCheckpoint(eager=True)
+    obs = _ckpt(obs)
     grid = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
     cells = grid.join(obs, ["a", "b"], "left").select(
         "a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o")

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_funcs import normalized_text
 from .layout import ensure_parallelism
+from .graph import _ckpt
 
 #: fixed-point scale of weights / probabilities (2^-20 grain — the same
 #: grain the tfidf/char-LM fixed-point sums use)
@@ -219,7 +220,7 @@ def train_quality_classifier(
             F.lit(FEAT_SCALE).cast("long").alias("cnt"),
         )
     )
-    dense = _dense_features(feats_b, labels).localCheckpoint()
+    dense = _ckpt(_dense_features(feats_b, labels))
     n_docs = dense.count()
     # Diagonal preconditioning, per feature: a sparse slot touches only
     # its support's docs, so the full-batch (1/n) normalization scales

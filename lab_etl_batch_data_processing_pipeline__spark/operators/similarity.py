@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector_funcs import cosine_similarity, dot_product, l2_norm
 from .layout import ensure_parallelism
+from .graph import _ckpt
 
 
 def cosine_topk_bruteforce(
@@ -1569,9 +1570,9 @@ def cosine_topk_ivfpq(
                 residual=residual, deterministic=deterministic,
             )
             # materialize out of the temp dir before it vanishes
-            coded = coded.localCheckpoint()
-            centroid_df = centroid_df.localCheckpoint()
-            codebooks = codebooks.localCheckpoint()
+            coded = _ckpt(coded)
+            centroid_df = _ckpt(centroid_df)
+            codebooks = _ckpt(codebooks)
 
     # per-query probe ranking over the nlist-row centroid table
     q = queries.select(
@@ -1706,7 +1707,7 @@ def semantic_dedup_gate(
     Boundary slack 1e-6 absorbs numpy-vs-codegen summation-order ulps;
     a real survivor-structure regression flips a boolean.
     """
-    rep = report.localCheckpoint()  # 3 verification consumers below
+    rep = _ckpt(report)  # 3 verification consumers below
     t = threshold
     emb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     kept = rep.filter("kept").join(emb, "vec_id").select(

@@ -70,6 +70,7 @@ from pyspark.sql import types as T
 
 from .. import schemas as _schemas
 from ..operators import cleaning, dedup_fuzzy, enrich, joins, linkage, scd, text
+from ..operators.graph import _ckpt
 from ..sources import read_csv, read_jsonl, read_parquet, write_parquet
 from ..sources.writers import write_csv_single_file, write_jsonl
 from .corpus import corpus_prep
@@ -213,7 +214,7 @@ def run_recipe(
             # per subtree (the training_mix lesson — measured 39 s vs
             # 4 s at sf0.1). localCheckpoint materializes once; the
             # blocks are GC'd with the frame.
-            df = df.localCheckpoint()
+            df = _ckpt(df)
         frames[name] = df
         df.createOrReplaceTempView(name)
 

@@ -3,6 +3,8 @@ propagation past one hop, early convergence, and cluster summaries."""
 
 from __future__ import annotations
 
+import pytest
+
 from lab_etl_batch_data_processing_pipeline__spark.operators import graph
 
 
@@ -177,6 +179,48 @@ def test_ckpt_storage_knob_is_value_neutral(spark, monkeypatch):
     base = snapshot()
     monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "DISK_ONLY")
     assert snapshot() == base
+
+
+def test_ckpt_storage_knob_is_value_neutral_outside_graph(spark, monkeypatch):
+    """r16: every checkpointing family routes through graph._ckpt (the
+    r15 verdict's knob-coverage task), so the neutrality pin must hold
+    for a NON-graph consumer too — kmeans (clustering.py's Lloyd input
+    checkpoint) under DISK_ONLY is bit-identical to default storage."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import clustering
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((3 * i) % 5), float(i % 3)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+
+    def snapshot():
+        return {
+            (r.id, r.cluster, r.dist_sq)
+            for r in clustering.kmeans_assign(
+                vecs, "vec_id", "embedding", k=3, iters=2
+            ).collect()
+        }
+
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_STORAGE", raising=False)
+    base = snapshot()
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "DISK_ONLY")
+    assert snapshot() == base
+
+
+def test_ckpt_storage_knob_rejects_unknown_value(monkeypatch):
+    """A typo'd SPARK_GRAFT_CKPT_STORAGE must fail FAST with an error
+    naming the variable and the valid StorageLevel names — not a bare
+    AttributeError deep inside an iterative query (r15 ADVICE). A
+    value that is merely whitespace-padded resolves fine."""
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", "disk_only")
+    with pytest.raises(ValueError) as exc:
+        graph._ckpt_storage()
+    assert "SPARK_GRAFT_CKPT_STORAGE" in str(exc.value)
+    assert "DISK_ONLY" in str(exc.value)  # names the valid levels
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_STORAGE", " DISK_ONLY ")
+    from pyspark.storagelevel import StorageLevel
+
+    assert graph._ckpt_storage() == StorageLevel.DISK_ONLY
 
 
 def test_label_propagation_bridged_triangles(spark):
