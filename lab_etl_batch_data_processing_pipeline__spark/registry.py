@@ -52,6 +52,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     text,
 )
 from lab_etl_batch_data_processing_pipeline__spark.functions import json_funcs
+from lab_etl_batch_data_processing_pipeline__spark.operators.graph import _ckpt
 from lab_etl_batch_data_processing_pipeline__spark import artifacts as _art
 from lab_etl_batch_data_processing_pipeline__spark import oracles as _oracles
 from lab_etl_batch_data_processing_pipeline__spark.oracles import MIXTURE_WEIGHTS
@@ -870,7 +871,8 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = chunks.select(
         (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
         "chunk_text",
-    ).localCheckpoint()
+    )
+    keyed = _ckpt(keyed)
     return text.pack_offsets(
         keyed, seq_len=512, id_col="chunk_key", text_col="chunk_text"
     ).withColumnRenamed("doc_id", "chunk_key")
@@ -902,7 +904,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, min_quality=0.5, jaccard_threshold=0.5,
         sketch=_doc_sketch(spark, sf_dir),
     )
-    corpus = funnel.localCheckpoint().select("doc_id", "text", "source")
+    corpus = _ckpt(funnel).select("doc_id", "text", "source")
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     clean_ids = (
         text.decontaminate(corpus, benchmark, n=8)
@@ -3526,7 +3528,7 @@ def q_supplier_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         df1, new1 = read_incremental(
             spark, data_dir, manifest, schema=sup.schema
         )
-        batch1 = df1.withColumn("ingest_batch", F.lit(1)).localCheckpoint()
+        batch1 = _ckpt(df1.withColumn("ingest_batch", F.lit(1)))
         commit_manifest(manifest, new1)
         shutil.copytree(
             os.path.join(fix_dir, "batch2"), os.path.join(data_dir, "batch2")
@@ -3534,7 +3536,7 @@ def q_supplier_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         df2, new2 = read_incremental(
             spark, data_dir, manifest, schema=sup.schema
         )
-        batch2 = df2.withColumn("ingest_batch", F.lit(2)).localCheckpoint()
+        batch2 = _ckpt(df2.withColumn("ingest_batch", F.lit(2)))
         commit_manifest(manifest, new2)
     finally:
         # a failed read/checkpoint must not leak the staging copy
@@ -3628,32 +3630,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events_mad_outliers, price_winsorized, customer_cohort_retention
       were rewritten AFTER their r9-r12 green rows).
 
-    Current window (r15, the r14 verdict's task 1: begin retiring
-    rotation STALENESS — 114 of 167 keys' newest driver-green row
-    predated r13, the oldest dating to r03). Rotated IN (15), the
-    oldest-green tail keys, oldest-first exactly as the verdict
-    listed: top_listings_weekly, events_json (last green r03),
-    token_frequencies, word_bigrams, doc_tokens_regex, events_pivot,
-    docs_per_source_quota, brand_setops (r04-r05), status_percentiles,
-    zscore_events, customers_semi_anti, revenue_cube,
-    orders_shipped_7d, nation_top_customer, acctbal_ntile (r05-r06).
-    Rotated OUT (15), per the >= 2-green rule: the nine ANN-family
-    keys (probes green r13+r14 on unchanged code — the exact second
-    row they were held for; the recall gates certified alongside both
-    rounds, plus the r14 sf0.1 segment receipt), and six r10-debt
-    anchors with FIVE driver-green rounds each (r10-r14, code
-    unchanged since r10): revenue_seasonal_backtest,
-    events_level_shift, user_balance_floored, price_equidepth,
-    session_depth, events_ewma. HELD: events_mad_outliers,
-    price_winsorized, customer_cohort_retention (rewrite-requeued r14;
-    r14 green is their FIRST post-rewrite row — they stay for the
-    second), multimodal_features (r14-touched: native palette
-    decode), transaction_pagerank and copurchase_kcore (r15-touched:
-    per-round checkpoint unpersist hygiene — rewrite-requeues applies),
-    the r10-era anchors, and the r9-wave coverage anchors
-    (price_ks_drift, supplier_incremental_ingest, orders_reconcile,
-    user_activity_coverage, event_streaks keep IO/debt families
-    driver-pinned).
+    Current window (r16, continuing the staleness retirement begun in
+    r15 — r15 verdict task 1). Rotated IN (15): copurchase_communities
+    (born r15, never driver-sampled — the born-keys convention; ALSO
+    rewrite-requeued this round: the r16 argmin rewrite replaced its
+    per-round row_number window, so its r16 green is a first
+    post-rewrite row and it stays for a second) plus the fourteen
+    oldest-green tail keys oldest-first, reference-surface metrics
+    leading exactly as the verdict listed: orders_by_weekday,
+    nation_custkey_list (last green r05), repeat_rate_monthly,
+    occupancy_monthly, bookings_per_user, avg_duration_monthly,
+    metric_sql_view, date_normalize, currency_convert, dedup_exact,
+    dedup_keys, csv_roundtrip, jdbc_roundtrip, sessionization (last
+    green r06-r07; reference twins present_summary.py:81-181 and
+    helper_func.py:20-63). Rotated OUT (15), per the >= 2-green rule:
+    events_mad_outliers, price_winsorized, customer_cohort_retention
+    (rewrite-requeued r14; r14+r15 green are the two post-rewrite
+    rows), the five r10-debt family anchors price_ks_drift,
+    supplier_incremental_ingest, orders_reconcile,
+    user_activity_coverage, event_streaks (SIX driver-green rounds
+    r10-r15, code unchanged since r10), and seven r10-era anchors with
+    four greens each (r9+r13+r14+r15, unchanged): dup_span_report,
+    containment_near_dups, pmi_collocations, copurchase_pairs,
+    bloom_join_gate, customer_radius_join, streaming_attribution.
+    HELD: the fifteen r15-rotated-in keys (r15 green is their first
+    fresh row — the >= 2-green rule wants a second),
+    multimodal_features (r15-touched: malformed-PLTE reporting),
+    transaction_pagerank and copurchase_kcore (r15-touched loop
+    internals; r15 green is their first post-touch row), and the
+    remaining r9/r10-wave coverage anchors (semantic_dedup,
+    corpus_prep_auto, embedding_kmeans et al. keep the
+    embeddings/corpus/streaming/SCD families driver-pinned). NOTE:
+    this round's knob-coverage change routed several operators' raw
+    localCheckpoint calls through graph._ckpt (storage-level plumbing
+    only, value-neutral by pin tests/test_graph.py knob tests) — per
+    the r15 precedent (the CC storage knob did not requeue CC's keys)
+    this does NOT count as an operator rewrite.
 
     Current tail: rows with >= 1 driver-green round (most
     multi-round; per-key receipts annotated in TAIL_KEYS), plus the
@@ -3673,13 +3685,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tag of this docstring; r10: the 13-key debt-closing rotation, held
     through r11+r12 — see the r12 tag; r13: the ANN-family + tail-debt
     rotation; r14: the rewrite-requeues rotation — see the r14 tag;
-    r15: the staleness-retirement rotation described above).
+    r15: the first staleness-retirement rotation — see the r15 tag;
+    r16: the second staleness-retirement rotation described above).
     """
     return {
-        # --- r15 driver window (first 50; see docstring) ---
-        # rotated IN r15 (r14 verdict task 1): the fifteen
-        # oldest-green tail keys, oldest first — their last driver
-        # rows dated r03-r06:
+        # --- r16 driver window (first 50; see docstring) ---
+        # rotated IN r16 (r15 verdict task 1): the r15-born operator
+        # (also rewrite-requeued by this round's argmin rewrite) plus
+        # the fourteen oldest-green tail keys, oldest first,
+        # reference-surface metrics leading — last driver rows r05-r07:
+        "copurchase_communities": q_copurchase_communities,
+        "orders_by_weekday": q_orders_by_weekday,
+        "nation_custkey_list": q_nation_custkey_list,
+        "repeat_rate_monthly": q_repeat_rate_monthly,
+        "occupancy_monthly": q_occupancy_monthly,
+        "bookings_per_user": q_bookings_per_user,
+        "avg_duration_monthly": q_avg_duration_monthly,
+        "metric_sql_view": q_metric_sql_view,
+        "date_normalize": q_date_normalize,
+        "currency_convert": q_currency_convert,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keys": q_dedup_keys,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jdbc_roundtrip": q_jdbc_roundtrip,
+        "sessionization": q_sessionization,
+        # HELD from the r15 rotation (r15 green is their first fresh
+        # row; the >= 2-green rule wants a second):
         "top_listings_weekly": q_top_listings_weekly,
         "events_json": q_events_json,
         "token_frequencies": q_token_frequencies,
@@ -3695,30 +3726,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_shipped_7d": q_orders_shipped_7d,
         "nation_top_customer": q_nation_top_customer,
         "acctbal_ntile": q_acctbal_ntile,
-        # HELD from r14 under the rewrite-requeues rule (r14 green is
-        # their first POST-rewrite row; they stay for the second):
-        "events_mad_outliers": q_events_mad_outliers,
-        "price_winsorized": q_price_winsorized,
-        "customer_cohort_retention": q_customer_cohort_retention,
-        # r10-era keys with two greens (r9+r13) held as anchors:
-        "dup_span_report": q_dup_span_report,
-        "semantic_dedup": q_semantic_dedup,
-        "containment_near_dups": q_containment_near_dups,
-        "pmi_collocations": q_pmi_collocations,
-        "copurchase_pairs": q_copurchase_pairs,
-        "bloom_join_gate": q_bloom_join_gate,
-        "streaming_attribution": q_streaming_attribution,
-        "customer_radius_join": q_customer_radius_join,
-        # r10-debt keys held in-window as family anchors (5 green
-        # rounds r10-r14; IO + reconciliation + session coverage):
-        "price_ks_drift": q_price_ks_drift,
-        "supplier_incremental_ingest": q_supplier_incremental_ingest,
-        "orders_reconcile": q_orders_reconcile,
-        "user_activity_coverage": q_user_activity_coverage,
-        "event_streaks": q_event_streaks,
+        # HELD: r15-touched (rewrite-requeues; r15 green is their
+        # first post-touch row, they stay for the second):
         "multimodal_features": q_multimodal_features,
+        "transaction_pagerank": q_transaction_pagerank,
+        "copurchase_kcore": q_copurchase_kcore,
+        # r9/r10-wave keys held in-window (coverage anchors keeping
+        # the embeddings/corpus/streaming/SCD/graph families
+        # driver-pinned; see docstring):
+        "semantic_dedup": q_semantic_dedup,
         "corpus_prep_auto": q_corpus_prep_auto,
-        # r9-wave keys held in-window (coverage anchors; see docstring):
         "embedding_kmeans": q_embedding_kmeans,
         "part_revenue_pareto": q_part_revenue_pareto,
         "active_users_rolling": q_active_users_rolling,
@@ -3727,17 +3744,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_timing": q_funnel_timing,
         "purchase_pit_state": q_purchase_pit_state,
         "orders_cdc_incremental_agg": q_orders_cdc_incremental_agg,
-        "copurchase_kcore": q_copurchase_kcore,
         "price_weighted_median": q_price_weighted_median,
         "revenue_growth_monthly": q_revenue_growth_monthly,
         "monthly_revenue_hhi": q_monthly_revenue_hhi,
         "streaming_dedup": q_streaming_dedup,
-        "transaction_pagerank": q_transaction_pagerank,
         "containment_prune": q_containment_prune,
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
         # --- past the driver's 50-key correctness window (see
-        # docstring). Rotated out r15 per the >= 2-green rule: the
+        # docstring). Rotated out r16 per the >= 2-green rule:
+        # two post-rewrite greens (r14+r15) each:
+        "events_mad_outliers": q_events_mad_outliers,
+        "price_winsorized": q_price_winsorized,
+        "customer_cohort_retention": q_customer_cohort_retention,
+        # six driver-green rounds each (r10-r15, unchanged since r10):
+        "price_ks_drift": q_price_ks_drift,
+        "supplier_incremental_ingest": q_supplier_incremental_ingest,
+        "orders_reconcile": q_orders_reconcile,
+        "user_activity_coverage": q_user_activity_coverage,
+        "event_streaks": q_event_streaks,
+        # four driver-green rounds each (r9+r13+r14+r15, unchanged):
+        "dup_span_report": q_dup_span_report,
+        "containment_near_dups": q_containment_near_dups,
+        "pmi_collocations": q_pmi_collocations,
+        "copurchase_pairs": q_copurchase_pairs,
+        "bloom_join_gate": q_bloom_join_gate,
+        "customer_radius_join": q_customer_radius_join,
+        "streaming_attribution": q_streaming_attribution,
+        # Rotated out r15 per the >= 2-green rule: the
         # nine ANN-family keys (driver-green r13+r14 on unchanged
         # code, plus the r14 sf0.1 segment receipt):
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -3829,26 +3863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": q_doc_normalize,
         "char_lm_scores": q_char_lm_scores,
         "avg_price_weekly": q_avg_price_weekly,
-        "occupancy_monthly": q_occupancy_monthly,
         "top_listings_topk": q_top_listings_topk,
-        "bookings_per_user": q_bookings_per_user,
-        "avg_duration_monthly": q_avg_duration_monthly,
-        "repeat_rate_monthly": q_repeat_rate_monthly,
-        "dedup_exact": q_dedup_exact,
-        "dedup_keys": q_dedup_keys,
         "doc_stats": q_doc_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
-        "sessionization": q_sessionization,
-        "nation_custkey_list": q_nation_custkey_list,
-        "orders_by_weekday": q_orders_by_weekday,
-        "csv_roundtrip": q_csv_roundtrip,
-        "jdbc_roundtrip": q_jdbc_roundtrip,
-        "date_normalize": q_date_normalize,
-        "currency_convert": q_currency_convert,
         "csv_single_file": q_csv_single_file,
-        "metric_sql_view": q_metric_sql_view,
         "corpus_splits": q_corpus_splits,
         "user_engagement": q_user_engagement,
         "label_centroids": q_label_centroids,
@@ -3865,8 +3885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
         "scd2_user_state": q_scd2_user_state,
-        # born r15 (past the window; queued for the r16 rotation):
-        "copurchase_communities": q_copurchase_communities,
     }
 
 def oracle_sql() -> dict[str, str]:

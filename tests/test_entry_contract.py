@@ -44,9 +44,24 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
-    # born r15 (new operator, never yet driver-sampled; queued for the
-    # r16 rotation per the born-keys convention):
-    "copurchase_communities": "test_spot_oracle_parity + tests/test_graph.py LPA golden/replica tests",
+    # rotated out r16 per the standing >= 2-green rule (r15 verdict
+    # task 1's second staleness-retirement rotation made room for the
+    # r05-r07-era reference-surface keys):
+    "events_mad_outliers": "test_spot_oracle_parity (two post-rewrite driver greens r14+r15)",
+    "price_winsorized": "test_spot_oracle_parity (two post-rewrite driver greens r14+r15)",
+    "customer_cohort_retention": "test_spot_oracle_parity (two post-rewrite driver greens r14+r15)",
+    "price_ks_drift": "test_spot_oracle_parity (driver-green r10-r15, unchanged since r10)",
+    "supplier_incremental_ingest": "test_spot_oracle_parity (driver-green r10-r15; csv/jdbc_roundtrip in-window anchor IO)",
+    "orders_reconcile": "test_spot_oracle_parity (driver-green r10-r15)",
+    "user_activity_coverage": "test_spot_oracle_parity (driver-green r10-r15; sessionization in-window keeps sessions driver-pinned)",
+    "event_streaks": "test_spot_oracle_parity (driver-green r10-r15)",
+    "dup_span_report": "test_spot_oracle_parity (driver-green r9+r13-r15; containment_prune in-window keeps span machinery driver-pinned)",
+    "containment_near_dups": "test_spot_oracle_parity (driver-green r9+r13-r15)",
+    "pmi_collocations": "test_spot_oracle_parity (driver-green r9+r13-r15)",
+    "copurchase_pairs": "test_spot_oracle_parity (driver-green r9+r13-r15; copurchase_communities/kcore/clustering in-window keep the graph family driver-pinned)",
+    "bloom_join_gate": "test_spot_oracle_parity (driver-green r9+r13-r15)",
+    "customer_radius_join": "test_spot_oracle_parity (driver-green r9+r13-r15)",
+    "streaming_attribution": "test_spot_oracle_parity (driver-green r9+r13-r15; streaming_dedup in-window keeps streaming driver-pinned)",
     # rotated out r15 per the standing >= 2-green rule: the nine
     # ANN-family keys, driver-green r13+r14 on unchanged code (plus
     # the r14 sf0.1 segment receipt 10/10):
@@ -108,17 +123,16 @@ TAIL_KEYS = {
     # nation_top_customer, acctbal_ntile, revenue_cube,
     # orders_shipped_7d rotated back IN r15 (their last driver rows
     # dated r03-r06) — no longer tail keys.
+    # NOTE (r16 staleness retirement): copurchase_communities (born
+    # r15), orders_by_weekday, nation_custkey_list, repeat_rate_monthly,
+    # occupancy_monthly, bookings_per_user, avg_duration_monthly,
+    # metric_sql_view, date_normalize, currency_convert, dedup_exact,
+    # dedup_keys, csv_roundtrip, jdbc_roundtrip, sessionization rotated
+    # back IN r16 (last driver rows r05-r07) — no longer tail keys.
     # rotated out r6 after multiple driver-green rounds (r1-r5):
-    "nation_custkey_list": "test_spot_oracle_parity",
-    "orders_by_weekday": "test_spot_oracle_parity",
     # rotated out r7 after multiple driver-green rounds (r5/r6 or r1-r6)
     # to give the r6-born operators + training_mix their driver rounds:
-    "csv_roundtrip": "test_spot_oracle_parity",
-    "jdbc_roundtrip": "test_spot_oracle_parity",
-    "date_normalize": "test_spot_oracle_parity",
-    "currency_convert": "test_spot_oracle_parity",
     "csv_single_file": "test_spot_oracle_parity",
-    "metric_sql_view": "test_spot_oracle_parity",
     "corpus_splits": "test_spot_oracle_parity",
     "user_engagement": "test_spot_oracle_parity",
     "label_centroids": "test_spot_oracle_parity",
@@ -128,18 +142,11 @@ TAIL_KEYS = {
     # operator rows their first driver-checked round this round instead
     # of queueing them behind an r8 rotation:
     "avg_price_weekly": "test_spot_oracle_parity",
-    "occupancy_monthly": "test_spot_oracle_parity",
     "top_listings_topk": "test_spot_oracle_parity",
-    "bookings_per_user": "test_spot_oracle_parity",
-    "avg_duration_monthly": "test_spot_oracle_parity",
-    "repeat_rate_monthly": "test_spot_oracle_parity",
-    "dedup_exact": "test_spot_oracle_parity",
-    "dedup_keys": "test_spot_oracle_parity",
     "doc_stats": "test_spot_oracle_parity",
     "language_id": "test_spot_oracle_parity",
     "doc_fingerprint": "test_spot_oracle_parity",
     "simhash": "test_spot_oracle_parity",
-    "sessionization": "test_spot_oracle_parity",
     # rotated out r8 (driver-green r6+r7, unchanged in r8) to make room
     # for heavy_hitters_gate and the four r8-born oracle rows
     # (recipe_training_mix, orc_roundtrip, orders_snapshot_diff,
