@@ -818,25 +818,135 @@ _PASSTHROUGH = {"ColumnarToRow", "InputAdapter", "WholeStageCodegen"}
 _FILE_SOURCES = {"parquet", "csv", "orc", "json", "text"}
 
 
-def unpushed_filter_scans(plan: str) -> list[tuple[str, str]]:
-    """(filter_node, scan_node) pairs where a Filter sits directly above
-    a file-source scan whose PushedFilters list is empty — i.e. nothing
-    at all was pushed even though a predicate exists at scan level."""
+#: first-argument column of each pushed predicate, e.g.
+#: 'GreaterThan(o_totalprice,100.0)' -> o_totalprice; nested wrappers
+#: (Not/Or/And) don't match at their own paren (next char is another
+#: call, not an identifier followed by ',' or ')').
+_PUSHED_COL_RE = re.compile(r"\(([A-Za-z_][A-Za-z0-9_.]*)[,)]")
+#: conjunct shapes a file source could push if handed them: a bare
+#: column (no cast, no derived expression) under a null test, a
+#: comparison against a column-free literal, an IN literal list, or a
+#: string prefix/suffix/contains probe. Anything else (derived exprs,
+#: casts, UDF-ish calls) is treated as legitimately un-pushable.
+_PUSHABLE_CONJUNCT_RES = (
+    re.compile(r"^isnot?null\((\w+)#\d+[A-Za-z]*\)$"),
+    re.compile(r"^(\w+)#\d+[A-Za-z]*\s*(?:=|>|<|>=|<=|<=>)\s*[^#()]+$"),
+    re.compile(r"^(\w+)#\d+[A-Za-z]*\s+IN\s+\([^#()]*\)$"),
+    re.compile(r"^(?:StartsWith|EndsWith|Contains)\((\w+)#\d+[A-Za-z]*,\s*[^#()]*\)$"),
+)
+
+
+def _strip_outer_parens(p: str) -> str:
+    """Strip balanced outer paren pairs: '((a AND b))' -> 'a AND b'."""
+    while p.startswith("(") and p.endswith(")"):
+        depth = 0
+        balanced = True
+        for j, ch in enumerate(p):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0 and j < len(p) - 1:
+                balanced = False
+                break
+        if not balanced:
+            return p
+        p = p[1:-1].strip()
+    return p
+
+
+def _split_conjuncts(cond: str) -> list[str]:
+    """Flatten a Condition string into its AND-tree leaves: split on
+    top-level ' AND ' (paren depth 0), strip each part's outer parens,
+    and recurse — Spark prints nested binary ANDs, so a flat 3-conjunct
+    condition reads '((a AND b) AND c)'."""
+    cond = _strip_outer_parens(cond.strip())
+    parts, depth, start = [], 0, 0
+    i = 0
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond.startswith(" AND ", i):
+            parts.append(cond[start:i])
+            i += 5
+            start = i
+            continue
+        i += 1
+    parts.append(cond[start:])
+    if len(parts) == 1:
+        return [_strip_outer_parens(parts[0].strip())]
+    out: list[str] = []
+    for p in parts:
+        out.extend(_split_conjuncts(p))
+    return out
+
+
+def _pushable_conjunct_col(conjunct: str) -> str | None:
+    """The column name if this conjunct has a shape a file source could
+    push (see _PUSHABLE_CONJUNCT_RES); None if it is derived/complex."""
+    for rx in _PUSHABLE_CONJUNCT_RES:
+        m = rx.match(conjunct)
+        if m:
+            return m.group(1)
+    return None
+
+
+def unpushed_filter_scans(plan: str) -> list[tuple[str, str, str]]:
+    """(filter_node, scan_node, why) triples where a Filter sits
+    directly above a file-source scan and pushdown has drifted:
+
+    - ``why == 'PushedFilters: []'`` — nothing at all was pushed even
+      though a predicate exists at scan level (the original r14 gate);
+    - ``why == 'pushable conjunct not pushed: <c>'`` — PushedFilters is
+      non-empty, but the Filter carries a top-level conjunct of a
+      plainly pushable shape (bare scan column vs literal / null test /
+      IN list / string probe) whose column appears in neither
+      PushedFilters nor PartitionFilters — one conjunct reached the
+      scan and a pushable sibling silently didn't (r15 verdict task 5).
+
+    Scans with no PushedFilters line (no pushdown API, e.g. text) are
+    exempt from the partial check by construction."""
     lines = plan.splitlines()
-    # 1) detail sections: scan id -> (source kind, has empty PushedFilters)
+    # 1) detail sections, keyed by node id: scan kind, raw
+    #    PushedFilters/PartitionFilters payloads, Filter Condition text
     empty_push: set[str] = set()
+    pushed_raw: dict[str, str] = {}
     scan_kind: dict[str, str] = {}
+    conditions: dict[str, str] = {}
     cur_scan = None
+    cur_filter = None
     for ln in lines:
         m = _SCAN_DETAIL_RE.match(ln)
         if m:
-            cur_scan = m.group(1)
+            cur_scan, cur_filter = m.group(1), None
             scan_kind[cur_scan] = m.group(2).lower()
             continue
+        fm = re.match(r"^\((\d+)\) Filter\b", ln)
+        if fm:
+            cur_filter, cur_scan = fm.group(1), None
+            continue
         if ln.startswith("(") and ") " in ln[:8]:
-            cur_scan = None  # a different node's detail section
-        if cur_scan is not None and ln.strip() == "PushedFilters: []":
-            empty_push.add(cur_scan)
+            cur_scan = cur_filter = None  # a different node's section
+        if cur_scan is not None:
+            st = ln.strip()
+            if st == "PushedFilters: []":
+                empty_push.add(cur_scan)
+            elif st.startswith("PushedFilters: ["):
+                pushed_raw[cur_scan] = (
+                    pushed_raw.get(cur_scan, "") + st[len("PushedFilters: ") :]
+                )
+            elif st.startswith("PartitionFilters: ["):
+                # partition predicates are consumed here, not in
+                # PushedFilters — count them as pushed
+                pushed_raw[cur_scan] = (
+                    pushed_raw.get(cur_scan, "")
+                    + st[len("PartitionFilters: ") :]
+                )
+        if cur_filter is not None:
+            st = ln.strip()
+            if st.startswith("Condition : "):
+                conditions[cur_filter] = st[len("Condition : ") :]
     # 2) tree walk: preorder; a unary node's child is the next tree line
     tree: list[tuple[str, str]] = []
     for ln in lines:
@@ -847,7 +957,7 @@ def unpushed_filter_scans(plan: str) -> list[tuple[str, str]]:
             tree.append((m.group(1).strip(), m.group(2)))
         if not ln.strip():
             break  # tree section ends at the first blank line
-    bad: list[tuple[str, str]] = []
+    bad: list[tuple[str, str, str]] = []
     for i, (name, fid) in enumerate(tree):
         if name != "Filter":
             continue
@@ -857,9 +967,29 @@ def unpushed_filter_scans(plan: str) -> list[tuple[str, str]]:
         if j >= len(tree):
             continue
         child, cid = tree[j]
-        if child.startswith("Scan ") and scan_kind.get(cid) in _FILE_SOURCES:
-            if cid in empty_push:
-                bad.append((f"Filter ({fid})", f"{child} ({cid})"))
+        if not (child.startswith("Scan ") and scan_kind.get(cid) in _FILE_SOURCES):
+            continue
+        if cid in empty_push:
+            bad.append((f"Filter ({fid})", f"{child} ({cid})", "PushedFilters: []"))
+            continue
+        raw = pushed_raw.get(cid)
+        if raw is None:
+            continue  # no pushdown line at all: source has no API
+        # PushedFilters uses predicate-call syntax (EqualTo(col,v));
+        # PartitionFilters uses expression syntax (col#9 = EU) — the
+        # union of both extractions covers either payload
+        pushed_cols = set(_PUSHED_COL_RE.findall(raw))
+        pushed_cols.update(m.group(1) for m in re.finditer(r"(\w+)#\d+", raw))
+        for conjunct in _split_conjuncts(conditions.get(fid, "")):
+            col = _pushable_conjunct_col(conjunct)
+            if col is not None and col not in pushed_cols:
+                bad.append(
+                    (
+                        f"Filter ({fid})",
+                        f"{child} ({cid})",
+                        f"pushable conjunct not pushed: {conjunct}",
+                    )
+                )
     return bad
 
 
@@ -921,7 +1051,7 @@ Input [2]: [o_custkey#1, o_orderdate#2]
 Condition : isnotnull(date_trunc(month, o_orderdate#2))
 """
     hits = unpushed_filter_scans(bad)
-    assert hits == [("Filter (3)", "Scan parquet (1)")]
+    assert hits == [("Filter (3)", "Scan parquet (1)", "PushedFilters: []")]
 
     good = bad.replace(
         "PushedFilters: []", "PushedFilters: [IsNotNull(o_orderdate)]"
@@ -939,3 +1069,68 @@ Output [1]: [node_id#1]
 Condition : isnotnull(node_id#1)
 """
     assert unpushed_filter_scans(rdd) == []
+
+
+def test_unpushed_filter_parser_detects_partial_pushdown_drift():
+    """r15 verdict task 5: the gate must also catch PARTIAL drift — a
+    non-empty PushedFilters that silently omits a pushable sibling
+    conjunct (bare scan column vs literal). Both directions pinned on
+    synthetic formatted-plan text, plus the legitimate negatives: a
+    derived-expression conjunct is not flaggable, and a partition-
+    column conjunct consumed by PartitionFilters counts as pushed."""
+    partial = """== Physical Plan ==
+* HashAggregate (4)
++- * Filter (3)
+   +- * ColumnarToRow (2)
+      +- Scan parquet  (1)
+
+(1) Scan parquet
+Output [3]: [o_custkey#1L, o_orderdate#2, o_status#3]
+Batched: true
+Location: InMemoryFileIndex [file:/x/orders.parquet]
+PartitionFilters: [isnotnull(o_region#9), (o_region#9 = EU)]
+PushedFilters: [IsNotNull(o_orderdate)]
+ReadSchema: struct<o_custkey:bigint,o_orderdate:date>
+
+(3) Filter [codegen id : 1]
+Input [3]: [o_custkey#1L, o_orderdate#2, o_status#3]
+Condition : ((isnotnull(o_orderdate#2) AND (o_status#3 = F)) AND (length(o_status#3) > 0))
+"""
+    hits = unpushed_filter_scans(partial)
+    assert hits == [
+        (
+            "Filter (3)",
+            "Scan parquet (1)",
+            "pushable conjunct not pushed: o_status#3 = F",
+        )
+    ], hits  # the derived length(...) conjunct must NOT be flagged
+
+    fixed = partial.replace(
+        "PushedFilters: [IsNotNull(o_orderdate)]",
+        "PushedFilters: [IsNotNull(o_orderdate), EqualTo(o_status,F)]",
+    )
+    assert unpushed_filter_scans(fixed) == []
+
+    # a partition-column conjunct above the scan is consumed by
+    # PartitionFilters, not PushedFilters — must not be flagged
+    part_cond = partial.replace(
+        "Condition : ((isnotnull(o_orderdate#2) AND (o_status#3 = F)) AND (length(o_status#3) > 0))",
+        "Condition : (isnotnull(o_orderdate#2) AND (o_region#9 = EU))",
+    )
+    assert unpushed_filter_scans(part_cond) == []
+
+    # a source with no PushedFilters line at all (no pushdown API,
+    # e.g. text) is exempt from the partial check by construction
+    no_api = """== Physical Plan ==
+* Filter (2)
++- Scan text  (1)
+
+(1) Scan text
+Output [1]: [value#1]
+Location: InMemoryFileIndex [file:/x/docs.txt]
+ReadSchema: struct<value:string>
+
+(2) Filter
+Condition : (value#1 = hello)
+"""
+    assert unpushed_filter_scans(no_api) == []
