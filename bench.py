@@ -7,9 +7,16 @@ and the round total was lost):
   1. the FULL payload (incl. the per-query timing map) is written to
      the sidecar file BENCH_FULL.json next to this script and echoed
      to stderr, then
-  2. stdout gets EXACTLY ONE compact (<300 char) JSON line:
+  2. stdout gets EXACTLY ONE compact (<700 char) JSON line:
      {"metric", "value", "unit", "sf", "startup_sec", "n_queries",
-      "n_errors", "queries_file"} — always fits any tail buffer.
+      "n_errors", "queries_file"} plus, when present, "warm2_total"
+     and "load_warning" — always fits any tail buffer.
+
+The sidecar payload carries, per query, BOTH the cold first-run time
+("queries") and a warm re-run ("queries_warm2", every key by default
+since r16) plus start/end loadavg and a "load_warning" flag — a
+loaded-host run self-identifies and its warm numbers carry the
+regression signal (the r15 1.18× driver total was exactly this).
 
 Each query is materialized with the noop sink (full computation, no
 driver-side result transfer) so the number reflects engine work, not
@@ -218,18 +225,27 @@ def main() -> None:
         if runs:
             timings[name] = min(runs)
 
-    # Warm-receipt second pass (r12, noise control): the single-run total
-    # above swings ~±20% run-to-run on unchanged code (SCALE.md "Bench
-    # variance"), which costs a triage cycle every round. Re-running just
-    # the TOP-20 most expensive keys once more gives each a steady-state
-    # receipt ("queries_warm2") at ~1/8 the cost of a full 3-run median;
+    # Warm-receipt second pass (r12, noise control; widened to EVERY
+    # query in r16 — r15 verdict task 2): the single-run total above
+    # swings ~±20% run-to-run on unchanged code (SCALE.md "Bench
+    # variance"), and the r15 driver round proved the failure mode —
+    # a loaded host inflated the cold total 1.18× and cost a full
+    # triage cycle that only the warm re-runs could settle. Re-running
+    # every key once more gives each a steady-state receipt
+    # ("queries_warm2") alongside its cold number in BENCH_FULL.json;
     # a real regression shows in BOTH numbers, host noise in only one.
     # The official driver metric stays the first-run total.
+    # SPARK_GRAFT_BENCH_WARM2: default/'1'/'all' = every key,
+    # 'top20' = the pre-r16 top-20-only pass, '0' = off.
     warm2: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM2", "1") != "0" and repeat == 1:
+    warm2_mode = os.environ.get("SPARK_GRAFT_BENCH_WARM2", "all")
+    if warm2_mode != "0" and repeat == 1:
         registry = entrymod.queries()
-        top20 = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
-        for name, _ in top20:
+        if warm2_mode == "top20":
+            rerun = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        else:
+            rerun = list(timings.items())
+        for name, _ in rerun:
             gc.collect()
             start = time.perf_counter()
             try:
@@ -253,6 +269,26 @@ def main() -> None:
         payload["env"]["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
+    # Loadavg guard (r15 verdict task 2): a run that starts OR ends on a
+    # loaded host self-identifies in its own payload, so a wrong-way
+    # total is triaged in one glance instead of a round-trip. Threshold
+    # 2.0: the r15 load artifact started at 5.6 and ended at 11.4; idle
+    # builder runs sit well under 1.
+    load_vals = [
+        v
+        for v in (
+            env_at_start.get("loadavg_1m"),
+            payload["env"].get("loadavg_1m_end"),
+        )
+        if v is not None
+    ]
+    if load_vals and max(load_vals) >= 2.0:
+        payload["load_warning"] = (
+            f"host loaded during run (loadavg_1m start/end = {load_vals}); "
+            "cold timings are load-confounded — read queries_warm2 for "
+            "regression evidence"
+        )
+        print(f"WARNING: {payload['load_warning']}", file=sys.stderr)
     if warm2:
         payload["queries_warm2"] = warm2
         payload["warm2_total"] = round(sum(warm2.values()), 3)
@@ -298,6 +334,10 @@ def main() -> None:
         "n_errors": len(errors),
         "queries_file": "BENCH_FULL.json",
     }
+    if "load_warning" in payload:
+        summary["load_warning"] = payload["load_warning"]
+    if warm2:
+        summary["warm2_total"] = payload["warm2_total"]
     print(json.dumps(summary))
 
 
