@@ -233,8 +233,15 @@ def sweep_orphan_siblings(out_dir: str) -> None:
     belongs to an unrelated live process would make a dead builder's
     multi-GB sibling survive every sweep (r14 ADVICE). Age is the
     secondary signal — a genuinely live builder's siblings are always
-    recent (created this build attempt), so a pid-live dir whose mtime
-    is older than a generous 24 h is treated as orphaned regardless."""
+    recent (created this build attempt), so a pid-live dir whose
+    NEWEST RECURSIVE mtime is older than a generous 24 h is treated as
+    orphaned regardless. Recursive, not top-level: a directory's own
+    st_mtime only moves when a DIRECT child is added/removed, so a
+    legitimate long-running build writing under a nested _temporary/
+    subtree would look idle at the top level and get swept mid-build
+    (r15 ADVICE); any write anywhere in the tree now counts as
+    activity. The stat walk is metadata-only — cost ~ file count, not
+    bytes."""
     now = time.time()
     for path in glob.glob(f"{out_dir}.tmp.*") + glob.glob(f"{out_dir}.stale.*"):
         try:
@@ -251,10 +258,18 @@ def sweep_orphan_siblings(out_dir: str) -> None:
         except (OSError, PermissionError):
             pass  # pid live (or unknowable): fall through to the age gate
         try:
-            age_sec = now - os.stat(path).st_mtime
+            newest = os.stat(path).st_mtime
+            for root, dirs, files in os.walk(path):
+                for entry in dirs + files:
+                    try:
+                        st = os.stat(os.path.join(root, entry))
+                    except OSError:
+                        continue  # entry vanished mid-walk
+                    if st.st_mtime > newest:
+                        newest = st.st_mtime
         except OSError:
             continue  # vanished mid-sweep (e.g. its owner cleaned up)
-        if age_sec > 24 * 3600:
+        if now - newest > 24 * 3600:
             shutil.rmtree(path, ignore_errors=True)
 
 

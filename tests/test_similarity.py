@@ -524,3 +524,45 @@ def test_sweep_orphan_siblings_age_gate_catches_recycled_pids(tmp_path):
     assert not os.path.isdir(old), "25h-old live-pid dir must be swept"
     assert os.path.isdir(fresh), "fresh live-pid dir must survive"
     assert os.path.isdir(out)
+
+
+def test_sweep_orphan_siblings_age_gate_uses_recursive_mtime(tmp_path):
+    """r15 ADVICE: the age gate must look at the NEWEST mtime anywhere
+    in the tree, not the dir's top-level st_mtime — a live builder
+    writing under a nested _temporary/ subtree for >24 h never touches
+    the claim dir's direct children, and the old gate would sweep its
+    in-progress build. An all-old tree must still be swept."""
+    import os
+    import time
+
+    from lab_etl_batch_data_processing_pipeline__spark.artifacts import (
+        sweep_orphan_siblings,
+    )
+
+    out = str(tmp_path / "curated" / "sf0.01-1-2")
+    os.makedirs(out)
+    live_pid = os.getppid()
+    stale_ts = time.time() - 25 * 3600
+    # active build: stale top level, FRESH file deep under _temporary/
+    active = f"{out}.tmp.{live_pid}"
+    deep = os.path.join(active, "_temporary", "0", "task_0")
+    os.makedirs(deep)
+    open(os.path.join(deep, "part-00000"), "w").close()
+    for p in (active, os.path.dirname(os.path.dirname(deep))):
+        os.utime(p, (stale_ts, stale_ts))
+    # genuinely abandoned: every path in the tree is old
+    dead_tree = f"{out}.stale.{live_pid}"
+    dead_deep = os.path.join(dead_tree, "_temporary")
+    os.makedirs(dead_deep)
+    open(os.path.join(dead_deep, "part-00000"), "w").close()
+    for root, dirs, files in os.walk(dead_tree, topdown=False):
+        for entry in dirs + files:
+            os.utime(os.path.join(root, entry), (stale_ts, stale_ts))
+    os.utime(dead_tree, (stale_ts, stale_ts))
+    sweep_orphan_siblings(out)
+    assert os.path.isdir(active), (
+        "stale-top-level dir with a fresh nested write is an ACTIVE "
+        "build and must survive"
+    )
+    assert not os.path.isdir(dead_tree), "all-old tree must be swept"
+    assert os.path.isdir(out)
