@@ -123,15 +123,32 @@ def _fresh_dir(out: str, recipe: dict) -> bool:
     # xN' tail, NOT by split('-') position: the sf tag may itself carry
     # dashes, and pre-r14 legacy dirs ('<sf>-<mtime>-<size>', no xN
     # segment) must still be recognized and swept or their multi-GB
-    # contents leak forever (r14 ADVICE).
-    tail_re = re.compile(r"^(?P<sf>.+)-\d+-\d+(?:-x\d+(?P<fam>(?:-\w+)?))?$")
+    # contents leak forever (r14 ADVICE). The sf group is ANCHORED to
+    # the known tag shape ('sf' + digits/dots, optional lowercase-word
+    # dash segments) rather than a greedy '.+' — a greedy group could
+    # backtrack a '-<digits>'-ending sf tag into absorbing the mtime
+    # segment and mis-group siblings (r15 ADVICE); non-matching
+    # siblings are logged, never silently skipped forever.
+    tail_re = re.compile(
+        r"^(?P<sf>sf[\d.]+(?:-[a-z]+)*)-\d+-\d+(?:-x\d+(?P<fam>(?:-\w+)?))?$"
+    )
     m = tail_re.match(name)
     sf = m.group("sf") if m else name.split("-", 1)[0]
     fam = (m.group("fam") or "") if m else ""
     if os.path.isdir(parent):
         for sib in os.listdir(parent):
+            if sib == name:
+                continue
             sm = tail_re.match(sib)
-            if sib == name or not sm or sm.group("sf") != sf:
+            if not sm:
+                print(
+                    f"WARNING: synth sibling {sib!r} does not match the "
+                    "'<sf>-<mtime>-<size>[-xN[-fam]]' tag shape — left "
+                    "in place, clean up manually if it is stale",
+                    file=sys.stderr,
+                )
+                continue
+            if sm.group("sf") != sf:
                 continue
             sib_fam = sm.group("fam")  # None = legacy pre-r14 (no xN)
             if sib_fam is None or sib_fam == fam:
@@ -899,6 +916,68 @@ def main() -> None:
             big_cp.unpersist()
         cp_base.unpersist()
 
+    # kmeans_emb / semdedup_emb: the edge-strided two-decade protocol
+    # applied to the EMBEDDINGS family (r15 verdict task 7 — kmeans and
+    # semantic_dedup were the largest components whose scale evidence
+    # was single-decade organic). The sf0.1 embeddings table (2k x 64)
+    # is checkpointed once, then replicated x1/x10/x100 with DISJOINT
+    # vec_id universes AND a deterministic per-replica SIGN FLIP of
+    # each dimension (parity of xxhash64(r, dim_index) — NOT murmur3
+    # F.hash, whose low bit is visibly correlated across small
+    # consecutive inputs: measured r=0/1/2 all agreeing on dims 0-2,
+    # which would leave replica clouds mutually near-dup): sign flips
+    # preserve every intra-replica dot product exactly (s_i^2 = 1), so
+    # each replica's neighbor structure is identical to the base, while
+    # cross-replica cosines collapse to +-O(1/sqrt(64)) noise — far
+    # below the 0.9 dedup threshold. Organic growth in embedding space,
+    # not densification (the +0.001*r shift of the x10 synth keeps
+    # replicas mutual near-dups; fine for kmeans wall-clock, wrong for
+    # a dedup-structure claim). Claims under test: kmeans cost ~ rows x
+    # k x iters with a k x dim driver collect per iteration; semantic
+    # dedup cost ~ rows x cell_size x dim with nlist scaled to the
+    # factor so cells stay executor-sized (the documented operating
+    # shape) — out_rows exactly linear for both (one row per vector).
+    if want("kmeans_emb") or want("semdedup_emb"):
+        emb01 = spark.read.parquet(os.path.join(base_sf, "embeddings.parquet"))
+        emb_base = graph._ckpt(emb01.select("vec_id", "embedding"))
+        print(f"PROBE emb strided base vecs={emb_base.count()}", file=sys.stderr)
+        for factor in (1, 10, 100):
+            reps = spark.range(factor).select(F.col("id").alias("r"))
+            big_emb = graph._ckpt(
+                emb_base.crossJoin(reps)
+                .select(
+                    (F.col("vec_id") + F.col("r") * ID_STRIDE).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            * (
+                                F.lit(1)
+                                - F.lit(2)
+                                * F.pmod(F.xxhash64(F.col("r"), i), F.lit(2))
+                            ).cast("float")
+                        ).cast("float"),
+                    ).alias("embedding"),
+                )
+                .repartition(32)
+            )
+            if want("kmeans_emb"):
+                t, n = timed(
+                    lambda: clustering.kmeans_assign(
+                        big_emb, "vec_id", "embedding", k=8, iters=3
+                    ).count()
+                )
+                record("kmeans_emb", f"x{factor}", t, n)
+            if want("semdedup_emb"):
+                t, n = timed(
+                    lambda: similarity.semantic_dedup(
+                        big_emb, threshold=0.9, nlist=8 * factor
+                    ).count()
+                )
+                record("semdedup_emb", f"x{factor}", t, n)
+            big_emb.unpersist()
+        emb_base.unpersist()
+
     # cc_capacity: EXPLICIT-ONLY (exact token, never in a default sweep)
     # — the r14 one-JVM ceiling retry (verdict task 6). Reproduces the
     # 435M-edge configuration that hit AGGREGATE_OUT_OF_MEMORY at 16g
@@ -952,7 +1031,7 @@ def main() -> None:
             d["ratio_min"] = round(min(d[XN]) / max(min(d["sf0.1"]), 1e-9), 2)
     for strided in (
         "cc_edges", "pagerank_edges", "kcore_edges", "clustering_edges",
-        "kcore_dense", "lpa_edges",
+        "kcore_dense", "lpa_edges", "kmeans_emb", "semdedup_emb",
     ):
         d = report.get(strided)
         if not d:
