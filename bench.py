@@ -269,22 +269,18 @@ def main() -> None:
         payload["env"]["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
-    # Loadavg guard (r15 verdict task 2): a run that starts OR ends on a
-    # loaded host self-identifies in its own payload, so a wrong-way
-    # total is triaged in one glance instead of a round-trip. Threshold
-    # 2.0: the r15 load artifact started at 5.6 and ended at 11.4; idle
-    # builder runs sit well under 1.
-    load_vals = [
-        v
-        for v in (
-            env_at_start.get("loadavg_1m"),
-            payload["env"].get("loadavg_1m_end"),
-        )
-        if v is not None
-    ]
-    if load_vals and max(load_vals) >= 2.0:
+    # Loadavg guard (r15 verdict task 2): a run that STARTS on a loaded
+    # host self-identifies in its own payload, so a wrong-way total is
+    # triaged in one glance instead of a round-trip. Threshold 2.0: the
+    # r15 load artifact started at 5.6; idle runs start well under 1.
+    # Only the START loadavg gates — the end value is recorded for
+    # context but the bench's own 32-thread executors ARE the end load
+    # (idle-start runs still end at 7-9 on this host), so gating on it
+    # would flag every run.
+    la_start = env_at_start.get("loadavg_1m")
+    if la_start is not None and la_start >= 2.0:
         payload["load_warning"] = (
-            f"host loaded during run (loadavg_1m start/end = {load_vals}); "
+            f"host already loaded at start (loadavg_1m = {la_start}); "
             "cold timings are load-confounded — read queries_warm2 for "
             "regression evidence"
         )
