@@ -176,6 +176,15 @@ def main() -> None:
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else -1.0
 
+    # Pre-boot loadavg: the ONLY reading that reflects the HOST rather
+    # than the bench itself (spark boot + warmup are 20-30 s of
+    # 32-thread work, enough to push the 1-minute loadavg past 2 on an
+    # idle machine — measured 2.72 after warmup on a 0.0-loadavg host).
+    try:
+        la_preboot = round(os.getloadavg()[0], 2)
+    except OSError:
+        la_preboot = None
+
     t0 = time.perf_counter()
     phases: dict = {}
     spark = get_spark("lab-etl-bench")
@@ -197,6 +206,8 @@ def main() -> None:
     phases["prebuild_indexes"] = round(time.perf_counter() - t_prebuild, 3)
     startup = time.perf_counter() - t0
     env_at_start = env_block(spark)
+    if la_preboot is not None:
+        env_at_start["loadavg_1m_preboot"] = la_preboot
 
     # SPARK_GRAFT_BENCH_REPEAT=n re-runs each query n times and records
     # the MINIMUM — for local A/Bs where steady-state matters more than
@@ -273,16 +284,21 @@ def main() -> None:
     # host self-identifies in its own payload, so a wrong-way total is
     # triaged in one glance instead of a round-trip. Threshold 2.0: the
     # r15 load artifact started at 5.6; idle runs start well under 1.
-    # Only the START loadavg gates — the end value is recorded for
-    # context but the bench's own 32-thread executors ARE the end load
-    # (idle-start runs still end at 7-9 on this host), so gating on it
-    # would flag every run.
-    la_start = env_at_start.get("loadavg_1m")
+    # Only the PRE-BOOT loadavg gates — both the post-warmup and end
+    # values are recorded for context but are self-generated (the
+    # bench's own 32-thread boot/warmup/executors push the 1-minute
+    # loadavg past 2 even on an idle host), so gating on either would
+    # flag every run.
+    la_start = (
+        la_preboot
+        if la_preboot is not None
+        else env_at_start.get("loadavg_1m")
+    )
     if la_start is not None and la_start >= 2.0:
         payload["load_warning"] = (
-            f"host already loaded at start (loadavg_1m = {la_start}); "
-            "cold timings are load-confounded — read queries_warm2 for "
-            "regression evidence"
+            f"host already loaded before spark boot (loadavg_1m = "
+            f"{la_start}); cold timings are load-confounded — read "
+            "queries_warm2 for regression evidence"
         )
         print(f"WARNING: {payload['load_warning']}", file=sys.stderr)
     if warm2:
