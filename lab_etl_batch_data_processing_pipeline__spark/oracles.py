@@ -742,6 +742,55 @@ SELECT node AS item, lbl AS community FROM l{rounds} ORDER BY 1
 """
 
 
+
+def _hits_sql(iterations: int = 3, scale_bits: int = 20) -> str:
+    """Unrolled-CTE twin of graph.hits over the DIRECTED customer ->
+    supplier purchase graph: per round, authority raw = sum of hub
+    scores over in-edges then L-infinity integer renorm
+    ((raw * 2^scale_bits) // max raw), hub raw = sum of the renormed
+    authorities over out-edges then the same renorm — chained
+    ar_i/a_i/hr_i/h_i CTEs, truncating positive BIGINT division on
+    both engines, so the 3-round output hashes identically."""
+    one = 1 << scale_bits
+    rounds = "".join(
+        f""", ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node_id, CAST(SUM(h.hub_fp) AS BIGINT) AS raw
+  FROM e JOIN h{i - 1} h ON h.node_id = e.src GROUP BY 1
+), a{i} AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST(COALESCE((ar.raw * {one}) // (SELECT MAX(raw) FROM ar{i}),
+                       0) AS BIGINT) AS auth_fp
+  FROM nodes n LEFT JOIN ar{i} ar ON ar.node_id = n.node_id
+), hr{i} AS MATERIALIZED (
+  SELECT e.src AS node_id, CAST(SUM(a.auth_fp) AS BIGINT) AS raw
+  FROM e JOIN a{i} a ON a.node_id = e.dst GROUP BY 1
+), h{i} AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST(COALESCE((hr.raw * {one}) // (SELECT MAX(raw) FROM hr{i}),
+                       0) AS BIGINT) AS hub_fp
+  FROM nodes n LEFT JOIN hr{i} hr ON hr.node_id = n.node_id
+)"""
+        for i in range(1, iterations + 1)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node_id FROM e
+  UNION
+  SELECT DISTINCT dst AS node_id FROM e
+), h0 AS MATERIALIZED (
+  SELECT node_id, CAST({one} AS BIGINT) AS hub_fp FROM nodes
+){rounds}
+SELECT n.node_id, h.hub_fp, a.auth_fp
+FROM nodes n
+JOIN h{iterations} h ON h.node_id = n.node_id
+JOIN a{iterations} a ON a.node_id = n.node_id
+ORDER BY 1
+"""
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
     """Unrolled-CTE twin of clustering.kmeans_assign over embeddings:
     identical fix-pointing (round((x+1)*scale) BIGINTs), init (k
@@ -3336,6 +3385,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_kcore": _kcore_sql(2, 4),
         # label-propagation twin: unrolled count/pick rounds (_lpa_sql).
         "copurchase_communities": _lpa_sql(3),
+        "transaction_hits": _hits_sql(3),
         # Cohort-retention twin: month-truncated dates, pure INTEGER
         # month arithmetic (no months_between float), truncating ppm.
         # NULL order dates are ignored (the operator's declared

@@ -709,6 +709,36 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(pairs, assume_unique_pairs=True)
 
 
+
+def q_transaction_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer HITS — hubs & authorities (graph.hits,
+    3 rounds, 2^20 fixed point, L-infinity renormalization) — over the
+    DIRECTED customer->supplier purchase graph (distinct pairs via
+    orders x lineitem; node id = 2*custkey / 2*suppkey+1 keeps the key
+    spaces disjoint). The mutual-reinforcement layer pagerank's single
+    importance score does not give: on this bipartite graph hub score
+    ranks customers by the strength of the suppliers they buy from,
+    authority score ranks suppliers by the strength of their buyers —
+    every customer has auth_fp 0 and every supplier hub_fp 0 by
+    construction. Every step is truncating-BIGINT arithmetic (exact
+    sums, single-row max renorms), so the FIFTH iterative graph
+    algorithm also carries a full value-hash oracle: DuckDB unrolls
+    the same rounds as chained ar/a/hr/h CTEs and must match
+    bit-for-bit."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return hits(edges, iterations=3)
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity ranges of each user's event-type state (operators/
     scd.py): consecutive repeats collapse, versions count per user,
@@ -3885,6 +3915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
         "scd2_user_state": q_scd2_user_state,
+        # born r16 (past the window; queued for the r17 rotation):
+        "transaction_hits": q_transaction_hits,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -44,6 +44,9 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # born r16 (new operator, never yet driver-sampled; queued for the
+    # r17 rotation per the born-keys convention):
+    "transaction_hits": "test_spot_oracle_parity + tests/test_graph.py HITS golden/replica tests",
     # rotated out r16 per the standing >= 2-green rule (r15 verdict
     # task 1's second staleness-retirement rotation made room for the
     # r05-r07-era reference-surface keys):

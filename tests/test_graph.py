@@ -240,6 +240,82 @@ def test_label_propagation_bridged_triangles(spark):
     assert out[10] == out[11] == out[12]
 
 
+
+def test_hits_bipartite_golden(spark):
+    """Tiny purchase-shaped bipartite graph, hand-checkable structure:
+    sources (customers) hold auth_fp 0 and sinks (suppliers) hub_fp 0;
+    the peak hub and peak authority sit at exactly 2^20 after the
+    L-infinity renorm; the customer buying from the strongest supplier
+    set out-ranks the one buying from weak ones, and structurally
+    identical nodes tie exactly."""
+    # customers 0,2,4; suppliers 1,3,5.
+    # 0 buys from 1,3,5; 2 buys from 1,3; 4 buys from 5 only.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 5), (2, 1), (2, 3), (4, 5)], ["src", "dst"]
+    )
+    out = {r.node_id: (r.hub_fp, r.auth_fp) for r in graph.hits(edges).collect()}
+    one = 1 << 20
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    for c in (0, 2, 4):
+        assert out[c][1] == 0, "customers are never authorities"
+    for s in (1, 3, 5):
+        assert out[s][0] == 0, "suppliers are never hubs"
+    assert max(h for h, _ in out.values()) == one
+    assert max(a for _, a in out.values()) == one
+    assert out[0][0] == one, "the 3-supplier buyer is the peak hub"
+    assert out[1] == out[3], "structurally identical suppliers tie"
+    assert out[0][0] > out[2][0] > out[4][0]
+    assert out[1][1] > out[5][1], "two strong buyers beat one mixed one"
+
+
+def test_hits_matches_sequential_replica(spark):
+    """Randomized parity vs an in-test integer-HITS replica (same
+    exact-BIGINT sums, same truncating L-infinity renorm), over seeded
+    random DIRECTED graphs — pins that the distributed join/agg/
+    broadcast-max form IS the algorithm, including duplicate edges and
+    self-loops normalizing away."""
+    import random
+
+    rng = random.Random(4099)
+    one = 1 << 20
+    for trial in range(4):
+        n = rng.randint(5, 12)
+        edges = set()
+        while len(edges) < n + 5:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((a, b))
+        iters = rng.randint(1, 4)
+
+        nodes = sorted({v for e in edges for v in e})
+        hub = {v: one for v in nodes}
+
+        def renorm(raw):
+            mx = max(raw.values())
+            return {v: (raw.get(v, 0) * one) // mx for v in nodes}
+
+        auth = {}
+        for _ in range(iters):
+            a_raw = {}
+            for s, d in edges:
+                a_raw[d] = a_raw.get(d, 0) + hub[s]
+            auth = renorm(a_raw)
+            h_raw = {}
+            for s, d in edges:
+                h_raw[s] = h_raw.get(s, 0) + auth[d]
+            hub = renorm(h_raw)
+
+        rows = list(edges) + [
+            e for e in edges if rng.random() < 0.4  # noisy dups
+        ] + [(v, v) for v in nodes if rng.random() < 0.2]  # self-loops
+        df = spark.createDataFrame(rows, ["src", "dst"])
+        got = {
+            r.node_id: (r.hub_fp, r.auth_fp)
+            for r in graph.hits(df, iterations=iters).collect()
+        }
+        want = {v: (hub[v], auth[v]) for v in nodes}
+        assert got == want, (trial, iters, sorted(edges))
+
 def test_label_propagation_matches_sequential_replica(spark):
     """Randomized parity vs an in-test synchronous-LPA replica (same
     min-label tie-break), over seeded random graphs — pins that the
