@@ -806,7 +806,12 @@ def main() -> None:
     # ONCE at sf0.1, checkpointed, then id-strided x1/x10/x100 into
     # disjoint replica universes (degree distribution flat, rank mass
     # per replica identical) and pagerank(5 rounds) timed per decade.
-    if want("pagerank_edges") or want("kcore_dense") or want("lpa_edges"):
+    if (
+        want("pagerank_edges")
+        or want("kcore_dense")
+        or want("lpa_edges")
+        or want("hits_edges")
+    ):
         o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
         li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
         pr_pairs = (
@@ -860,6 +865,20 @@ def main() -> None:
                     ).count()
                 )
                 record("lpa_edges", f"x{factor}", t, n)
+            # hits_edges: integer HITS (3 rounds) on the same dense
+            # strided frame — the birth receipt for the r16 operator
+            # (per half-step: one score join + one hash agg + one
+            # single-row max broadcast; claim: cost ~ edges x rounds;
+            # the bidirectional frame makes every node both hub and
+            # authority, a denser exercise than the bipartite bench
+            # graph).
+            if want("hits_edges"):
+                t, n = timed(
+                    lambda: graph.hits(
+                        big_edges, "src", "dst", iterations=3
+                    ).count()
+                )
+                record("hits_edges", f"x{factor}", t, n)
             # kcore_dense: the k-core peel on the SAME dense strided
             # frame — the capacity-grade kcore receipt (the co-purchase
             # kcore_edges base is only 3.6k edges) and the at-scale
@@ -1040,7 +1059,8 @@ def main() -> None:
             d["ratio_min"] = round(min(d[XN]) / max(min(d["sf0.1"]), 1e-9), 2)
     for strided in (
         "cc_edges", "pagerank_edges", "kcore_edges", "clustering_edges",
-        "kcore_dense", "lpa_edges", "kmeans_emb", "semdedup_emb",
+        "kcore_dense", "lpa_edges", "hits_edges", "kmeans_emb",
+        "semdedup_emb",
     ):
         d = report.get(strided)
         if not d:
