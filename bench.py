@@ -139,6 +139,21 @@ def warm_up(spark, sf_dir: str, warm_mode: str, phases: dict | None = None) -> N
     mark("warm_streaming_state", t)
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
+    line — a VM's ONLY direct signal for hypervisor contention. The
+    preboot loadavg misses it entirely: the 585 s anomaly run started
+    at loadavg 0.01 and still had its cold numbers inflated 2x
+    mid-run by a noisy co-tenant; steal share during the run is the
+    receipt that distinguishes 'our own load' from 'someone else's'."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return (vals[7], sum(vals)) if len(vals) > 7 else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def env_block(spark) -> dict:
     """Host context for the run (r12 verdict task 5): a 1.18× driver-vs-
     builder total delta cost a triage cycle to prove as host noise; with
@@ -184,6 +199,7 @@ def main() -> None:
         la_preboot = round(os.getloadavg()[0], 2)
     except OSError:
         la_preboot = None
+    steal0 = _cpu_ticks()
 
     t0 = time.perf_counter()
     phases: dict = {}
@@ -280,6 +296,13 @@ def main() -> None:
         payload["env"]["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
+    steal1 = _cpu_ticks()
+    steal_pct = None
+    if steal0 and steal1 and steal1[1] > steal0[1]:
+        steal_pct = round(
+            100.0 * (steal1[0] - steal0[0]) / (steal1[1] - steal0[1]), 2
+        )
+        payload["env"]["cpu_steal_pct_during_run"] = steal_pct
     # Loadavg guard (r15 verdict task 2): a run that STARTS on a loaded
     # host self-identifies in its own payload, so a wrong-way total is
     # triaged in one glance instead of a round-trip. Threshold 2.0: the
@@ -294,11 +317,22 @@ def main() -> None:
         if la_preboot is not None
         else env_at_start.get("loadavg_1m")
     )
+    warnings = []
     if la_start is not None and la_start >= 2.0:
+        warnings.append(
+            f"host already loaded before spark boot (loadavg_1m = {la_start})"
+        )
+    # a co-tenant ramping up MID-run is invisible to the preboot check;
+    # hypervisor steal share during the run is the direct receipt
+    # (threshold 5%: clean runs on this VM measure <1%)
+    if steal_pct is not None and steal_pct >= 5.0:
+        warnings.append(
+            f"hypervisor stole {steal_pct}% of cpu during the run"
+        )
+    if warnings:
         payload["load_warning"] = (
-            f"host already loaded before spark boot (loadavg_1m = "
-            f"{la_start}); cold timings are load-confounded — read "
-            "queries_warm2 for regression evidence"
+            "; ".join(warnings) + " — cold timings are load-confounded; "
+            "read queries_warm2 for regression evidence"
         )
         print(f"WARNING: {payload['load_warning']}", file=sys.stderr)
     if warm2:
