@@ -323,9 +323,12 @@ def main() -> None:
             f"host already loaded before spark boot (loadavg_1m = {la_start})"
         )
     # a co-tenant ramping up MID-run is invisible to the preboot check;
-    # hypervisor steal share during the run is the direct receipt
-    # (threshold 5%: clean runs on this VM measure <1%)
-    if steal_pct is not None and steal_pct >= 5.0:
+    # hypervisor steal share during the run is the direct receipt.
+    # Threshold 1%, calibrated on this VM: a clean 251 s run measured
+    # 0.23% and an idle machine 0.006%, while a 359 s diffusely
+    # inflated run (same code, idle preboot) measured 3.68% — steal in
+    # the low single digits already means real contention windows.
+    if steal_pct is not None and steal_pct >= 1.0:
         warnings.append(
             f"hypervisor stole {steal_pct}% of cpu during the run"
         )
