@@ -389,18 +389,23 @@ def rfm_segments(
     so the operator does not define tile placement for them.
 
     Shape: one groupBy(user) builds the per-customer triple; the max
-    order date is a scalar broadcast (one-row cross join). The three
-    NTILE windows are single-partition total orders over a
-    customer-sized frame — same bounded-global-sort story as
-    rank_stats; at 100 TB the customer dimension is the small table
-    (billions of orders, millions of customers), and if even that
-    outgrows one task, each NTILE becomes the two-pass
-    range-partitioned rank (count + partition boundaries) with
-    identical output.
+    order date is a scalar broadcast (one-row cross join). Each NTILE
+    is a TWO-PHASE DISTRIBUTED RANK (windows.global_rank_two_phase:
+    range shuffle → in-partition position → broadcast partition
+    offsets) plus the closed-form bucket rule — never a single-task
+    ``Window.orderBy``: the per-customer frame scales linearly with the
+    data (TPC-H sf100k ≈ 15B customers), so the old global window
+    funneled it through one task. Rank is a pure function of the total
+    order, so the rewrite is bit-identical to the window form
+    (property-pinned in tests).
 
     Returns one row per customer: (user, recency_days, frequency,
     monetary_cents, r_score, f_score, m_score, rfm) sorted by user.
     """
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        global_rank_two_phase,
+        ntile_from_grank,
+    )
     if not 2 <= n_tiles <= 9:
         raise ValueError(
             "n_tiles must be in 2..9: the rfm code packs one decimal "
@@ -429,18 +434,35 @@ def rfm_segments(
         "frequency",
         "monetary_cents",
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user").asc())
-    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("user").asc())
+    def tile(frame: DataFrame, order: list, alias: str) -> DataFrame:
+        return (
+            global_rank_two_phase(frame, order)
+            .withColumn(alias, ntile_from_grank(n_tiles))
+            .drop("__grank", "__gtotal")
+        )
+
+    scored = tile(
+        triple,
+        [F.col("recency_days").asc(), F.col("user").asc()],
+        "__r_raw",
+    )
+    scored = tile(
+        scored, [F.col("frequency").desc(), F.col("user").asc()], "f_score"
+    )
+    scored = tile(
+        scored,
+        [F.col("monetary_cents").desc(), F.col("user").asc()],
+        "m_score",
+    )
     return (
-        triple.select(
+        scored.select(
             "user",
             "recency_days",
             "frequency",
             "monetary_cents",
-            F.ntile(n_tiles).over(w_r).alias("__r_raw"),
-            F.ntile(n_tiles).over(w_f).alias("f_score"),
-            F.ntile(n_tiles).over(w_m).alias("m_score"),
+            "__r_raw",
+            "f_score",
+            "m_score",
         )
         # high score = good on every axis: recency tile 1 (most recent)
         # becomes n_tiles; frequency/monetary tiles already rank best
@@ -476,22 +498,30 @@ def revenue_pareto(
 
     Exact across engines: revenue goes through the pricing_summary
     money rule (DECIMAL(18,2) price × exact decimal discount factor),
-    then ×100 into BIGINT cents; the cumulative sum rides ONE global
-    ranking window over a deterministic total order (cents DESC, entity
-    ASC); the head test is pure integer cross-multiplication
-    (10⁶·cum ≤ frac·total, both sides DECIMAL(38,0) — no division, no
-    float, no overflow at corpus scale).
+    then ×100 into BIGINT cents; rank and the running total follow ONE
+    deterministic total order (cents DESC, entity ASC); the head test
+    is pure integer cross-multiplication (10⁶·cum ≤ frac·total, both
+    sides DECIMAL(38,0) — no division, no float, no overflow at corpus
+    scale).
 
-    Shape: one hash aggregate to entity grain, then the single global
-    window over the ENTITY dimension (bounded: parts/SKUs, not line
-    items — the rank_stats bounded-global-sort story; two-pass
-    range-partitioned ranking replaces it if the dimension ever
-    outgrows one task).
+    Shape: one hash aggregate to entity grain, then a TWO-PHASE
+    DISTRIBUTED rank + running sum (windows.global_rank_two_phase with
+    ``cum_col``: range shuffle → per-partition row_number and prefix
+    sum → broadcast partition count/sum offsets) — never a single-task
+    global window: the entity dimension is NOT bounded (parts and
+    customers grow linearly with the data; TPC-H sf100k ≈ 20B parts),
+    so the old ``Window.orderBy`` running sum funneled the whole
+    aggregated frame through one task. Integer prefix sums are
+    order-independent, so the rewrite is bit-identical (pinned by the
+    sequential-replica property test and the unchanged DuckDB oracle).
 
     Returns (entity, revenue_cents, rank, cum_cents, in_head) sorted by
     rank; in_head marks rows whose RUNNING total is still within the
     fraction (the first row is always in the head if any is).
     """
+    from lab_etl_batch_data_processing_pipeline__spark.operators.windows import (
+        global_rank_two_phase,
+    )
     price = F.col(price_col).cast("decimal(18,2)")
     if discount_col is not None:
         rev = price * (F.lit(1.00).cast("decimal(4,2)") - F.col(discount_col).cast("decimal(4,2)"))
@@ -511,27 +541,21 @@ def revenue_pareto(
             .alias("revenue_cents")
         )
     )
-    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("entity").asc())
-    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d38 = "decimal(38,0)"
+    ranked = global_rank_two_phase(
+        per,
+        [F.col("revenue_cents").desc(), F.col("entity").asc()],
+        cum_col="revenue_cents",
+    )
     return (
-        per.select(
+        ranked.select(
             "entity",
             "revenue_cents",
-            F.row_number().over(w).alias("rank"),
-            F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
-            F.sum("revenue_cents").over(
-                Window.partitionBy()
-            ).alias("__total"),
-        )
-        .select(
-            "entity",
-            "revenue_cents",
-            "rank",
-            "cum_cents",
+            F.col("__grank").cast("int").alias("rank"),
+            F.col("__gcum").alias("cum_cents"),
             (
-                F.col("cum_cents").cast(d38) * F.lit(1_000_000)
-                <= F.col("__total").cast(d38) * F.lit(top_frac_ppm)
+                F.col("__gcum").cast(d38) * F.lit(1_000_000)
+                <= F.col("__gsum").cast(d38) * F.lit(top_frac_ppm)
             ).alias("in_head"),
         )
         .orderBy("rank")

@@ -2,13 +2,16 @@
 distribution summaries (engine extension; the reference's only window is
 M7's LAG, SURVEY.md §2.5).
 
-All single-shuffle: each operator hash-partitions once on its key and
-computes every windowed column inside that partitioning.
+Per-key operators are single-shuffle: each hash-partitions once on its
+key and computes every windowed column inside that partitioning.
+Global / few-valued rank surfaces go through global_rank_two_phase
+instead — a range shuffle + broadcast offsets — because an empty (or
+5-valued) partition spec funnels the frame through one task at scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -416,32 +419,225 @@ def resample_interpolate(
     )
 
 
+def global_rank_two_phase(
+    df: DataFrame,
+    order_exprs: list,
+    group_cols: list[str] | None = None,
+    cum_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number over a TOTAL order — the two-phase
+    replacement for ``Window.orderBy(...)`` with an empty (or
+    few-valued) partition spec, which funnels the whole frame through
+    one task (the pack_offsets anti-pattern, operators/text.py): at
+    100 TB a global NTILE over customers or parts moves every row
+    through a single sort.
+
+    Two phases, both distributed:
+
+    1. ``repartitionByRange(group_cols + order_exprs)`` makes range
+       partitions that are contiguous in the global order (equal keys
+       land together; groups are contiguous across partitions). A local
+       in-partition sort + ``monotonically_increasing_id`` yields each
+       row's 0-based position inside its partition with ZERO further
+       shuffle (the id's documented layout: partition in the high bits,
+       in-partition counter in the low 33).
+    2. per-(partition, group) counts — a tiny frame of at most
+       ``num_partitions + n_groups - 1`` rows (group ranges are
+       contiguous, so partitions rarely split a group) — give each
+       partition its cumulative offset via a bounded self-join
+       (earlier-pid rows of the same group), NOT a single-partition
+       window: the registry's global-window plan gate stays clean and
+       the prefix is an order-independent integer sum. The offsets
+       broadcast back; global rank = offset + in-partition position.
+
+    When ``cum_col`` is given (a running-sum consumer like
+    revenue_pareto), phase 1 instead computes the per-row local rank
+    AND local prefix sum through a window partitioned by the
+    materialized partition id — one extra hash exchange, still n-way
+    parallel — because a per-row prefix cannot ride the id trick.
+
+    Preconditions (the rank-family contract): ``order_exprs`` must end
+    in a unique tiebreak (ranks over a non-total order would be
+    engine-nondeterministic — same rule the old single-window form
+    had) and order columns are non-NULL; group keys may be NULL
+    (null-safe joins throughout). ``group_cols`` is for FEW-valued
+    grouping (priority classes, market segments) where a plain
+    ``Window.partitionBy`` would still mean one task per group; a
+    high-cardinality key should keep the ordinary partitioned window.
+
+    Returns the input columns plus ``__grank`` (1-based BIGINT global
+    rank within the group), ``__gtotal`` (group row count), and — when
+    ``cum_col`` is set — ``__gcum`` (running sum through the current
+    row) and ``__gsum`` (group total of ``cum_col``).
+
+    Scale shape: one range shuffle of the frame (+ one hash shuffle on
+    the cum path), one tiny self-join, one broadcast join. Rank is a
+    pure function of the total order, so the output is bit-identical
+    to the single-task window it replaces regardless of partition
+    boundaries or AQE decisions.
+    """
+    groups = list(group_cols or [])
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    keys = [F.col(g) for g in groups] + list(order_exprs)
+    ranged = df.repartitionByRange(n, *keys)
+    if cum_col is None:
+        local = (
+            ranged.sortWithinPartitions(*keys)
+            .withColumn("__mono", F.monotonically_increasing_id())
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn(
+                "__idx", F.col("__mono").bitwiseAND(F.lit((1 << 33) - 1))
+            )
+            .drop("__mono")
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("__idx").alias("__first"),
+        ]
+    else:
+        local = ranged.withColumn("__pid", F.spark_partition_id())
+        w_loc = Window.partitionBy("__pid", *groups).orderBy(*order_exprs)
+        local = local.withColumn(
+            "__lrank", F.row_number().over(w_loc).cast("long")
+        ).withColumn(
+            "__lcum",
+            F.sum(cum_col).over(
+                w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(cum_col).alias("__csum"),
+        ]
+    tiny = local.groupBy("__pid", *groups).agg(*aggs)
+    # phase 2: cumulative offsets across partition ids — a bounded
+    # self-join over the tiny frame (≤ n + groups - 1 rows), summing
+    # earlier-pid counts of the same group; integer sums are
+    # order-independent, so this equals the window prefix exactly.
+    a = tiny.alias("__a")
+    b = tiny.select(
+        F.col("__pid").alias("__bpid"),
+        *[F.col(g).alias(f"__bg_{g}") for g in groups],
+        F.col("__cnt").alias("__bcnt"),
+        *([F.col("__csum").alias("__bcsum")] if cum_col is not None else []),
+    )
+    cond = F.col("__bpid") < F.col("__a.__pid")
+    for g in groups:
+        cond = cond & F.col(f"__a.{g}").eqNullSafe(F.col(f"__bg_{g}"))
+    carry = ["__first"] if cum_col is None else []
+    earlier = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            F.col("__a.__pid").alias("__kpid"),
+            *[F.col(f"__a.{g}").alias(f"__kg_{g}") for g in groups],
+            *[F.col(f"__a.{c}").alias(c) for c in carry],
+        )
+        .agg(
+            F.coalesce(F.sum("__bcnt"), F.lit(0)).alias("__roff"),
+            *(
+                [F.coalesce(F.sum("__bcsum"), F.lit(0)).alias("__coff")]
+                if cum_col is not None
+                else []
+            ),
+        )
+    )
+    tot_aggs = [F.sum("__cnt").alias("__gtotal")]
+    if cum_col is not None:
+        tot_aggs.append(F.sum("__csum").alias("__gsum"))
+    if groups:
+        totals = tiny.groupBy(*groups).agg(*tot_aggs)
+        tcond = None
+        for g in groups:
+            c = F.col(f"__kg_{g}").eqNullSafe(F.col(f"__t.{g}"))
+            tcond = c if tcond is None else (tcond & c)
+        offsets = earlier.join(
+            F.broadcast(totals.alias("__t")), tcond
+        ).drop(*groups)
+    else:
+        offsets = earlier.crossJoin(F.broadcast(tiny.agg(*tot_aggs)))
+    jcond = F.col("__pid") == F.col("__kpid")
+    for g in groups:
+        jcond = jcond & F.col(g).eqNullSafe(F.col(f"__kg_{g}"))
+    joined = local.join(F.broadcast(offsets), jcond)
+    if cum_col is None:
+        joined = joined.withColumn(
+            "__grank",
+            F.col("__roff") + (F.col("__idx") - F.col("__first")) + 1,
+        )
+    else:
+        joined = joined.withColumn(
+            "__grank", F.col("__roff") + F.col("__lrank")
+        ).withColumn("__gcum", F.col("__coff") + F.col("__lcum"))
+    drop = (
+        ["__pid", "__kpid", "__roff"]
+        + [f"__kg_{g}" for g in groups]
+        + (["__idx", "__first"] if cum_col is None else ["__lrank", "__lcum", "__coff"])
+    )
+    return joined.drop(*drop)
+
+
+def ntile_from_grank(n_tiles: int) -> Column:
+    """NTILE(n) as a pure closed-form function of the two-phase rank
+    columns (``__grank``, ``__gtotal``) — the standard bucket rule both
+    Spark and DuckDB implement: with T rows and n buckets, the first
+    ``T mod n`` buckets hold ``T div n + 1`` rows, the rest ``T div n``
+    (when T < n each row is its own bucket — the then-branch covers
+    every row, so the else-branch's div-by-zero never evaluates).
+    Property-pinned against F.ntile in tests."""
+    b = f"(__gtotal div {n_tiles})"
+    r = f"(__gtotal % {n_tiles})"
+    return F.expr(
+        f"cast(case when __grank <= {r} * ({b} + 1) "
+        f"then (__grank - 1) div ({b} + 1) + 1 "
+        f"else {r} + (__grank - {r} * ({b} + 1) - 1) div {b} + 1 end as int)"
+    )
+
+
 def rank_stats(
     df: DataFrame,
     part_col: str,
     order_cols: list[str],
     n_tiles: int = 4,
 ) -> DataFrame:
-    """Per-partition rank family in one window pass: ntile bucket,
+    """Per-partition rank family in one pass: ntile bucket,
     percent_rank, cume_dist, dense_rank — the distribution columns an
     analytics layer attaches for quantile bucketing and percentile
     reporting (engine extension; the reference's only window is M7's
     LAG).
 
-    ``order_cols`` should end in a unique tiebreaker (e.g. the primary
+    ``order_cols`` must end in a unique tiebreaker (e.g. the primary
     key): ntile SPLITS ties across buckets by physical row order, so a
     non-total order would be engine-nondeterministic. With a total
-    order every emitted column is a pure function of the sorted input.
-    One shuffle on ``part_col``; all four functions share the single
-    sorted window.
+    order every emitted column is a pure function of (global rank,
+    group total), so the family is computed from ONE two-phase
+    distributed rank (global_rank_two_phase) instead of a per-group
+    window sort: ``part_col`` here is a FEW-valued class column
+    (priority, segment), so ``Window.partitionBy(part_col)`` would
+    funnel the whole frame through a handful of tasks at 100 TB —
+    the r16-retired scale-killer shape. Closed forms (total order ⇒
+    rank == row_number == dense_rank): bucket = the standard NTILE
+    rule, pct_rank = (rank-1)/(T-1) (0.0 when T = 1), cume_dist =
+    rank/T — bit-identical to the window functions they replace
+    (property-pinned in tests).
     """
-    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
-    return df.select(
-        "*",
-        F.ntile(n_tiles).over(w).alias("bucket"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume_dist"),
-        F.dense_rank().over(w).alias("dense_rank"),
+    ranked = global_rank_two_phase(
+        df, [F.col(c) for c in order_cols], group_cols=[part_col]
+    )
+    r, t = F.col("__grank"), F.col("__gtotal")
+    return ranked.select(
+        *df.columns,
+        ntile_from_grank(n_tiles).alias("bucket"),
+        F.when(
+            t > 1, (r - 1).cast("double") / (t - 1).cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (r.cast("double") / t.cast("double")).alias("cume_dist"),
+        r.cast("int").alias("dense_rank"),
     )
 
 

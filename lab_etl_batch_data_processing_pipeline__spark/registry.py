@@ -1936,15 +1936,26 @@ def q_nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_acctbal_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartiles of customers by balance within segment; averages
-    via decimal sums so parallel merge order can't flip low bits."""
-    from pyspark.sql import Window
+    via decimal sums so parallel merge order can't flip low bits.
+    r17 rewrite: the quartile comes from windows.rank_stats' two-phase
+    distributed rank instead of a 5-way Window.partitionBy(segment) —
+    one window task per market segment would funnel 20 % of all
+    customers each at 100 TB; values are bit-identical (rank is a pure
+    function of the (c_acctbal, c_custkey) total order)."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows as _w
 
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
-        _t(spark, sf_dir, "customer")
+        _w.rank_stats(
+            _t(spark, sf_dir, "customer").select(
+                "c_mktsegment", "c_acctbal", "c_custkey"
+            ),
+            "c_mktsegment",
+            ["c_acctbal", "c_custkey"],
+            n_tiles=4,
+        )
         .select(
             "c_mktsegment",
-            F.ntile(4).over(w).alias("quartile"),
+            F.col("bucket").alias("quartile"),
             F.col("c_acctbal").cast("decimal(18,4)").alias("_bal"),
         )
         .groupBy("c_mktsegment", "quartile")
@@ -3058,9 +3069,13 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto contribution analysis over parts (metrics.revenue_pareto):
     rank parts by discounted revenue, mark the head carrying 80 % of
-    the total. Exact: pricing_summary money rule into BIGINT cents, one
-    global ranking window over the bounded part dimension, integer
-    cross-multiplied head test (no division, DECIMAL(38,0) operands)."""
+    the total. Exact: pricing_summary money rule into BIGINT cents,
+    integer cross-multiplied head test (no division, DECIMAL(38,0)
+    operands). The part dimension is NOT bounded — parts scale
+    linearly with the data (TPC-H sf100k ≈ 20B parts) — so rank and
+    running sum ride the two-phase distributed rank
+    (windows.global_rank_two_phase), never a single-task global
+    window (r17 rewrite; bit-identical, oracle unchanged)."""
     return metrics.revenue_pareto(
         _t(spark, sf_dir, "lineitem"), "l_partkey", "l_extendedprice",
         "l_discount", top_frac_ppm=800_000,

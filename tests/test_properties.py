@@ -2800,3 +2800,75 @@ def test_fuzzy_match_degree_matches_dp_replica(spark, data):
     )
     got = {r.rid: (r.n_matches, r.min_distance) for r in out.collect()}
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),    # group (few-valued, the helper's case)
+            st.integers(-5, 5),   # value (ties -> unique id breaks)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    grouped=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_global_rank_two_phase_matches_single_window(spark, rows, grouped):
+    """windows.global_rank_two_phase must be BIT-IDENTICAL to the
+    single-task window it replaces (r16 verdict task 2): same
+    row_number over the same total order, same group totals, same
+    running sum on the cum path — rank is a pure function of the total
+    order, so partition boundaries must not show through. Covers both
+    the mono-id rank-only path and the cum_col path, grouped and
+    global."""
+    from pyspark.sql import Window
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v int, id long").repartition(5)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    groups = ["g"] if grouped else []
+    w = (
+        Window.partitionBy(*groups).orderBy(*order)
+        if grouped
+        else Window.orderBy(*order)
+    )
+    w_tot = Window.partitionBy(*groups) if grouped else Window.partitionBy()
+    expect = {
+        r.id: (r.rn, r.tot, r.cum)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(w_tot).alias("tot"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+        ).collect()
+    }
+    # rank-only (mono-id) path
+    got = {
+        r["id"]: (r["__grank"], r["__gtotal"])
+        for r in windows.global_rank_two_phase(
+            df, order, group_cols=groups, num_partitions=4
+        ).collect()
+    }
+    assert got == {i: (rn, tot) for i, (rn, tot, _) in expect.items()}
+    # cum path (pid-window) — also checks the running sum
+    got_cum = {
+        r["id"]: (r["__grank"], r["__gtotal"], r["__gcum"])
+        for r in windows.global_rank_two_phase(
+            df, order, group_cols=groups, cum_col="v", num_partitions=4
+        ).collect()
+    }
+    assert got_cum == expect
+    # __gsum is the per-group total of the cum column
+    sums: dict[int, int] = {}
+    for g, v, _ in data:
+        key = g if grouped else 0
+        sums[key] = sums.get(key, 0) + v
+    for r in windows.global_rank_two_phase(
+        df, order, group_cols=groups, cum_col="v", num_partitions=4
+    ).collect():
+        assert r["__gsum"] == sums[r["g"] if grouped else 0]

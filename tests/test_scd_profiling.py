@@ -452,3 +452,48 @@ def test_time_weighted_avg_exact(spark):
     # num = 4*10000 + 12*20000 = 280000; den = 30000
     assert out[1] == (3, 280000, 30000, 9333333)
     assert out[2] == (1, 0, 0, None)
+
+
+def test_rank_family_rewrite_keeps_output_schemas(spark):
+    """The r17 two-phase rank rewrite must not move output dtypes: the
+    driver's schema compare (and every downstream consumer) saw the
+    window-function types (ntile/row_number -> int, percent_rank/
+    cume_dist -> double, sums -> long), so the closed forms pin them."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import (
+        metrics,
+        windows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3, 1), ("a", 2, 2), ("b", 1, 3)], "part string, v int, id int"
+    )
+    rs = windows.rank_stats(df, "part", ["v", "id"], n_tiles=2)
+    assert dict(rs.dtypes)["bucket"] == "int"
+    assert dict(rs.dtypes)["pct_rank"] == "double"
+    assert dict(rs.dtypes)["cume_dist"] == "double"
+    assert dict(rs.dtypes)["dense_rank"] == "int"
+
+    rfm = metrics.rfm_segments(
+        spark.createDataFrame(
+            [(1, "2024-01-02", 10.0), (2, "2024-02-03", 5.0)],
+            "u int, ts string, amt double",
+        ),
+        "u",
+        F.to_timestamp("ts"),
+        "amt",
+    )
+    d = dict(rfm.dtypes)
+    assert d["r_score"] == d["f_score"] == d["m_score"] == d["rfm"] == "int"
+    assert d["monetary_cents"] == "bigint"
+
+    par = metrics.revenue_pareto(
+        spark.createDataFrame([("x", 10.0), ("y", 5.0)], "e string, p double"),
+        "e",
+        "p",
+    )
+    d = dict(par.dtypes)
+    assert d["rank"] == "int"
+    assert d["cum_cents"] == "bigint"
+    assert d["in_head"] == "boolean"

@@ -65,6 +65,7 @@ from lab_etl_batch_data_processing_pipeline__spark.operators import (
     profiling,
     scd,
     similarity,
+    windows,
 )
 from lab_etl_batch_data_processing_pipeline__spark.plans import corpus as corpus_plans
 
@@ -1005,6 +1006,73 @@ def main() -> None:
                 record("semdedup_emb", f"x{factor}", t, n)
             big_emb.unpersist()
         emb_base.unpersist()
+
+    # rank_twophase / rank_twophase_cum: strided decades for the r17
+    # global-rank rewrite (r16 verdict tasks 2+5 — customer_rfm,
+    # part_revenue_pareto, orders_rank_stats, acctbal_ntile replaced
+    # their single-task global / 5-way windows with
+    # windows.global_rank_two_phase). The sf0.1 orders frame
+    # (o_orderkey, o_orderpriority, totalprice cents) is checkpointed
+    # once, then id-strided into disjoint orderkey universes at
+    # UNCHANGED price distribution and the SAME 5 priority classes —
+    # every replica interleaves into the global rank order, so this is
+    # organic growth of the ranked frame, not per-replica isolation:
+    # the rank genuinely spans all rows. Claims under test: the
+    # mono-id path (rank_twophase: range shuffle -> in-partition
+    # position -> broadcast offsets; the rank_stats/rfm/ntile shape,
+    # grouped by the 5 priority classes) and the cum path
+    # (rank_twophase_cum: + one pid-hash window for the running sum;
+    # the revenue_pareto shape, ungrouped) both scale ~linearly in
+    # rows — the single-task sort they replaced serializes the whole
+    # frame through one core. out_rows must be exactly linear (one per
+    # input row). The x1000 leg (150M rows) is where data outgrows
+    # fixed job overhead — the sf0.1 base is only 150k rows, so x100
+    # still reads partly overhead-bound (the kmeans_emb story).
+    if want("rank_twophase"):
+        o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
+        rk_base = graph._ckpt(
+            o01.select(
+                "o_orderkey",
+                "o_orderpriority",
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        print(
+            f"PROBE rank_twophase base rows={rk_base.count()}", file=sys.stderr
+        )
+        for factor in (1, 10, 100, 1000):
+            reps = spark.range(factor).select(F.col("id").alias("r"))
+            big_rk = graph._ckpt(
+                rk_base.crossJoin(reps)
+                .select(
+                    (F.col("o_orderkey") + F.col("r") * ID_STRIDE).alias(
+                        "o_orderkey"
+                    ),
+                    "o_orderpriority",
+                    "cents",
+                )
+                .repartition(32)
+            )
+            t, n = timed(
+                lambda: windows.global_rank_two_phase(
+                    big_rk,
+                    [F.col("cents").desc(), F.col("o_orderkey").asc()],
+                    group_cols=["o_orderpriority"],
+                ).count()
+            )
+            record("rank_twophase", f"x{factor}", t, n)
+            t, n = timed(
+                lambda: windows.global_rank_two_phase(
+                    big_rk,
+                    [F.col("cents").desc(), F.col("o_orderkey").asc()],
+                    cum_col="cents",
+                ).count()
+            )
+            record("rank_twophase_cum", f"x{factor}", t, n)
+            big_rk.unpersist()
+        rk_base.unpersist()
 
     # cc_capacity: EXPLICIT-ONLY (exact token, never in a default sweep)
     # — the r14 one-JVM ceiling retry (verdict task 6). Reproduces the
