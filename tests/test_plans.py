@@ -1134,3 +1134,207 @@ ReadSchema: struct<value:string>
 Condition : (value#1 = hello)
 """
     assert unpushed_filter_scans(no_api) == []
+
+# ---------------------------------------------------------------------------
+# Standing all-registry global-window audit (r16 verdict task 3).
+#
+# The r17 round retired the last single-task global/few-valued rank
+# windows (customer_rfm, part_revenue_pareto, orders_rank_stats,
+# acctbal_ntile → windows.global_rank_two_phase). This gate keeps the
+# shape retired: any registry plan that runs a Window on a
+# SinglePartition exchange — the physical signature of
+# ``Window.orderBy`` with an empty partition spec, which funnels the
+# whole frame through ONE task at 100 TB — fails CI unless the key is
+# allowlisted with a documented size bound for the frame that reaches
+# the window. The sweep log's "WindowExec: No Partition Defined"
+# warnings are now a structural test instead of noise.
+#
+# Scope notes: the detector anchors on the EXCHANGE, not the window
+# count — stacked windows over one sort flag as one site; a global
+# window whose input needs no exchange because it is already reduced
+# to a single partition (e.g. a rank over ``limit(k)`` output, the
+# profiling top-k shape) is legitimately dimension-sized and does not
+# flag by construction.
+# ---------------------------------------------------------------------------
+
+#: nodes that preserve the child's partitioning on the walk from a
+#: Window down to the exchange that feeds it (all unary, all narrow)
+_WINDOW_PASSTHROUGH = {
+    "Sort",
+    "Project",
+    "Filter",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+    "Window",
+    "WindowGroupLimit",
+}
+
+
+def global_window_exchanges(plan: str) -> set[str]:
+    """Node ids of SinglePartition exchanges that feed a Window through
+    partitioning-preserving nodes only — each is one single-task
+    window site in the plan."""
+    lines = plan.splitlines()
+    tree: list[tuple[str, str]] = []
+    for ln in lines:
+        if ln.startswith("=="):
+            continue
+        m = _TREE_NODE_RE.match(ln)
+        if m:
+            tree.append((m.group(1).strip(), m.group(2)))
+        if not ln.strip():
+            break  # tree section ends at the first blank line
+    single: set[str] = set()
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) Exchange\b", ln)
+        if m:
+            cur = m.group(1)
+            continue
+        if ln.startswith("(") and ") " in ln[:8]:
+            cur = None  # a different node's detail section
+        if cur and ln.strip().startswith("Arguments: SinglePartition"):
+            single.add(cur)
+    sites: set[str] = set()
+    for i, (name, _nid) in enumerate(tree):
+        if name != "Window":
+            continue
+        j = i + 1
+        while j < len(tree) and tree[j][0] in _WINDOW_PASSTHROUGH:
+            j += 1
+        if j < len(tree) and tree[j][0] == "Exchange" and tree[j][1] in single:
+            sites.add(tree[j][1])
+    return sites
+
+
+# key -> (max allowed single-task window sites, documented size bound
+# of the frame the window sees). Every entry must name WHY the frame
+# is dimension-sized, not data-scaled; grow a count ONLY with a new
+# justification. The r17 audit over all 169 plans found exactly these.
+_GLOBAL_WINDOW_ALLOW: dict[str, tuple[int, str]] = {
+    "pack_offsets": (
+        1,
+        "phase-2 running offsets over per-BUCKET totals — <= 256 rows "
+        "(one md5 byte drives the bucket), operators/text.py pack_offsets",
+    ),
+    "training_batches": (
+        1,
+        "same pack_offsets phase-2 shape inside training-sequence "
+        "packing: buckets-row frame, never documents",
+    ),
+    "corpus_mixture": (
+        1,
+        "equal-share branch counts SOURCES (per-source aggregate "
+        "frame, source dimension) — operators/text.py mixture_sample",
+    ),
+    "revenue_growth_monthly": (
+        1,
+        "LAG over calendar-MONTH totals — frame bounded by the "
+        "calendar, operators/metrics.py period_growth",
+    ),
+    "price_benford": (
+        1,
+        "share denominator over the 9-row first-digit frame — "
+        "operators/profiling.py benford",
+    ),
+    "session_depth": (
+        1,
+        "share denominator over the depth histogram (<= max_depth "
+        "rows, default 20) — operators/sessions.py session_depth",
+    ),
+    "events_chi2": (
+        1,
+        "row/col/grand totals over the |a|x|b| contingency grid — "
+        "alphabet-squared frame, operators/profiling.py chi2",
+    ),
+    "part_skyline": (
+        1,
+        "frontier min over DISTINCT bucketed max_col values (the "
+        "groupBy key) — dimension-sized by the operator's documented "
+        "bucket-first contract, operators/joins.py skyline",
+    ),
+}
+
+
+def test_no_single_task_windows_over_data_scaled_frames(all_registry_plans):
+    """r16 verdict task 3: no registry plan may run a Window over a
+    SinglePartition exchange unless the key documents a dimension-size
+    bound in _GLOBAL_WINDOW_ALLOW (and then no MORE sites than
+    documented). The four r17 rank-family rewrites must stay clean —
+    their two-phase offsets ride a bounded self-JOIN precisely so this
+    gate needs no entry for them."""
+    violations = {}
+    for key, plan in all_registry_plans.items():
+        n = len(global_window_exchanges(plan))
+        allowed = _GLOBAL_WINDOW_ALLOW.get(key, (0, ""))[0]
+        if n > allowed:
+            violations[key] = (n, allowed)
+    assert not violations, (
+        "single-task global window over a possibly data-scaled frame "
+        "(sites > allowlisted): {v} — rewrite onto "
+        "windows.global_rank_two_phase (or the pack_offsets two-phase "
+        "prefix sum) or document the frame's size bound in "
+        "_GLOBAL_WINDOW_ALLOW".format(v=violations)
+    )
+    for key in ("customer_rfm", "part_revenue_pareto",
+                "orders_rank_stats", "acctbal_ntile"):
+        assert key not in _GLOBAL_WINDOW_ALLOW
+        assert not global_window_exchanges(all_registry_plans[key])
+
+
+def test_global_window_detector_detects_the_bad_shape():
+    """Self-test for the audit parser, both directions on synthetic
+    formatted-plan text: the retired shape (Window over Sort over
+    Exchange SinglePartition) must be detected, stacked windows over
+    one exchange must count ONCE, and the healthy shapes — a
+    hash-partitioned window, a single-partition exchange feeding a
+    global AGGREGATE — must not flag."""
+    bad = """== Physical Plan ==
+AdaptiveSparkPlan (5)
++- Window (4)
+   +- * Sort (3)
+      +- Exchange (2)
+         +- Scan parquet  (1)
+
+(2) Exchange
+Input [2]: [a#1, b#2]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]
+"""
+    assert global_window_exchanges(bad) == {"2"}
+
+    stacked = """== Physical Plan ==
+AdaptiveSparkPlan (6)
++- Window (5)
+   +- Window (4)
+      +- * Sort (3)
+         +- Exchange (2)
+            +- Scan parquet  (1)
+
+(2) Exchange
+Input [2]: [a#1, b#2]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]
+"""
+    assert global_window_exchanges(stacked) == {"2"}
+
+    partitioned = bad.replace(
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]",
+        "Arguments: hashpartitioning(g#1L, 32), ENSURE_REQUIREMENTS, [plan_id=12]",
+    )
+    assert global_window_exchanges(partitioned) == set()
+
+    # the global-aggregate shape: Exchange SinglePartition feeding a
+    # HashAggregate (map-side combine already reduced the frame) —
+    # there is no Window above it, so it must not flag
+    agg = """== Physical Plan ==
+AdaptiveSparkPlan (5)
++- * HashAggregate (4)
+   +- Exchange (3)
+      +- * HashAggregate (2)
+         +- Scan parquet  (1)
+
+(3) Exchange
+Input [1]: [sum#9L]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+"""
+    assert global_window_exchanges(agg) == set()
