@@ -3675,42 +3675,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events_mad_outliers, price_winsorized, customer_cohort_retention
       were rewritten AFTER their r9-r12 green rows).
 
-    Current window (r16, continuing the staleness retirement begun in
-    r15 — r15 verdict task 1). Rotated IN (15): copurchase_communities
-    (born r15, never driver-sampled — the born-keys convention; ALSO
-    rewrite-requeued this round: the r16 argmin rewrite replaced its
-    per-round row_number window, so its r16 green is a first
-    post-rewrite row and it stays for a second) plus the fourteen
-    oldest-green tail keys oldest-first, reference-surface metrics
-    leading exactly as the verdict listed: orders_by_weekday,
-    nation_custkey_list (last green r05), repeat_rate_monthly,
-    occupancy_monthly, bookings_per_user, avg_duration_monthly,
-    metric_sql_view, date_normalize, currency_convert, dedup_exact,
-    dedup_keys, csv_roundtrip, jdbc_roundtrip, sessionization (last
-    green r06-r07; reference twins present_summary.py:81-181 and
-    helper_func.py:20-63). Rotated OUT (15), per the >= 2-green rule:
-    events_mad_outliers, price_winsorized, customer_cohort_retention
-    (rewrite-requeued r14; r14+r15 green are the two post-rewrite
-    rows), the five r10-debt family anchors price_ks_drift,
-    supplier_incremental_ingest, orders_reconcile,
-    user_activity_coverage, event_streaks (SIX driver-green rounds
-    r10-r15, code unchanged since r10), and seven r10-era anchors with
-    four greens each (r9+r13+r14+r15, unchanged): dup_span_report,
-    containment_near_dups, pmi_collocations, copurchase_pairs,
-    bloom_join_gate, customer_radius_join, streaming_attribution.
-    HELD: the fifteen r15-rotated-in keys (r15 green is their first
-    fresh row — the >= 2-green rule wants a second),
-    multimodal_features (r15-touched: malformed-PLTE reporting),
-    transaction_pagerank and copurchase_kcore (r15-touched loop
-    internals; r15 green is their first post-touch row), and the
-    remaining r9/r10-wave coverage anchors (semantic_dedup,
-    corpus_prep_auto, embedding_kmeans et al. keep the
-    embeddings/corpus/streaming/SCD families driver-pinned). NOTE:
-    this round's knob-coverage change routed several operators' raw
-    localCheckpoint calls through graph._ckpt (storage-level plumbing
-    only, value-neutral by pin tests/test_graph.py knob tests) — per
-    the r15 precedent (the CC storage knob did not requeue CC's keys)
-    this does NOT count as an operator rewrite.
+    Current window (r17, rotation #3 of the staleness retirement —
+    r16 verdict tasks 1, 2 and 4). Rotated IN (17): transaction_hits
+    (born r16, never driver-sampled — the born-keys convention), the
+    fourteen oldest-green tail keys oldest-first, reference-surface
+    first — avg_price_weekly (M1, the engine's founding metric key,
+    curated_tranformation.py:184-190, stale since r06),
+    top_listings_topk (M4's top-k variant), csv_single_file (S5),
+    doc_stats, doc_fingerprint, language_id, simhash, label_centroids,
+    running_totals, salted_status_agg, user_engagement, corpus_splits
+    (the r06 cohort), asof_purchase_view, curated_partition_scan (the
+    first r07 keys) — plus the rewrite-requeued customer_rfm and
+    orders_rank_stats (the r17 two-phase distributed rank rewrite,
+    windows.global_rank_two_phase, replaced their single-task global /
+    5-way windows; a driver-green row certifies the code that ran).
+    acctbal_ntile and part_revenue_pareto — the other two keys of the
+    rewritten rank family — were already in-window and requeue in
+    place. Rotated OUT (17), per the >= 2-green rule: the fourteen
+    r15-rotated keys whose r16 green was their second consecutive
+    fresh row on unchanged code (top_listings_weekly, events_json,
+    token_frequencies, word_bigrams, doc_tokens_regex, events_pivot,
+    docs_per_source_quota, brand_setops, status_percentiles,
+    zscore_events, customers_semi_anti, revenue_cube,
+    orders_shipped_7d, nation_top_customer) and the three r15-touched
+    keys whose r16 green was the second post-touch row
+    (multimodal_features, transaction_pagerank, copurchase_kcore).
+    HELD: the fifteen r16-rotated-in keys (their r16 green is the
+    first FRESH row after r05-r07-era staleness; r16 verdict task 4
+    wants the second in r17) and the sixteen r9/r10-wave coverage
+    anchors (semantic_dedup, corpus_prep_auto, embedding_kmeans et al.
+    keep the embeddings/corpus/streaming/SCD families driver-pinned).
+
+    r18 window plan (r16 verdict task 6 — keep the rotation
+    mechanical): rotate OUT the fifteen r16-rotated keys (their r17
+    green is the second fresh row) and any rewrite-requeued key that
+    lands two post-rewrite greens; rotate IN the next oldest-green
+    cohort oldest-first, reference-surface first: the remaining r07
+    keys (events_json_struct, revenue_rollup, repetition_stats,
+    decontamination, pii_scrub, corpus_mixture, event_type_skew,
+    session_window_rollup, scd2_user_state) then the oldest r08 keys
+    (doc_normalize, char_lm_scores, ann_cosine_topk, curated_join,
+    popular_locations_weekly — M3 — and orders_profile) until the
+    freed slots are spent; any key born in r17 leads per the
+    born-keys convention.
 
     Current tail: rows with >= 1 driver-green round (most
     multi-round; per-key receipts annotated in TAIL_KEYS), plus the
@@ -3731,14 +3738,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through r11+r12 — see the r12 tag; r13: the ANN-family + tail-debt
     rotation; r14: the rewrite-requeues rotation — see the r14 tag;
     r15: the first staleness-retirement rotation — see the r15 tag;
-    r16: the second staleness-retirement rotation described above).
+    r16: the second staleness-retirement rotation — see the r16 tag;
+    r17: rotation #3 plus the rank-family rewrite-requeues, described
+    above).
     """
     return {
-        # --- r16 driver window (first 50; see docstring) ---
-        # rotated IN r16 (r15 verdict task 1): the r15-born operator
-        # (also rewrite-requeued by this round's argmin rewrite) plus
-        # the fourteen oldest-green tail keys, oldest first,
-        # reference-surface metrics leading — last driver rows r05-r07:
+        # --- r17 driver window (first 50; see docstring) ---
+        # HELD from the r16 rotation (r16 green is their first FRESH
+        # driver row since r05-r07; the >= 2-green-on-current-code
+        # staleness story wants a second — r16 verdict task 4):
         "copurchase_communities": q_copurchase_communities,
         "orders_by_weekday": q_orders_by_weekday,
         "nation_custkey_list": q_nation_custkey_list,
@@ -3754,35 +3762,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "sessionization": q_sessionization,
-        # HELD from the r15 rotation (r15 green is their first fresh
-        # row; the >= 2-green rule wants a second):
-        "top_listings_weekly": q_top_listings_weekly,
-        "events_json": q_events_json,
-        "token_frequencies": q_token_frequencies,
-        "word_bigrams": q_word_bigrams,
-        "doc_tokens_regex": q_doc_tokens_regex,
-        "events_pivot": q_events_pivot,
-        "docs_per_source_quota": q_docs_per_source_quota,
-        "brand_setops": q_brand_setops,
-        "status_percentiles": q_status_percentiles,
-        "zscore_events": q_zscore_events,
-        "customers_semi_anti": q_customers_semi_anti,
-        "revenue_cube": q_revenue_cube,
-        "orders_shipped_7d": q_orders_shipped_7d,
-        "nation_top_customer": q_nation_top_customer,
+        # rotated IN r17 (r16 verdict task 1 — rotation #3 of the
+        # staleness retirement): transaction_hits (born r16, never
+        # driver-sampled — the born-keys convention) plus the fourteen
+        # oldest-green tail keys oldest-first, reference-surface
+        # first (avg_price_weekly is M1, the engine's founding metric
+        # key, stale since r06; then the r06 cohort and the first two
+        # r07 keys):
+        "transaction_hits": q_transaction_hits,
+        "avg_price_weekly": q_avg_price_weekly,
+        "top_listings_topk": q_top_listings_topk,
+        "csv_single_file": q_csv_single_file,
+        "doc_stats": q_doc_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "language_id": q_language_id,
+        "simhash": q_simhash,
+        "label_centroids": q_label_centroids,
+        "running_totals": q_running_totals,
+        "salted_status_agg": q_salted_status_agg,
+        "user_engagement": q_user_engagement,
+        "corpus_splits": q_corpus_splits,
+        "asof_purchase_view": q_asof_purchase_view,
+        "curated_partition_scan": q_curated_partition_scan,
+        # rewrite-requeued r17 (r16 verdict task 2): the global
+        # rank/ntile family was rewritten onto the two-phase
+        # distributed rank (windows.global_rank_two_phase) — a
+        # driver-green row certifies the code that ran, so all four
+        # keys (re)enter the window regardless of earlier greens:
+        "customer_rfm": q_customer_rfm,
+        "orders_rank_stats": q_orders_rank_stats,
         "acctbal_ntile": q_acctbal_ntile,
-        # HELD: r15-touched (rewrite-requeues; r15 green is their
-        # first post-touch row, they stay for the second):
-        "multimodal_features": q_multimodal_features,
-        "transaction_pagerank": q_transaction_pagerank,
-        "copurchase_kcore": q_copurchase_kcore,
+        "part_revenue_pareto": q_part_revenue_pareto,
         # r9/r10-wave keys held in-window (coverage anchors keeping
         # the embeddings/corpus/streaming/SCD/graph families
         # driver-pinned; see docstring):
         "semantic_dedup": q_semantic_dedup,
         "corpus_prep_auto": q_corpus_prep_auto,
         "embedding_kmeans": q_embedding_kmeans,
-        "part_revenue_pareto": q_part_revenue_pareto,
         "active_users_rolling": q_active_users_rolling,
         "copurchase_clustering": q_copurchase_clustering,
         "price_benford": q_price_benford,
@@ -3797,7 +3813,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
         # --- past the driver's 50-key correctness window (see
-        # docstring). Rotated out r16 per the >= 2-green rule:
+        # docstring). Rotated out r17 per the >= 2-green rule: the
+        # fourteen r15-rotated keys (r15+r16 driver greens on
+        # unchanged code) and the three r15-touched keys whose r16
+        # green was the second post-touch row:
+        "top_listings_weekly": q_top_listings_weekly,
+        "events_json": q_events_json,
+        "token_frequencies": q_token_frequencies,
+        "word_bigrams": q_word_bigrams,
+        "doc_tokens_regex": q_doc_tokens_regex,
+        "events_pivot": q_events_pivot,
+        "docs_per_source_quota": q_docs_per_source_quota,
+        "brand_setops": q_brand_setops,
+        "status_percentiles": q_status_percentiles,
+        "zscore_events": q_zscore_events,
+        "customers_semi_anti": q_customers_semi_anti,
+        "revenue_cube": q_revenue_cube,
+        "orders_shipped_7d": q_orders_shipped_7d,
+        "nation_top_customer": q_nation_top_customer,
+        "multimodal_features": q_multimodal_features,
+        "transaction_pagerank": q_transaction_pagerank,
+        "copurchase_kcore": q_copurchase_kcore,
+        # Rotated out r16 per the >= 2-green rule:
         # two post-rewrite greens (r14+r15) each:
         "events_mad_outliers": q_events_mad_outliers,
         "price_winsorized": q_price_winsorized,
@@ -3851,10 +3888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_skyline": q_part_skyline,
         "events_interpolated": q_events_interpolated,
         "conversion_funnel": q_conversion_funnel,
-        "orders_rank_stats": q_orders_rank_stats,
         "user_value_twap": q_user_value_twap,
         "copurchase_triangles": q_copurchase_triangles,
-        "customer_rfm": q_customer_rfm,
         "event_transitions": q_event_transitions,
         "session_top_paths": q_session_top_paths,
         "user_type_diversity": q_user_type_diversity,
@@ -3907,31 +3942,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "doc_normalize": q_doc_normalize,
         "char_lm_scores": q_char_lm_scores,
-        "avg_price_weekly": q_avg_price_weekly,
-        "top_listings_topk": q_top_listings_topk,
-        "doc_stats": q_doc_stats,
-        "language_id": q_language_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "simhash": q_simhash,
-        "csv_single_file": q_csv_single_file,
-        "corpus_splits": q_corpus_splits,
-        "user_engagement": q_user_engagement,
-        "label_centroids": q_label_centroids,
-        "running_totals": q_running_totals,
-        "salted_status_agg": q_salted_status_agg,
         "revenue_rollup": q_revenue_rollup,
         "events_json_struct": q_events_json_struct,
-        "asof_purchase_view": q_asof_purchase_view,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
-        "curated_partition_scan": q_curated_partition_scan,
         "corpus_mixture": q_corpus_mixture,
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
         "scd2_user_state": q_scd2_user_state,
-        # born r16 (past the window; queued for the r17 rotation):
-        "transaction_hits": q_transaction_hits,
     }
 
 def oracle_sql() -> dict[str, str]:

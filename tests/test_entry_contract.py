@@ -44,9 +44,27 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
-    # born r16 (new operator, never yet driver-sampled; queued for the
-    # r17 rotation per the born-keys convention):
-    "transaction_hits": "test_spot_oracle_parity + tests/test_graph.py HITS golden/replica tests",
+    # rotated out r17 per the standing >= 2-green rule: the fourteen
+    # r15-rotated keys took their second consecutive fresh driver
+    # green in r16 (r15+r16, code unchanged), and the three
+    # r15-touched keys took their second post-touch green:
+    "top_listings_weekly": "test_spot_oracle_parity (driver-green r15+r16; exact twin top_listings_topk in-window)",
+    "events_json": "test_spot_oracle_parity (driver-green r15+r16; strict-schema twin events_json_struct tail parity)",
+    "token_frequencies": "test_spot_oracle_parity (driver-green r15+r16)",
+    "word_bigrams": "test_spot_oracle_parity (driver-green r15+r16)",
+    "doc_tokens_regex": "test_spot_oracle_parity (driver-green r15+r16)",
+    "events_pivot": "test_spot_oracle_parity (driver-green r15+r16)",
+    "docs_per_source_quota": "test_spot_oracle_parity (driver-green r15+r16)",
+    "brand_setops": "test_spot_oracle_parity (driver-green r15+r16)",
+    "status_percentiles": "test_spot_oracle_parity (driver-green r15+r16)",
+    "zscore_events": "test_spot_oracle_parity (driver-green r15+r16)",
+    "customers_semi_anti": "test_spot_oracle_parity (driver-green r15+r16)",
+    "revenue_cube": "test_spot_oracle_parity (driver-green r15+r16)",
+    "orders_shipped_7d": "test_spot_oracle_parity (driver-green r15+r16)",
+    "nation_top_customer": "test_spot_oracle_parity (driver-green r15+r16)",
+    "multimodal_features": "test_spot_oracle_parity (two post-touch driver greens r15+r16) + tests/test_media_synth.py shape-matrix goldens",
+    "transaction_pagerank": "test_spot_oracle_parity (two post-touch driver greens r15+r16) + tests/test_graph.py goldens; transaction_hits in-window keeps the iterative graph family driver-pinned",
+    "copurchase_kcore": "test_spot_oracle_parity (two post-touch driver greens r15+r16) + tests/test_graph.py goldens",
     # rotated out r16 per the standing >= 2-green rule (r15 verdict
     # task 1's second staleness-retirement rotation made room for the
     # r05-r07-era reference-surface keys):
@@ -104,10 +122,12 @@ TAIL_KEYS = {
     "part_skyline": "test_spot_oracle_parity (driver-green r9-r12)",
     "events_interpolated": "test_spot_oracle_parity (driver-green r9-r12)",
     "conversion_funnel": "test_spot_oracle_parity (driver-green r9-r12; funnel_timing in-window)",
-    "orders_rank_stats": "test_spot_oracle_parity (driver-green r9-r12)",
+    # NOTE (rewrite-requeues rule, r17): orders_rank_stats and
+    # customer_rfm were rewritten onto the two-phase distributed rank
+    # AFTER their r9-r12 greens and re-queued into the r17 window —
+    # no longer tail keys.
     "user_value_twap": "test_spot_oracle_parity (driver-green r9-r12)",
     "copurchase_triangles": "test_spot_oracle_parity (driver-green r9-r12; copurchase_pairs in-window keeps pair generation driver-pinned)",
-    "customer_rfm": "test_spot_oracle_parity (driver-green r9-r12)",
     "event_transitions": "test_spot_oracle_parity (driver-green r9-r12)",
     "session_top_paths": "test_spot_oracle_parity (driver-green r9-r12)",
     "user_type_diversity": "test_spot_oracle_parity (driver-green r9-r12)",
@@ -132,35 +152,21 @@ TAIL_KEYS = {
     # metric_sql_view, date_normalize, currency_convert, dedup_exact,
     # dedup_keys, csv_roundtrip, jdbc_roundtrip, sessionization rotated
     # back IN r16 (last driver rows r05-r07) — no longer tail keys.
-    # rotated out r6 after multiple driver-green rounds (r1-r5):
-    # rotated out r7 after multiple driver-green rounds (r5/r6 or r1-r6)
-    # to give the r6-born operators + training_mix their driver rounds:
-    "csv_single_file": "test_spot_oracle_parity",
-    "corpus_splits": "test_spot_oracle_parity",
-    "user_engagement": "test_spot_oracle_parity",
-    "label_centroids": "test_spot_oracle_parity",
-    "running_totals": "test_spot_oracle_parity",
-    "salted_status_agg": "test_spot_oracle_parity",
-    # rotated out LATE r7 (driver-green r1-r6) to give the r7-born
-    # operator rows their first driver-checked round this round instead
-    # of queueing them behind an r8 rotation:
-    "avg_price_weekly": "test_spot_oracle_parity",
-    "top_listings_topk": "test_spot_oracle_parity",
-    "doc_stats": "test_spot_oracle_parity",
-    "language_id": "test_spot_oracle_parity",
-    "doc_fingerprint": "test_spot_oracle_parity",
-    "simhash": "test_spot_oracle_parity",
+    # NOTE (r17 staleness retirement, rotation #3): transaction_hits
+    # (born r16), avg_price_weekly, top_listings_topk, csv_single_file,
+    # doc_stats, doc_fingerprint, language_id, simhash, label_centroids,
+    # running_totals, salted_status_agg, user_engagement, corpus_splits,
+    # asof_purchase_view, curated_partition_scan rotated back IN r17
+    # (last driver rows r06-r07) — no longer tail keys.
     # rotated out r8 (driver-green r6+r7, unchanged in r8) to make room
     # for heavy_hitters_gate and the four r8-born oracle rows
     # (recipe_training_mix, orc_roundtrip, orders_snapshot_diff,
     # hll_union_gate)
     "revenue_rollup": "test_spot_oracle_parity",
     "events_json_struct": "test_spot_oracle_parity",
-    "asof_purchase_view": "test_spot_oracle_parity",
     "repetition_stats": "test_spot_oracle_parity",
     "decontamination": "test_spot_oracle_parity",
     "pii_scrub": "test_spot_oracle_parity",
-    "curated_partition_scan": "test_spot_oracle_parity",
     "corpus_mixture": "test_spot_oracle_parity",
     "event_type_skew": "test_spot_oracle_parity",
     "session_window_rollup": "test_spot_oracle_parity",
