@@ -139,7 +139,7 @@ def warm_up(spark, sf_dir: str, warm_mode: str, phases: dict | None = None) -> N
     mark("warm_streaming_state", t)
 
 
-def _cpu_ticks() -> tuple[int, int] | None:
+def _cpu_ticks(stat_line: str | None = None) -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
     line — a VM's ONLY direct signal for hypervisor contention. The
     preboot loadavg misses it entirely: the 585 s anomaly run started
@@ -147,9 +147,16 @@ def _cpu_ticks() -> tuple[int, int] | None:
     mid-run by a noisy co-tenant; steal share during the run is the
     receipt that distinguishes 'our own load' from 'someone else's'."""
     try:
-        with open("/proc/stat") as fh:
-            vals = [int(x) for x in fh.readline().split()[1:]]
-        return (vals[7], sum(vals)) if len(vals) > 7 else None
+        if stat_line is None:
+            with open("/proc/stat") as fh:
+                stat_line = fh.readline()
+        vals = [int(x) for x in stat_line.split()[1:]]
+        # denominator = first 8 fields only (user..steal): the kernel
+        # already folds guest/guest_nice into user/nice, so summing all
+        # ten double-counts guest time and under-reports the steal
+        # share — a run hovering just under the 1% warning threshold
+        # could escape the contention flag (r16 ADVICE).
+        return (vals[7], sum(vals[:8])) if len(vals) > 7 else None
     except (OSError, ValueError, IndexError):
         return None
 

@@ -241,7 +241,11 @@ def sweep_orphan_siblings(out_dir: str) -> None:
     subtree would look idle at the top level and get swept mid-build
     (r15 ADVICE); any write anywhere in the tree now counts as
     activity. The stat walk is metadata-only — cost ~ file count, not
-    bytes."""
+    bytes — and SHORT-CIRCUITS on the first sub-24h mtime: one fresh
+    entry already proves the dir active, so a live builder mid-write
+    of a very large dataset copy costs O(1)-ish stats at every
+    concurrent build entry instead of a full-tree stat storm (r16
+    ADVICE)."""
     now = time.time()
     for path in glob.glob(f"{out_dir}.tmp.*") + glob.glob(f"{out_dir}.stale.*"):
         try:
@@ -257,19 +261,24 @@ def sweep_orphan_siblings(out_dir: str) -> None:
             continue
         except (OSError, PermissionError):
             pass  # pid live (or unknowable): fall through to the age gate
+        cutoff = now - 24 * 3600
         try:
-            newest = os.stat(path).st_mtime
-            for root, dirs, files in os.walk(path):
-                for entry in dirs + files:
-                    try:
-                        st = os.stat(os.path.join(root, entry))
-                    except OSError:
-                        continue  # entry vanished mid-walk
-                    if st.st_mtime > newest:
-                        newest = st.st_mtime
+            active = os.stat(path).st_mtime > cutoff
+            if not active:
+                for root, dirs, files in os.walk(path):
+                    for entry in dirs + files:
+                        try:
+                            st = os.stat(os.path.join(root, entry))
+                        except OSError:
+                            continue  # entry vanished mid-walk
+                        if st.st_mtime > cutoff:
+                            active = True
+                            break  # one fresh entry proves activity
+                    if active:
+                        break
         except OSError:
             continue  # vanished mid-sweep (e.g. its owner cleaned up)
-        if now - newest > 24 * 3600:
+        if not active:
             shutil.rmtree(path, ignore_errors=True)
 
 

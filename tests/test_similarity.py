@@ -566,3 +566,49 @@ def test_sweep_orphan_siblings_age_gate_uses_recursive_mtime(tmp_path):
     )
     assert not os.path.isdir(dead_tree), "all-old tree must be swept"
     assert os.path.isdir(out)
+
+def test_sweep_orphan_siblings_short_circuits_on_fresh_activity(tmp_path, monkeypatch):
+    """r16 ADVICE: the recursive age walk must stop as soon as activity
+    is proven. A live-pid sibling whose TOP-LEVEL mtime is already
+    fresh must never pay the full-tree stat storm (os.walk not entered
+    at all — the O(1) live-builder fast path); a stale-top-level tree
+    must still be walked (the r15 nested-write case keeps working, the
+    other direction of the pin)."""
+    import os
+
+    from lab_etl_batch_data_processing_pipeline__spark import artifacts
+    from lab_etl_batch_data_processing_pipeline__spark.artifacts import (
+        sweep_orphan_siblings,
+    )
+
+    out = str(tmp_path / "curated" / "sf0.01-1-2")
+    os.makedirs(out)
+    live_pid = os.getppid()
+    fresh_top = f"{out}.tmp.{live_pid}"
+    os.makedirs(os.path.join(fresh_top, "nested"))
+    walked: list[str] = []
+    real_walk = os.walk
+
+    def counting_walk(path, *a, **kw):
+        walked.append(str(path))
+        return real_walk(path, *a, **kw)
+
+    monkeypatch.setattr(artifacts.os, "walk", counting_walk)
+    sweep_orphan_siblings(out)
+    assert os.path.isdir(fresh_top)
+    assert walked == [], (
+        "fresh top-level mtime already proves the dir active — the "
+        "recursive walk must be skipped entirely"
+    )
+    # other direction: stale top level forces the walk (and the fresh
+    # nested entry keeps the dir alive, per the r15 pin)
+    import time
+
+    stale_ts = time.time() - 25 * 3600
+    deep = os.path.join(fresh_top, "nested")
+    open(os.path.join(deep, "part"), "w").close()
+    os.utime(fresh_top, (stale_ts, stale_ts))
+    walked.clear()
+    sweep_orphan_siblings(out)
+    assert walked == [fresh_top], "stale top level must trigger the walk"
+    assert os.path.isdir(fresh_top), "fresh nested write keeps it alive"

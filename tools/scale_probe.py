@@ -125,13 +125,17 @@ def _fresh_dir(out: str, recipe: dict) -> bool:
     # dashes, and pre-r14 legacy dirs ('<sf>-<mtime>-<size>', no xN
     # segment) must still be recognized and swept or their multi-GB
     # contents leak forever (r14 ADVICE). The sf group is ANCHORED to
-    # the known tag shape ('sf' + digits/dots, optional lowercase-word
-    # dash segments) rather than a greedy '.+' — a greedy group could
-    # backtrack a '-<digits>'-ending sf tag into absorbing the mtime
-    # segment and mis-group siblings (r15 ADVICE); non-matching
-    # siblings are logged, never silently skipped forever.
+    # the known tag shape ('sf' + digits/dots, optional LETTER-LED
+    # alphanumeric dash segments) rather than a greedy '.+' — a greedy
+    # group could backtrack a '-<digits>'-ending sf tag into absorbing
+    # the mtime segment and mis-group siblings (r15 ADVICE). Segments
+    # are letter-led so the group still cannot absorb the pure-digit
+    # mtime segment, but a versioned family tag like 'sf0.1-v2-...'
+    # groups and retires instead of leaking with log noise on every
+    # sweep (r16 ADVICE); non-matching siblings are logged, never
+    # silently skipped forever.
     tail_re = re.compile(
-        r"^(?P<sf>sf[\d.]+(?:-[a-z]+)*)-\d+-\d+(?:-x\d+(?P<fam>(?:-\w+)?))?$"
+        r"^(?P<sf>sf[\d.]+(?:-[a-z][a-z0-9]*)*)-\d+-\d+(?:-x\d+(?P<fam>(?:-\w+)?))?$"
     )
     m = tail_re.match(name)
     sf = m.group("sf") if m else name.split("-", 1)[0]
