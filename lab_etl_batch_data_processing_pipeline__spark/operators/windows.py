@@ -472,10 +472,14 @@ def global_rank_two_phase(
     row) and ``__gsum`` (group total of ``cum_col``).
 
     Scale shape: one range shuffle of the frame (+ one hash shuffle on
-    the cum path), one tiny self-join, one broadcast join. Rank is a
-    pure function of the total order, so the output is bit-identical
-    to the single-task window it replaces regardless of partition
-    boundaries or AQE decisions.
+    the cum path), ONE eager materialization of the positioned frame
+    (localCheckpoint via graph._ckpt — the positions are
+    nondeterministic expressions consumed by four plan branches, so
+    they must be computed exactly once; see the in-body comment for
+    the measured sf0.1 failure), one tiny self-join, one broadcast
+    join. Rank is a pure function of the total order, so the output is
+    bit-identical to the single-task window it replaces regardless of
+    partition boundaries or AQE decisions.
     """
     groups = list(group_cols or [])
     spark = df.sparkSession
@@ -513,6 +517,22 @@ def global_rank_two_phase(
             F.count(F.lit(1)).alias("__cnt"),
             F.sum(cum_col).alias("__csum"),
         ]
+    # The per-row positions FORK into four consumers (the rank join's
+    # left side, the tiny count frame twice via its prefix self-join,
+    # and the group totals) and both __pid and the monotonic id are
+    # NONDETERMINISTIC expressions over a sampled range exchange —
+    # recomputing the fork per branch is not merely wasteful, it is
+    # WRONG: at sf0.1 the driver-replica sweep caught customer_rfm
+    # hash-mismatching (342/15000 rows, __grank past the group total)
+    # because the branches' range-boundary samples disagreed, so a
+    # row's (pid, idx) in one branch met another branch's counts
+    # (smaller frames pass — the boundary sample covers them fully).
+    # Materializing the positions ONCE (the HITS renorm-fork rule,
+    # SCALE.md Round-16) makes every consumer read the same physical
+    # rows; the checkpoint honors the DISK_ONLY capacity knob.
+    from lab_etl_batch_data_processing_pipeline__spark.operators.graph import _ckpt
+
+    local = _ckpt(local)
     tiny = local.groupBy("__pid", *groups).agg(*aggs)
     # phase 2: cumulative offsets across partition ids — a bounded
     # self-join over the tiny frame (≤ n + groups - 1 rows), summing
