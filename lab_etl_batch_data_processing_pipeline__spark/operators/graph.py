@@ -786,3 +786,95 @@ def hits(
         .join(auths, "node_id")
         .orderBy("node_id")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_seeds: int = 5,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distance from a deterministic seed set —
+    the "link distance from trusted seeds" signal corpus pipelines use
+    for graph-based quality filtering (pages/domains few hops from a
+    trusted core are kept, far tails downweighted; cf. the harmonic-
+    centrality seed filtering in Common Crawl-derived corpus work) —
+    over a DIRECTED edge list (pass a symmetrized frame for undirected
+    reach). Returns (node_id, hop) for every node reached within
+    ``max_hops``, hop = its MINIMUM distance, sorted by node; nodes
+    never reached are absent (an honest frontier, not an invented
+    infinity).
+
+    Seeds are the ``n_seeds`` smallest node ids in the graph — a pure
+    function of the input (deterministic on any engine; ORDER BY +
+    LIMIT is a k-row reduction, never a data-scaled sort), so the
+    SIXTH iterative graph algorithm also carries a full value-hash
+    oracle: DuckDB unrolls the same rounds as chained frontier/dist
+    CTEs and must match bit-for-bit — BFS is all set algebra (joins,
+    distinct, anti-join, union), no arithmetic to drift.
+
+    Scale shape per round: one equi-join of the frontier onto the
+    edge list (edge-scaled — the dominant cost, linear in edges even
+    when the frontier is small), one distinct on the discovered set
+    (frontier-scaled), one anti-join against the settled distance
+    frame (node-scaled). Per-round frames are eagerly checkpointed —
+    ``nxt`` and ``dist`` each fork into two consumers (next round's
+    frontier + the union; the anti-join + the union), the
+    never-recompute-a-forked-frame rule — and superseded checkpoints
+    unpersist at lag 2 (the per-level discipline shared with
+    connected_components, pagerank and hits). The loop exits early on
+    an empty frontier: the isEmpty probe reads one block of an
+    already-materialized checkpoint, and a fixed-point frontier is
+    empty forever after. State never exceeds nodes + edges; rounds
+    are bounded by ``max_hops`` by contract (the oracle unrolls that
+    many CTEs), so the 100 TB story is max_hops edge-scaled joins.
+    """
+    if n_seeds < 1 or max_hops < 1:
+        raise ValueError("bfs_hops needs n_seeds >= 1 and max_hops >= 1")
+    lvl = _ckpt_storage()
+    e = _ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        storage=lvl,
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node_id").limit(n_seeds)
+    dist = _ckpt(
+        seeds.select("node_id", F.lit(0).cast("int").alias("hop")),
+        storage=lvl,
+    )
+    frontier = dist.select("node_id")
+    ckpts: list[DataFrame] = [dist]
+
+    def retire(df: DataFrame) -> DataFrame:
+        ckpts.append(df)
+        while len(ckpts) > 4:  # nxt+dist per round, referenced one round back
+            ckpts.pop(0).unpersist()
+        return df
+
+    for k in range(1, max_hops + 1):
+        nxt = retire(
+            _ckpt(
+                e.join(
+                    frontier.withColumnRenamed("node_id", "src"), "src"
+                )
+                .select(F.col("dst").alias("node_id"))
+                .distinct()
+                .join(dist, "node_id", "left_anti")
+                .select(
+                    "node_id", F.lit(k).cast("int").alias("hop")
+                ),
+                storage=lvl,
+            )
+        )
+        dist = retire(_ckpt(dist.unionByName(nxt), storage=lvl))
+        frontier = nxt.select("node_id")
+        if nxt.isEmpty():
+            break  # fixed point: every later frontier is empty too
+    return dist.orderBy("node_id")

@@ -791,6 +791,49 @@ ORDER BY 1
 """
 
 
+def _bfs_sql(n_seeds: int = 5, max_hops: int = 4) -> str:
+    """Unrolled-CTE twin of graph.bfs_hops over the SYMMETRIZED
+    customer <-> supplier purchase graph: seeds are the n_seeds
+    smallest node ids (a k-row ORDER BY/LIMIT — deterministic), then
+    per hop one frontier->edges join minus the settled set, unioned
+    into the distance frame — pure set algebra, so the chain hashes
+    identically. Unconditionally unrolls max_hops rounds (the
+    operator's early exit only skips provably-empty frontiers, which
+    contribute no rows here either)."""
+    rounds = "".join(
+        f""", f{i} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node_id
+  FROM e JOIN f{i - 1} f ON f.node_id = e.src
+  WHERE e.dst NOT IN (SELECT node_id FROM d{i - 1})
+), d{i} AS MATERIALIZED (
+  SELECT node_id, hop FROM d{i - 1}
+  UNION ALL
+  SELECT node_id, {i} AS hop FROM f{i}
+)"""
+        for i in range(1, max_hops + 1)
+    )
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM p
+  UNION
+  SELECT s AS src, c AS dst FROM p
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node_id FROM e
+  UNION
+  SELECT DISTINCT dst AS node_id FROM e
+), f0 AS MATERIALIZED (
+  SELECT node_id FROM nodes ORDER BY node_id LIMIT {n_seeds}
+), d0 AS MATERIALIZED (
+  SELECT node_id, 0 AS hop FROM f0
+){rounds}
+SELECT node_id, CAST(hop AS INT) AS hop
+FROM d{max_hops} ORDER BY node_id
+"""
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
     """Unrolled-CTE twin of clustering.kmeans_assign over embeddings:
     identical fix-pointing (round((x+1)*scale) BIGINTs), init (k
@@ -3386,6 +3429,8 @@ def oracle_sql() -> dict[str, str]:
         # label-propagation twin: unrolled count/pick rounds (_lpa_sql).
         "copurchase_communities": _lpa_sql(3),
         "transaction_hits": _hits_sql(3),
+        # seeded-BFS twin: unrolled frontier/dist rounds (_bfs_sql).
+        "transaction_reach": _bfs_sql(5, 4),
         # Cohort-retention twin: month-truncated dates, pure INTEGER
         # month arithmetic (no months_between float), truncating ppm.
         # NULL order dates are ignored (the operator's declared

@@ -739,6 +739,36 @@ def q_transaction_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=3)
 
 
+def q_transaction_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (graph.bfs_hops, 5 seeds, 4 hops)
+    over the SYMMETRIZED customer<->supplier purchase graph — the
+    "link distance from trusted seeds" quality signal of graph-based
+    corpus filtering (keep documents within k hops of a trusted core),
+    here reading as co-purchase distance from the five smallest node
+    ids. The sixth iterative graph algorithm with a full value-hash
+    oracle: BFS is pure set algebra (frontier join, distinct,
+    anti-join, union) with a deterministic k-row seed rule, so the
+    DuckDB unrolled frontier/dist CTE chain must match bit-for-bit.
+    Per round one edge-scaled equi-join + node-scaled anti-join;
+    per-round frames checkpointed (fork rule), lag unpersist;
+    early-exits on an empty frontier."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return bfs_hops(edges, n_seeds=5, max_hops=4)
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity ranges of each user's event-type state (operators/
     scd.py): consecutive repeats collapse, versions count per user,
@@ -3951,6 +3981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_skew": q_event_type_skew,
         "session_window_rollup": q_session_window_rollup,
         "scd2_user_state": q_scd2_user_state,
+        # born r17 (past the window; queued to LEAD the r18 rotation
+        # per the born-keys convention — see the r18 plan above):
+        "transaction_reach": q_transaction_reach,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -44,6 +44,9 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
+    # born r17 (new operator, never yet driver-sampled; queued to LEAD
+    # the r18 rotation per the born-keys convention):
+    "transaction_reach": "test_spot_oracle_parity + tests/test_graph.py BFS golden/replica tests",
     # rotated out r17 per the standing >= 2-green rule: the fourteen
     # r15-rotated keys took their second consecutive fresh driver
     # green in r16 (r15+r16, code unchanged), and the three

@@ -358,3 +358,80 @@ def test_label_propagation_matches_sequential_replica(spark):
             for r in graph.label_propagation(df, rounds=rounds).collect()
         }
         assert got == lbl, (trial, rounds, sorted(edges))
+
+
+def test_bfs_hops_path_golden(spark):
+    """Hand-checkable BFS structure on a symmetrized path plus a
+    disconnected pair: seed = smallest node id, hops count along the
+    path, the unreachable component is ABSENT (no invented infinity),
+    max_hops truncates the frontier, and the early exit on an
+    exhausted frontier returns the same distances."""
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], ["src", "dst"]
+    )
+    out = {
+        r.node_id: r.hop
+        for r in graph.bfs_hops(edges, n_seeds=1, max_hops=4).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}, out
+    # max_hops larger than the diameter: early exit, full component
+    out = {
+        r.node_id: r.hop
+        for r in graph.bfs_hops(edges, n_seeds=1, max_hops=9).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+    # two seeds (1 and 2): distances shrink from the second source
+    out = {
+        r.node_id: r.hop
+        for r in graph.bfs_hops(edges, n_seeds=2, max_hops=4).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
+
+
+def test_bfs_hops_matches_sequential_replica(spark):
+    """Randomized parity vs an in-test BFS replica (multi-source,
+    min-hop, smallest-ids seed rule), over seeded random DIRECTED
+    graphs — pins that the distributed join/anti-join/union form IS
+    the algorithm, including duplicate edges and self-loops
+    normalizing away."""
+    import random
+    from collections import deque
+
+    rng = random.Random(8191)
+    for trial in range(4):
+        n = rng.randint(5, 14)
+        edges = set()
+        while len(edges) < n + 6:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((a, b))
+        n_seeds = rng.randint(1, 3)
+        max_hops = rng.randint(1, 4)
+
+        nodes = sorted({v for e in edges for v in e})
+        adj: dict[int, list[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        want = {v: 0 for v in nodes[:n_seeds]}
+        q = deque(nodes[:n_seeds])
+        while q:
+            u = q.popleft()
+            if want[u] >= max_hops:
+                continue
+            for w in adj.get(u, ()):
+                if w not in want:
+                    want[w] = want[u] + 1
+                    q.append(w)
+
+        rows = list(edges) + [
+            e for e in edges if rng.random() < 0.4  # noisy dups
+        ] + [(v, v) for v in nodes if rng.random() < 0.2]  # self-loops
+        df = spark.createDataFrame(rows, ["src", "dst"])
+        got = {
+            r.node_id: r.hop
+            for r in graph.bfs_hops(
+                df, n_seeds=n_seeds, max_hops=max_hops
+            ).collect()
+        }
+        assert got == want, (trial, n_seeds, max_hops, sorted(edges))

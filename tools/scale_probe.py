@@ -816,6 +816,7 @@ def main() -> None:
         or want("kcore_dense")
         or want("lpa_edges")
         or want("hits_edges")
+        or want("bfs_edges")
     ):
         o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
         li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
@@ -884,6 +885,22 @@ def main() -> None:
                     ).count()
                 )
                 record("hits_edges", f"x{factor}", t, n)
+            # bfs_edges: seeded BFS hop distance (5 seeds, 4 hops) on
+            # the same dense strided frame — the birth receipt for the
+            # r17 operator. The five smallest node ids all live in
+            # replica 0 (later replicas are offset by ID_STRIDE), so
+            # out_rows stays FLAT by construction — the claim under
+            # test is the per-round cost model: each round's dominant
+            # join streams the FULL edge list against the frontier, so
+            # wall ~ edges x rounds even at a fixed reached set (the
+            # mad_outliers flat-out_rows convention).
+            if want("bfs_edges"):
+                t, n = timed(
+                    lambda: graph.bfs_hops(
+                        big_edges, "src", "dst", n_seeds=5, max_hops=4
+                    ).count()
+                )
+                record("bfs_edges", f"x{factor}", t, n)
             # kcore_dense: the k-core peel on the SAME dense strided
             # frame — the capacity-grade kcore receipt (the co-purchase
             # kcore_edges base is only 3.6k edges) and the at-scale
