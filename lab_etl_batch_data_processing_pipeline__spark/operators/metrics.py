@@ -434,26 +434,23 @@ def rfm_segments(
         "frequency",
         "monetary_cents",
     )
-    def tile(frame: DataFrame, order: list, alias: str) -> DataFrame:
+    def tile(frame: DataFrame, metric: str, desc: bool, alias: str) -> DataFrame:
+        order = [
+            F.col(metric).desc() if desc else F.col(metric).asc(),
+            F.col("user").asc(),
+        ]
         return (
-            global_rank_two_phase(frame, order)
+            # key_cols: the rank phases carry only (metric, user); the
+            # other per-customer columns join back by the unique user
+            # tiebreak instead of riding the positioned checkpoint
+            global_rank_two_phase(frame, order, key_cols=[metric, "user"])
             .withColumn(alias, ntile_from_grank(n_tiles))
             .drop("__grank", "__gtotal")
         )
 
-    scored = tile(
-        triple,
-        [F.col("recency_days").asc(), F.col("user").asc()],
-        "__r_raw",
-    )
-    scored = tile(
-        scored, [F.col("frequency").desc(), F.col("user").asc()], "f_score"
-    )
-    scored = tile(
-        scored,
-        [F.col("monetary_cents").desc(), F.col("user").asc()],
-        "m_score",
-    )
+    scored = tile(triple, "recency_days", False, "__r_raw")
+    scored = tile(scored, "frequency", True, "f_score")
+    scored = tile(scored, "monetary_cents", True, "m_score")
     return (
         scored.select(
             "user",
@@ -506,12 +503,12 @@ def revenue_pareto(
 
     Shape: one hash aggregate to entity grain, then a TWO-PHASE
     DISTRIBUTED rank + running sum (windows.global_rank_two_phase with
-    ``cum_col``: range shuffle → per-partition row_number and prefix
-    sum → broadcast partition count/sum offsets) — never a single-task
-    global window: the entity dimension is NOT bounded (parts and
-    customers grow linearly with the data; TPC-H sf100k ≈ 20B parts),
-    so the old ``Window.orderBy`` running sum funneled the whole
-    aggregated frame through one task. Integer prefix sums are
+    ``cum_col``: range shuffle → in-partition position → broadcast
+    partition offsets → deterministic rank-bucket prefix sums) — never
+    a single-task global window: the entity dimension is NOT bounded
+    (parts and customers grow linearly with the data; TPC-H sf100k ≈
+    20B parts), so the old ``Window.orderBy`` running sum funneled the
+    whole aggregated frame through one task. Integer prefix sums are
     order-independent, so the rewrite is bit-identical (pinned by the
     sequential-replica property test and the unchanged DuckDB oracle).
 
@@ -546,6 +543,10 @@ def revenue_pareto(
         per,
         [F.col("revenue_cents").desc(), F.col("entity").asc()],
         cum_col="revenue_cents",
+        # (entity, revenue_cents) IS the whole frame — key_cols
+        # documents the key set; the narrow plan engages with no
+        # join-back (nothing to trim)
+        key_cols=["revenue_cents", "entity"],
     )
     return (
         ranked.select(

@@ -425,6 +425,7 @@ def global_rank_two_phase(
     group_cols: list[str] | None = None,
     cum_col: str | None = None,
     num_partitions: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed global row_number over a TOTAL order — the two-phase
     replacement for ``Window.orderBy(...)`` with an empty (or
@@ -439,9 +440,11 @@ def global_rank_two_phase(
        partitions that are contiguous in the global order (equal keys
        land together; groups are contiguous across partitions). A local
        in-partition sort + ``monotonically_increasing_id`` yields each
-       row's 0-based position inside its partition with ZERO further
-       shuffle (the id's documented layout: partition in the high bits,
-       in-partition counter in the low 33).
+       row's position inside its partition with ZERO further shuffle:
+       only DIFFERENCES of the id within one partition are consumed
+       (``__idx - min(__idx)`` per (pid, group)), so no bit-layout
+       assumption is baked in — any per-partition consecutive counter
+       works, whatever future Spark puts in the high bits.
     2. per-(partition, group) counts — a tiny frame of at most
        ``num_partitions + n_groups - 1`` rows (group ranges are
        contiguous, so partitions rarely split a group) — give each
@@ -452,15 +455,38 @@ def global_rank_two_phase(
        broadcast back; global rank = offset + in-partition position.
 
     When ``cum_col`` is given (a running-sum consumer like
-    revenue_pareto), phase 1 instead computes the per-row local rank
-    AND local prefix sum through a window partitioned by the
-    materialized partition id — one extra hash exchange, still n-way
-    parallel — because a per-row prefix cannot ride the id trick.
+    revenue_pareto), a third pass derives the running sum FROM the
+    rank: rows bucket by ``(__grank - 1) div B`` — a DETERMINISTIC,
+    exactly-balanced, rank-contiguous partitioning (B sized so each
+    group splits into ~4·n buckets) — then the same bounded
+    prefix-offset self-join runs over per-bucket sums and one window
+    partitioned by (group, bucket) adds the within-bucket prefix.
+    This replaces the r17 design (a window partitioned by the
+    nondeterministic physical pid BEFORE positions existed), which
+    cost a full-width hash exchange whose 32-to-32 ``hash(pid)``
+    bucketing collided into skewed reducers, plus a second full-width
+    materialization carrying per-row __lrank/__lcum; the bucket window
+    exchanges only (keys, cum, rank) and needs no checkpoint at all —
+    every input to it is deterministic given the phase-1 checkpoint.
+
+    ``key_cols`` (optional; names of the plain columns the
+    ``order_exprs`` reference — i.e. the total-order key) engages the
+    NARROW-FRAME plan: the phases run on just (groups ∪ key_cols ∪
+    cum_col) and the payload joins back by the unique key afterwards,
+    so the range exchange and the positioned-frame checkpoint carry
+    the key columns only — the r17 verdict's watch item was exactly
+    this checkpoint written at full input width while phase 2 reads a
+    handful of columns. The join-back is a key-equality join of two
+    deterministic-given-checkpoint frames (the payload branch carries
+    NO nondeterministic columns, so the fork rule is satisfied without
+    materializing it). Skipped automatically when the input already
+    has no payload columns — then the join would be pure overhead.
 
     Preconditions (the rank-family contract): ``order_exprs`` must end
     in a unique tiebreak (ranks over a non-total order would be
     engine-nondeterministic — same rule the old single-window form
-    had) and order columns are non-NULL; group keys may be NULL
+    had; with ``key_cols`` a duplicate key would also fan the join-back
+    out) and order columns are non-NULL; group keys may be NULL
     (null-safe joins throughout). ``group_cols`` is for FEW-valued
     grouping (priority classes, market segments) where a plain
     ``Window.partitionBy`` would still mean one task per group; a
@@ -471,13 +497,18 @@ def global_rank_two_phase(
     ``cum_col`` is set — ``__gcum`` (running sum through the current
     row) and ``__gsum`` (group total of ``cum_col``).
 
-    Scale shape: one range shuffle of the frame (+ one hash shuffle on
-    the cum path), ONE eager materialization of the positioned frame
-    (localCheckpoint via graph._ckpt — the positions are
-    nondeterministic expressions consumed by four plan branches, so
-    they must be computed exactly once; see the in-body comment for
-    the measured sf0.1 failure), one tiny self-join, one broadcast
-    join. Rank is a pure function of the total order, so the output is
+    Scale shape: one range shuffle of the (narrow) frame, ONE eager
+    materialization of the positioned frame (localCheckpoint via
+    graph._ckpt — the positions are nondeterministic expressions
+    consumed by several plan branches, so they must be computed
+    exactly once; see the in-body comment for the measured sf0.1
+    failure), tiny aggregate frames materialized so the full frame is
+    scanned twice total (r17 shipped FOUR full-checkpoint scans per
+    query — the tiny frame's self-join branches and the totals each
+    re-ran the aggregation from the checkpoint, the probe's
+    disk-saturated top decade), one broadcast join; the cum path adds
+    one narrow hash exchange for the bucket window and a third scan.
+    Rank is a pure function of the total order, so the output is
     bit-identical to the single-task window it replaces regardless of
     partition boundaries or AQE decisions.
     """
@@ -486,54 +517,75 @@ def global_rank_two_phase(
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    keys = [F.col(g) for g in groups] + list(order_exprs)
-    ranged = df.repartitionByRange(n, *keys)
-    if cum_col is None:
-        local = (
-            ranged.sortWithinPartitions(*keys)
-            .withColumn("__mono", F.monotonically_increasing_id())
-            .withColumn("__pid", F.spark_partition_id())
-            .withColumn(
-                "__idx", F.col("__mono").bitwiseAND(F.lit((1 << 33) - 1))
+    if key_cols is not None:
+        need = list(
+            dict.fromkeys(
+                [*groups, *key_cols]
+                + ([cum_col] if cum_col is not None else [])
             )
-            .drop("__mono")
         )
-        aggs = [
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min("__idx").alias("__first"),
-        ]
-    else:
-        local = ranged.withColumn("__pid", F.spark_partition_id())
-        w_loc = Window.partitionBy("__pid", *groups).orderBy(*order_exprs)
-        local = local.withColumn(
-            "__lrank", F.row_number().over(w_loc).cast("long")
-        ).withColumn(
-            "__lcum",
-            F.sum(cum_col).over(
-                w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        aggs = [
-            F.count(F.lit(1)).alias("__cnt"),
-            F.sum(cum_col).alias("__csum"),
-        ]
-    # The per-row positions FORK into four consumers (the rank join's
-    # left side, the tiny count frame twice via its prefix self-join,
-    # and the group totals) and both __pid and the monotonic id are
-    # NONDETERMINISTIC expressions over a sampled range exchange —
-    # recomputing the fork per branch is not merely wasteful, it is
-    # WRONG: at sf0.1 the driver-replica sweep caught customer_rfm
-    # hash-mismatching (342/15000 rows, __grank past the group total)
-    # because the branches' range-boundary samples disagreed, so a
-    # row's (pid, idx) in one branch met another branch's counts
-    # (smaller frames pass — the boundary sample covers them fully).
-    # Materializing the positions ONCE (the HITS renorm-fork rule,
-    # SCALE.md Round-16) makes every consumer read the same physical
-    # rows; the checkpoint honors the DISK_ONLY capacity knob.
+        if set(need) != set(df.columns):
+            ranked = global_rank_two_phase(
+                df.select(*need),
+                order_exprs,
+                group_cols=groups,
+                cum_col=cum_col,
+                num_partitions=num_partitions,
+            )
+            out_cols = ["__grank", "__gtotal"] + (
+                ["__gcum", "__gsum"] if cum_col is not None else []
+            )
+            jkeys = list(dict.fromkeys([*groups, *key_cols]))
+            right = ranked.select(
+                *[F.col(c).alias(f"__jk_{c}") for c in jkeys], *out_cols
+            )
+            jback = None
+            for c in jkeys:
+                e = df[c].eqNullSafe(F.col(f"__jk_{c}"))
+                jback = e if jback is None else (jback & e)
+            return df.join(right, jback).drop(
+                *[f"__jk_{c}" for c in jkeys]
+            )
+        # no payload columns: fall through, the narrow plan IS the plan
+    keys = [F.col(g) for g in groups] + list(order_exprs)
+    local = (
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__idx", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # The per-row positions FORK into several consumers (the rank
+    # join's left side, the tiny count frame, the cum path's bucket
+    # sums) and both __pid and the monotonic id are NONDETERMINISTIC
+    # expressions over a sampled range exchange — recomputing the fork
+    # per branch is not merely wasteful, it is WRONG: at sf0.1 the
+    # driver-replica sweep caught customer_rfm hash-mismatching
+    # (342/15000 rows, __grank past the group total) because the
+    # branches' range-boundary samples disagreed, so a row's (pid, idx)
+    # in one branch met another branch's counts (smaller frames pass —
+    # the boundary sample covers them fully). Materializing the
+    # positions ONCE (the HITS renorm-fork rule, SCALE.md Round-16)
+    # makes every consumer read the same physical rows; the checkpoint
+    # honors the DISK_ONLY capacity knob. Everything DOWNSTREAM of the
+    # checkpoint is deterministic given its blocks, so no further
+    # full-frame materialization is needed anywhere.
     from lab_etl_batch_data_processing_pipeline__spark.operators.graph import _ckpt
 
     local = _ckpt(local)
-    tiny = local.groupBy("__pid", *groups).agg(*aggs)
+    aggs = [
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("__idx").alias("__first"),
+    ]
+    if cum_col is not None:
+        aggs.append(F.sum(cum_col).alias("__csum"))
+    # The tiny frame is itself consumed by three branches (both sides
+    # of its prefix self-join + the group totals); materializing these
+    # ≤ n + groups rows eagerly means each branch reads the tiny blocks
+    # instead of re-running the full-frame aggregation from the
+    # checkpoint — r17 paid four full-checkpoint disk scans per query
+    # this way (the strided probe's disk-bound top decade, SCALE.md
+    # Round-17).
+    tiny = _ckpt(local.groupBy("__pid", *groups).agg(*aggs))
     # phase 2: cumulative offsets across partition ids — a bounded
     # self-join over the tiny frame (≤ n + groups - 1 rows), summing
     # earlier-pid counts of the same group; integer sums are
@@ -543,27 +595,18 @@ def global_rank_two_phase(
         F.col("__pid").alias("__bpid"),
         *[F.col(g).alias(f"__bg_{g}") for g in groups],
         F.col("__cnt").alias("__bcnt"),
-        *([F.col("__csum").alias("__bcsum")] if cum_col is not None else []),
     )
     cond = F.col("__bpid") < F.col("__a.__pid")
     for g in groups:
         cond = cond & F.col(f"__a.{g}").eqNullSafe(F.col(f"__bg_{g}"))
-    carry = ["__first"] if cum_col is None else []
     earlier = (
         a.join(F.broadcast(b), cond, "left")
         .groupBy(
             F.col("__a.__pid").alias("__kpid"),
             *[F.col(f"__a.{g}").alias(f"__kg_{g}") for g in groups],
-            *[F.col(f"__a.{c}").alias(c) for c in carry],
+            F.col("__a.__first").alias("__first"),
         )
-        .agg(
-            F.coalesce(F.sum("__bcnt"), F.lit(0)).alias("__roff"),
-            *(
-                [F.coalesce(F.sum("__bcsum"), F.lit(0)).alias("__coff")]
-                if cum_col is not None
-                else []
-            ),
-        )
+        .agg(F.coalesce(F.sum("__bcnt"), F.lit(0)).alias("__roff"))
     )
     tot_aggs = [F.sum("__cnt").alias("__gtotal")]
     if cum_col is not None:
@@ -582,22 +625,70 @@ def global_rank_two_phase(
     jcond = F.col("__pid") == F.col("__kpid")
     for g in groups:
         jcond = jcond & F.col(g).eqNullSafe(F.col(f"__kg_{g}"))
-    joined = local.join(F.broadcast(offsets), jcond)
-    if cum_col is None:
-        joined = joined.withColumn(
+    gr = (
+        local.join(F.broadcast(offsets), jcond)
+        .withColumn(
             "__grank",
             F.col("__roff") + (F.col("__idx") - F.col("__first")) + 1,
         )
-    else:
-        joined = joined.withColumn(
-            "__grank", F.col("__roff") + F.col("__lrank")
-        ).withColumn("__gcum", F.col("__coff") + F.col("__lcum"))
-    drop = (
-        ["__pid", "__kpid", "__roff"]
-        + [f"__kg_{g}" for g in groups]
-        + (["__idx", "__first"] if cum_col is None else ["__lrank", "__lcum", "__coff"])
+        .drop(
+            "__pid", "__kpid", "__roff", "__idx", "__first",
+            *[f"__kg_{g}" for g in groups],
+        )
     )
-    return joined.drop(*drop)
+    if cum_col is None:
+        return gr
+    # cum pass: bucket rows by rank — ``(__grank - 1) div B`` with B
+    # chosen so each group splits into ~4·n buckets — a DETERMINISTIC
+    # function of (data, checkpoint blocks): rank-contiguous (so
+    # earlier-bucket sums ARE the prefix), exactly balanced (every
+    # bucket holds B rows save the last), and hash-exchange-friendly
+    # (4·n·groups keys into n reducers — the r17 pid-keyed window
+    # hashed n physical pids into n reducers, a balls-in-bins
+    # collision that left some reducers 4-5 partitions deep). The
+    # per-bucket sums ride the same bounded prefix self-join as the
+    # partition counts; one window per (group, bucket) adds the
+    # within-bucket prefix. No checkpoint: both consumers of ``gr``
+    # are deterministic given phase 1's blocks.
+    width = 4 * n
+    bsize = f"greatest(1L, (__gtotal + {width - 1}) div {width})"
+    gr = gr.withColumn("__bkt", F.expr(f"(__grank - 1) div {bsize}"))
+    t2 = _ckpt(gr.groupBy(*groups, "__bkt").agg(F.sum(cum_col).alias("__bsum")))
+    a2 = t2.alias("__a2")
+    b2 = t2.select(
+        F.col("__bkt").alias("__b2bkt"),
+        *[F.col(g).alias(f"__b2g_{g}") for g in groups],
+        F.col("__bsum").alias("__b2sum"),
+    )
+    c2 = F.col("__b2bkt") < F.col("__a2.__bkt")
+    for g in groups:
+        c2 = c2 & F.col(f"__a2.{g}").eqNullSafe(F.col(f"__b2g_{g}"))
+    off2 = (
+        a2.join(F.broadcast(b2), c2, "left")
+        .groupBy(
+            F.col("__a2.__bkt").alias("__obkt"),
+            *[F.col(f"__a2.{g}").alias(f"__og_{g}") for g in groups],
+        )
+        .agg(F.coalesce(F.sum("__b2sum"), F.lit(0)).alias("__coff"))
+    )
+    j2 = F.col("__bkt") == F.col("__obkt")
+    for g in groups:
+        j2 = j2 & F.col(g).eqNullSafe(F.col(f"__og_{g}"))
+    w_b = Window.partitionBy(*groups, "__bkt").orderBy("__grank")
+    return (
+        gr.withColumn(
+            "__lcum",
+            F.sum(cum_col).over(
+                w_b.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(F.broadcast(off2), j2)
+        .withColumn("__gcum", F.col("__coff") + F.col("__lcum"))
+        .drop(
+            "__bkt", "__obkt", "__coff", "__lcum",
+            *[f"__og_{g}" for g in groups],
+        )
+    )
 
 
 def ntile_from_grank(n_tiles: int) -> Column:
@@ -607,7 +698,17 @@ def ntile_from_grank(n_tiles: int) -> Column:
     ``T mod n`` buckets hold ``T div n + 1`` rows, the rest ``T div n``
     (when T < n each row is its own bucket — the then-branch covers
     every row, so the else-branch's div-by-zero never evaluates).
-    Property-pinned against F.ntile in tests."""
+    Property-pinned against F.ntile in tests. ``n_tiles < 1`` fails
+    fast here — ``F.ntile`` raises on it, but the interpolated SQL
+    form would silently yield NULL buckets via ``% 0`` under non-ANSI
+    mode (same explicit bounds rule as rfm_segments)."""
+    if n_tiles < 1:
+        raise ValueError(
+            "ntile_from_grank needs n_tiles >= 1: NTILE over zero or "
+            "negative buckets is undefined (F.ntile fails fast the "
+            "same way; the closed form's '% 0' would return NULL "
+            "buckets silently under non-ANSI SQL)"
+        )
     b = f"(__gtotal div {n_tiles})"
     r = f"(__gtotal % {n_tiles})"
     return F.expr(
@@ -645,7 +746,12 @@ def rank_stats(
     (property-pinned in tests).
     """
     ranked = global_rank_two_phase(
-        df, [F.col(c) for c in order_cols], group_cols=[part_col]
+        df,
+        [F.col(c) for c in order_cols],
+        group_cols=[part_col],
+        # the phases carry only (part, order) columns; any payload the
+        # caller's frame holds joins back by the unique total-order key
+        key_cols=list(order_cols),
     )
     r, t = F.col("__grank"), F.col("__gtotal")
     return ranked.select(

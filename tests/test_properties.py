@@ -2872,3 +2872,23 @@ def test_global_rank_two_phase_matches_single_window(spark, rows, grouped):
         df, order, group_cols=groups, cum_col="v", num_partitions=4
     ).collect():
         assert r["__gsum"] == sums[r["g"] if grouped else 0]
+    # key_cols narrow/join-back path (r18): bit-identical again, and
+    # the payload column survives the join-back untouched. Ungrouped,
+    # "g" is payload so the narrow plan + key-join engages; grouped,
+    # (g, v, id) is the whole frame and the call falls through to the
+    # plain plan — both directions of the engage test.
+    gmap = {i: g for g, _, i in data}
+    got_kc = {
+        r["id"]: (r["__grank"], r["__gtotal"], r["__gcum"], r["g"])
+        for r in windows.global_rank_two_phase(
+            df,
+            order,
+            group_cols=groups,
+            cum_col="v",
+            num_partitions=4,
+            key_cols=["v", "id"],
+        ).collect()
+    }
+    assert got_kc == {
+        i: (rn, tot, cum, gmap[i]) for i, (rn, tot, cum) in expect.items()
+    }

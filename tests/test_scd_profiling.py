@@ -393,6 +393,24 @@ def test_rank_stats_family(spark):
     }
 
 
+def test_ntile_from_grank_bounds(spark):
+    """n_tiles < 1 must fail fast (both directions): F.ntile raised on
+    it, and the interpolated closed form would otherwise produce
+    silent NULL buckets via '% 0' under non-ANSI SQL; n_tiles = 1 (the
+    lower bound) stays a valid single bucket."""
+    import pytest
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import windows
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_tiles"):
+            windows.ntile_from_grank(bad)
+    df = spark.createDataFrame([(1, "A", 1.0), (2, "A", 2.0)],
+                               "id long, part string, v double")
+    out = windows.rank_stats(df, "part", ["v", "id"], n_tiles=1)
+    assert {r.bucket for r in out.collect()} == {1}
+
+
 def test_mad_outliers_lower_median(spark):
     from lab_etl_batch_data_processing_pipeline__spark.operators.profiling import (
         mad_outliers,
