@@ -107,6 +107,31 @@ def _ckpt(
     return df.localCheckpoint(eager=eager)
 
 
+def _unckpt(df: DataFrame) -> None:
+    """Actually release a ``_ckpt`` frame's blocks — the ONE unpersist
+    path for checkpointed frames. ``DataFrame.unpersist()`` is a SILENT
+    NO-OP on a localCheckpointed frame (measured r18: every
+    "superseded level" block in pagerank/kcore/LPA/HITS/BFS survived
+    its unpersist call and was freed only when GC + ContextCleaner got
+    around to the orphaned RDD): unpersist clears cache-manager
+    entries, but localCheckpoint persists the underlying RDD directly,
+    reachable only through the plan's LogicalRDD. Reaching through it
+    frees the blocks deterministically — the per-level discipline the
+    loop docstrings promise. ONLY call on a frame that is provably
+    dead (every consumer eagerly materialized): a checkpointed frame
+    has no lineage to recompute from, so a late read fails with
+    "Block rdd_N does not exist" instead of recomputing. Non-LogicalRDD
+    frames (plain persist) fall back to the ordinary unpersist."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    df.unpersist()
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_id_a",
@@ -201,7 +226,7 @@ def _resolve(edges: DataFrame, depth: int, quotient_level: bool = False) -> Data
     )
     contracted = _ckpt(contracted)
     if not contracted.take(1):
-        contracted.unpersist()
+        _unckpt(contracted)
         return labels  # no inter-label edges: labels ARE the components
     # label id -> component root; every level below works on quotient-
     # sized (component-count-bounded) frames, so hints are safe there
@@ -223,8 +248,12 @@ def _resolve(edges: DataFrame, depth: int, quotient_level: bool = False) -> Data
         .select("node_id", F.coalesce("root", "lbl").alias("component_id"))
     )
     composed = _ckpt(composed)
-    labels.unpersist()
-    contracted.unpersist()
+    # composed is eagerly materialized: this level's labels, the
+    # contracted quotient edges, and the recursion's root mapping are
+    # all provably dead now (real release — see _unckpt)
+    _unckpt(labels)
+    _unckpt(contracted)
+    _unckpt(roots)
     return composed
 
 
@@ -342,7 +371,7 @@ def pagerank(
         if checkpoint_ranks:
             ranks = _ckpt(ranks)
             if prev_ranks is not None:
-                prev_ranks.unpersist()  # superseded: nothing references it
+                _unckpt(prev_ranks)  # superseded: nothing references it
             prev_ranks = ranks
     return ranks
 
@@ -559,7 +588,7 @@ def kcore(
             .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
         )
         if prev_alive is not None:
-            prev_alive.unpersist()  # superseded: new alive+live_edges built
+            _unckpt(prev_alive)  # superseded: new alive+live_edges built
         prev_alive = alive
     return (
         alive.join(degrees(live_edges), "node", "left")
@@ -659,7 +688,7 @@ def label_propagation(
             storage=lvl,
         )
         if prev_labels is not None:
-            prev_labels.unpersist()  # superseded: successor materialized
+            _unckpt(prev_labels)  # superseded: successor materialized
         prev_labels = labels
     # every node in an edge list has >= 1 neighbor, so the final pick
     # is total over nodes by construction; the rename is the public
@@ -753,7 +782,7 @@ def hits(
         raw = _ckpt(raw, storage=lvl)
         raw_ckpts.append(raw)
         if len(raw_ckpts) > 2:
-            raw_ckpts.pop(0).unpersist()  # provably dead (lag-2)
+            _unckpt(raw_ckpts.pop(0))  # provably dead (lag-2)
         mx = raw.agg(F.max("raw").alias("mx"))
         return (
             nodes.join(raw, "node_id", "left")
@@ -823,7 +852,10 @@ def bfs_hops(
     frontier + the union; the anti-join + the union), the
     never-recompute-a-forked-frame rule — and superseded checkpoints
     unpersist at lag 2 (the per-level discipline shared with
-    connected_components, pagerank and hits). The loop exits early on
+    connected_components, pagerank and hits); on return everything but
+    the final distance frame (an eager checkpoint, so even the static
+    edge frame is releasable) unpersists — nothing pins blocks for the
+    life of the session. The loop exits early on
     an empty frontier: the isEmpty probe reads one block of an
     already-materialized checkpoint, and a fixed-point frontier is
     empty forever after. State never exceeds nodes + edges; rounds
@@ -855,7 +887,7 @@ def bfs_hops(
     def retire(df: DataFrame) -> DataFrame:
         ckpts.append(df)
         while len(ckpts) > 4:  # nxt+dist per round, referenced one round back
-            ckpts.pop(0).unpersist()
+            _unckpt(ckpts.pop(0))
         return df
 
     for k in range(1, max_hops + 1):
@@ -877,4 +909,14 @@ def bfs_hops(
         frontier = nxt.select("node_id")
         if nxt.isEmpty():
             break  # fixed point: every later frontier is empty too
+    # The returned dist is an EAGER checkpoint — unlike pagerank/hits,
+    # whose lazy result still references its static frames, nothing
+    # here is needed once the final level exists: release the trailing
+    # nxt/dist levels still inside the lag window AND the static edge
+    # checkpoint, or they pin blocks for the life of the session
+    # (pagerank/hits unpersist every superseded level; same rule).
+    for f in ckpts:
+        if f is not dist:
+            _unckpt(f)
+    _unckpt(e)
     return dist.orderBy("node_id")

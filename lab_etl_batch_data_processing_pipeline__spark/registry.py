@@ -763,9 +763,17 @@ def q_transaction_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
     )
+    # one-pass symmetrize (the connected_components rule): a union of
+    # two selects would run the lineitem-orders join twice — Spark does
+    # not dedupe common subtrees across union branches
     edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return bfs_hops(edges, n_seeds=5, max_hops=4)
 
 
@@ -3705,49 +3713,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events_mad_outliers, price_winsorized, customer_cohort_retention
       were rewritten AFTER their r9-r12 green rows).
 
-    Current window (r17, rotation #3 of the staleness retirement —
-    r16 verdict tasks 1, 2 and 4). Rotated IN (17): transaction_hits
-    (born r16, never driver-sampled — the born-keys convention), the
-    fourteen oldest-green tail keys oldest-first, reference-surface
-    first — avg_price_weekly (M1, the engine's founding metric key,
-    curated_tranformation.py:184-190, stale since r06),
-    top_listings_topk (M4's top-k variant), csv_single_file (S5),
-    doc_stats, doc_fingerprint, language_id, simhash, label_centroids,
-    running_totals, salted_status_agg, user_engagement, corpus_splits
-    (the r06 cohort), asof_purchase_view, curated_partition_scan (the
-    first r07 keys) — plus the rewrite-requeued customer_rfm and
-    orders_rank_stats (the r17 two-phase distributed rank rewrite,
-    windows.global_rank_two_phase, replaced their single-task global /
-    5-way windows; a driver-green row certifies the code that ran).
-    acctbal_ntile and part_revenue_pareto — the other two keys of the
-    rewritten rank family — were already in-window and requeue in
-    place. Rotated OUT (17), per the >= 2-green rule: the fourteen
-    r15-rotated keys whose r16 green was their second consecutive
-    fresh row on unchanged code (top_listings_weekly, events_json,
-    token_frequencies, word_bigrams, doc_tokens_regex, events_pivot,
-    docs_per_source_quota, brand_setops, status_percentiles,
-    zscore_events, customers_semi_anti, revenue_cube,
-    orders_shipped_7d, nation_top_customer) and the three r15-touched
-    keys whose r16 green was the second post-touch row
-    (multimodal_features, transaction_pagerank, copurchase_kcore).
-    HELD: the fifteen r16-rotated-in keys (their r16 green is the
-    first FRESH row after r05-r07-era staleness; r16 verdict task 4
-    wants the second in r17) and the sixteen r9/r10-wave coverage
-    anchors (semantic_dedup, corpus_prep_auto, embedding_kmeans et al.
-    keep the embeddings/corpus/streaming/SCD families driver-pinned).
+    Current window (r18, rotation #4 of the staleness retirement —
+    executed exactly as pre-planned in the r17 tag of this docstring /
+    r17 verdict task 1). Rotated IN (15): transaction_reach (born
+    r17, never driver-sampled — the born-keys convention; its BFS
+    internals were also touched this round: one-pass symmetrize +
+    real unpersist sweep, so the r18 green certifies current code),
+    the nine remaining r07-green keys (events_json_struct,
+    revenue_rollup, repetition_stats, decontamination, pii_scrub,
+    corpus_mixture, event_type_skew, session_window_rollup,
+    scd2_user_state), then the five oldest r08 keys reference-surface
+    first (doc_normalize, char_lm_scores, ann_cosine_topk,
+    curated_join — J2-J4+P2+P5 — and popular_locations_weekly — M3).
+    Rotated OUT (15), per the >= 2-green rule: the fifteen
+    r16-rotated keys whose r17 green was their second consecutive
+    fresh row on unchanged code (copurchase_communities,
+    orders_by_weekday, nation_custkey_list, repeat_rate_monthly,
+    occupancy_monthly, bookings_per_user, avg_duration_monthly,
+    metric_sql_view, date_normalize, currency_convert, dedup_exact,
+    dedup_keys, csv_roundtrip, jdbc_roundtrip, sessionization).
+    HELD: the fifteen r17-rotated-in keys (their r17 green is the
+    first fresh row; the second lands in r18), the four rank-family
+    keys — RE-REQUEUED by the r18 rewrite of
+    windows.global_rank_two_phase (r17 verdict task 3: narrow
+    key_cols checkpoint + materialized tiny frames + deterministic
+    rank-bucket cum pass replacing the skewed pid-hash window; the
+    rewrite-requeue clock restarts, so customer_rfm,
+    orders_rank_stats, acctbal_ntile, part_revenue_pareto need r18+r19
+    greens and rotate out r20 at the earliest) — and the sixteen
+    r9/r10-wave coverage anchors (semantic_dedup, corpus_prep_auto,
+    embedding_kmeans et al. keep the embeddings/corpus/streaming/SCD
+    families driver-pinned).
 
-    r18 window plan (r16 verdict task 6 — keep the rotation
-    mechanical): rotate OUT the fifteen r16-rotated keys (their r17
-    green is the second fresh row) and any rewrite-requeued key that
-    lands two post-rewrite greens; rotate IN the next oldest-green
-    cohort oldest-first, reference-surface first: the remaining r07
-    keys (events_json_struct, revenue_rollup, repetition_stats,
-    decontamination, pii_scrub, corpus_mixture, event_type_skew,
-    session_window_rollup, scd2_user_state) then the oldest r08 keys
-    (doc_normalize, char_lm_scores, ann_cosine_topk, curated_join,
-    popular_locations_weekly — M3 — and orders_profile) until the
-    freed slots are spent; any key born in r17 leads per the
-    born-keys convention.
+    r19 window plan (keep the rotation mechanical): ann_rerank (born
+    r18, never driver-sampled) LEADS per the born-keys convention;
+    rotate OUT the fifteen r17-rotated keys (their r18 green is the
+    second fresh row: transaction_hits, avg_price_weekly,
+    top_listings_topk, csv_single_file, doc_stats, doc_fingerprint,
+    language_id, simhash, label_centroids, running_totals,
+    salted_status_agg, user_engagement, corpus_splits,
+    asof_purchase_view, curated_partition_scan); HOLD
+    transaction_reach + the fourteen r18-rotated cohort (second green
+    due r19) and the four rank keys (second post-r18-rewrite green due
+    r19); rotate IN, after ann_rerank, the next
+    oldest r08-green keys, reference-surface first: csv_quarantine
+    (S2's quarantine leg), orders_expectations (P7), orders_profile,
+    pricing_summary, then mechanically oldest-first (cardinality_gate,
+    corpus_mixture_weighted, doc_chunks, embedding_near_dups,
+    events_resampled, events_variant, fuzzy_part_match,
+    heavy_hitters_gate, hll_union_gate, incremental_dedup,
+    jsonl_roundtrip) until the freed slots are spent; any key born in
+    r18 leads per the born-keys convention.
 
     Current tail: rows with >= 1 driver-green round (most
     multi-round; per-key receipts annotated in TAIL_KEYS), plus the

@@ -389,6 +389,38 @@ def test_bfs_hops_path_golden(spark):
     assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
 
 
+def test_bfs_hops_releases_all_but_final_distances(spark):
+    """On return only the final distance checkpoint may stay persisted
+    (both directions): the trailing nxt/dist levels and the static edge
+    frame must unpersist — they held blocks for the session's life
+    before r18 — while the survivor must still be readable (an eager
+    checkpoint, so releasing the statics cannot orphan it)."""
+    import time
+
+    path = [(1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], ["src", "dst"]
+    )
+    sc = spark.sparkContext
+
+    def persisted_ids() -> set:
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    # compare the SET of new ids, not the total count: in a shared
+    # test session the ContextCleaner may release PRE-EXISTING frames
+    # concurrently, so a count comparison flaps (seen in-suite r18)
+    before = persisted_ids()
+    out = graph.bfs_hops(edges, n_seeds=1, max_hops=4)
+    rows = {r.node_id: r.hop for r in out.collect()}
+    assert rows == {1: 0, 2: 1, 3: 2}
+    for _ in range(40):  # unpersist is async on the JVM side
+        if len(persisted_ids() - before) == 1:
+            break
+        time.sleep(0.25)
+    assert len(persisted_ids() - before) == 1
+    assert {r.node_id: r.hop for r in out.collect()} == rows
+
+
 def test_bfs_hops_matches_sequential_replica(spark):
     """Randomized parity vs an in-test BFS replica (multi-source,
     min-hop, smallest-ids seed rule), over seeded random DIRECTED
