@@ -3785,36 +3785,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation; r14: the rewrite-requeues rotation — see the r14 tag;
     r15: the first staleness-retirement rotation — see the r15 tag;
     r16: the second staleness-retirement rotation — see the r16 tag;
-    r17: rotation #3 plus the rank-family rewrite-requeues, described
-    above).
+    r17: rotation #3 plus the rank-family rewrite-requeues — see the
+    r17 tag; r18: rotation #4 plus the rank-family re-requeues,
+    described above).
     """
     return {
-        # --- r17 driver window (first 50; see docstring) ---
-        # HELD from the r16 rotation (r16 green is their first FRESH
-        # driver row since r05-r07; the >= 2-green-on-current-code
-        # staleness story wants a second — r16 verdict task 4):
-        "copurchase_communities": q_copurchase_communities,
-        "orders_by_weekday": q_orders_by_weekday,
-        "nation_custkey_list": q_nation_custkey_list,
-        "repeat_rate_monthly": q_repeat_rate_monthly,
-        "occupancy_monthly": q_occupancy_monthly,
-        "bookings_per_user": q_bookings_per_user,
-        "avg_duration_monthly": q_avg_duration_monthly,
-        "metric_sql_view": q_metric_sql_view,
-        "date_normalize": q_date_normalize,
-        "currency_convert": q_currency_convert,
-        "dedup_exact": q_dedup_exact,
-        "dedup_keys": q_dedup_keys,
-        "csv_roundtrip": q_csv_roundtrip,
-        "jdbc_roundtrip": q_jdbc_roundtrip,
-        "sessionization": q_sessionization,
-        # rotated IN r17 (r16 verdict task 1 — rotation #3 of the
-        # staleness retirement): transaction_hits (born r16, never
-        # driver-sampled — the born-keys convention) plus the fourteen
-        # oldest-green tail keys oldest-first, reference-surface
-        # first (avg_price_weekly is M1, the engine's founding metric
-        # key, stale since r06; then the r06 cohort and the first two
-        # r07 keys):
+        # --- r18 driver window (first 50; see docstring) ---
+        # rotated IN r18 (rotation #4, exactly as pre-planned in the
+        # r17 tag): transaction_reach (born r17, never driver-sampled
+        # — the born-keys convention; BFS internals also touched r18,
+        # so this green certifies current code) leads, then the nine
+        # remaining r07-green keys and the five oldest r08 keys,
+        # reference-surface first (curated_join = J2-J4+P2+P5,
+        # popular_locations_weekly = M3):
+        "transaction_reach": q_transaction_reach,
+        "events_json_struct": q_events_json_struct,
+        "revenue_rollup": q_revenue_rollup,
+        "repetition_stats": q_repetition_stats,
+        "decontamination": q_decontamination,
+        "pii_scrub": q_pii_scrub,
+        "corpus_mixture": q_corpus_mixture,
+        "event_type_skew": q_event_type_skew,
+        "session_window_rollup": q_session_window_rollup,
+        "scd2_user_state": q_scd2_user_state,
+        "doc_normalize": q_doc_normalize,
+        "char_lm_scores": q_char_lm_scores,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "curated_join": q_curated_join,
+        "popular_locations_weekly": q_popular_locations_weekly,
+        # HELD from the r17 rotation (r17 green is their first fresh
+        # driver row; the >= 2-green rule wants the second here):
         "transaction_hits": q_transaction_hits,
         "avg_price_weekly": q_avg_price_weekly,
         "top_listings_topk": q_top_listings_topk,
@@ -3830,11 +3830,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": q_corpus_splits,
         "asof_purchase_view": q_asof_purchase_view,
         "curated_partition_scan": q_curated_partition_scan,
-        # rewrite-requeued r17 (r16 verdict task 2): the global
-        # rank/ntile family was rewritten onto the two-phase
-        # distributed rank (windows.global_rank_two_phase) — a
-        # driver-green row certifies the code that ran, so all four
-        # keys (re)enter the window regardless of earlier greens:
+        # rank family, RE-REQUEUED r18: windows.global_rank_two_phase
+        # was rewritten again (r17 verdict task 3 — narrow key_cols
+        # checkpoint, materialized tiny frames, deterministic
+        # rank-bucket cum pass), so the rewrite-requeue clock restarts
+        # (a driver-green row certifies the code that ran):
         "customer_rfm": q_customer_rfm,
         "orders_rank_stats": q_orders_rank_stats,
         "acctbal_ntile": q_acctbal_ntile,
@@ -3859,7 +3859,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": q_events_zorder,
         "part_entity_clusters": q_part_entity_clusters,
         # --- past the driver's 50-key correctness window (see
-        # docstring). Rotated out r17 per the >= 2-green rule: the
+        # docstring). Rotated out r18 per the >= 2-green rule: the
+        # fifteen r16-rotated keys (r16+r17 driver greens on
+        # unchanged code):
+        "copurchase_communities": q_copurchase_communities,
+        "orders_by_weekday": q_orders_by_weekday,
+        "nation_custkey_list": q_nation_custkey_list,
+        "repeat_rate_monthly": q_repeat_rate_monthly,
+        "occupancy_monthly": q_occupancy_monthly,
+        "bookings_per_user": q_bookings_per_user,
+        "avg_duration_monthly": q_avg_duration_monthly,
+        "metric_sql_view": q_metric_sql_view,
+        "date_normalize": q_date_normalize,
+        "currency_convert": q_currency_convert,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keys": q_dedup_keys,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jdbc_roundtrip": q_jdbc_roundtrip,
+        "sessionization": q_sessionization,
+        # Rotated out r17 per the >= 2-green rule: the
         # fourteen r15-rotated keys (r15+r16 driver greens on
         # unchanged code) and the three r15-touched keys whose r16
         # green was the second post-touch row:

@@ -161,19 +161,13 @@ TAIL_KEYS = {
     # running_totals, salted_status_agg, user_engagement, corpus_splits,
     # asof_purchase_view, curated_partition_scan rotated back IN r17
     # (last driver rows r06-r07) — no longer tail keys.
-    # rotated out r8 (driver-green r6+r7, unchanged in r8) to make room
-    # for heavy_hitters_gate and the four r8-born oracle rows
-    # (recipe_training_mix, orc_roundtrip, orders_snapshot_diff,
-    # hll_union_gate)
-    "revenue_rollup": "test_spot_oracle_parity",
-    "events_json_struct": "test_spot_oracle_parity",
-    "repetition_stats": "test_spot_oracle_parity",
-    "decontamination": "test_spot_oracle_parity",
-    "pii_scrub": "test_spot_oracle_parity",
-    "corpus_mixture": "test_spot_oracle_parity",
-    "event_type_skew": "test_spot_oracle_parity",
-    "session_window_rollup": "test_spot_oracle_parity",
-    "scd2_user_state": "test_spot_oracle_parity",
+    # NOTE (r18 staleness retirement, rotation #4): transaction_reach
+    # (born r17), events_json_struct, revenue_rollup, repetition_stats,
+    # decontamination, pii_scrub, corpus_mixture, event_type_skew,
+    # session_window_rollup, scd2_user_state (last driver rows r07),
+    # doc_normalize, char_lm_scores, ann_cosine_topk, curated_join,
+    # popular_locations_weekly (last driver rows r08) rotated back IN
+    # r18 — no longer tail keys.
     # rotated out r9 after >= 2 driver-green rounds each (r7+r8):
     "pricing_summary": "test_spot_oracle_parity",
     "tfidf_top_terms": "test_spot_oracle_parity",
@@ -187,11 +181,6 @@ TAIL_KEYS = {
     "pack_offsets": "test_spot_oracle_parity",
     "winnowing": "test_spot_oracle_parity",
     "orders_profile": "test_spot_oracle_parity",
-    "popular_locations_weekly": "test_spot_oracle_parity",
-    "curated_join": "test_spot_oracle_parity",
-    "ann_cosine_topk": "test_spot_oracle_parity",
-    "doc_normalize": "test_spot_oracle_parity",
-    "char_lm_scores": "test_spot_oracle_parity",
     # rotated out late-r9 (r7+r8 driver-green, unchanged) as the
     # fourth-wave rows (events_interpolated, conversion_funnel,
     # orders_rank_stats, events_mad_outliers) took their slots:
