@@ -133,6 +133,61 @@ SELECT query_id, neighbor_id, cosine_sim, sim_rank
 FROM ranked WHERE sim_rank <= 5
 """
 
+# Cross-encoder rerank twin (similarity.crossencoder_rerank over the
+# brute-force top-5 — query key ann_rerank): the same exact-cosine
+# candidate CTEs, then the deterministic integer lexical-interaction
+# score — (10000 * |distinct shared tokens|) // |distinct token union|
+# on single-space-split, empty-dropped token SETS (list_intersect and
+# list_distinct(list_concat) are set ops after list_distinct, matching
+# Python frozensets) — and a per-query re-rank by ce_score desc with
+# the upstream sim_rank as the deterministic tiebreak. Candidate texts
+# come from an INNER join on neighbor_id (Spark streams the doc table
+# into the broadcast candidate list); query token sets via LEFT join +
+# COALESCE to the empty list (Spark's qtok.get(qid, frozenset())).
+_ANN_RERANK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT
+    q.query_id,
+    e.vec_id AS neighbor_id,
+    ROUND(
+      {_COS_DOT.format(a="q.q_emb", b="e.embedding")}
+      / ({_COS_NORM.format(a="q.q_emb")} * {_COS_NORM.format(a="e.embedding")}),
+      6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS sim_rank
+  FROM scored
+), cand AS (
+  SELECT query_id, neighbor_id, cosine_sim, sim_rank
+  FROM ranked WHERE sim_rank <= 5
+), toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS t
+  FROM documents
+), sc AS (
+  SELECT c.query_id, c.neighbor_id, c.cosine_sim, c.sim_rank,
+         CAST(CASE
+           WHEN len(list_distinct(list_concat(COALESCE(qt.t, []), ct.t))) = 0
+           THEN 0
+           ELSE (10000 * len(list_intersect(COALESCE(qt.t, []), ct.t)))
+                // len(list_distinct(list_concat(COALESCE(qt.t, []), ct.t)))
+         END AS BIGINT) AS ce_score
+  FROM cand c
+  JOIN toks ct ON ct.doc_id = c.neighbor_id
+  LEFT JOIN toks qt ON qt.doc_id = c.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, sim_rank, ce_score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY ce_score DESC, sim_rank) AS INT)
+         AS rerank_pos
+FROM sc ORDER BY query_id, rerank_pos
+"""
+
 # Portable-LSH top-k twin (similarity.cosine_topk_lsh portable=True,
 # 3 planes x 8 tables, k=5 — query key ann_cosine_lsh): replicates the
 # md5-derived hyperplane weights (first 60 md5 bits of "table|plane|dim"
@@ -4065,5 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         # bucketing is approximate by design, so their quality gate is the
         # recall-vs-bruteforce invariant queries (ann_lsh_recall /
         # ann_ivf_recall) instead of value parity.
+        # born r18:
+        "ann_rerank": _ANN_RERANK_SQL,
     }
 

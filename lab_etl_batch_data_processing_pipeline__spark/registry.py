@@ -372,6 +372,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(emb, _query_vectors(emb), k=5)
 
 
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: the brute-force cosine top-5 candidate
+    lists re-scored by the cross-encoder-style pairwise stage
+    (similarity.crossencoder_rerank — the one brief-adjacent gap the
+    r17 verdict left in the similarity family). vec_id aligns with
+    doc_id in the testdata, so the candidate ids address the documents
+    table directly; the scorer is the deterministic integer
+    lexical-interaction stand-in, so the DuckDB twin hashes the whole
+    output including ce_score and rerank_pos."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = similarity.cosine_topk_bruteforce(emb, _query_vectors(emb), k=5)
+    return similarity.crossencoder_rerank(cand, _t(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed cosine top-k. 3 planes / 8 tables
     matches the wide-angle neighbor geometry of the testdata embeddings
@@ -4001,23 +4015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "winnowing": q_winnowing,
         "orders_profile": q_orders_profile,
-        "popular_locations_weekly": q_popular_locations_weekly,
-        "curated_join": q_curated_join,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "doc_normalize": q_doc_normalize,
-        "char_lm_scores": q_char_lm_scores,
-        "revenue_rollup": q_revenue_rollup,
-        "events_json_struct": q_events_json_struct,
-        "repetition_stats": q_repetition_stats,
-        "decontamination": q_decontamination,
-        "pii_scrub": q_pii_scrub,
-        "corpus_mixture": q_corpus_mixture,
-        "event_type_skew": q_event_type_skew,
-        "session_window_rollup": q_session_window_rollup,
-        "scd2_user_state": q_scd2_user_state,
-        # born r17 (past the window; queued to LEAD the r18 rotation
-        # per the born-keys convention — see the r18 plan above):
-        "transaction_reach": q_transaction_reach,
+        # born r18 (new operator, never yet driver-sampled; queued to
+        # lead the r19 rotation per the born-keys convention):
+        "ann_rerank": q_ann_rerank,
     }
 
 def oracle_sql() -> dict[str, str]:

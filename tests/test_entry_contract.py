@@ -44,9 +44,27 @@ def test_every_oracle_key_has_a_query():
 ORACLE_WINDOW = 50
 TAIL_KEYS = {
     # key -> where its correctness is pinned instead
-    # born r17 (new operator, never yet driver-sampled; queued to LEAD
-    # the r18 rotation per the born-keys convention):
-    "transaction_reach": "test_spot_oracle_parity + tests/test_graph.py BFS golden/replica tests",
+    # born r18 (new operator, never yet driver-sampled; queued to LEAD
+    # the r19 rotation per the born-keys convention):
+    "ann_rerank": "test_spot_oracle_parity + tests/test_similarity.py rerank golden/replica tests",
+    # rotated out r18 per the standing >= 2-green rule: the fifteen
+    # r16-rotated keys took their second consecutive fresh driver
+    # green in r17 (r16+r17, code unchanged):
+    "copurchase_communities": "test_spot_oracle_parity (driver-green r16+r17) + tests/test_graph.py CC goldens; transaction_reach in-window keeps the graph family driver-pinned",
+    "orders_by_weekday": "test_spot_oracle_parity (driver-green r16+r17)",
+    "nation_custkey_list": "test_spot_oracle_parity (driver-green r16+r17)",
+    "repeat_rate_monthly": "test_spot_oracle_parity (driver-green r16+r17; M7 also pinned DSL==SQL by tests/test_metrics_sql.py)",
+    "occupancy_monthly": "test_spot_oracle_parity (driver-green r16+r17; M2 DSL==SQL pinned)",
+    "bookings_per_user": "test_spot_oracle_parity (driver-green r16+r17; M5 DSL==SQL pinned)",
+    "avg_duration_monthly": "test_spot_oracle_parity (driver-green r16+r17; M6 DSL==SQL pinned)",
+    "metric_sql_view": "test_spot_oracle_parity (driver-green r16+r17; the SQL-entry twin of the M1-M7 family)",
+    "date_normalize": "test_spot_oracle_parity (driver-green r16+r17; P4)",
+    "currency_convert": "test_spot_oracle_parity (driver-green r16+r17; P3+J1+S3)",
+    "dedup_exact": "test_spot_oracle_parity (driver-green r16+r17; P1)",
+    "dedup_keys": "test_spot_oracle_parity (driver-green r16+r17; P1 key-subset)",
+    "csv_roundtrip": "test_spot_oracle_parity (driver-green r16+r17; S2/S6)",
+    "jdbc_roundtrip": "test_spot_oracle_parity (driver-green r16+r17; S1+S4 Derby round-trip)",
+    "sessionization": "test_spot_oracle_parity (driver-green r16+r17)",
     # rotated out r17 per the standing >= 2-green rule: the fourteen
     # r15-rotated keys took their second consecutive fresh driver
     # green in r16 (r15+r16, code unchanged), and the three

@@ -612,3 +612,100 @@ def test_sweep_orphan_siblings_short_circuits_on_fresh_activity(tmp_path, monkey
     sweep_orphan_siblings(out)
     assert walked == [fresh_top], "stale top level must trigger the walk"
     assert os.path.isdir(fresh_top), "fresh nested write keeps it alive"
+
+
+def test_crossencoder_rerank_golden(spark):
+    """Known texts, known candidate lists: the integer lexical score
+    ((10000 * |token-set ∩|) // |token-set ∪|) and the re-rank order
+    (ce_score desc, upstream sim_rank as tiebreak) come out exactly.
+    Covers: dropped empty tokens / duplicate tokens (set semantics),
+    a query with no doc row (empty query token set -> all scores 0,
+    retrieval order preserved), and a candidate with no doc row
+    (dropped — the inner join against the corpus)."""
+    cand = spark.createDataFrame(
+        [
+            (0, 10, 0.9, 1),
+            (0, 11, 0.8, 2),
+            (0, 12, 0.7, 3),
+            (7, 10, 0.5, 1),   # query 7 has no doc text
+            (0, 99, 0.6, 4),   # neighbor 99 has no doc row -> dropped
+        ],
+        "query_id long, neighbor_id long, cosine_sim double, sim_rank int",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "red green  blue blue"),      # set: {red, green, blue}
+            (10, "red yellow"),               # ∩=1 ∪=4 -> 2500
+            (11, "red green blue"),           # ∩=3 ∪=3 -> 10000
+            (12, "purple"),                   # ∩=0 ∪=4 -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = similarity.crossencoder_rerank(cand, docs).collect()
+    got = [
+        (r.query_id, r.neighbor_id, r.ce_score, r.rerank_pos) for r in out
+    ]
+    assert got == [
+        (0, 11, 10000, 1),
+        (0, 10, 2500, 2),
+        (0, 12, 0, 3),
+        (7, 10, 0, 1),
+    ]
+    # schema contract: candidate columns ride through unchanged
+    assert [f.name for f in similarity.crossencoder_rerank(cand, docs).schema] == [
+        "query_id", "neighbor_id", "cosine_sim", "sim_rank",
+        "ce_score", "rerank_pos",
+    ]
+
+
+def test_crossencoder_rerank_matches_sequential_replica(spark):
+    """Randomized parity vs a pure-Python replica over seeded random
+    vocab texts and candidate lists — pins the tokenization contract
+    (single-space split, empties dropped, distinct sets), the integer
+    truncating division, and the (ce_score desc, sim_rank asc)
+    re-rank, against an implementation with no Spark in it."""
+    import random
+
+    rng = random.Random(1804)
+    vocab = [f"w{i}" for i in range(12)]
+    docs_py = {
+        i: " ".join(
+            rng.choice(vocab + [""])  # occasional double spaces
+            for _ in range(rng.randint(0, 14))
+        )
+        for i in range(40)
+    }
+    cand_py = []
+    for q in rng.sample(range(40), 6):
+        pool = [i for i in range(40) if i != q]
+        for rk, nb in enumerate(rng.sample(pool, 5), start=1):
+            cand_py.append((q, nb, round(rng.random(), 6), rk))
+
+    def toks(s):
+        return frozenset(t for t in s.split(" ") if t)
+
+    expect = {}
+    for q, nb, cs, rk in cand_py:
+        qt, ct = toks(docs_py.get(q, "")), toks(docs_py[nb])
+        u = len(qt | ct)
+        expect[(q, nb)] = (10000 * len(qt & ct)) // u if u else 0
+    order = {}
+    for q in {c[0] for c in cand_py}:
+        rows = sorted(
+            (c for c in cand_py if c[0] == q),
+            key=lambda c: (-expect[(c[0], c[1])], c[3]),
+        )
+        for pos, c in enumerate(rows, start=1):
+            order[(q, c[1])] = pos
+
+    cand = spark.createDataFrame(
+        cand_py, "query_id long, neighbor_id long, cosine_sim double, sim_rank int"
+    )
+    docs = spark.createDataFrame(
+        list(docs_py.items()), "doc_id long, text string"
+    )
+    out = similarity.crossencoder_rerank(cand, docs).collect()
+    assert len(out) == len(cand_py)
+    for r in out:
+        assert r.ce_score == expect[(r.query_id, r.neighbor_id)]
+        assert r.rerank_pos == order[(r.query_id, r.neighbor_id)]
