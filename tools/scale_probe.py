@@ -78,6 +78,13 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
 ID_STRIDE = 10_000_000
 XN = f"x{REPLICAS}"  # the scaled label in the report ("x10" / "x100")
 
+# Probe input/base frames are localCheckpoints, and DataFrame.unpersist
+# is a SILENT NO-OP on those (measured r18 — see graph._unckpt): before
+# r18 every retired decade's strided input stayed pinned for the rest
+# of the sweep, so later decades ran against a shrunken storage pool /
+# fuller checkpoint disk (exactly the resource the DISK_ONLY capacity
+# runs are squeezed on). All probe releases go through graph._unckpt.
+
 
 def synth_dir(base_sf: str) -> str:
     st = os.stat(os.path.join(base_sf, "documents.parquet"))
@@ -803,7 +810,7 @@ def main() -> None:
                 ).count()
             )
             record("cc_edges", f"x{factor}", t, n)
-            big_pairs.unpersist()
+            graph._unckpt(big_pairs)
 
     # pagerank_edges: the cc_edges protocol applied to pagerank (r14
     # verdict task 2: 2.93x @ 10x organic was the steepest receipt
@@ -817,6 +824,7 @@ def main() -> None:
         or want("lpa_edges")
         or want("hits_edges")
         or want("bfs_edges")
+        or want("bfs_organic")
     ):
         o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
         li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
@@ -901,6 +909,36 @@ def main() -> None:
                     ).count()
                 )
                 record("bfs_edges", f"x{factor}", t, n)
+            # bfs_organic: the r17 verdict's organic-growth companion
+            # to bfs_edges — same base graph, but INTERLEAVE-strided
+            # (id*factor + r, replica = id mod factor) instead of
+            # offset-strided, so the 5*factor globally-smallest node
+            # ids are EXACTLY the five smallest ids of every replica
+            # universe: bfs_hops(n_seeds=5*factor) seeds each replica
+            # identically and the reached set grows linearly with the
+            # replicas (out_rows = factor x base reach), matching how
+            # the sf-receipts pin linear output on organic graphs —
+            # while bfs_edges keeps pinning the flat-out_rows
+            # per-round cost model. No operator change: the seed rule
+            # stays "k smallest ids", the probe just arranges the id
+            # space so that rule lands per-replica.
+            if want("bfs_organic"):
+                big_il = graph._ckpt(
+                    pr_base.crossJoin(reps)
+                    .select(
+                        (F.col("src") * factor + F.col("r")).alias("src"),
+                        (F.col("dst") * factor + F.col("r")).alias("dst"),
+                    )
+                    .repartition(32)
+                )
+                t, n = timed(
+                    lambda: graph.bfs_hops(
+                        big_il, "src", "dst",
+                        n_seeds=5 * factor, max_hops=4,
+                    ).count()
+                )
+                record("bfs_organic", f"x{factor}", t, n)
+                graph._unckpt(big_il)
             # kcore_dense: the k-core peel on the SAME dense strided
             # frame — the capacity-grade kcore receipt (the co-purchase
             # kcore_edges base is only 3.6k edges) and the at-scale
@@ -912,8 +950,8 @@ def main() -> None:
                     ).count()
                 )
                 record("kcore_dense", f"x{factor}", t, n)
-            big_edges.unpersist()
-        pr_base.unpersist()
+            graph._unckpt(big_edges)
+        graph._unckpt(pr_base)
 
     # kcore_edges / clustering_edges: the same edge-strided two-decade
     # protocol for the two remaining graph loops with only a 10x
@@ -954,8 +992,8 @@ def main() -> None:
                     ).count()
                 )
                 record("clustering_edges", f"x{factor}", t, n)
-            big_cp.unpersist()
-        cp_base.unpersist()
+            graph._unckpt(big_cp)
+        graph._unckpt(cp_base)
 
     # kmeans_emb / semdedup_emb: the edge-strided two-decade protocol
     # applied to the EMBEDDINGS family (r15 verdict task 7 — kmeans and
@@ -1025,8 +1063,8 @@ def main() -> None:
                     ).count()
                 )
                 record("semdedup_emb", f"x{factor}", t, n)
-            big_emb.unpersist()
-        emb_base.unpersist()
+            graph._unckpt(big_emb)
+        graph._unckpt(emb_base)
 
     # rank_twophase / rank_twophase_cum: strided decades for the r17
     # global-rank rewrite (r16 verdict tasks 2+5 — customer_rfm,
@@ -1042,7 +1080,8 @@ def main() -> None:
     # mono-id path (rank_twophase: range shuffle -> in-partition
     # position -> broadcast offsets; the rank_stats/rfm/ntile shape,
     # grouped by the 5 priority classes) and the cum path
-    # (rank_twophase_cum: + one pid-hash window for the running sum;
+    # (rank_twophase_cum: + the deterministic rank-bucket prefix pass
+    # for the running sum — r18 rewrite, was a pid-hash window in r17;
     # the revenue_pareto shape, ungrouped) both scale ~linearly in
     # rows — the single-task sort they replaced serializes the whole
     # frame through one core. out_rows must be exactly linear (one per
@@ -1089,11 +1128,18 @@ def main() -> None:
                     big_rk,
                     [F.col("cents").desc(), F.col("o_orderkey").asc()],
                     cum_col="cents",
+                    # r18: same 3-col input frame as the r17 receipt
+                    # (comparable decades), but the narrow key_cols
+                    # plan engages — the checkpoint carries only
+                    # (cents, o_orderkey) and o_orderpriority rides
+                    # the payload join-back, the trim the r17 verdict
+                    # task 3 prescribed
+                    key_cols=["cents", "o_orderkey"],
                 ).count()
             )
             record("rank_twophase_cum", f"x{factor}", t, n)
-            big_rk.unpersist()
-        rk_base.unpersist()
+            graph._unckpt(big_rk)
+        graph._unckpt(rk_base)
 
     # cc_capacity: EXPLICIT-ONLY (exact token, never in a default sweep)
     # — the r14 one-JVM ceiling retry (verdict task 6). Reproduces the
@@ -1129,7 +1175,7 @@ def main() -> None:
             )
             .repartition(64)
         )
-        base_pairs.unpersist()
+        graph._unckpt(base_pairs)
         t, n = timed(
             lambda: graph.connected_components(
                 big_pairs, assume_unique_pairs=True
@@ -1137,7 +1183,7 @@ def main() -> None:
             runs=1,
         )
         record("cc_capacity", f"x{factor}", t, n)
-        big_pairs.unpersist()
+        graph._unckpt(big_pairs)
 
     for op, d in report.items():
         if "sf0.1" in d and XN in d:
