@@ -1088,7 +1088,14 @@ def main() -> None:
     # input row). The x1000 leg (150M rows) is where data outgrows
     # fixed job overhead — the sf0.1 base is only 150k rows, so x100
     # still reads partly overhead-bound (the kmeans_emb story).
-    if want("rank_twophase"):
+    # rank_twophase_cum_narrow (r18): the cum path on the TWO-column
+    # (key-only) frame — revenue_pareto's exact registry shape, where
+    # key_cols covers the whole frame so the narrow plan IS the plan
+    # and there is NO payload join-back. Separates the join-back's two
+    # full-frame shuffles (the rank_twophase_cum worst case, a shape
+    # no registry query currently uses) from the bucketed running-sum
+    # machinery itself.
+    if want("rank_twophase") or want("rank_twophase_cum_narrow"):
         o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
         rk_base = graph._ckpt(
             o01.select(
@@ -1115,29 +1122,40 @@ def main() -> None:
                 )
                 .repartition(32)
             )
-            t, n = timed(
-                lambda: windows.global_rank_two_phase(
-                    big_rk,
-                    [F.col("cents").desc(), F.col("o_orderkey").asc()],
-                    group_cols=["o_orderpriority"],
-                ).count()
-            )
-            record("rank_twophase", f"x{factor}", t, n)
-            t, n = timed(
-                lambda: windows.global_rank_two_phase(
-                    big_rk,
-                    [F.col("cents").desc(), F.col("o_orderkey").asc()],
-                    cum_col="cents",
-                    # r18: same 3-col input frame as the r17 receipt
-                    # (comparable decades), but the narrow key_cols
-                    # plan engages — the checkpoint carries only
-                    # (cents, o_orderkey) and o_orderpriority rides
-                    # the payload join-back, the trim the r17 verdict
-                    # task 3 prescribed
-                    key_cols=["cents", "o_orderkey"],
-                ).count()
-            )
-            record("rank_twophase_cum", f"x{factor}", t, n)
+            if want("rank_twophase"):
+                t, n = timed(
+                    lambda: windows.global_rank_two_phase(
+                        big_rk,
+                        [F.col("cents").desc(), F.col("o_orderkey").asc()],
+                        group_cols=["o_orderpriority"],
+                    ).count()
+                )
+                record("rank_twophase", f"x{factor}", t, n)
+                t, n = timed(
+                    lambda: windows.global_rank_two_phase(
+                        big_rk,
+                        [F.col("cents").desc(), F.col("o_orderkey").asc()],
+                        cum_col="cents",
+                        # r18: same 3-col input frame as the r17
+                        # receipt (comparable decades), but the narrow
+                        # key_cols plan engages — the checkpoint
+                        # carries only (cents, o_orderkey) and
+                        # o_orderpriority rides the payload join-back,
+                        # the trim the r17 verdict task 3 prescribed
+                        key_cols=["cents", "o_orderkey"],
+                    ).count()
+                )
+                record("rank_twophase_cum", f"x{factor}", t, n)
+            if want("rank_twophase_cum_narrow"):
+                nrw = big_rk.select("o_orderkey", "cents")
+                t, n = timed(
+                    lambda: windows.global_rank_two_phase(
+                        nrw,
+                        [F.col("cents").desc(), F.col("o_orderkey").asc()],
+                        cum_col="cents",
+                    ).count()
+                )
+                record("rank_twophase_cum_narrow", f"x{factor}", t, n)
             graph._unckpt(big_rk)
         graph._unckpt(rk_base)
 
