@@ -440,10 +440,16 @@ def rfm_segments(
             F.col("user").asc(),
         ]
         return (
-            # key_cols: the rank phases carry only (metric, user); the
-            # other per-customer columns join back by the unique user
-            # tiebreak instead of riding the positioned checkpoint
-            global_rank_two_phase(frame, order, key_cols=[metric, "user"])
+            # no key_cols: the payload here is two or three LONG
+            # columns per row, so carrying them through the positioned
+            # checkpoint is cheaper at every scale than the narrow
+            # plan's join-back (two extra full-frame shuffles per
+            # tile, three tiles per call — measured +3 s at sf0.1,
+            # and width-proportional rather than row-proportional
+            # savings can never repay a row-proportional join). The
+            # narrow plan is for WIDE payloads (text/array columns) —
+            # see global_rank_two_phase's width rule.
+            global_rank_two_phase(frame, order)
             .withColumn(alias, ntile_from_grank(n_tiles))
             .drop("__grank", "__gtotal")
         )

@@ -481,6 +481,16 @@ def global_rank_two_phase(
     NO nondeterministic columns, so the fork rule is satisfied without
     materializing it). Skipped automatically when the input already
     has no payload columns — then the join would be pure overhead.
+    WIDTH RULE (when to pass it): the narrow plan trades two extra
+    full-frame shuffles (the join-back) for a thinner exchange +
+    checkpoint, so it pays off only when the payload is WIDE —
+    text/array/struct columns whose bytes dominate the row. For a
+    payload of a few numeric columns the full-width plan is cheaper
+    at every scale (width-proportional savings cannot repay a
+    row-proportional join — measured: rfm_segments' three tiles cost
+    +3 s at sf0.1 under the narrow plan for a 2-3 long payload, and
+    the strided x1000 cum receipt reads 150.2 s warm with join-back
+    vs 48.1 s key-only, tools/scale_probe_r18_rank*.json).
 
     Preconditions (the rank-family contract): ``order_exprs`` must end
     in a unique tiebreak (ranks over a non-total order would be

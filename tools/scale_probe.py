@@ -825,6 +825,7 @@ def main() -> None:
         or want("hits_edges")
         or want("bfs_edges")
         or want("bfs_organic")
+        or ("bfs_capacity" in op_filters)
     ):
         o01 = spark.read.parquet(os.path.join(base_sf, "orders.parquet"))
         li01 = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
@@ -951,6 +952,39 @@ def main() -> None:
                 )
                 record("kcore_dense", f"x{factor}", t, n)
             graph._unckpt(big_edges)
+        # bfs_capacity: EXPLICIT-ONLY (exact token, never in a default
+        # sweep) — the cc_capacity convention applied to BFS (r17
+        # verdict task 7's "next decade for the newest operators"):
+        # one x1000 stride of the dense frame = 1.17B directed edges
+        # through 4 BFS rounds in the one 16g JVM, single run. Seeds
+        # interleave-strided like bfs_organic so the reached set is
+        # organic (factor x base) at capacity scale too.
+        # SPARK_GRAFT_BFS_CAP_FACTOR overrides the stride.
+        if "bfs_capacity" in op_filters:
+            factor = int(os.environ.get("SPARK_GRAFT_BFS_CAP_FACTOR", "1000"))
+            reps = spark.range(factor).select(F.col("id").alias("r"))
+            print(
+                f"PROBE bfs_capacity factor={factor} "
+                f"ckpt_storage={os.environ.get('SPARK_GRAFT_CKPT_STORAGE')}",
+                file=sys.stderr,
+            )
+            big_cap = graph._ckpt(
+                pr_base.crossJoin(reps)
+                .select(
+                    (F.col("src") * factor + F.col("r")).alias("src"),
+                    (F.col("dst") * factor + F.col("r")).alias("dst"),
+                )
+                .repartition(128)
+            )
+            t, n = timed(
+                lambda: graph.bfs_hops(
+                    big_cap, "src", "dst",
+                    n_seeds=5 * factor, max_hops=4,
+                ).count(),
+                runs=1,
+            )
+            record("bfs_capacity", f"x{factor}", t, n)
+            graph._unckpt(big_cap)
         graph._unckpt(pr_base)
 
     # kcore_edges / clustering_edges: the same edge-strided two-decade
