@@ -1193,6 +1193,48 @@ def main() -> None:
             graph._unckpt(big_rk)
         graph._unckpt(rk_base)
 
+    # rerank_docs: birth receipt for the r18 cross-encoder rerank
+    # stage (ann_rerank). The candidate list is FIXED (|q| x k = 25
+    # rows from the base embeddings, checkpointed once); the DOCUMENT
+    # table strides by whole-table replicas whose ids never match the
+    # candidates. Claim under test: wall is linear in corpus rows and
+    # nothing else — the operator's only data-scaled work is streaming
+    # the doc table against the BROADCAST candidate list (plus the
+    # broadcast semi-join collecting the |q| query texts); the Arrow
+    # scoring pass and the per-query window run on the fixed
+    # |q| x k rows whatever the corpus size. out_rows must stay
+    # EXACTLY 25 at every decade.
+    if want("rerank_docs"):
+        docs01 = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
+        emb01 = spark.read.parquet(os.path.join(base_sf, "embeddings.parquet"))
+        qv01 = emb01.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cand01 = similarity.cosine_topk_bruteforce(
+            emb01, qv01, k=5
+        ).localCheckpoint(eager=True)
+        print(
+            f"PROBE rerank_docs candidates={cand01.count()}", file=sys.stderr
+        )
+        for factor in (1, 10, 100, 1000):
+            reps = spark.range(factor).select(F.col("id").alias("r"))
+            big_docs = graph._ckpt(
+                docs01.crossJoin(reps)
+                .select(
+                    (F.col("doc_id") + F.col("r") * ID_STRIDE).alias("doc_id"),
+                    "text",
+                )
+                .repartition(32)
+            )
+            t, n = timed(
+                lambda: similarity.crossencoder_rerank(
+                    cand01, big_docs
+                ).count()
+            )
+            record("rerank_docs", f"x{factor}", t, n)
+            graph._unckpt(big_docs)
+        graph._unckpt(cand01)
+
     # cc_capacity: EXPLICIT-ONLY (exact token, never in a default sweep)
     # — the r14 one-JVM ceiling retry (verdict task 6). Reproduces the
     # 435M-edge configuration that hit AGGREGATE_OUT_OF_MEMORY at 16g
