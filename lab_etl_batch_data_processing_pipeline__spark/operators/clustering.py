@@ -16,15 +16,23 @@ and a 64-dim distance < 2⁵⁶ at the default scale 2²⁰.
 
 Scale shape (the standard distributed Lloyd's):
 
-- assignment is MAP-ONLY — centroids ride as k literal arrays inside
-  one whole-stage-codegen'd expression (array_min over k struct(dist,
-  cid) terms), no shuffle, no UDF;
-- the update step is one (cluster, dim)-keyed hash aggregate with
-  map-side partials — k·dim output rows regardless of data size;
+- assignment + update partials are MAP-ONLY — one Arrow-batched
+  mapInPandas pass per iteration computes the (rows, k) distance
+  matrix and the per-batch (cluster, pos, sum, count) partials in
+  vectorized int64 NumPy (optimization guide §4.2: the previous
+  array_min-over-k-folds expression form ran INTERPRETED — higher-
+  order functions are CodegenFallback — at k·dim lambda evaluations
+  per row, and posexploded rows·dim rows into the update aggregate);
+- the update step stays one (cluster, dim)-keyed hash aggregate, now
+  over k·dim partial rows per batch instead of rows·dim exploded
+  rows — map-side combine in Python, dimension-sized everywhere after;
 - the only driver materialization per iteration is that k·dim-int
   frame (dimension-sized, same contract as the IVF index builders);
 - iterations are a fixed, small count (the caller pins it), so the
   whole run is ``iters + 1`` shuffle-light jobs over one cached scan.
+- the grouped trainer (:func:`kmeans_fit_grouped`, the PQ shape) keeps
+  its broadcast-join form: its per-group centroids already ride as
+  DATA, so it never had the interpreted-literal problem.
 
 Reference scope: the reference engine has no clustering operator
 (SURVEY.md §2 ends at windowed aggregates); this extends the engine's
@@ -56,6 +64,80 @@ def _dist_sq(vec_col, centroid: list[int]):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _dist_matrix(pdf_v, cents):
+    """(rows, k) int64 squared-L2 matrix for one Arrow batch: exact
+    integer arithmetic (NumPy int64 == BIGINT — headroom documented in
+    kmeans_fit), one vectorized pass per centroid instead of k
+    interpreted folds per row."""
+    import numpy as np
+
+    X = np.array(pdf_v.tolist(), dtype=np.int64)
+    C = np.array(cents, dtype=np.int64)
+    d2 = np.empty((len(X), len(C)), dtype=np.int64)
+    for j in range(len(C)):
+        diff = X - C[j]
+        d2[:, j] = np.einsum("nd,nd->n", diff, diff)
+    return X, d2
+
+
+def _partials_fn(cents):
+    """mapInPandas body for one Lloyd update: per-batch
+    (cluster, pos, s, n) partial sums — k·dim rows per batch, so the
+    downstream aggregate and driver collect stay dimension-sized while
+    the vectors themselves never leave the executor."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        dim = len(cents[0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X, d2 = _dist_matrix(pdf["v"], cents)
+            cl = d2.argmin(axis=1)  # first min == smallest cluster id
+            frames = []
+            for j in np.unique(cl):
+                m = cl == j
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.full(dim, j, dtype=np.int32),
+                            "pos": np.arange(dim, dtype=np.int32),
+                            "s": X[m].sum(axis=0, dtype=np.int64),
+                            "n": np.full(dim, int(m.sum()), dtype=np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
+def _assign_fn(cents):
+    """mapInPandas body for the final assignment pass:
+    (id, cluster, dist_sq) per row, same argmin/tie rule as the update."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _, d2 = _dist_matrix(pdf["v"], cents)
+            cl = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cluster": cl.astype(np.int32),
+                    "dist_sq": d2[np.arange(len(cl)), cl],
+                }
+            )
+
+    return fn
 
 
 def kmeans_fit(
@@ -107,35 +189,30 @@ def kmeans_fit(
         raise ValueError(f"need >= {k} vectors, got {len(seed_rows)}")
     centroids = [list(r.v) for r in seed_rows]
 
-    def assign(cents) -> DataFrame:
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _dist_sq(F.col("v"), c).alias("dist_sq"),
-                        F.lit(cid).alias("cluster"),
-                    )
-                    for cid, c in enumerate(cents)
-                ]
-            )
-        )
-        return vecs.select("id", "v", best.alias("b")).select(
-            "id",
-            "v",
-            F.col("b.cluster").alias("cluster"),
-            F.col("b.dist_sq").alias("dist_sq"),
-        )
-
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = assign(centroids)
-        # (cluster, dim) sums — k*dim rows, the per-iteration driver cost
+        # Vectorized assign+update in ONE Arrow pass (optimization guide
+        # §4.2): the old form evaluated k aggregate/zip_with folds per
+        # row — higher-order functions are CodegenFallback, i.e.
+        # INTERPRETED expression evaluation, k·dim lambda calls per row
+        # — then posexploded every vector into rows·dim rows for the
+        # update aggregate. Here each Arrow batch computes the distance
+        # matrix and its per-batch (cluster, pos, sum, count) partials
+        # in int64 NumPy (exact: coords < 2²¹ at the default scale, so
+        # a 64-dim squared distance < 2⁴⁸ and batch sums stay far under
+        # 2⁶³ — same truncation-free BIGINT domain as the expression
+        # form), and only k·dim partial rows per batch reach the final
+        # aggregate. argmin ties break to the FIRST (smallest) cluster
+        # id — the array_min struct(dist, cid) rule. Bit-identical
+        # output, pinned by the unchanged value tests and the DuckDB
+        # oracle (q_embedding_kmeans).
         sums = (
-            assigned.select(
-                "cluster", F.posexplode(F.col("v")).alias("pos", "x")
+            vecs.select("v")
+            .mapInPandas(
+                _partials_fn(centroids), "cluster int, pos int, s long, n long"
             )
             .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new_cents = [list(c) for c in centroids]  # empty cluster keeps old
@@ -149,7 +226,10 @@ def kmeans_fit(
             new_cents[cid] = vec
         centroids = new_cents
 
-    out = assign(centroids).select("id", "cluster", "dist_sq").orderBy("id")
+    id_type = vecs.schema["id"].dataType.simpleString()
+    out = vecs.mapInPandas(
+        _assign_fn(centroids), f"id {id_type}, cluster int, dist_sq long"
+    ).orderBy("id")
     return out, centroids
 
 

@@ -158,34 +158,56 @@ def connected_components(
     # selects would execute the (possibly expensive) pair-generating
     # subtree twice — Spark does not dedupe common subtrees across union
     # branches. explode(array(fwd, rev)) reads each pair once.
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
-            )
-        ).alias("e")
-    ).select("e.a", "e.b")
-    if not assume_unique_pairs:
-        edges = edges.distinct()
+    def _sym(p: DataFrame) -> DataFrame:
+        return p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("__s").alias("a"), F.col("__d").alias("b")),
+                    F.struct(F.col("__d").alias("a"), F.col("__s").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+
+    p = pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     lvl = _ckpt_storage()
-    edges = edges.persist(lvl) if lvl is not None else edges.persist()
+
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.persist(lvl) if lvl is not None else df.persist()
+
+    if assume_unique_pairs:
+        # Cache the PAIR frame and explode per read: level 0 consumes
+        # the edge list twice (label aggregate + contraction join), and
+        # the doubled edge frame is pure recompute of the cached pairs —
+        # caching pairs instead halves the cached bytes (the r15
+        # 435M-edge capacity squeeze was exactly cache pressure) for one
+        # extra explode per scan.
+        cached = _persist(p)
+        edges = _sym(cached)
+    else:
+        # Duplicate-tolerant path: the distinct must run on the
+        # SYMMETRIZED frame (the input may contain both (x,y) and
+        # (y,x)), so cache the deduped edges themselves.
+        cached = edges = _persist(_sym(p).distinct())
     try:
         return _resolve(edges, max_iter).orderBy("node_id")
     finally:
-        edges.unpersist()
+        cached.unpersist()
 
 
 def _min_over_neighborhood(e: DataFrame) -> DataFrame:
     """One propagation round over a symmetric edge list:
-    label(v) = min({v} ∪ neighbors(v))."""
+    label(v) = min({v} ∪ neighbors(v)) — computed as
+    least(v, min(neighbors)) in ONE scan/aggregate. The previous
+    union-with-self form scanned ``e`` twice and aggregated 2x the
+    rows for the same result (min({v} ∪ N) == least(v, min N), and
+    every node of a symmetric edge list appears as ``a``)."""
     return (
-        e.select(F.col("a").alias("node_id"), F.col("b").alias("component_id"))
-        .union(
-            e.select(F.col("a").alias("node_id"), F.col("a").alias("component_id"))
+        e.groupBy(F.col("a").alias("node_id"))
+        .agg(F.min("b").alias("__mn"))
+        .select(
+            "node_id",
+            F.least(F.col("node_id"), F.col("__mn")).alias("component_id"),
         )
-        .groupBy("node_id")
-        .agg(F.min("component_id").alias("component_id"))
     )
 
 
@@ -332,15 +354,26 @@ def pagerank(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
     )
-    outdeg = _ckpt(
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-    )
     nodes = _ckpt(
-        e.select(F.col("src").alias("node_id"))
-        .union(e.select(F.col("dst").alias("node_id")))
+        e.select(F.explode(F.array("src", "dst")).alias("node_id"))
         .distinct()
     )
+    # Fold the out-degree onto the static edge frame ONCE: outdeg is a
+    # pure function of the edge set, so carrying it as a third column of
+    # the checkpointed edges turns every iteration's two joins (ranks on
+    # src, then outdeg on src) into ONE src-keyed join — r iterations
+    # save r node-sized join stages for one extra long column on the
+    # edge checkpoint (guide §2.4: two operations keyed the same way
+    # share one exchange; here the second lookup is precomputed away
+    # entirely). Arithmetic unchanged: (85*rank div 100) div outdeg per
+    # edge, exact BIGINT, so ranks are bit-identical.
+    ew = _ckpt(
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
+    )
+    # nodes and ew are EAGER checkpoints: the bare edge checkpoint has
+    # no remaining consumer (the loop reads ew only), so release it now
+    # instead of pinning edge-scale blocks for the caller's lifetime.
+    _unckpt(e)
     ranks = nodes.select(
         "node_id", F.lit(1 << scale_bits).cast("long").alias("rank_fp")
     )
@@ -353,8 +386,7 @@ def pagerank(
     prev_ranks: DataFrame | None = None
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node_id"])
-            .join(outdeg, "src")
+            ew.join(ranks.withColumnRenamed("node_id", "src"), "src")
             .select(
                 F.col("dst").alias("node_id"),
                 F.expr("(85 * rank_fp div 100) div outdeg").alias("c"),
@@ -416,9 +448,12 @@ def triangle_counts(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # explode, not unionAll-of-two-selects: e is a lazy dedup over the
+    # caller's (often join-built) edge frame, and union branches
+    # re-execute their common subtree — explode counts both endpoints
+    # in one scan.
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
+        e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -490,8 +525,7 @@ def clustering_coefficients(
         .distinct()
     )
     deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -562,9 +596,12 @@ def kcore(
     e = _ckpt(e, eager=False)
 
     def degrees(edge_df: DataFrame) -> DataFrame:
+        # explode, not unionAll-of-two-selects: live_edges is a LAZY
+        # pair of semi-joins, and union branches re-execute their
+        # common subtree — the old form ran both semi-joins twice per
+        # peel round for one degree count. explode reads the frame once.
         return (
-            edge_df.select(F.col("a").alias("node"))
-            .unionAll(edge_df.select(F.col("b").alias("node")))
+            edge_df.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -766,8 +803,7 @@ def hits(
         storage=lvl,
     )
     nodes = _ckpt(
-        e.select(F.col("src").alias("node_id"))
-        .union(e.select(F.col("dst").alias("node_id")))
+        e.select(F.explode(F.array("src", "dst")).alias("node_id"))
         .distinct(),
         storage=lvl,
     )
@@ -872,8 +908,7 @@ def bfs_hops(
         storage=lvl,
     )
     nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .union(e.select(F.col("dst").alias("node_id")))
+        e.select(F.explode(F.array("src", "dst")).alias("node_id"))
         .distinct()
     )
     seeds = nodes.orderBy("node_id").limit(n_seeds)

@@ -1765,17 +1765,27 @@ def q_transaction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    pairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
+    # One-pass symmetrize (the connected_components / transaction_reach
+    # rule, guide §2.4): the old union-of-two-selects form executed the
+    # lineitem x orders join subtree TWICE (Spark does not dedupe common
+    # subtrees across union branches) plus a pre-union distinct — one
+    # full extra fact-fact join and one extra shuffle inside pagerank's
+    # static edge checkpoint job. explode(array(fwd, rev)) reads the
+    # join output once; pagerank's own edge distinct canonicalizes the
+    # set, so the final edge frame — and every rank — is identical
+    # (distinct∘sym∘distinct == distinct∘sym).
+    pairs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
     )
     edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pagerank(edges, iterations=5).orderBy("node_id")
 
 
