@@ -336,6 +336,44 @@ def cosine_topk_lsh(
             # drop any caller column of that name before binding the
             # broadcast weight frame so F.col("__hw") stays unambiguous.
             df = df.drop("__hw").crossJoin(F.broadcast(wdf))
+            # ONE nested higher-order expression computes EVERY table's
+            # bucket from the broadcast weight tensor: fold over the
+            # planes of each table (bucket = bucket*2 + sign bit), dot
+            # product as the same left-to-right zip_with/aggregate fold
+            # as before — bit-identical values, but the expression tree
+            # (and the Column-construction py4j traffic) shrinks
+            # ~num_tables*num_planes-fold. Measured at sf0.1: DataFrame
+            # CONSTRUCTION of the full top-k plan was 2.7-4.9 s with the
+            # per-table unrolled form — more than the query's execution
+            # — and drops to well under a second with the single
+            # expression (the r10 literal-tree lesson, one level up).
+            # posexplode's 0-based pos IS the table id (array order).
+            buckets = F.transform(
+                F.col("__hw"),
+                lambda tw: F.aggregate(
+                    tw,
+                    F.lit(0).cast("long"),
+                    lambda acc, w: acc * 2
+                    + F.when(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col(vec_col),
+                                w,
+                                lambda x, wv: x.cast("double") * wv,
+                            ),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                        > 0,
+                        F.lit(1),
+                    ).otherwise(F.lit(0)),
+                ),
+            )
+            return df.select(
+                F.col(ident),
+                F.col(vec_col),
+                F.posexplode(buckets).alias("table_id", "bucket"),
+            )
         tables = F.array(
             *[
                 F.struct(
@@ -345,11 +383,7 @@ def cosine_topk_lsh(
                         num_planes,
                         t,
                         portable,
-                        weights=(
-                            F.element_at(F.col("__hw"), t + 1)
-                            if portable
-                            else None
-                        ),
+                        weights=None,
                     ).alias("bucket"),
                 )
                 for t in range(num_tables)

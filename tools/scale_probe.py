@@ -638,17 +638,23 @@ def main() -> None:
         # checkpointed static frames keep per-round work edge-sized, so
         # 10x edges => ~10x wall, not round-compounding lineage growth.
         if want("transaction_pagerank"):
-            pairs = (
-                li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-                .select(
-                    (F.col("o_custkey") * 2).alias("c"),
-                    (F.col("l_suppkey") * 2 + 1).alias("s"),
-                )
-                .distinct()
+            # one-pass explode symmetrize — mirrors the registry query
+            # (r18 optimization round: the union form executed the
+            # lineitem x orders join twice)
+            pairs = li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"]
+            ).select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
             )
             edges = pairs.select(
-                F.col("c").alias("src"), F.col("s").alias("dst")
-            ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+                F.explode(
+                    F.array(
+                        F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                        F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                    )
+                ).alias("e")
+            ).select("e.src", "e.dst")
             t, n = timed(lambda: graph.pagerank(edges, iterations=5).count())
             record("transaction_pagerank", scale, t, n)
 
