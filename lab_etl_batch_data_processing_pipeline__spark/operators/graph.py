@@ -363,10 +363,17 @@ def pagerank(
     # the checkpointed edges turns every iteration's two joins (ranks on
     # src, then outdeg on src) into ONE src-keyed join — r iterations
     # save r node-sized join stages for one extra long column on the
-    # edge checkpoint (guide §2.4: two operations keyed the same way
-    # share one exchange; here the second lookup is precomputed away
-    # entirely). Arithmetic unchanged: (85*rank div 100) div outdeg per
-    # edge, exact BIGINT, so ranks are bit-identical.
+    # edge checkpoint (guide §2.4). Arithmetic unchanged:
+    # (85*rank div 100) div outdeg per edge, exact BIGINT, so ranks are
+    # bit-identical. Capacity note: this transiently holds two
+    # edge-scale checkpoints (e + ew) until the _unckpt below — under
+    # the default MEMORY_AND_DISK storage the one-JVM x100 probe
+    # (117M strided edges @ 16g) hits UNABLE_TO_ACQUIRE_MEMORY, but it
+    # did so for the PRE-fold shape too (SCALE.md Round-15 config
+    # note); capacity runs use SPARK_GRAFT_CKPT_STORAGE=DISK_ONLY +
+    # 128 shuffle partitions, the documented knob, under which the
+    # fold's extra checkpoint is disk, not pool pressure (receipt
+    # re-run this round: tools/scale_probe_r18_pagerank.json).
     ew = _ckpt(
         e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
     )
