@@ -467,3 +467,27 @@ def test_bfs_hops_matches_sequential_replica(spark):
             ).collect()
         }
         assert got == want, (trial, n_seeds, max_hops, sorted(edges))
+
+
+def test_cc_pairs_cache_path_matches_duplicate_tolerant_path(spark):
+    """r18 optimization pin: assume_unique_pairs=True (pairs cached,
+    symmetrized per read) and the duplicate-tolerant path (edges
+    deduped + cached) must resolve identical components."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (3, 4)], ["doc_id_a", "doc_id_b"]
+    )
+    a = sorted(
+        map(tuple, graph.connected_components(
+            pairs, assume_unique_pairs=True
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, graph.connected_components(
+            pairs, assume_unique_pairs=False
+        ).collect())
+    )
+    assert a == b
+    comp = dict(a)
+    assert comp[4] == 1 and comp[8] == 7 and comp[11] == 10

@@ -709,3 +709,67 @@ def test_crossencoder_rerank_matches_sequential_replica(spark):
     for r in out:
         assert r.ce_score == expect[(r.query_id, r.neighbor_id)]
         assert r.rerank_pos == order[(r.query_id, r.neighbor_id)]
+
+
+def test_lsh_collapsed_bucket_expression_matches_per_table_form(spark):
+    """r18 optimization pin: cosine_topk_lsh's single nested-HOF bucket
+    expression (one transform/aggregate over the broadcast weight
+    tensor) must produce bit-identical (table_id, bucket) pairs to the
+    original per-table _hyperplane_bucket unroll it replaced."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import similarity
+
+    n_tables, n_planes, dim = 4, 3, 6
+    rows = [
+        (i, [float((i * 7 + j * 5) % 13) / 13.0 - 0.5 for j in range(dim)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    wmat = [
+        similarity.portable_plane_weights(t, n_planes, dim)
+        for t in range(n_tables)
+    ]
+    wdf = spark.createDataFrame([(wmat,)], "__hw array<array<array<double>>>")
+    bound = df.crossJoin(F.broadcast(wdf))
+
+    # original per-table unroll (the reference form)
+    old = []
+    for t in range(n_tables):
+        col = similarity._hyperplane_bucket(
+            F.col("embedding"), n_planes, t, True,
+            weights=F.element_at(F.col("__hw"), t + 1),
+        )
+        old.extend(
+            (r.vec_id, t, r.b)
+            for r in bound.select("vec_id", col.alias("b")).collect()
+        )
+
+    # collapsed nested-HOF form (what with_buckets builds now)
+    buckets = F.transform(
+        F.col("__hw"),
+        lambda tw: F.aggregate(
+            tw,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc * 2
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), w,
+                        lambda x, wv: x.cast("double") * wv,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    new = [
+        (r.vec_id, r.table_id, r.bucket)
+        for r in bound.select(
+            "vec_id", F.posexplode(buckets).alias("table_id", "bucket")
+        ).collect()
+    ]
+    assert sorted(new) == sorted(old)

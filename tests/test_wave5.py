@@ -630,3 +630,58 @@ def test_incremental_agg_with_materialized_base(spark):
         snap, changes, ["k"], "seq", "g", m, base_agg=view
     )
     assert boot.collect() == steady.collect()
+
+
+def test_kmeans_vectorized_path_handles_empty_partitions_and_matches_replica(spark):
+    """r18 optimization pin: the Arrow mapInPandas assign/update path
+    (clustering._partials_fn/_assign_fn) must (a) skip empty Arrow
+    batches (more partitions than rows), and (b) reproduce the exact
+    integer Lloyd rule set — verified against a sequential NumPy
+    replica of the same fix-point arithmetic."""
+    import numpy as np
+
+    from lab_etl_batch_data_processing_pipeline__spark.operators import clustering
+
+    rows = [
+        (i, [float((i * 5 + j) % 9) / 9.0 - 0.3 for j in range(4)])
+        for i in range(6)
+    ]
+    # 16 partitions >> 6 rows forces empty batches through the Python path
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(16)
+    out, cents = clustering.kmeans_fit(
+        df, "vec_id", "embedding", k=2, iters=2, scale=1 << 10, shift=1.0
+    )
+    got = {r.id: (r.cluster, r.dist_sq) for r in out.collect()}
+
+    # sequential replica: same init (k smallest ids), same assign
+    # (argmin, first-min tie = smallest cid), same update (sum // n)
+    scale = 1 << 10
+    X = np.array(
+        [[round((x + 1.0) * scale) for x in v] for _, v in rows], dtype=np.int64
+    )
+    C = X[:2].copy()
+    for _ in range(2):
+        d2 = np.array([[int(((x - c) ** 2).sum()) for c in C] for x in X])
+        cl = d2.argmin(axis=1)
+        for j in range(2):
+            m = cl == j
+            if m.any():
+                C[j] = X[m].sum(axis=0) // int(m.sum())
+    d2 = np.array([[int(((x - c) ** 2).sum()) for c in C] for x in X])
+    cl = d2.argmin(axis=1)
+    want = {i: (int(cl[i]), int(d2[i, cl[i]])) for i in range(6)}
+    assert got == want
+
+
+def test_kmeans_assignment_schema_preserves_id_type(spark):
+    """The vectorized final pass declares its schema dynamically: a
+    non-long id column must survive with its own type."""
+    from lab_etl_batch_data_processing_pipeline__spark.operators import clustering
+
+    rows = [(i, [float(i % 3), float(i % 2)]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    out = clustering.kmeans_assign(df, "vec_id", "embedding", k=2, iters=1)
+    assert dict(out.dtypes)["id"] == "int"
+    assert out.count() == 5
