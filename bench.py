@@ -288,6 +288,42 @@ def main() -> None:
             except Exception as exc:
                 errors[f"warm2:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Min-of-5 warm receipts (r18 verdict task 1, additions-only): every
+    # r18-era full-bench run — six of them — self-flagged hypervisor
+    # steal, so no single-shot total from that era is trustworthy. The
+    # robust per-key number under a BURSTY co-tenant is the minimum over
+    # several interleaved warm passes (a burst inflates some passes; the
+    # min survives unless contention is continuous, which the steal
+    # receipt would then show). Applied to the heaviest keys only (they
+    # carry the regression signal; sub-second keys have stable warm2):
+    # "queries_min5" = min over warm2 + 4 more full warm sweeps, for the
+    # top SPARK_GRAFT_BENCH_MIN5 (default 25) keys by warm2. Passes are
+    # interleaved key-by-key so one burst cannot poison all 5 runs of a
+    # key. Cold totals, warm2, and the stdout contract are untouched.
+    min5: dict[str, float] = {}
+    min5_mode = os.environ.get("SPARK_GRAFT_BENCH_MIN5", "25")
+    if min5_mode != "0" and repeat == 1 and warm2:
+        try:
+            top_n = int(min5_mode)
+        except ValueError:
+            top_n = 25
+        registry = entrymod.queries()
+        min5_keys = [
+            k for k, _ in sorted(warm2.items(), key=lambda kv: -kv[1])[:top_n]
+        ]
+        min5 = {k: warm2[k] for k in min5_keys}
+        for _ in range(4):
+            for name in min5_keys:
+                gc.collect()
+                start = time.perf_counter()
+                try:
+                    materialize(registry[name](spark, sf_dir))
+                    min5[name] = min(
+                        min5[name], round(time.perf_counter() - start, 3)
+                    )
+                except Exception as exc:
+                    errors[f"min5:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total_query_seconds",
@@ -348,6 +384,9 @@ def main() -> None:
     if warm2:
         payload["queries_warm2"] = warm2
         payload["warm2_total"] = round(sum(warm2.values()), 3)
+    if min5:
+        payload["queries_min5"] = min5
+        payload["min5_total"] = round(sum(min5.values()), 3)
     if errors:
         payload["errors"] = errors
     full_line = json.dumps(payload)
@@ -394,6 +433,8 @@ def main() -> None:
         summary["load_warning"] = payload["load_warning"]
     if warm2:
         summary["warm2_total"] = payload["warm2_total"]
+    if min5:
+        summary["min5_total"] = payload["min5_total"]
     print(json.dumps(summary))
 
 
