@@ -301,26 +301,28 @@ def train_quality_classifier(
 def score_quality(features: DataFrame, weights: list[int]) -> DataFrame:
     """Score docs with trained weights: (doc_id, score_s, pred) where
     ``score_s`` is the fixed-point margin z_s (scale 2^20 — positive
-    means predicted-quality) and ``pred`` = z_s >= 0. One aggregate into
-    the per-doc dense form, then a map-side fold with the weights inlined
-    as a literal array — scoring is a pure projection pipeline, the
-    'score everything, gate on the score' stage at any corpus size.
-    ``weights`` is the train output (bias last); docs are those present
-    in ``features`` — a doc shorter than the n-gram width yields no
-    feature rows and cannot be scored (training still covers it through
-    the bias row added per LABELED doc)."""
-    feats_b = features.select("doc_id", "bucket", "cnt").unionByName(
-        features.select("doc_id")
-        .distinct()
-        .select(
-            "doc_id",
-            F.lit(len(weights) - 1).cast("long").alias("bucket"),
-            F.lit(FEAT_SCALE).cast("long").alias("cnt"),
-        )
+    means predicted-quality) and ``pred`` = z_s >= 0. Scoring is ONE
+    codegen'd projection + hash aggregate: z_s = SUM over the doc's
+    feature rows of w[bucket] * cnt, plus the bias term w[last] *
+    FEAT_SCALE folded in as a literal after the aggregate. Every term
+    is an exact long product and long sums are order-invariant, so this
+    is bit-identical to the r18 sorted-array fold form (pinned by
+    tests) while skipping that form's three extra passes: the distinct
+    + union that appended a per-doc bias ROW, the collect_list +
+    array_sort into the dense form, and the per-element interpreted
+    higher-order fold (``aggregate`` HOFs are CodegenFallback — the
+    kmeans lesson, guide §4.2; measured 3.0 s -> ~2.0 s at sf0.1 as the
+    quality_classifier scoring phase). ``weights`` is the train output
+    (bias last); docs are those present in ``features`` — a doc shorter
+    than the n-gram width yields no feature rows and cannot be scored
+    (training still covers it through the bias row added per LABELED
+    doc)."""
+    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    term = F.element_at(w_arr, (F.col("bucket") + 1).cast("int")) * F.col("cnt")
+    bias = int(weights[-1]) * FEAT_SCALE
+    return (
+        features.select("doc_id", term.alias("__t"))
+        .groupBy("doc_id")
+        .agg((F.sum("__t") + F.lit(bias)).cast("long").alias("score_s"))
+        .select("doc_id", "score_s", (F.col("score_s") >= 0).alias("pred"))
     )
-    dense = feats_b.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))).alias("feats")
-    )
-    return dense.select(
-        "doc_id", F.explode(F.array(_z_expr(weights))).alias("score_s")
-    ).select("doc_id", "score_s", (F.col("score_s") >= 0).alias("pred"))

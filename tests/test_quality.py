@@ -99,3 +99,34 @@ def test_feature_shape(spark):
     # docs shorter than n chars yield no feature rows at all (documented:
     # they cannot be scored; training still covers them via the bias row)
     assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_score_quality_matches_r18_fold_form(spark, corpus):
+    """r19 optimization pin: scoring as one codegen'd SUM aggregate
+    (w[bucket]*cnt summed per doc + literal bias) is bit-identical to
+    the r18 sorted-array interpreted-fold form — long products and long
+    sums are order-invariant, so the two plans must agree exactly on
+    every doc, including the pred boolean at the z == 0 boundary."""
+    labels = _labels(corpus)
+    feats = quality.hashed_char_ngram_features(corpus)
+    w = quality.train_quality_classifier(feats, labels, n_iter=4)
+    # the r18 form, verbatim: bias row unioned per doc, dense sorted
+    # array, HOF fold via _z_expr
+    feats_b = feats.select("doc_id", "bucket", "cnt").unionByName(
+        feats.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.lit(len(w) - 1).cast("long").alias("bucket"),
+            F.lit(quality.FEAT_SCALE).cast("long").alias("cnt"),
+        )
+    )
+    dense = feats_b.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))).alias("feats")
+    )
+    old = dense.select(
+        "doc_id", F.explode(F.array(quality._z_expr(w))).alias("score_s")
+    ).select("doc_id", "score_s", (F.col("score_s") >= 0).alias("pred"))
+    new = quality.score_quality(feats, w)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
