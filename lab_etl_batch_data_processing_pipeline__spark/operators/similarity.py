@@ -29,7 +29,12 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector_funcs import cosine_similarity, dot_product, l2_norm
+from ..functions.vector_funcs import (
+    cosine_similarity,
+    dot_product,
+    dot_product_unrolled,
+    l2_norm,
+)
 from .layout import ensure_parallelism
 from .graph import _ckpt
 
@@ -1740,59 +1745,126 @@ def semantic_dedup_gate(
     every dropped row names an earlier-id kept culprit at/above it.
     Boundary slack 1e-6 absorbs numpy-vs-codegen summation-order ulps;
     a real survivor-structure regression flips a boolean.
+
+    Pair-verify cost (r19): the exact JVM cosine is evaluated once per
+    kept pair, and the higher-order-function form is interpreted
+    (CodegenFallback) — measured 3.1 s for the 38 k kept pairs at sf0.1,
+    ~the whole gate. Value-identically restructured: each side's
+    l2_norm is computed ONCE PER ROW before the join (same fold
+    expression, so the same double), and when the corpus' vectors have
+    uniform length the per-pair dot is the unrolled codegen'd twin
+    (``dot_product_unrolled`` — bit-identical by construction, pinned
+    in tests). cosine = when(na*nb != 0, dot/(na*nb)) evaluates the
+    identical IEEE operation sequence as cosine_similarity.
     """
     rep = _ckpt(report)  # 3 verification consumers below
     t = threshold
     emb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    kept = rep.filter("kept").join(emb, "vec_id").select(
-        "vec_id", "cell", "embedding"
+    sizes = emb.agg(
+        F.min(F.size("embedding")).alias("lo"), F.max(F.size("embedding")).alias("hi")
+    ).first()
+    uniform_dim = sizes["lo"] if sizes["lo"] == sizes["hi"] else None
+
+    def pair_cosine(a, b, na, nb):
+        dot = (
+            dot_product_unrolled(a, b, uniform_dim)
+            if uniform_dim
+            else dot_product(a, b)
+        )
+        denom = na * nb
+        return F.when(denom != 0.0, dot / denom)
+
+    embn = emb.withColumn("__nrm", l2_norm(F.col("embedding")))
+    kept = rep.filter("kept").join(embn, "vec_id").select(
+        "vec_id", "cell", "embedding", "__nrm"
     )
-    ka, kb = kept.alias("ka"), kept.alias("kb")
-    n_kept_near_pairs = (
+    # Parallelism of the pair verify: the kept frame is tiny in BYTES, so
+    # AQE coalesces the cell-keyed join to ONE post-shuffle partition —
+    # but its pair OUTPUT is |kept|²-ish and the cosine filter then runs
+    # single-task (measured: the whole 2-3 s gate cost was one straggler
+    # task). Explicit round-robin repartition on the stream side + a
+    # broadcast build side keeps the map-side join at full width; both
+    # are strategy-only (results unchanged).
+    n_par = corpus.sparkSession.sparkContext.defaultParallelism
+    ka = kept.repartition(n_par).alias("ka")
+    kb = F.broadcast(kept).alias("kb")
+    kept_pair_frame = (
         ka.join(
             kb,
             (F.col("ka.cell") == F.col("kb.cell"))
             & (F.col("ka.vec_id") < F.col("kb.vec_id")),
         )
         .filter(
-            cosine_similarity(F.col("ka.embedding"), F.col("kb.embedding"))
+            pair_cosine(
+                F.col("ka.embedding"), F.col("kb.embedding"),
+                F.col("ka.__nrm"), F.col("kb.__nrm"),
+            )
             >= t + 1e-6
         )
-        .count()
     )
     dropped = rep.filter(~F.col("kept"))
     kept_ids = rep.filter("kept").select(F.col("vec_id").alias("matched_id"))
-    stats = rep.agg(
-        F.count(F.lit(1)).alias("n_out"),
-        F.sum(F.col("kept").cast("int")).alias("n_kept"),
-    ).first()
-    n_dropped = stats.n_out - stats.n_kept
-    n_culprit_ok = (
+    culprit_frame = (
         dropped.join(kept_ids, "matched_id", "left_semi")
         .filter(F.col("matched_id") < F.col("vec_id"))
-        .join(emb, "vec_id")
+        .join(embn, "vec_id")
         .join(
-            emb.select(
+            embn.select(
                 F.col("vec_id").alias("matched_id"),
                 F.col("embedding").alias("m_emb"),
+                F.col("__nrm").alias("__m_nrm"),
             ),
             "matched_id",
         )
         .filter(
-            cosine_similarity(F.col("embedding"), F.col("m_emb")) >= t - 1e-6
+            pair_cosine(
+                F.col("embedding"), F.col("m_emb"),
+                F.col("__nrm"), F.col("__m_nrm"),
+            )
+            >= t - 1e-6
         )
-        .count()
     )
-    n_vecs = emb.count()
-    n_out_distinct_in_input = (
-        rep.select("vec_id").distinct().join(emb, "vec_id", "left_semi").count()
+    # ONE action for every verification count (r19): the five checks were
+    # five sequential .count()/.first() jobs, each paying full job/stage
+    # latency on tiny frames — the measured bulk of the gate at sf0.1.
+    # Unioned into one collect, their independent subtrees run as
+    # concurrent stages of a single job (guide §2.6), so wall time is the
+    # slowest subtree, not the sum. Values are identical — each branch is
+    # the same aggregate the serial form ran.
+    def one(tag: str, df: DataFrame, v1, v2) -> DataFrame:
+        return df.agg(v1.cast("long").alias("v1"), v2.cast("long").alias("v2")).select(
+            F.lit(tag).alias("tag"), "v1", "v2"
+        )
+
+    counts_df = (
+        one("kept_pairs", kept_pair_frame, F.count(F.lit(1)), F.lit(0))
+        .unionAll(one("culprit_ok", culprit_frame, F.count(F.lit(1)), F.lit(0)))
+        .unionAll(
+            one("rep_stats", rep, F.count(F.lit(1)), F.sum(F.col("kept").cast("int")))
+        )
+        .unionAll(one("n_vecs", emb, F.count(F.lit(1)), F.lit(0)))
+        .unionAll(
+            one(
+                "out_distinct",
+                rep.select("vec_id").distinct().join(emb, "vec_id", "left_semi"),
+                F.count(F.lit(1)),
+                F.lit(0),
+            )
+        )
     )
+    counts = {r["tag"]: (r["v1"], r["v2"]) for r in counts_df.collect()}
+    n_kept_near_pairs = counts["kept_pairs"][0]
+    n_culprit_ok = counts["culprit_ok"][0]
+    n_out, n_kept = counts["rep_stats"]
+    n_dropped = n_out - (n_kept or 0)
+    n_vecs = counts["n_vecs"][0]
+    n_out_distinct_in_input = counts["out_distinct"][0]
     return corpus.sparkSession.createDataFrame(
         [
             (
                 n_vecs,
-                stats.n_out == n_vecs and n_out_distinct_in_input == n_vecs,
-                stats.n_kept >= 1,
+                n_out == n_vecs and n_out_distinct_in_input == n_vecs,
+                (n_kept or 0) >= 1,
                 n_kept_near_pairs == 0,
                 n_culprit_ok == n_dropped,
             )

@@ -773,3 +773,49 @@ def test_lsh_collapsed_bucket_expression_matches_per_table_form(spark):
         ).collect()
     ]
     assert sorted(new) == sorted(old)
+
+
+def test_dot_product_unrolled_bit_identical(spark):
+    """r19 gate optimization pin: the unrolled codegen'd dot must equal
+    the HOF fold bit for bit (same left-associated IEEE sequence) on
+    adversarial float arrays — irrational-ish values, negatives, a null
+    element (poisons both forms identically), and a zero vector. The
+    composed cosine (per-row norms, when(denom != 0)) must likewise
+    match cosine_similarity exactly."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from lab_etl_batch_data_processing_pipeline__spark.functions.vector_funcs import (
+        cosine_similarity,
+        dot_product,
+        dot_product_unrolled,
+        l2_norm,
+    )
+
+    rows = [
+        (1, [0.1, 0.2, 0.30000000001, -7.7], [9.999, -0.333, 1e-8, 2.5]),
+        (2, [1e30, -1e30, 3.3, 4.4], [1.0, 1.0, 1e-30, -2.0]),
+        (3, [0.0, 0.0, 0.0, 0.0], [1.0, 2.0, 3.0, 4.0]),
+        (4, [1.5, None, 2.5, 3.5], [1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("fold"),
+        dot_product_unrolled(F.col("a"), F.col("b"), 4).alias("unrolled"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos_fold"),
+        F.when(
+            (l2_norm(F.col("a")) * l2_norm(F.col("b"))) != 0.0,
+            dot_product_unrolled(F.col("a"), F.col("b"), 4)
+            / (l2_norm(F.col("a")) * l2_norm(F.col("b"))),
+        ).alias("cos_unrolled"),
+    ).collect()
+    for r in got:
+        fa = None if r.fold is None else struct.pack("<d", r.fold)
+        fb = None if r.unrolled is None else struct.pack("<d", r.unrolled)
+        assert fa == fb, (r.fold, r.unrolled)
+        ca = None if r.cos_fold is None else struct.pack("<d", r.cos_fold)
+        cb = None if r.cos_unrolled is None else struct.pack("<d", r.cos_unrolled)
+        assert ca == cb, (r.cos_fold, r.cos_unrolled)
